@@ -34,7 +34,6 @@ import json
 import math
 import zlib
 from functools import lru_cache
-from pathlib import Path
 
 import numpy as np
 
@@ -48,12 +47,17 @@ __all__ = [
     "error_bound",
 ]
 
-_CONSTANTS_PATH = Path(__file__).with_name("hll_constants.json")
-
-
 @lru_cache(maxsize=1)
 def _constants() -> dict:
-    raw = json.loads(_CONSTANTS_PATH.read_text())
+    # importlib.resources (not a filesystem path) so the table loads when
+    # the package ships as a --py-files zip on executors
+    from importlib import resources
+
+    raw = json.loads(
+        resources.files("hyper_spark.kernel")
+        .joinpath("hll_constants.json")
+        .read_text()
+    )
     return {
         "threshold": {int(p): v for p, v in raw["threshold"].items()},
         "estimate_data": {

@@ -1,0 +1,284 @@
+"""Distributed HLL sketch aggregation.
+
+The insight this whole module leans on: the reference's union is exactly
+element-wise max over register arrays, so a sketch is a perfect mergeable
+partial-aggregate state for Spark's partial/final aggregation model — the
+reference README itself sketches the map/reduce deployment
+(``/root/reference/README.md:10-15``).
+
+Two physical strategies, both ending in identical sketch bytes:
+
+``explode`` (default for grouped sketches)
+    rows → JVM-native (idx, rho) columns → ``groupBy(keys, idx).max(rho)``
+    (Catalyst inserts the map-side partial aggregate; shuffle volume is
+    bounded by Σ_g min(n_g, 2^p) small int rows, and the 2^p idx values
+    act as a built-in salt that spreads any hot group key over the whole
+    cluster) → one ``applyInPandas`` densify per group.
+
+``partial`` (default for global / few-group sketches)
+    rows → JVM-native (idx, rho) → ``mapInPandas`` builds *per-partition*
+    dense partial sketches (map-side combine; nothing raw is shuffled)
+    → ``groupBy(keys)`` merge of 2^p-byte blobs with
+    ``np.maximum.reduce``. This is the treeAggregate shape: shuffle
+    carries only num_partitions × num_groups blobs.
+
+At 100 TB: ``explode`` keeps the shuffle proportional to distinct
+(group, idx) pairs — at most 2^p rows per group no matter how many input
+rows — and ``partial`` keeps it proportional to partitions × groups.
+Pick ``partial`` when groups ≪ rows/partition, ``explode`` otherwise;
+``auto`` does exactly that.
+
+Mixed-precision merge folds to the minimum P first, matching union/1
+(``src/hyper.erl:67-88``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from hyper_spark.functions.hashing import hll_prepare
+from hyper_spark.kernel.hll import HllSketch, estimate_from_registers
+
+__all__ = [
+    "sketch_by",
+    "union_sketches",
+    "cardinality_col",
+    "approx_distinct",
+    "sketch_collect",
+    "intersect_card",
+    "SKETCH_FIELDS",
+]
+
+SKETCH_FIELDS = [
+    StructField("p", IntegerType(), False),
+    StructField("registers", BinaryType(), False),
+]
+
+_GROUP_COL = "__hll_group"
+
+
+def _sketch_schema(df: DataFrame, keys: Sequence[str]) -> StructType:
+    key_fields = [df.schema[k] for k in keys]
+    return StructType(list(key_fields) + SKETCH_FIELDS)
+
+
+def _densify_fn(p: int, keys: Sequence[str]):
+    m = 1 << p
+
+    def densify(pdf: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(
+            regs,
+            pdf["idx"].to_numpy(dtype=np.int64),
+            pdf["rho"].to_numpy(dtype=np.uint8),
+        )
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["p"] = [p]
+        out["registers"] = [regs.tobytes()]
+        return pd.DataFrame(out)
+
+    return densify
+
+
+def _merge_fn(keys: Sequence[str]):
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        ps = pdf["p"].to_numpy()
+        min_p = int(ps.min())
+        stacked = []
+        for p_i, blob in zip(ps, pdf["registers"]):
+            regs = np.frombuffer(blob, dtype=np.uint8)
+            if p_i != min_p:
+                regs = regs.reshape(-1, 1 << min_p).max(axis=0)
+            stacked.append(regs)
+        merged = np.maximum.reduce(stacked) if len(stacked) > 1 else stacked[0]
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["p"] = [min_p]
+        out["registers"] = [np.ascontiguousarray(merged).tobytes()]
+        return pd.DataFrame(out)
+
+    return merge
+
+
+def _partials_fn(p: int, keys: Sequence[str]):
+    """mapInPandas worker: per Arrow batch, per group, build a dense partial
+    sketch (the map-side combine of the `partial` strategy)."""
+    m = 1 << p
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate across all batches of the partition: one blob per group
+        acc: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if keys:
+                grouped = pdf.groupby(list(keys), sort=False, dropna=False)
+                for gkey, sub in grouped:
+                    gkey = gkey if isinstance(gkey, tuple) else (gkey,)
+                    regs = acc.get(gkey)
+                    if regs is None:
+                        regs = acc.setdefault(gkey, np.zeros(m, dtype=np.uint8))
+                    np.maximum.at(
+                        regs,
+                        sub["idx"].to_numpy(dtype=np.int64),
+                        sub["rho"].to_numpy(dtype=np.uint8),
+                    )
+            else:
+                regs = acc.get(())
+                if regs is None:
+                    regs = acc.setdefault((), np.zeros(m, dtype=np.uint8))
+                np.maximum.at(
+                    regs,
+                    pdf["idx"].to_numpy(dtype=np.int64),
+                    pdf["rho"].to_numpy(dtype=np.uint8),
+                )
+        if acc:
+            rows = {
+                k: [gkey[i] for gkey in acc] for i, k in enumerate(keys)
+            }
+            rows["p"] = [p] * len(acc)
+            rows["registers"] = [regs.tobytes() for regs in acc.values()]
+            yield pd.DataFrame(rows)
+
+    return build
+
+
+def sketch_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    p: int = 14,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Aggregate ``col`` into one HLL sketch per ``keys`` group.
+
+    Returns DataFrame[*keys, p int, registers binary] where ``registers``
+    is the canonical 2^p-byte encoding (src/hyper_register.erl:61-65) —
+    byte-equal to a kernel-side sequential build over the same values.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    keys = list(keys)
+    if strategy == "auto":
+        strategy = "explode" if keys else "partial"
+
+    idx, rho = hll_prepare(col, p)
+    prepared = df.select(*keys, idx.alias("idx"), rho.alias("rho"))
+    schema = _sketch_schema(df, keys)
+
+    if strategy == "partial":
+        partials = prepared.mapInPandas(_partials_fn(p, keys), schema=schema)
+        if keys:
+            return partials.groupBy(*keys).applyInPandas(_merge_fn(keys), schema)
+        grouped = partials.withColumn(_GROUP_COL, F.lit(0))
+        return (
+            grouped.groupBy(_GROUP_COL)
+            .applyInPandas(_merge_fn([]), StructType(SKETCH_FIELDS))
+        )
+
+    if strategy == "explode":
+        reg_table = prepared.groupBy(*keys, "idx").agg(F.max("rho").alias("rho"))
+        if keys:
+            return reg_table.groupBy(*keys).applyInPandas(
+                _densify_fn(p, keys), schema
+            )
+        grouped = reg_table.withColumn(_GROUP_COL, F.lit(0))
+        return (
+            grouped.groupBy(_GROUP_COL)
+            .applyInPandas(_densify_fn(p, []), StructType(SKETCH_FIELDS))
+        )
+
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def union_sketches(sketch_df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge sketches (lossless register max) grouped by ``keys`` — e.g.
+    roll per-day sketches up to per-month. Mixed P folds to min P
+    (src/hyper.erl:82-87)."""
+    keys = list(keys)
+    if keys:
+        schema = StructType([sketch_df.schema[k] for k in keys] + SKETCH_FIELDS)
+        return sketch_df.groupBy(*keys).applyInPandas(_merge_fn(keys), schema)
+    grouped = sketch_df.withColumn(_GROUP_COL, F.lit(0))
+    return grouped.groupBy(_GROUP_COL).applyInPandas(
+        _merge_fn([]), StructType(SKETCH_FIELDS)
+    )
+
+
+@F.pandas_udf(DoubleType())
+def cardinality_col(p: pd.Series, registers: pd.Series) -> pd.Series:
+    """Arrow-batched estimator column: sketch blob → cardinality estimate
+    (src/hyper.erl:103-130)."""
+    out = np.empty(len(p), dtype=np.float64)
+    for i, (p_i, blob) in enumerate(zip(p, registers)):
+        out[i] = estimate_from_registers(
+            np.frombuffer(blob, dtype=np.uint8), int(p_i)
+        )
+    return pd.Series(out)
+
+
+def approx_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    p: int = 14,
+    strategy: str = "auto",
+) -> DataFrame:
+    """User-facing distinct-cardinality query: one estimate per group."""
+    sk = sketch_by(df, keys, col, p, strategy)
+    return sk.select(
+        *keys, cardinality_col(F.col("p"), F.col("registers")).alias("estimate")
+    )
+
+
+def sketch_collect(sketch_df: DataFrame, p: int | None = None) -> HllSketch:
+    """Collect a single-row sketch DataFrame to a kernel HllSketch."""
+    rows = sketch_df.select("p", "registers").collect()
+    if not rows:
+        if p is None:
+            raise ValueError("empty sketch DataFrame and no default precision")
+        return HllSketch(p)
+    sketches = [HllSketch.from_bytes(r["p"], bytes(r["registers"])) for r in rows]
+    return HllSketch.merge_all(sketches)
+
+
+def intersect_card(
+    left: DataFrame, right: DataFrame, on: Sequence[str] = ()
+) -> DataFrame:
+    """Inclusion–exclusion intersection estimate between two sketch tables
+    (src/hyper.erl:97-100; no accuracy guarantee). Joined on ``on`` (cross
+    join of singletons when empty)."""
+    on = list(on)
+    l = left.select(
+        *on, F.col("p").alias("p_l"), F.col("registers").alias("registers_l")
+    )
+    r = right.select(
+        *on, F.col("p").alias("p_r"), F.col("registers").alias("registers_r")
+    )
+    joined = l.join(r, on=on) if on else l.crossJoin(r)
+
+    @F.pandas_udf(DoubleType())
+    def _inter(
+        p_l: pd.Series, reg_l: pd.Series, p_r: pd.Series, reg_r: pd.Series
+    ) -> pd.Series:
+        out = np.empty(len(p_l))
+        for i in range(len(p_l)):
+            a = HllSketch.from_bytes(int(p_l[i]), bytes(reg_l[i]))
+            b = HllSketch.from_bytes(int(p_r[i]), bytes(reg_r[i]))
+            out[i] = a.intersect_cardinality(b)
+        return pd.Series(out)
+
+    return joined.select(
+        *on,
+        _inter("p_l", "registers_l", "p_r", "registers_r").alias("intersect_card"),
+    )

@@ -1,0 +1,126 @@
+"""Spark-pipeline vs local-kernel differential tests (SURVEY.md §5 layer 2:
+the model is the reference's cross-backend test ``backend_t``,
+hyper_test.erl:85-149 — same values through independent implementations
+must yield identical sketch bytes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hyper_spark.functions.hashing import hll_prepare
+from hyper_spark.kernel.hll import HllSketch, error_bound, hash_value
+from hyper_spark.operators.hll_agg import (
+    approx_distinct,
+    cardinality_col,
+    intersect_card,
+    sketch_by,
+    sketch_collect,
+    union_sketches,
+)
+
+P = 14
+
+
+def test_hash_exprs_match_kernel(spark):
+    values = [f"value-{i}" for i in range(2000)] + ["", "☃ unicode", "a b c"]
+    df = spark.createDataFrame([Row(v=v) for v in values])
+    for p in (4, 11, 14, 16):
+        idx, rho = hll_prepare(F.col("v"), p)
+        got = df.select("v", idx.alias("idx"), rho.alias("rho")).collect()
+        for r in got:
+            k_idx, k_rho = hash_value(r["v"].encode("utf-8"), p)
+            assert (r["idx"], r["rho"]) == (k_idx, k_rho), (p, r["v"])
+
+
+def test_hash_exprs_stay_jvm_native(spark):
+    """The per-row hot path must not cross into Python: no BatchEvalPython /
+    ArrowEvalPython nodes before the aggregation boundary (SURVEY.md §7)."""
+    df = spark.createDataFrame([Row(v="x")])
+    idx, rho = hll_prepare(F.col("v"), P)
+    plan = df.select(idx.alias("idx"), rho.alias("rho"))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # whole-stage codegen shows as "WholeStageCodegen" or the "*(n)" prefix
+    assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+@pytest.mark.parametrize("strategy", ["explode", "partial"])
+def test_global_sketch_matches_kernel_bytes(spark, strategy):
+    values = [f"user-{i}" for i in range(5000)]
+    df = spark.createDataFrame([Row(v=v) for v in values]).repartition(8)
+    sk_df = sketch_by(df, [], "v", P, strategy=strategy)
+    spark_sketch = sketch_collect(sk_df)
+    kernel_sketch = HllSketch(P).insert_many([v.encode() for v in values])
+    assert spark_sketch == kernel_sketch  # byte-exact, both strategies
+
+
+def test_strategies_agree(spark):
+    df = spark.createDataFrame([Row(v=f"u{i % 777}") for i in range(3000)]).repartition(7)
+    a = sketch_collect(sketch_by(df, [], "v", 12, strategy="explode"))
+    b = sketch_collect(sketch_by(df, [], "v", 12, strategy="partial"))
+    assert a == b
+
+
+@pytest.mark.parametrize("strategy", ["explode", "partial"])
+def test_grouped_sketch_matches_kernel(spark, strategy):
+    rows = [Row(g=f"g{i % 5}", v=f"val-{i % 1200}-{i % 7}") for i in range(6000)]
+    df = spark.createDataFrame(rows).repartition(8)
+    sk = sketch_by(df, ["g"], "v", 12, strategy=strategy).collect()
+    assert len(sk) == 5
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.g, set()).add(r.v)
+    for row in sk:
+        kern = HllSketch(12).insert_many(sorted(v.encode() for v in by_group[row["g"]]))
+        assert bytes(row["registers"]) == kern.to_bytes(), row["g"]
+
+
+def test_estimate_within_bound_events(spark, sf_correct):
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    est = approx_distinct(events, [], "user_id", P).collect()[0]["estimate"]
+    exact = events.select(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(est - exact) / exact <= error_bound(P), (est, exact)
+
+
+def test_union_rollup_lossless(spark):
+    """Sketch per sub-group, union up == sketch of the whole — the
+    prop_union property (hyper_test.erl:486-496) at DataFrame level."""
+    rows = [Row(day=i % 7, v=f"u{i % 900}") for i in range(4000)]
+    df = spark.createDataFrame(rows).repartition(6)
+    per_day = sketch_by(df, ["day"], "v", 12)
+    rolled = sketch_collect(union_sketches(per_day, []))
+    direct = sketch_collect(sketch_by(df, [], "v", 12))
+    assert rolled == direct
+
+
+def test_union_mixed_precision(spark):
+    rows_a = [Row(v=f"a{i}") for i in range(500)]
+    rows_b = [Row(v=f"b{i}") for i in range(500)]
+    a = sketch_by(spark.createDataFrame(rows_a), [], "v", 12)
+    b = sketch_by(spark.createDataFrame(rows_b), [], "v", 14)
+    merged = sketch_collect(union_sketches(a.unionByName(b), []))
+    assert merged.p == 12
+    kern = (
+        HllSketch(12).insert_many([r.v.encode() for r in rows_a]).merge(
+            HllSketch(14).insert_many([r.v.encode() for r in rows_b]).reduce_precision(12)
+        )
+    )
+    assert merged == kern
+
+
+def test_cardinality_col_matches_kernel(spark):
+    df = spark.createDataFrame([Row(v=f"x{i}") for i in range(2000)])
+    sk_df = sketch_by(df, [], "v", 13)
+    est = sk_df.select(cardinality_col("p", "registers").alias("e")).collect()[0]["e"]
+    kern = HllSketch(13).insert_many([f"x{i}".encode() for i in range(2000)])
+    assert est == pytest.approx(kern.cardinality())
+
+
+def test_intersect_card_df(spark):
+    left = spark.createDataFrame([Row(v=str(i)) for i in range(0, 10000)])
+    right = spark.createDataFrame([Row(v=str(i)) for i in range(5000, 15000)])
+    a = sketch_by(left, [], "v", 13)
+    b = sketch_by(right, [], "v", 13)
+    got = intersect_card(a, b).collect()[0]["intersect_card"]
+    assert abs(got - 5000) / 5000 <= 0.05
