@@ -1,0 +1,99 @@
+"""Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+stream summary: the count-min sketch and its applications").
+
+No reference implementation exists in GameAnalytics/hyper (SURVEY.md §2.4)
+— semantics come from the paper:
+
+* d×w counter matrix; row i increments ``counters[i, h_i(v)]``
+* point estimate = min over rows (always an overcount)
+* guarantee: est ≤ true + eps·N with prob ≥ 1-delta for
+  w = ceil(e/eps), d = ceil(ln(1/delta))
+* merge = element-wise add (mergeable partial aggregate)
+
+Hash parity with the Spark layer: bucket_i(v) = first 60 bits of
+``md5(f"{i}:{v}")`` mod w — expressible JVM-natively as
+``conv(substring(md5(concat(lit('i:'), col)), 1, 15), 16, 10) % w`` so the
+per-row hot path never enters Python (mirrors the HLL design).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+__all__ = ["CountMinSketch"]
+
+
+def _bucket(row: int, value: str, width: int) -> int:
+    h = hashlib.md5(f"{row}:{value}".encode()).hexdigest()
+    return int(h[:15], 16) % width
+
+
+class CountMinSketch:
+    __slots__ = ("depth", "width", "counters", "n")
+
+    def __init__(self, depth: int = 5, width: int = 2048, counters=None, n: int = 0):
+        self.depth = depth
+        self.width = width
+        if counters is None:
+            counters = np.zeros((depth, width), dtype=np.int64)
+        self.counters = np.asarray(counters, dtype=np.int64).reshape(depth, width)
+        self.n = n
+
+    @classmethod
+    def from_error(cls, eps: float, delta: float) -> "CountMinSketch":
+        return cls(
+            depth=max(1, math.ceil(math.log(1.0 / delta))),
+            width=max(2, math.ceil(math.e / eps)),
+        )
+
+    @property
+    def eps(self) -> float:
+        return math.e / self.width
+
+    def add(self, value, count: int = 1) -> "CountMinSketch":
+        v = str(value)
+        for i in range(self.depth):
+            self.counters[i, _bucket(i, v, self.width)] += count
+        self.n += count
+        return self
+
+    def add_many(self, values) -> "CountMinSketch":
+        for v in values:
+            self.add(v)
+        return self
+
+    def estimate(self, value) -> int:
+        v = str(value)
+        return int(
+            min(
+                self.counters[i, _bucket(i, v, self.width)]
+                for i in range(self.depth)
+            )
+        )
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.depth, self.width) != (other.depth, other.width):
+            raise ValueError("count-min dimensions must match to merge")
+        return CountMinSketch(
+            self.depth, self.width, self.counters + other.counters, self.n + other.n
+        )
+
+    # -- serialization (row-major int64 little-endian) -----------------
+    def to_bytes(self) -> bytes:
+        return self.counters.astype("<i8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, depth: int, width: int, data: bytes, n: int = 0):
+        arr = np.frombuffer(data, dtype="<i8").reshape(depth, width).copy()
+        return cls(depth, width, arr, n)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, CountMinSketch)
+            and self.depth == other.depth
+            and self.width == other.width
+            and bool(np.array_equal(self.counters, other.counters))
+        )

@@ -6,6 +6,19 @@ partial aggregate, Arrow-batched pandas stages touch only *reduced* data
 state so the same operator works in batch, tree-merge, and streaming.
 """
 
+from hyper_spark.operators.bloom_agg import (
+    bloom_by,
+    bloom_collect,
+    bloom_might_contain,
+    bloom_prune,
+)
+from hyper_spark.operators.cms_agg import (
+    cms_by,
+    cms_collect,
+    cms_estimate,
+    cms_merge,
+    heavy_hitters,
+)
 from hyper_spark.operators.hll_agg import (
     approx_distinct,
     cardinality_col,
@@ -13,6 +26,12 @@ from hyper_spark.operators.hll_agg import (
     sketch_by,
     sketch_collect,
     union_sketches,
+)
+from hyper_spark.operators.quantiles import (
+    kll_by,
+    quantiles_by,
+    sketch_quantiles,
+    tdigest_by,
 )
 
 __all__ = [
@@ -22,4 +41,17 @@ __all__ = [
     "sketch_by",
     "sketch_collect",
     "union_sketches",
+    "cms_by",
+    "cms_collect",
+    "cms_estimate",
+    "cms_merge",
+    "heavy_hitters",
+    "bloom_by",
+    "bloom_collect",
+    "bloom_might_contain",
+    "bloom_prune",
+    "kll_by",
+    "quantiles_by",
+    "sketch_quantiles",
+    "tdigest_by",
 ]

@@ -1,0 +1,137 @@
+"""Distributed Bloom filter build + membership / join pruning.
+
+Build mirrors hll_agg's ``explode`` strategy: k JVM-native md5 positions →
+``posexplode`` → ``distinct`` (partial aggregation dedups map-side, so the
+shuffle is bounded by the number of *set bits* ≤ m per group, not input
+rows) → one ``applyInPandas`` packs the bitmap.
+
+``bloom_prune`` is the runtime-filter use: membership test with JVM-side
+position computation and an Arrow-batched bit probe against the broadcast
+bitmap — the classic "build a filter on the small side, prune the big
+scan" pattern that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hyper_spark.kernel.bloom import BloomFilter
+from hyper_spark.operators.cms_agg import md5_bucket_col
+
+__all__ = ["bloom_by", "bloom_collect", "bloom_might_contain", "bloom_prune"]
+
+BLOOM_FIELDS = [
+    StructField("m_bits", IntegerType(), False),
+    StructField("k", IntegerType(), False),
+    StructField("n", LongType(), False),
+    StructField("bits", BinaryType(), False),
+]
+
+_GROUP_COL = "__bloom_group"
+
+
+def bloom_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    m_bits: int = 1 << 16,
+    k: int = 7,
+) -> DataFrame:
+    """One Bloom filter per keys group. Position hashing is identical to
+    the kernel's (md5-derived), so filters built here interoperate with
+    kernel-side ``might_contain``."""
+    col = F.col(col) if isinstance(col, str) else col
+    keys = list(keys)
+    positions = F.posexplode(
+        F.array(*[md5_bucket_col(col, i, m_bits) for i in range(k)])
+    )
+    # approximate insert count per group (for FPR introspection)
+    counts = (
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        if keys
+        else df.agg(F.count(F.lit(1)).alias("__n")).withColumn(_GROUP_COL, F.lit(0))
+    )
+    bits_df = (
+        df.select(*keys, positions.alias("__row", "pos"))
+        .select(*keys, "pos")
+        .distinct()
+    )
+    out_schema = StructType([df.schema[kk] for kk in keys] + BLOOM_FIELDS)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+        pos = pdf["pos"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        out = {kk: [pdf[kk].iloc[0]] for kk in keys}
+        out.update(m_bits=[m_bits], k=[k], n=[0], bits=[bits.tobytes()])
+        return pd.DataFrame(out)
+
+    if keys:
+        packed = bits_df.groupBy(*keys).applyInPandas(pack, out_schema)
+        return packed.drop("n").join(
+            counts.withColumnRenamed("__n", "n"), on=keys, how="left"
+        ).select(*keys, "m_bits", "k", "n", "bits")
+    grouped = bits_df.withColumn(_GROUP_COL, F.lit(0))
+    packed = grouped.groupBy(_GROUP_COL).applyInPandas(
+        pack, StructType(BLOOM_FIELDS)
+    )
+    return packed.drop("n").crossJoin(
+        counts.select(F.col("__n").alias("n"))
+    ).select("m_bits", "k", "n", "bits")
+
+
+def bloom_collect(bloom_df: DataFrame) -> BloomFilter:
+    rows = bloom_df.select("m_bits", "k", "n", "bits").collect()
+    if not rows:
+        raise ValueError("empty bloom DataFrame")
+    out = BloomFilter.from_bytes(
+        rows[0]["m_bits"], rows[0]["k"], bytes(rows[0]["bits"]), rows[0]["n"] or 0
+    )
+    for r in rows[1:]:
+        out = out.merge(
+            BloomFilter.from_bytes(r["m_bits"], r["k"], bytes(r["bits"]), r["n"] or 0)
+        )
+    return out
+
+
+def bloom_might_contain(
+    bloom_df: DataFrame, probe_df: DataFrame, col: str, alias: str = "might_contain"
+) -> DataFrame:
+    """Adds a boolean membership column to ``probe_df``. Positions are
+    computed JVM-side; the bit probe is an Arrow-batched numpy lookup over
+    the (closure-captured) bitmap."""
+    bf = bloom_collect(bloom_df)
+    bits = bf.bits
+    m_bits, k = bf.m_bits, bf.k
+    pos_arr = F.array(*[md5_bucket_col(F.col(col), i, m_bits) for i in range(k)])
+
+    @F.pandas_udf(BooleanType())
+    def probe(positions: pd.Series) -> pd.Series:
+        mat = np.stack(positions.to_numpy()).astype(np.int64)  # (n, k)
+        hit = (bits[mat >> 3] & (1 << (mat & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    return probe_df.withColumn(alias, probe(pos_arr))
+
+
+def bloom_prune(
+    bloom_df: DataFrame, big_df: DataFrame, col: str
+) -> DataFrame:
+    """Runtime-filter: keep only rows of ``big_df`` whose ``col`` might be
+    in the filter (no false negatives ⇒ no lost rows; false positives are
+    caught by whatever exact join follows)."""
+    flagged = bloom_might_contain(bloom_df, big_df, col, alias="__keep")
+    return flagged.filter(F.col("__keep")).drop("__keep")

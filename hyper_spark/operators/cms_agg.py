@@ -1,0 +1,203 @@
+"""Distributed count-min aggregation + heavy hitters.
+
+Physical plan (same doctrine as hll_agg): the per-row hot path is pure
+JVM — d md5-derived bucket columns → ``posexplode`` → ``groupBy(keys,
+row, bucket).count()`` (Catalyst's partial aggregation caps the shuffle at
+d·w rows per partition regardless of input size) → one ``applyInPandas``
+densify into the d×w int64 counter blob per group.
+
+Heavy hitters use the standard scalable two-phase shape: candidate
+generation via *per-partition local top-k* (mapInPandas value_counts — no
+global shuffle of raw values), then exact-count verification of the tiny
+candidate set with a broadcast semi-join. The count-min sketch variant
+estimates candidate counts from the merged sketch instead of a second
+scan, trading the rescan for the eps·N overcount bound.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hyper_spark.kernel.cms import CountMinSketch
+
+__all__ = ["cms_by", "cms_merge", "cms_estimate", "heavy_hitters", "local_topk_candidates"]
+
+CMS_FIELDS = [
+    StructField("depth", IntegerType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("n", LongType(), False),
+    StructField("counters", BinaryType(), False),
+]
+
+_GROUP_COL = "__cms_group"
+
+
+def md5_bucket_col(col: Column, row: int, modulus: int) -> Column:
+    """JVM-native bucket: first 60 bits of md5(f"{row}:{v}") mod modulus —
+    byte-identical to hyper_spark.kernel.cms._bucket."""
+    hex15 = F.substring(F.md5(F.concat(F.lit(f"{row}:"), col.cast("string"))), 1, 15)
+    return F.pmod(F.conv(hex15, 16, 10).cast("long"), F.lit(modulus))
+
+
+def cms_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    depth: int = 5,
+    width: int = 2048,
+) -> DataFrame:
+    """One count-min sketch per keys group over ``col``.
+
+    Returns DataFrame[*keys, depth, width, n, counters] with ``counters``
+    the row-major little-endian int64 d×w matrix (kernel-compatible)."""
+    col = F.col(col) if isinstance(col, str) else col
+    keys = list(keys)
+    buckets = F.posexplode(
+        F.array(*[md5_bucket_col(col, i, width) for i in range(depth)])
+    )
+    cells = (
+        df.select(*keys, buckets.alias("row", "bucket"))
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    out_schema = StructType([df.schema[k] for k in keys] + CMS_FIELDS)
+
+    def densify(pdf: pd.DataFrame) -> pd.DataFrame:
+        counters = np.zeros((depth, width), dtype=np.int64)
+        counters[
+            pdf["row"].to_numpy(dtype=np.int64),
+            pdf["bucket"].to_numpy(dtype=np.int64),
+        ] = pdf["cnt"].to_numpy(dtype=np.int64)
+        # every input row contributes once to every sketch row
+        n = int(counters[0].sum())
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out.update(
+            depth=[depth], width=[width], n=[n],
+            counters=[counters.astype("<i8").tobytes()],
+        )
+        return pd.DataFrame(out)
+
+    if keys:
+        return cells.groupBy(*keys).applyInPandas(densify, out_schema)
+    grouped = cells.withColumn(_GROUP_COL, F.lit(0))
+    return grouped.groupBy(_GROUP_COL).applyInPandas(
+        densify, StructType(CMS_FIELDS)
+    )
+
+
+def cms_merge(cms_df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge count-min sketches (element-wise add) grouped by ``keys``."""
+    keys = list(keys)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        depth = int(pdf["depth"].iloc[0])
+        width = int(pdf["width"].iloc[0])
+        if not ((pdf["depth"] == depth) & (pdf["width"] == width)).all():
+            raise ValueError("count-min dimensions must match to merge")
+        acc = np.zeros((depth, width), dtype=np.int64)
+        for blob in pdf["counters"]:
+            acc += np.frombuffer(blob, dtype="<i8").reshape(depth, width)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out.update(
+            depth=[depth], width=[width], n=[int(pdf["n"].sum())],
+            counters=[acc.astype("<i8").tobytes()],
+        )
+        return pd.DataFrame(out)
+
+    if keys:
+        schema = StructType([cms_df.schema[k] for k in keys] + CMS_FIELDS)
+        return cms_df.groupBy(*keys).applyInPandas(merge, schema)
+    grouped = cms_df.withColumn(_GROUP_COL, F.lit(0))
+    return grouped.groupBy(_GROUP_COL).applyInPandas(merge, StructType(CMS_FIELDS))
+
+
+def cms_collect(cms_df: DataFrame) -> CountMinSketch:
+    rows = cms_df.select("depth", "width", "n", "counters").collect()
+    if not rows:
+        raise ValueError("empty count-min DataFrame")
+    out = CountMinSketch.from_bytes(
+        rows[0]["depth"], rows[0]["width"], bytes(rows[0]["counters"]), rows[0]["n"]
+    )
+    for r in rows[1:]:
+        out = out.merge(
+            CountMinSketch.from_bytes(r["depth"], r["width"], bytes(r["counters"]), r["n"])
+        )
+    return out
+
+
+def cms_estimate(
+    cms_df: DataFrame, candidates: DataFrame, col: str, alias: str = "est_count"
+) -> DataFrame:
+    """Estimate counts for each candidate value against a *global* (single
+    row) sketch. The sketch is collected (d·w ints — small by design) and
+    closed over; candidate bucketing happens JVM-side, the min-over-rows
+    lookup is an Arrow-batched pandas UDF over int arrays only."""
+    sk = cms_collect(cms_df)
+    counters = sk.counters
+    depth, width = sk.depth, sk.width
+    c = F.col(col)
+    bucket_arr = F.array(*[md5_bucket_col(c, i, width) for i in range(depth)])
+
+    @F.pandas_udf(LongType())
+    def lookup(buckets: pd.Series) -> pd.Series:
+        mat = np.stack(buckets.to_numpy())  # (n, depth)
+        ests = counters[np.arange(depth)[None, :], mat].min(axis=1)
+        return pd.Series(ests)
+
+    return candidates.withColumn(alias, lookup(bucket_arr))
+
+
+def local_topk_candidates(df: DataFrame, col: str, k: int, fanout: int = 4) -> DataFrame:
+    """Candidate heavy hitters via per-partition local top-(k·fanout)
+    counting — any item with global frequency ≥ n/k appears in the local
+    top-k·fanout of at least one partition for reasonable skew; no raw
+    shuffle."""
+    limit = k * fanout
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf[col].dropna())
+        if counts:
+            yield pd.DataFrame({col: [v for v, _ in counts.most_common(limit)]})
+
+    return df.select(col).mapInPandas(topk, df.select(col).schema).distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    depth: int = 5,
+    width: int = 8192,
+    exact: bool = False,
+) -> DataFrame:
+    """Top-k frequent values. ``exact=True`` verifies candidates with a
+    broadcast semi-join rescan (exact counts); otherwise counts come from
+    the merged count-min sketch (est ≤ true + eps·n)."""
+    candidates = local_topk_candidates(df, col, k)
+    if exact:
+        counted = (
+            df.join(F.broadcast(candidates), on=col, how="leftsemi")
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("est_count"))
+        )
+    else:
+        sketch = cms_by(df, [], col, depth, width)
+        counted = cms_estimate(sketch, candidates, col)
+    return counted.orderBy(F.desc("est_count"), F.col(col)).limit(k)

@@ -1,0 +1,181 @@
+"""Spark-vs-kernel / Spark-vs-exact differential tests for count-min,
+KLL, t-digest, Bloom operators."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hyper_spark.kernel.bloom import BloomFilter
+from hyper_spark.kernel.cms import CountMinSketch
+from hyper_spark.operators.bloom_agg import (
+    bloom_by,
+    bloom_collect,
+    bloom_might_contain,
+    bloom_prune,
+)
+from hyper_spark.operators.cms_agg import (
+    cms_by,
+    cms_collect,
+    cms_estimate,
+    heavy_hitters,
+)
+from hyper_spark.operators.quantiles import quantiles_by, kll_by, sketch_quantiles
+
+
+def zipf_rows(n: int, vocab: int = 40, seed: int = 3):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        Row(item=f"item{min(vocab - 1, int(rng.random() ** 3 * vocab))}", g=i % 3)
+        for i in range(n)
+    ]
+
+
+# ------------------------------------------------------------- count-min
+
+
+def test_cms_spark_matches_kernel(spark):
+    rows = zipf_rows(8000)
+    df = spark.createDataFrame(rows).repartition(8)
+    sk = cms_collect(cms_by(df, [], "item", depth=4, width=512))
+    kern = CountMinSketch(4, 512).add_many(r.item for r in rows)
+    assert sk == kern  # counter-exact
+    assert sk.n == kern.n
+
+
+def test_cms_grouped(spark):
+    rows = zipf_rows(6000)
+    df = spark.createDataFrame(rows)
+    per_g = cms_by(df, ["g"], "item", depth=3, width=256).collect()
+    assert len(per_g) == 3
+    by_g: dict[int, list] = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r.item)
+    for row in per_g:
+        kern = CountMinSketch(3, 256).add_many(by_g[row["g"]])
+        assert bytes(row["counters"]) == kern.to_bytes()
+
+
+def test_cms_estimate_bounds(spark):
+    rows = zipf_rows(10000)
+    df = spark.createDataFrame(rows).repartition(6)
+    sketch = cms_by(df, [], "item", depth=5, width=2048)
+    candidates = df.select("item").distinct()
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(sketch, candidates, "item").collect()
+    }
+    exact = Counter(r.item for r in rows)
+    eps_n = np.e / 2048 * len(rows)
+    for item, true_count in exact.items():
+        assert est[item] >= true_count
+        assert est[item] <= true_count + eps_n
+
+
+def test_heavy_hitters_exact_and_sketch(spark):
+    rows = zipf_rows(12000)
+    df = spark.createDataFrame(rows).repartition(8)
+    exact_counts = Counter(r.item for r in rows)
+    true_top5 = [v for v, _ in exact_counts.most_common(5)]
+
+    hh_exact = heavy_hitters(df, "item", k=5, exact=True).collect()
+    assert [r["item"] for r in hh_exact] == true_top5
+    assert [r["est_count"] for r in hh_exact] == [exact_counts[v] for v in true_top5]
+
+    hh_cms = heavy_hitters(df, "item", k=5, width=8192).collect()
+    # sketch ordering can swap near-ties; membership of the top set must hold
+    assert set(r["item"] for r in hh_cms) == set(true_top5)
+
+
+# ------------------------------------------------------------- quantiles
+
+
+@pytest.mark.parametrize("method", ["kll", "tdigest"])
+def test_quantiles_within_rank_bound(spark, method):
+    rng = np.random.default_rng(7)
+    values = rng.normal(50, 10, 40000)
+    df = spark.createDataFrame([Row(v=float(x)) for x in values]).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = quantiles_by(df, [], "v", qs, method=method).collect()[0]
+    sorted_v = np.sort(values)
+    for q in qs:
+        est = got[f"q_{int(q * 1000):04d}"]
+        true_rank = np.searchsorted(sorted_v, est, side="right") / len(values)
+        assert abs(true_rank - q) <= 0.02, (method, q, true_rank)
+
+
+def test_quantiles_grouped_vs_exact(spark, sf_correct):
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    got = quantiles_by(events, ["event_type"], "value", [0.5], method="kll").collect()
+    exact = {
+        r["event_type"]: r["m"]
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    values = {
+        r["event_type"]: events.filter(F.col("event_type") == r["event_type"])
+        for r in got
+    }
+    for r in got:
+        # rank of our median estimate must be within 2% of 0.5
+        df_t = values[r["event_type"]]
+        n = df_t.count()
+        rank = df_t.filter(F.col("value") <= r["q_0500"]).count() / n
+        assert abs(rank - 0.5) <= 0.02, (r["event_type"], rank)
+
+
+def test_kll_sketch_state_mergeable(spark):
+    values = np.arange(20000, dtype=float)
+    df = spark.createDataFrame([Row(v=float(x), h=int(x) % 4) for x in values])
+    per_h = kll_by(df, ["h"], "v", k=200)
+    rolled = sketch_quantiles(per_h.drop("h"), [0.5])
+    got = rolled.collect()[0]["q_0500"]
+    assert abs(got - 10000) / 10000 <= 0.02
+
+
+# ------------------------------------------------------------- bloom
+
+
+def test_bloom_spark_matches_kernel(spark):
+    items = [f"key-{i}" for i in range(3000)]
+    df = spark.createDataFrame([Row(v=v) for v in items]).repartition(8)
+    bf = bloom_collect(bloom_by(df, [], "v", m_bits=1 << 15, k=5))
+    kern = BloomFilter(1 << 15, 5).add_many(items)
+    assert np.array_equal(bf.bits, kern.bits)  # bit-exact
+    assert bf.n == 3000
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    items = [f"key-{i}" for i in range(2000)]
+    df = spark.createDataFrame([Row(v=v) for v in items])
+    bloom = bloom_by(df, [], "v", m_bits=1 << 15, k=5)
+    probes = spark.createDataFrame(
+        [Row(v=v) for v in items[:500]] + [Row(v=f"miss-{i}") for i in range(500)]
+    )
+    got = bloom_might_contain(bloom, probes, "v").collect()
+    hits = {r["v"]: r["might_contain"] for r in got}
+    assert all(hits[v] for v in items[:500])
+    fp = sum(hits[f"miss-{i}"] for i in range(500))
+    assert fp / 500 < 0.05
+
+
+def test_bloom_prune_keeps_all_matches(spark, sf_correct):
+    orders = spark.read.parquet(f"{sf_correct}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_correct}/customer.parquet")
+    small = customer.filter("c_custkey % 10 = 0")
+    bloom = bloom_by(small, [], "c_custkey", m_bits=1 << 16, k=5)
+    pruned = bloom_prune(bloom, orders, "o_custkey")
+    exact_matches = orders.join(
+        small.select(F.col("c_custkey").alias("o_custkey")), on="o_custkey", how="leftsemi"
+    )
+    # no false negatives: every truly-matching row survives pruning
+    assert pruned.join(exact_matches, on=list(orders.columns), how="leftsemi").count() == exact_matches.count()
+    # and pruning actually prunes
+    assert pruned.count() < orders.count()
