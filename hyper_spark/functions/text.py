@@ -1,0 +1,146 @@
+"""Text-analysis Column expressions for training-data pipelines.
+
+Everything here is a native Catalyst expression tree (JVM-side,
+whole-stage codegen) — no Python on the per-row path. Where an
+equivalent exists in DuckDB (md5, regexp_replace, length) the same
+computation is exactly reproducible in the SQL oracle, which the
+correctness gate exploits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized_text",
+    "fingerprint_col",
+    "token_count_col",
+    "word_tokens_col",
+    "punct_ratio_col",
+    "stopword_ratio_col",
+    "quality_score_col",
+    "lang_guess_col",
+    "char_shingles_col",
+    "word_shingles_col",
+    "LANG_STOPWORDS",
+]
+
+# small per-language common-word profiles for the stopword language
+# heuristic (public frequency lists, truncated to 10)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+    "es": ["el", "de", "que", "y", "los", "se", "un", "una", "con", "para"],
+}
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, strip non-alnum to
+    spaces, collapse whitespace, trim. DuckDB-reproducible."""
+    lowered = F.lower(col)
+    alnum = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    collapsed = F.regexp_replace(alnum, r"\s+", " ")
+    return F.trim(collapsed)
+
+
+def fingerprint_col(col: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (exact-dup key).
+    DuckDB-reproducible (md5 exists in both engines)."""
+    return F.md5(normalized_text(col))
+
+
+def word_tokens_col(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalized_text(col), " ")
+
+
+def token_count_col(col: Column, mode: str = "whitespace") -> Column:
+    """Token count. ``whitespace``: split on runs of whitespace.
+    ``bpe``: BPE-ish pre-tokenization — alpha runs, single digits, and
+    punctuation marks each count (rough GPT-style splitting)."""
+    if mode == "whitespace":
+        return F.size(F.split(F.trim(col), r"\s+"))
+    if mode == "bpe":
+        spaced = F.regexp_replace(col, r"([^a-zA-Z0-9\s])", r" $1 ")
+        spaced = F.regexp_replace(spaced, r"([0-9])", r" $1 ")
+        return F.size(F.split(F.trim(spaced), r"\s+"))
+    raise ValueError(f"unknown token mode {mode!r}")
+
+
+def punct_ratio_col(col: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor space."""
+    total = F.length(col)
+    stripped = F.length(F.regexp_replace(col, r"[^a-zA-Z0-9\s]", ""))
+    return F.when(total > 0, (total - stripped) / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_col(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords (JVM lambda filter)."""
+    toks = word_tokens_col(col)
+    hits = F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang]))
+    return F.when(F.size(toks) > 0, F.size(hits) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score_col(col: Column) -> Column:
+    """Heuristic document quality in [0, 1]: rewards moderate length,
+    penalizes extreme punctuation density and stopword-free word salads
+    (all JVM arithmetic)."""
+    n_tokens = token_count_col(col).cast("double")
+    length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * F.least(
+        F.lit(2000.0) / F.greatest(n_tokens, F.lit(1.0)), F.lit(1.0)
+    )
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio_col(col) * 4, F.lit(1.0))
+    stop_score = F.greatest(
+        F.lit(1.0) - F.abs(stopword_ratio_col(col) - F.lit(0.4)) / F.lit(0.6),
+        F.lit(0.0),
+    )
+    return F.round(
+        length_score * 0.4 + punct_penalty * 0.3 + stop_score * 0.3, 6
+    )
+
+
+def lang_guess_col(col: Column) -> Column:
+    """Stopword-profile language heuristic: language with the highest
+    stopword hit count among the profiled set; 'und' (undetermined) when
+    nothing matches. Pure JVM (greatest/when over per-language counts)."""
+    toks = word_tokens_col(col)
+
+    def hit_counter(sw: list[str]):
+        return lambda t: t.isin(*sw)
+
+    counts = {
+        lang: F.size(F.filter(toks, hit_counter(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # iterate in reverse so earlier languages win ties (when-chains nest)
+    for lang in reversed(list(counts)):
+        expr = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def char_shingles_col(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (array<string>)
+    via JVM sequence/transform — no Python, no explode until the caller
+    wants one."""
+    norm = normalized_text(col)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(positions, lambda i: F.substr(norm, i, F.lit(n)))
+    )
+
+
+def word_shingles_col(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (array<string>) of the normalized text."""
+    toks = word_tokens_col(col)
+    positions = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            positions, lambda i: F.array_join(F.slice(toks, i, n), " ")
+        )
+    )

@@ -1,0 +1,432 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all Spark-first (JVM expressions end-to-end unless
+noted; nothing touches per-row Python):
+
+exact
+    winner-per-fingerprint (md5 of normalized text); groupBy + min —
+    one shuffle keyed by the 128-bit fingerprint, trivially scalable and
+    DuckDB-reproducible for the correctness oracle.
+
+minhash + LSH
+    char-shingles → one xxhash64 per shingle → H universal-hash
+    permutations h_i(x) = (a_i·x + b_i) mod p as *aggregate min
+    expressions* (the signature is a groupBy, not a UDF) → band hashes →
+    candidate pairs from band-bucket self-join → exact Jaccard
+    verification on shingle arrays. Shuffles are keyed by (band, hash):
+    hot buckets only form for genuinely similar docs. p = 2^31 - 1 keeps
+    a·x inside signed-64 (no overflow).
+
+simhash
+    64-bit simhash as 64 JVM aggregate sums over token-hash bits;
+    candidate generation by 16-bit block equality (4 blocks cover all
+    pairs with Hamming distance ≤ 3 by pigeonhole), verification via
+    bit_count(xor).
+
+n-gram Jaccard (exact)
+    inverted-index self-join on shingles with a document-frequency cap
+    to bound join fan-out (the cap is the standard scale lever: a
+    shingle in >max_df docs contributes O(df²) candidate pairs and near
+    zero signal).
+
+embedding cosine
+    random-hyperplane LSH bucketing (the only pandas-UDF stage — one
+    matmul per Arrow batch) → within-bucket pairs → cosine via JVM
+    zip_with/aggregate; brute mode for small inputs / recall baselines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+from hyper_spark.functions.text import (
+    char_shingles_col,
+    fingerprint_col,
+    word_tokens_col,
+)
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_col_agg",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_pairs",
+    "cosine_col",
+]
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+# --------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one winner (min id) per normalized-text fingerprint."""
+    fp = fingerprint_col(F.col(text_col)).alias("fingerprint")
+    winners = (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    # no broadcast hint: winners is O(distinct docs) — let AQE choose
+    return df.join(winners.select(id_col), on=id_col, how="leftsemi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint groups with >1 member: (fingerprint, dup_count, keep_id)."""
+    fp = fingerprint_col(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+
+def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE31, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE31, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle_n: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """DataFrame[id, signature array<bigint>] — the signature is computed
+    as num_hashes aggregate-min expressions over exploded shingle hashes:
+    pure JVM partial aggregation, shuffle ≤ num_docs rows."""
+    a, b = _hash_params(num_hashes, seed)
+    shingle = F.explode(char_shingles_col(F.col(text_col), shingle_n)).alias("shingle")
+    x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE31))
+    exploded = df.select(F.col(id_col), shingle).select(
+        id_col, x.alias("x")
+    )
+    mins = [
+        F.min(F.pmod(F.col("x") * int(a[i]) + int(b[i]), F.lit(_MERSENNE31))).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    LSH recall: a pair with Jaccard s collides in ≥1 band with prob
+    1-(1-s^r)^b, r = num_hashes/bands — with 128/32 the S-curve midpoint
+    sits near s≈0.3, comfortably below the default 0.5 threshold.
+    Verification computes *exact* Jaccard on distinct shingle arrays, so
+    precision is 1.0 by construction; only recall depends on LSH."""
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+
+    band_entries = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[i].cast("string")
+                                for i in range(j * r, (j + 1) * r)
+                            ],
+                        )
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = band_entries.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    right = band_entries.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    candidates = (
+        left.join(right, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    shingles = df.select(
+        F.col(id_col), char_shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    verified = (
+        candidates.join(
+            shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            shingles.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash_col_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """DataFrame[id, simhash bigint]: 64-bit simhash of whitespace tokens.
+    bit k of the result = majority vote of bit k over xxhash64(token) —
+    computed as 64 aggregate sums of ±1 contributions, pure JVM."""
+    tok = F.explode(word_tokens_col(F.col(text_col))).alias("tok")
+    h = F.xxhash64(F.col("tok"))
+    exploded = df.select(F.col(id_col), tok).select(id_col, h.alias("h"))
+    sums = [
+        F.sum(
+            (F.shiftrightunsigned(F.col("h"), k).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{k}")
+        for k in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*sums)
+    sim = None
+    for k in range(64):
+        bit = F.when(F.col(f"b{k}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, k)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming (≤ 3 for
+    full recall via the 4×16-bit block pigeonhole)."""
+    sims = simhash_col_agg(df, id_col, text_col)
+    blocks = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * blk).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for blk in range(4)
+                ]
+            )
+        ).alias("blk", "blk_val"),
+    )
+    left = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "blk", "blk_val"
+    )
+    right = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "blk", "blk_val"
+    )
+    return (
+        left.join(right, on=["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------- n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard pairs via inverted-index self-join on shingles.
+
+    max_df drops shingles occurring in more than that many documents
+    before the join — the fan-out guard that keeps the candidate count
+    near-linear on real corpora (dropped shingles can only *lower*
+    computed Jaccard for pairs that share nothing else; pairs above the
+    threshold share many rarer shingles too)."""
+    shingles = df.select(
+        F.col(id_col), char_shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    sizes = shingles.select(id_col, F.size("sh").alias("n_sh"))
+    inv = shingles.select(id_col, F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        rare = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") <= max_df)
+            .select("shingle")
+        )
+        inv = inv.join(rare, on="shingle")
+
+    left = inv.select(F.col(id_col).alias("id_a"), "shingle")
+    right = inv.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        left.join(right, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# --------------------------------------------------------------- embeddings
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns — JVM
+    zip_with + aggregate, no Python."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (norm_a * norm_b)
+
+
+def _hyperplane_bucket_udf(dim: int, n_planes: int, seed: int):
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (mat @ planes.T) > 0  # (n, n_planes)
+        return pd.Series(signs @ powers)
+
+    return bucket
+
+
+def embedding_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 11,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold.
+
+    ``lsh``: random-hyperplane bucketing (n_tables independent tables —
+    collision prob per table = (1 - θ/π)^n_planes) restricts the
+    quadratic join to same-bucket pairs; cosine verification is exact,
+    so precision is 1.0 and only recall depends on table count.
+    ``brute``: full id<id self-join — the recall baseline; quadratic,
+    for small inputs or audits only."""
+    if method == "brute":
+        left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            first = df.select(F.size(vec_col).alias("d")).first()
+            if first is None:
+                raise ValueError("empty embedding DataFrame")
+            dim = first["d"]
+        buckets = []
+        for t in range(n_tables):
+            udf = _hyperplane_bucket_udf(dim, n_planes, seed + 1000 * t)
+            buckets.append(
+                df.select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    F.lit(t).alias("table"),
+                    udf(F.col(vec_col)).alias("bucket"),
+                )
+            )
+        tagged = buckets[0]
+        for b in buckets[1:]:
+            tagged = tagged.unionByName(b)
+        left = tagged.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "table", "bucket"
+        )
+        right = tagged.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "table", "bucket"
+        )
+        pairs = (
+            left.join(right, on=["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "v_a", "v_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    return (
+        pairs.withColumn(
+            "cosine", cosine_col(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,233 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests on the
+driver testdata (documents, embeddings) plus synthetic near-dup corpora."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hyper_spark.functions.text import (
+    fingerprint_col,
+    lang_guess_col,
+    quality_score_col,
+    token_count_col,
+)
+from hyper_spark.operators.dedup import (
+    embedding_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from hyper_spark.operators.multimodal import (
+    attach_payload_metadata,
+    decode_features,
+    fake_decoder,
+    frame_sample,
+)
+from hyper_spark.operators.similarity import knn_brute, knn_ivf
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Deterministic corpus: 40 base docs, each with an exact copy
+    (punctuation-varied) and a near-copy (one word changed)."""
+    rows = []
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    for i in range(40):
+        base = " ".join(words[(i + j) % 10] for j in range(30)) + f" doc{i}"
+        rows.append(Row(doc_id=i * 10, text=base))
+        rows.append(Row(doc_id=i * 10 + 1, text=base.upper() + "!!"))  # exact dup (normalized)
+        near = base.replace(words[i % 10], "zulu", 1)
+        rows.append(Row(doc_id=i * 10 + 2, text=near))  # near dup
+    return spark.createDataFrame(rows)
+
+
+# --------------------------------------------------------------- exact
+
+
+def test_exact_dedup(spark, near_dup_docs):
+    kept = exact_dedup(near_dup_docs)
+    # each base+copy pair collapses to one; near-dups survive
+    assert kept.count() == 80
+    groups = exact_dup_groups(near_dup_docs).collect()
+    assert len(groups) == 40
+    assert all(g["dup_count"] == 2 for g in groups)
+    assert all(g["keep_id"] % 10 == 0 for g in groups)
+
+
+def test_fingerprint_matches_python_md5(spark):
+    df = spark.createDataFrame([Row(text="Hello,   World! 42")])
+    got = df.select(fingerprint_col(F.col("text")).alias("fp")).collect()[0]["fp"]
+    assert got == hashlib.md5(b"hello world 42").hexdigest()
+
+
+# --------------------------------------------------------------- minhash
+
+
+def test_minhash_lsh_finds_near_dups(spark, near_dup_docs):
+    pairs = minhash_lsh_pairs(
+        near_dup_docs, num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups (jaccard 1.0) must all be found
+    for i in range(40):
+        assert (i * 10, i * 10 + 1) in found
+    # near dups share most shingles → also expected at 0.5
+    near_found = sum((i * 10, i * 10 + 2) in found for i in range(40))
+    assert near_found >= 35
+    # jaccard values are exact (verification step) — spot check
+    for r in pairs:
+        if (r["id_a"], r["id_b"]) == (0, 1):
+            assert r["jaccard"] == 1.0
+
+
+def test_minhash_precision_is_exact(spark, near_dup_docs):
+    """Verification computes true Jaccard: no pair below threshold."""
+    pairs = minhash_lsh_pairs(near_dup_docs, num_hashes=64, bands=16, threshold=0.9)
+    assert pairs.filter(F.col("jaccard") < 0.9).count() == 0
+
+
+# --------------------------------------------------------------- simhash
+
+
+def test_simhash_near_dups(spark, near_dup_docs):
+    pairs = simhash_pairs(near_dup_docs, max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(40):
+        assert (i * 10, i * 10 + 1) in found  # identical tokens → hamming 0
+    hams = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert hams[(0, 1)] == 0
+
+
+# --------------------------------------------------------------- ngram jaccard
+
+
+def test_ngram_jaccard_exact_pairs(spark, near_dup_docs):
+    pairs = ngram_jaccard_pairs(
+        near_dup_docs, shingle_n=5, threshold=0.6, max_df=None
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    for i in range(40):
+        assert found.get((i * 10, i * 10 + 1)) == 1.0
+
+
+# --------------------------------------------------------------- embeddings
+
+
+def test_embedding_pairs_brute_vs_lsh(spark, sf_correct):
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_pairs(emb, threshold=0.8, method="brute").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_pairs(
+            emb, threshold=0.8, method="lsh", n_planes=6, n_tables=6
+        ).collect()
+    }
+    assert lsh <= brute  # exact verification ⇒ no false positives
+    if brute:
+        assert len(lsh) / len(brute) >= 0.8  # recall
+
+
+def test_embedding_pairs_synthetic_duplicates(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 16)).astype(float)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=i * 2, embedding=[float(x) for x in v]))
+        noisy = v + rng.standard_normal(16) * 0.01
+        rows.append(Row(vec_id=i * 2 + 1, embedding=[float(x) for x in noisy]))
+    df = spark.createDataFrame(rows)
+    got = embedding_pairs(df, threshold=0.99, method="brute").collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    for i in range(30):
+        assert (i * 2, i * 2 + 1) in found
+
+
+# --------------------------------------------------------------- knn
+
+
+def test_knn_brute_matches_numpy(spark, sf_correct):
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet").repartition(8)
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = mat[:3]
+    got = knn_brute(emb, queries, k=5).collect()
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    scores = qn @ mat_n.T
+    for qi in range(3):
+        expect = set(pdf["vec_id"].to_numpy()[np.argsort(-scores[qi])[:5]])
+        mine = {r["vec_id"] for r in got if r["query_id"] == qi}
+        assert mine == expect, qi
+
+
+def test_knn_ivf_recall(spark, sf_correct):
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet").repartition(8)
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    queries = mat[10:15]
+    exact = knn_brute(emb, queries, k=10).collect()
+    approx = knn_ivf(emb, queries, k=10, n_cells=8, n_probe=4).collect()
+    for qi in range(5):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        assert len(e & a) / 10 >= 0.6, qi  # probing half the cells
+
+
+# --------------------------------------------------------------- text analysis
+
+
+def test_text_stats_on_documents(spark, sf_correct):
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    out = docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+        lang_guess_col(F.col("text")).alias("lang_guess"),
+    ).collect()
+    assert all(r["n_tokens"] > 0 for r in out)
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+    assert all(r["lang_guess"] in ("en", "de", "fr", "es", "und") for r in out)
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        Row(doc_id=0, payload=b"\x89PNG\r\n" + bytes(range(250))),
+        Row(doc_id=1, payload=b"\xff\xd8\xff\xe0" + b"jpegdata" * 40),
+        Row(doc_id=2, payload=b""),
+    ]
+    df = spark.createDataFrame(rows)
+    meta = {r["doc_id"]: r["payload_meta"] for r in attach_payload_metadata(df).collect()}
+    assert meta[0]["format"] == "png"
+    assert meta[1]["format"] == "jpeg"
+    assert meta[2]["n_bytes"] == 0
+    assert meta[1]["digest"] == hashlib.md5(b"\xff\xd8\xff\xe0" + b"jpegdata" * 40).hexdigest()
+
+    feats = {r["doc_id"]: r["features"] for r in decode_features(df).collect()}
+    assert len(feats[0]) == 16
+    np.testing.assert_allclose(
+        np.asarray(feats[1]), fake_decoder(bytes(rows[1]["payload"])), rtol=1e-6
+    )
+
+    frames = frame_sample(df, frame_bytes=32, every_nth=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 256 bytes → 8 frames → every 2nd → 4
+    assert len(by_doc[0]) == 4
+    assert all(len(bytes(r["frame"])) <= 32 for r in frames)
+
+    with pytest.raises(NotImplementedError):
+        decode_features(df, strict=True)
