@@ -1,38 +1,458 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries cover SURVEY.md §2 operator inventory: HLL sketch algebra
+(distinct cardinality, grouped, lossless rollup), count-min bounds, heavy
+hitters, KLL/t-digest quantile bounds, exact + approximate dedup, text
+analysis, embedding similarity / ANN, Bloom membership.
+
+Estimate-producing operators use the bound-check pattern: the Spark side
+returns the *exact* value plus a boolean asserting the sketch estimate
+landed inside its published error bound (estimates are deterministic, so
+this is a stable, hashable contract); the DuckDB oracle returns the same
+exact value with the boolean literally true. Hash/fingerprint operators
+(md5-based by design) are checked value-for-value.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from hyper_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint_col,
+    lang_guess_col,
+    normalized_text,
+    token_count_col,
+)
+from hyper_spark.kernel.hll import error_bound
+from hyper_spark.operators.bloom_agg import bloom_by, bloom_might_contain
+from hyper_spark.operators.cms_agg import cms_by, cms_collect, heavy_hitters
+from hyper_spark.operators.dedup import embedding_pairs, ngram_jaccard_pairs
+from hyper_spark.operators.hll_agg import (
+    cardinality_col,
+    sketch_by,
+    sketch_collect,
+    union_sketches,
+)
+from hyper_spark.operators.quantiles import quantiles_by
+from hyper_spark.operators.similarity import knn_brute
+
+_DISTRIBUTED_SESSIONS: set[int] = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship hyper_spark to executors once per session (no-op if the repo
+    root is already on the worker path)."""
+    key = id(spark)
+    if key in _DISTRIBUTED_SESSIONS:
+        return
+    try:
+        from hyper_spark.packaging import distribute
+
+        distribute(spark)
+    except Exception:
+        pass
+    _DISTRIBUTED_SESSIONS.add(key)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: per-event-type distinct
+    users via HLL sketches with bound verification columns."""
+    _ensure_pkg(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    events = _read(spark, sf_dir, "events")
+    p = 14
+    sk = sketch_by(events, ["event_type"], "user_id", p)
+    est = sk.select(
+        "event_type",
+        cardinality_col(F.col("p"), F.col("registers")).alias("estimate"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_count")
+    )
+    bound = error_bound(p)
+    return (
+        est.join(exact, on="event_type")
+        .select(
+            "event_type",
+            "exact_count",
+            F.round("estimate", 2).alias("estimate"),
+            (
+                F.abs(F.col("estimate") - F.col("exact_count"))
+                / F.col("exact_count")
+                <= F.lit(bound)
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------------------------- queries
+
+
+def _q_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return events.select(F.countDistinct("user_id").alias("n_users"))
+
+
+def _q_hll_users_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    p = 14
+    est = sketch_collect(sketch_by(events, [], "user_id", p)).cardinality()
+    exact_df = events.select(F.countDistinct("user_id").alias("exact_count"))
+    return exact_df.select(
+        "exact_count",
+        (
+            F.abs(F.lit(est) - F.col("exact_count")) / F.col("exact_count")
+            <= F.lit(error_bound(p))
+        ).alias("within_bound"),
+    )
+
+
+def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    p = 14
+    sk = sketch_by(events, ["event_type"], "user_id", p)
+    est = sk.select(
+        "event_type", cardinality_col(F.col("p"), F.col("registers")).alias("est")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_count")
+    )
+    return (
+        est.join(exact, on="event_type")
+        .select(
+            "event_type",
+            "exact_count",
+            (
+                F.abs(F.col("est") - F.col("exact_count")) / F.col("exact_count")
+                <= F.lit(error_bound(p))
+            ).alias("within_bound"),
+        )
+    )
+
+
+def _q_hll_rollup_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    p = 13
+    per_type = sketch_by(events, ["event_type"], "user_id", p)
+    rolled = sketch_collect(union_sketches(per_type, []))
+    direct = sketch_collect(sketch_by(events, [], "user_id", p))
+    lossless = rolled == direct
+    est = rolled.cardinality()
+    exact_df = events.select(F.countDistinct("user_id").alias("exact_count"))
+    return exact_df.select(
+        "exact_count",
+        (
+            F.abs(F.lit(est) - F.col("exact_count")) / F.col("exact_count")
+            <= F.lit(error_bound(p))
+        ).alias("within_bound"),
+        F.lit(bool(lossless)).alias("rollup_lossless"),
+    )
+
+
+def _q_hll_custkey_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    orders = _read(spark, sf_dir, "orders")
+    p = 13
+    est = sketch_collect(sketch_by(orders, [], "o_custkey", p)).cardinality()
+    exact_df = orders.select(F.countDistinct("o_custkey").alias("exact_count"))
+    return exact_df.select(
+        "exact_count",
+        (
+            F.abs(F.lit(est) - F.col("exact_count")) / F.col("exact_count")
+            <= F.lit(error_bound(p))
+        ).alias("within_bound"),
+    )
+
+
+def _q_cms_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    cms = cms_collect(cms_by(events, [], "event_type", depth=5, width=8192))
+    eps_n = cms.eps * cms.n
+    exact = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    rows = exact.collect()
+    flags = []
+    for r in rows:
+        est = cms.estimate(r["event_type"])
+        flags.append(
+            Row(
+                event_type=r["event_type"],
+                exact_count=r["exact_count"],
+                within_bound=bool(
+                    r["exact_count"] <= est <= r["exact_count"] + eps_n
+                ),
+            )
+        )
+    return spark.createDataFrame(flags)
+
+
+def _q_heavy_hitters_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    return heavy_hitters(events, "event_type", k=3, exact=True)
+
+
+def _quantile_bound_df(
+    spark: SparkSession, df: DataFrame, col: str, method: str, eps: float = 0.02
+) -> DataFrame:
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = quantiles_by(df, [], col, qs, method=method).collect()[0]
+    n = df.count()
+    rows = []
+    for q in qs:
+        est = got[f"q_{int(q * 1000):04d}"]
+        rank = df.filter(F.col(col) <= est).count() / n
+        rows.append(Row(q=float(q), within_eps=bool(abs(rank - q) <= eps)))
+    return spark.createDataFrame(rows)
+
+
+def _q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    return _quantile_bound_df(spark, events, "value", "kll")
+
+
+def _q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    return _quantile_bound_df(spark, events, "value", "tdigest")
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+
+def _q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def _q_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint_col(F.col("text"))).alias("n_unique"),
+    )
+
+
+def _q_lang_guess_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_guess_col(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, shingle_n=5, threshold=0.5, max_df=None
+    ).select("id_a", "id_b")
+
+
+def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_pairs(emb, threshold=0.4, method="brute").select("id_a", "id_b")
+
+
+def _q_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    got = knn_brute(emb, np.asarray([q0], dtype=np.float64), k=5)
+    return got.select("vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    customer = _read(spark, sf_dir, "customer").filter("c_custkey % 10 = 0")
+    orders = _read(spark, sf_dir, "orders")
+    bloom = bloom_by(customer, [], "c_custkey", m_bits=1 << 17, k=5)
+    probed = bloom_might_contain(bloom, orders, "o_custkey")
+    members = orders.join(
+        customer.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        on="o_custkey",
+        how="leftsemi",
+    )
+    n_matching = members.count()
+    false_neg = (
+        probed.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+            on="o_custkey",
+            how="leftsemi",
+        )
+        .filter(~F.col("might_contain"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [Row(n_matching=n_matching, false_negatives=false_neg)]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_distinct_users": _q_exact_distinct_users,
+        "hll_users_within_bound": _q_hll_users_within_bound,
+        "hll_users_by_type": _q_hll_users_by_type,
+        "hll_rollup_lossless": _q_hll_rollup_lossless,
+        "hll_custkey_within_bound": _q_hll_custkey_within_bound,
+        "cms_event_type_bounds": _q_cms_event_type_bounds,
+        "heavy_hitters_event_type": _q_heavy_hitters_event_type,
+        "kll_value_quantiles": _q_kll_value_quantiles,
+        "tdigest_value_quantiles": _q_tdigest_value_quantiles,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "doc_token_counts": _q_doc_token_counts,
+        "exact_dup_stats": _q_exact_dup_stats,
+        "lang_guess_counts": _q_lang_guess_counts,
+        "ngram_jaccard_pairs_05": _q_ngram_jaccard_pairs,
+        "embedding_pairs_04": _q_embedding_pairs,
+        "knn_top5": _q_knn_top5,
+        "bloom_no_false_negatives": _q_bloom_no_false_negatives,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------------- oracles
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _lang_sql() -> str:
+    norm = _NORM_SQL.format(col="text")
+    hits = {
+        lang: (
+            f"len(list_filter(string_split({norm}, ' '), "
+            f"x -> x in ({', '.join(repr(w) for w in sw)})))"
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    case = "CASE "
+    for lang in LANG_STOPWORDS:  # dict order = tie-break priority
+        case += f"WHEN {hits[lang]} > 0 AND {hits[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return (
+        f"SELECT {case} AS lang_guess, count(*) AS n_docs "
+        f"FROM documents GROUP BY 1"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = _NORM_SQL.format(col="text")
+    true_flags = "true AS within_bound"
+    return {
+        "exact_distinct_users": (
+            "SELECT count(DISTINCT user_id) AS n_users FROM events"
+        ),
+        "hll_users_within_bound": (
+            f"SELECT count(DISTINCT user_id) AS exact_count, {true_flags} FROM events"
+        ),
+        "hll_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_count, "
+            f"{true_flags} FROM events GROUP BY event_type"
+        ),
+        "hll_rollup_lossless": (
+            "SELECT count(DISTINCT user_id) AS exact_count, true AS within_bound, "
+            "true AS rollup_lossless FROM events"
+        ),
+        "hll_custkey_within_bound": (
+            f"SELECT count(DISTINCT o_custkey) AS exact_count, {true_flags} FROM orders"
+        ),
+        "cms_event_type_bounds": (
+            "SELECT event_type, count(*) AS exact_count, "
+            f"{true_flags} FROM events GROUP BY event_type"
+        ),
+        "heavy_hitters_event_type": (
+            "SELECT event_type, count(*) AS est_count FROM events "
+            "GROUP BY event_type ORDER BY est_count DESC, event_type LIMIT 3"
+        ),
+        "kll_value_quantiles": (
+            "SELECT * FROM (VALUES (0.1::DOUBLE, true), (0.5::DOUBLE, true), "
+            "(0.9::DOUBLE, true), (0.99::DOUBLE, true)) AS t(q, within_eps)"
+        ),
+        "tdigest_value_quantiles": (
+            "SELECT * FROM (VALUES (0.1::DOUBLE, true), (0.5::DOUBLE, true), "
+            "(0.9::DOUBLE, true), (0.99::DOUBLE, true)) AS t(q, within_eps)"
+        ),
+        "doc_fingerprints": (
+            f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents"
+        ),
+        "doc_token_counts": (
+            "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens "
+            "FROM documents"
+        ),
+        "exact_dup_stats": (
+            f"SELECT count(*) AS n_docs, count(DISTINCT md5({norm})) AS n_unique "
+            "FROM documents"
+        ),
+        "lang_guess_counts": _lang_sql(),
+        "ngram_jaccard_pairs_05": f"""
+            WITH norm AS (
+                SELECT doc_id, {norm} AS t FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+                FROM norm
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(t, i::BIGINT, 5) AS s FROM pos
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        """,
+        "embedding_pairs_04": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "knn_top5": (
+            "SELECT b.vec_id, row_number() OVER (ORDER BY "
+            "list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) "
+            "AS rank FROM embeddings a JOIN embeddings b ON a.vec_id = 0 "
+            "ORDER BY rank LIMIT 5"
+        ),
+        "bloom_no_false_negatives": (
+            "SELECT count(*) AS n_matching, 0::BIGINT AS false_negatives "
+            "FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)"
+        ),
+    }
