@@ -1,0 +1,178 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "turns_per_sec": ..., "transcript_rows": ...}
+
+The flagship number is ``turns_per_sec``: end-to-end HLL sketch-build
+throughput (scan → JVM hash → two-level mergeable aggregation →
+estimate) over the synthetic transcripts table at the same SF.
+Scaling evidence across parallelism levels lives in
+``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+TRANSCRIPTS_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".data", f"transcripts_sf{SF}"
+)
+
+
+def build_session(cpus: int = CPUS) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("hyper_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "12g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark: SparkSession, sf_dir: str):
+    from hyper_spark.operators.cms_agg import heavy_hitters
+    from hyper_spark.operators.dedup import (
+        exact_dup_groups,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from hyper_spark.operators.hll_agg import approx_distinct
+    from hyper_spark.operators.quantiles import quantiles_by
+    from hyper_spark.operators.similarity import knn_brute
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def q_hll_orderkey():
+        return approx_distinct(lineitem, [], "l_orderkey", 14, strategy="explode")
+
+    def q_hll_orderkey_partial():
+        return approx_distinct(lineitem, [], "l_orderkey", 14, strategy="partial")
+
+    def q_hll_by_flag():
+        return approx_distinct(lineitem, ["l_returnflag"], "l_orderkey", 14)
+
+    def q_hll_users():
+        return approx_distinct(events, [], "user_id", 14)
+
+    def q_heavy_hitters():
+        return heavy_hitters(lineitem, "l_suppkey", k=10, width=8192)
+
+    def q_kll_price():
+        return quantiles_by(lineitem, [], "l_extendedprice", [0.5, 0.9, 0.99], "kll")
+
+    def q_tdigest_price_by_flag():
+        return quantiles_by(
+            lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.99], "tdigest"
+        )
+
+    def q_exact_dedup():
+        return exact_dup_groups(docs)
+
+    def q_minhash():
+        return minhash_lsh_pairs(docs, num_hashes=128, bands=32, threshold=0.5)
+
+    def q_simhash():
+        return simhash_pairs(docs, max_hamming=3)
+
+    def q_knn():
+        qs = np.stack(
+            emb.limit(8).toPandas()["embedding"].to_numpy()
+        ).astype(np.float64)
+        return knn_brute(emb, qs, k=10)
+
+    return {
+        "hll_orderkey": q_hll_orderkey,
+        "hll_orderkey_partial": q_hll_orderkey_partial,
+        "hll_by_flag": q_hll_by_flag,
+        "hll_users": q_hll_users,
+        "heavy_hitters_suppkey": q_heavy_hitters,
+        "kll_price": q_kll_price,
+        "tdigest_price_by_flag": q_tdigest_price_by_flag,
+        "exact_dedup_docs": q_exact_dedup,
+        "minhash_lsh_docs": q_minhash,
+        "simhash_docs": q_simhash,
+        "knn_embeddings": q_knn,
+    }
+
+
+def transcripts_throughput(spark: SparkSession) -> tuple[float, int, float]:
+    """Flagship: HLL sketch build (per-role + global distinct conv_id)
+    over the transcripts table. Returns (seconds, rows, turns_per_sec)."""
+    from hyper_spark.operators.hll_agg import sketch_by, union_sketches, sketch_collect
+    from hyper_spark.sources.transcripts import write_transcripts
+
+    path = write_transcripts(spark, TRANSCRIPTS_CACHE, sf=SF)
+    tx = spark.read.parquet(path)
+    rows = tx.count()
+    t0 = time.perf_counter()
+    per_role = sketch_by(tx, ["role"], "conv_id", 14, strategy="explode")
+    merged = sketch_collect(union_sketches(per_role, []))
+    elapsed = time.perf_counter() - t0
+    assert merged.cardinality() > 0
+    return elapsed, rows, rows / elapsed
+
+
+def main() -> None:
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    from hyper_spark.packaging import distribute
+
+    distribute(spark)
+
+    # JVM/Arrow warmup so the first timed query isn't paying startup
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    queries = bench_queries(spark, SF_DIR)
+    timings: dict[str, float] = {}
+    for name, build in queries.items():
+        t0 = time.perf_counter()
+        df = build()
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    tx_sec, tx_rows, turns_per_sec = transcripts_throughput(spark)
+    timings["transcripts_sketch_build"] = round(tx_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock + transcripts sketch-build throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "cpus": CPUS,
+                "transcript_rows": tx_rows,
+                "turns_per_sec": round(turns_per_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -124,20 +124,32 @@ def lang_guess_col(col: Column) -> Column:
     return expr
 
 
-def char_shingles_col(col: Column, n: int = 5) -> Column:
+def char_shingles_col(
+    col: Column, n: int = 5, pre_normalized: bool = False, distinct: bool = True
+) -> Column:
     """Distinct character n-grams of the normalized text (array<string>)
     via JVM sequence/transform — no Python, no explode until the caller
-    wants one."""
-    norm = normalized_text(col)
+    wants one.
+
+    PERFORMANCE: expressions referenced inside a ``transform`` lambda are
+    re-evaluated per array element (Catalyst does not CSE across lambda
+    boundaries) — shingling directly over ``normalized_text(text)`` re-ran
+    the regex chain once per position, turning shingling quadratic
+    (measured 50 s for 5k docs at sf0.1). Callers processing whole tables
+    should project the normalized text into a real column first and pass
+    ``pre_normalized=True``; this function then only does cheap substr
+    per element (same 5k docs: <1 s)."""
+    norm = col if pre_normalized else normalized_text(col)
     positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(positions, lambda i: F.substr(norm, i, F.lit(n)))
-    )
+    raw = F.transform(positions, lambda i: F.substr(norm, i, F.lit(n)))
+    return raw if not distinct else F.array_distinct(raw)
 
 
-def word_shingles_col(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (array<string>) of the normalized text."""
-    toks = word_tokens_col(col)
+def word_shingles_col(col: Column, n: int = 3, pre_tokenized: bool = False) -> Column:
+    """Distinct word n-grams (array<string>) of the normalized text.
+    Same lambda-CSE caveat as char_shingles_col: pass a materialized
+    token-array column with ``pre_tokenized=True`` for table-scale use."""
+    toks = col if pre_tokenized else word_tokens_col(col)
     positions = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(

@@ -168,13 +168,12 @@ def local_topk_candidates(df: DataFrame, col: str, k: int, fanout: int = 4) -> D
     limit = k * fanout
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from collections import Counter
-
-        counts: Counter = Counter()
+        counts: pd.Series | None = None
         for pdf in batches:
-            counts.update(pdf[col].dropna())
-        if counts:
-            yield pd.DataFrame({col: [v for v, _ in counts.most_common(limit)]})
+            vc = pdf[col].value_counts(dropna=True)
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+        if counts is not None and len(counts):
+            yield pd.DataFrame({col: counts.nlargest(limit).index.to_numpy()})
 
     return df.select(col).mapInPandas(topk, df.select(col).schema).distinct()
 

