@@ -1,0 +1,143 @@
+"""Checkpoint-resumable merge + lineage (plans/) and Structured
+Streaming sketch state (streaming/)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hyper_spark.operators.hll_agg import sketch_by, sketch_collect
+from hyper_spark.plans.merge import (
+    checkpointed_sketch_build,
+    lineage_table,
+    resume_info,
+)
+from hyper_spark.streaming.hll_stream import streaming_sketch_by
+
+
+@pytest.fixture()
+def ckpt_dir():
+    d = tempfile.mkdtemp(prefix="hyper_spark_ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_checkpointed_build_matches_sketch_by(spark, ckpt_dir):
+    rows = [Row(g=f"g{i % 3}", v=f"user-{i % 700}") for i in range(5000)]
+    df = spark.createDataFrame(rows).repartition(8)
+    out = checkpointed_sketch_build(
+        spark, df, ["g"], "v", ckpt_dir, p=12, num_salts=16, fanout=4
+    ).collect()
+    direct = {r["g"]: bytes(r["registers"]) for r in sketch_by(df, ["g"], "v", 12).collect()}
+    assert len(out) == 3
+    for r in out:
+        assert bytes(r["registers"]) == direct[r["g"]]  # lossless salting
+
+    info = resume_info(ckpt_dir)
+    # 16 salts, fanout 4: levels 0 (partials), 1 (→4), 2 (→1)
+    assert info["completed_levels"] == [0, 1, 2]
+    metrics = sorted(glob.glob(os.path.join(ckpt_dir, "metrics_*.json")))
+    assert len(metrics) == 3
+    m0 = json.load(open(metrics[0]))
+    assert m0["rows"] > 0 and m0["wall_ms"] > 0
+
+    lin = lineage_table(spark, ckpt_dir)
+    stats = lin.agg(
+        F.sum("rows_in").alias("total"), F.countDistinct("partition_id").alias("pids")
+    ).collect()[0]
+    assert stats["total"] == 5000  # every input row accounted for
+    assert stats["pids"] >= 2
+
+
+def test_resume_skips_completed_levels(spark, ckpt_dir):
+    rows = [Row(g="a", v=f"x{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    checkpointed_sketch_build(spark, df, ["g"], "v", ckpt_dir, p=11, num_salts=8, fanout=2)
+    # tamper: record mtimes, rerun, levels must not be rewritten
+    marker = os.path.join(ckpt_dir, "level_00", "_SUCCESS")
+    mtime_before = os.path.getmtime(marker)
+    time.sleep(0.05)
+    out = checkpointed_sketch_build(
+        spark, df, ["g"], "v", ckpt_dir, p=11, num_salts=8, fanout=2
+    )
+    assert os.path.getmtime(marker) == mtime_before
+    got = sketch_collect(out)
+    direct = sketch_collect(sketch_by(df, [], "v", 11))
+    assert got == direct
+
+
+def test_partial_resume_after_simulated_failure(spark, ckpt_dir):
+    """Kill the build after level 0 (simulated by only building level 0
+    via a low num_salts run interrupted at the directory level), then
+    resume and verify completion."""
+    rows = [Row(g="a", v=f"y{i % 400}") for i in range(2000)]
+    df = spark.createDataFrame(rows).repartition(4)
+    checkpointed_sketch_build(spark, df, ["g"], "v", ckpt_dir, p=11, num_salts=8, fanout=2)
+    # wipe everything above level 0 — as if the job died mid-merge
+    for path in glob.glob(os.path.join(ckpt_dir, "level_0[1-9]")):
+        shutil.rmtree(path)
+    assert resume_info(ckpt_dir)["completed_levels"] == [0]
+    out = checkpointed_sketch_build(
+        spark, df, ["g"], "v", ckpt_dir, p=11, num_salts=8, fanout=2
+    )
+    assert sketch_collect(out) == sketch_collect(sketch_by(df, [], "v", 11))
+
+
+def test_streaming_sketch_matches_batch(spark, tmp_path):
+    """Feed the same rows through the streaming operator (rate-limited
+    file source, several micro-batches) and the batch operator; final
+    sketches must be byte-identical."""
+    rows = [Row(g=f"g{i % 2}", v=f"u{i % 300}") for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    src = str(tmp_path / "stream_src")
+    # several files → several micro-batches
+    for part in range(4):
+        df.filter(F.crc32(F.col("v")) % 4 == part).write.mode(
+            "overwrite" if part == 0 else "append"
+        ).parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src)
+    # parquet sinks only support append mode; the operator emits its
+    # current state each micro-batch either way
+    out = streaming_sketch_by(stream, ["g"], "v", p=11, output_mode="append")
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    # last emitted state per group = the complete sketch
+    import pandas as pd
+
+    pdf = got.toPandas()
+    batch = {
+        r["g"]: bytes(r["registers"])
+        for r in sketch_by(df, ["g"], "v", 11).collect()
+    }
+    for g in ("g0", "g1"):
+        sub = pdf[pdf["g"] == g]
+        # registers grow monotonically; the union of all emitted states
+        # equals the batch sketch, and the largest-estimate row is final
+        import numpy as np
+
+        final = None
+        for blob in sub["registers"]:
+            regs = np.frombuffer(bytes(blob), dtype=np.uint8)
+            final = regs if final is None else np.maximum(final, regs)
+        assert final.tobytes() == batch[g]
