@@ -57,6 +57,8 @@ __all__ = [
     "cardinality_col",
     "approx_distinct",
     "sketch_collect",
+    "register_table",
+    "collect_sketches_from_registers",
     "intersect_card",
     "SKETCH_FIELDS",
 ]
@@ -199,6 +201,45 @@ def sketch_by(
         )
 
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def register_table(
+    df: DataFrame, keys: Sequence[str], col: str | Column, p: int = 14
+) -> DataFrame:
+    """The sparse sketch as rows: DataFrame[*keys, idx, rho] with rho the
+    per-(group, idx) max — 100% JVM (scan → hash exprs → partial/final
+    aggregate), no Python stage anywhere. At most groups × 2^p rows."""
+    col = F.col(col) if isinstance(col, str) else col
+    keys = list(keys)
+    idx, rho = hll_prepare(col, p)
+    prepared = df.select(*keys, idx.alias("idx"), rho.alias("rho"))
+    return prepared.groupBy(*keys, "idx").agg(F.max("rho").alias("rho"))
+
+
+def collect_sketches_from_registers(
+    reg_df: DataFrame, keys: Sequence[str], p: int
+) -> dict[tuple, HllSketch]:
+    """Driver-side final assembly of a register table into kernel
+    sketches (the reference's read path is likewise a cheap scalar stage,
+    src/hyper.erl:103-130 / SURVEY §3.3).
+
+    Use when groups × 2^p rows are driver-collectible (e.g. a global
+    sketch or a handful of groups): it removes every Python executor
+    stage from the job, leaving a pure whole-stage-codegen plan plus one
+    tiny collect. For many groups use ``sketch_by`` (distributed
+    densify)."""
+    keys = list(keys)
+    rows = reg_df.collect()
+    out: dict[tuple, HllSketch] = {}
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        k = tuple(r[c] for c in keys)
+        by_key.setdefault(k, []).append((r["idx"], r["rho"]))
+    for k, pairs in by_key.items():
+        idxs = np.fromiter((i for i, _ in pairs), dtype=np.int64, count=len(pairs))
+        rhos = np.fromiter((v for _, v in pairs), dtype=np.uint8, count=len(pairs))
+        out[k] = HllSketch.from_sparse(p, idxs, rhos)
+    return out
 
 
 def union_sketches(sketch_df: DataFrame, keys: Sequence[str]) -> DataFrame:

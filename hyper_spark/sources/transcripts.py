@@ -121,11 +121,19 @@ def transcripts_df(
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = [
-                pd.DataFrame(_gen_conv(int(k), seed, n_convs)) for k in pdf["id"]
-            ]
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # assemble one frame per batch (a frame per conversation is
+            # ~10× slower at sf >= 1)
+            parts = [_gen_conv(int(k), seed, n_convs) for k in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    key: np.concatenate([p[key] for p in parts])
+                    if key != "text"
+                    else [t for p in parts for t in p[key]]
+                    for key in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+                }
+            )
 
     return (
         spark.range(0, n_convs, numPartitions=num_partitions)

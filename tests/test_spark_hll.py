@@ -124,3 +124,19 @@ def test_intersect_card_df(spark):
     b = sketch_by(right, [], "v", 13)
     got = intersect_card(a, b).collect()[0]["intersect_card"]
     assert abs(got - 5000) / 5000 <= 0.05
+
+
+def test_register_table_driver_assembly_matches(spark):
+    from hyper_spark.operators.hll_agg import (
+        collect_sketches_from_registers,
+        register_table,
+    )
+
+    rows = [Row(g=f"g{i % 3}", v=f"val-{i % 500}") for i in range(4000)]
+    df = spark.createDataFrame(rows).repartition(8)
+    regs = register_table(df, ["g"], "v", 12)
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # 100% JVM
+    got = collect_sketches_from_registers(regs, ["g"], 12)
+    direct = {r["g"]: bytes(r["registers"]) for r in sketch_by(df, ["g"], "v", 12).collect()}
+    assert {k[0]: v.to_bytes() for k, v in got.items()} == direct
