@@ -59,15 +59,23 @@ def hll_index_col(col: Column, p: int) -> Column:
 
 
 def hll_rho_col(col: Column, p: int) -> Column:
-    """rho = run_of_zeroes(next P bits) + 1 ∈ [1, P+1] (hyper.erl:51-53,189-198)."""
+    """rho = run_of_zeroes(next P bits) + 1 ∈ [1, P+1] (hyper.erl:51-53,189-198).
+
+    bit_length(window) is computed as a WHEN-chain over the p possible
+    values instead of ``length(conv(w, 10, 2))``: exact integer compare
+    branches, zero per-row allocation (the conv form allocated a binary
+    string per row — measurable GC pressure at tens of millions of rows).
+    """
     _check_p(p)
     window = F.shiftright(_head32(col), 32 - 2 * p).bitwiseAND(F.lit((1 << p) - 1))
-    bit_length = F.length(F.conv(window, 10, 2))
-    return (
-        F.when(window == 0, F.lit(p + 1))
-        .otherwise(F.lit(p + 1) - bit_length)
-        .cast("int")
-    )
+    # descending thresholds: w >= 2^(p-1) → rho 1, ..., w >= 1 → rho p
+    expr = F.lit(p + 1)  # all-zero window
+    rho = None
+    for bitlen in range(p, 0, -1):  # bit_length(w) == bitlen → rho = p+1-bitlen
+        cond = window >= (1 << (bitlen - 1))
+        branch = F.lit(p + 1 - bitlen)
+        rho = F.when(cond, branch) if rho is None else rho.when(cond, branch)
+    return rho.otherwise(expr).cast("int")
 
 
 def hll_prepare(col: Column, p: int) -> tuple[Column, Column]:

@@ -16,10 +16,12 @@ rollup) → estimate. Usage:
 from __future__ import annotations
 
 import json
+import multiprocessing
 import os
 import subprocess
 import sys
 import tempfile
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -73,6 +75,26 @@ spark.stop()
 """
 
 
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2:
+        x += 1
+    return x
+
+
+def cpu_scaling_available() -> float:
+    """Calibration: how much 8→32-way CPU scaling does the host offer
+    RIGHT NOW? This sandbox shares its host (loadavg >10 with no local
+    consumer); observed availability swings between ~2.7x and ~3.97x of
+    the ideal 4x. Job efficiency must be read against this ceiling."""
+    with multiprocessing.Pool(32) as pool:
+        r32 = sum(pool.map(_burn, range(32)))
+    with multiprocessing.Pool(8) as pool:
+        r8 = sum(pool.map(_burn, range(8)))
+    return (r32 / 32) / (r8 / 8) * 4
+
+
 def run(cpus: int, sf: float, reps: int) -> dict:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(WORKER.replace("__REPO__", repr(REPO)))
@@ -88,8 +110,10 @@ def run(cpus: int, sf: float, reps: int) -> dict:
 
 
 def main(sf: float = 4.0, reps: int = 10) -> None:
+    avail_before = cpu_scaling_available()
     r8 = run(8, sf, reps)
     r32 = run(32, sf, reps)
+    avail_after = cpu_scaling_available()
     speedup = r8["sec"] / r32["sec"]
     efficiency = speedup / 4.0
     med_speedup = r8["median_sec"] / r32["median_sec"]
@@ -105,6 +129,13 @@ def main(sf: float = 4.0, reps: int = 10) -> None:
         "scaling_efficiency": round(efficiency, 3),
         "median_speedup_8_to_32": round(med_speedup, 3),
         "median_scaling_efficiency": round(med_speedup / 4.0, 3),
+        "host_cpu_scaling_available": {
+            "before": round(avail_before, 3),
+            "after": round(avail_after, 3),
+        },
+        "efficiency_vs_available": round(
+            speedup / min(avail_before, avail_after), 3
+        ) if min(avail_before, avail_after) > 0 else None,
     }
     print(json.dumps(result, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
