@@ -314,6 +314,99 @@ def _q_bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimates inside the published bound across the precision range —
+    the reference's estimate_report sweep (src/hyper.erl:262-307) as a
+    pass/fail contract."""
+    _ensure_pkg(spark)
+    orders = _read(spark, sf_dir, "orders")
+    exact = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    rows = []
+    for p in (10, 12, 14, 16):
+        est = sketch_collect(sketch_by(orders, [], "o_custkey", p)).cardinality()
+        rows.append(
+            Row(
+                p=p,
+                exact_count=exact,
+                within_bound=bool(abs(est - exact) / exact <= error_bound(p)),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def _q_window_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"))
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("event_type", "event_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    evens = orders.filter("o_orderkey % 2 = 0").select("o_custkey")
+    odds = orders.filter("o_orderkey % 2 = 1").select("o_custkey")
+    inter = evens.intersect(odds).count()  # set semantics (distinct)
+    only_even = evens.distinct().subtract(odds.distinct()).count()
+    union_all = evens.union(odds).count()  # UNION ALL semantics
+    return spark.createDataFrame(
+        [Row(n_intersect=inter, n_even_only=only_even, n_union_all=union_all)]
+    )
+
+
+def _q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _read(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+def _q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape with exact decimal arithmetic (cross-engine float
+    sums are order-dependent; decimals hash identically)."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
+                    "decimal(28,4)"
+                )
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_distinct_users": _q_exact_distinct_users,
@@ -333,6 +426,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
+        "hll_precision_sweep": _q_hll_precision_sweep,
+        "window_first_event": _q_window_first_event,
+        "topk_per_group": _q_topk_per_group,
+        "set_ops_custkeys": _q_set_ops,
+        "events_per_day": _q_events_per_day,
+        "string_funcs": _q_string_funcs,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
     }
 
 
@@ -454,5 +554,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_matching, 0::BIGINT AS false_negatives "
             "FROM orders WHERE o_custkey IN "
             "(SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)"
+        ),
+        "hll_precision_sweep": (
+            "SELECT p, (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_count, "
+            "true AS within_bound FROM (VALUES (10),(12),(14),(16)) AS t(p)"
+        ),
+        "window_first_event": (
+            "SELECT user_id, event_id AS first_event_id FROM ("
+            "SELECT user_id, event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+            "WHERE rn = 1"
+        ),
+        "topk_per_group": (
+            "SELECT event_type, event_id, rk FROM ("
+            "SELECT event_type, event_id, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY value DESC, event_id) AS rk "
+            "FROM events) WHERE rk <= 2"
+        ),
+        "set_ops_custkeys": (
+            "WITH evens AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0), "
+            "odds AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1) "
+            "SELECT (SELECT count(*) FROM (SELECT o_custkey FROM evens INTERSECT "
+            "SELECT o_custkey FROM odds)) AS n_intersect, "
+            "(SELECT count(DISTINCT o_custkey) FROM evens WHERE o_custkey NOT IN "
+            "(SELECT o_custkey FROM odds)) AS n_even_only, "
+            "(SELECT count(*) FROM (SELECT o_custkey FROM evens UNION ALL "
+            "SELECT o_custkey FROM odds)) AS n_union_all"
+        ),
+        "events_per_day": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events "
+            "FROM events GROUP BY 1"
+        ),
+        "string_funcs": (
+            "SELECT c_custkey, upper(substr(c_name, 1, 8)) AS prefix, "
+            "length(c_name) AS name_len FROM customer"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, "
+            "sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price, "
+            "sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - "
+            "l_discount::DECIMAL(18,2)))::DECIMAL(28,4))::DOUBLE AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus"
         ),
     }

@@ -45,7 +45,13 @@ __all__ = [
     "estimate_bias",
     "estimate_from_registers",
     "error_bound",
+    "is_sketch",
 ]
+
+
+def is_sketch(obj) -> bool:
+    """Type check, parity with is_hyper/1 (src/hyper.erl:42-44)."""
+    return isinstance(obj, HllSketch)
 
 @lru_cache(maxsize=1)
 def _constants() -> dict:
@@ -273,6 +279,12 @@ class HllSketch:
         obj = json.loads(text)
         raw = zlib.decompress(base64.b64decode(obj["registers"]), wbits=47)
         return cls.from_bytes(int(obj["p"]), raw)
+
+    def compact(self) -> "HllSketch":
+        """API parity with compact/1 (src/hyper.erl:138-139): the
+        reference flushes backend write buffers; our dense kernel has no
+        deferred state, so this is the identity (SURVEY §2.1)."""
+        return self
 
     # -- dunder -------------------------------------------------------
     def __eq__(self, other) -> bool:

@@ -61,11 +61,23 @@ from hyper_spark.operators.hll_agg import collect_sketches_from_registers
 
 P = 14
 def job(files):
+    # one scan, three sketch metrics (distinct conv, distinct text,
+    # distinct turn-key per role) — the realistic "analytics pass" shape:
+    # several approximate aggregates amortize one read of the table
     tx = spark.read.parquet(*files)
-    idx, rho = hll_prepare(F.col("conv_id"), P)
-    regs = (tx.select("role", idx.alias("idx"), rho.alias("rho"))
-              .groupBy("role", "idx").agg(F.max("rho").alias("rho")))
-    return collect_sketches_from_registers(regs, ["role"], P)
+    cols = {
+        "conv": F.col("conv_id"),
+        "text": F.col("text"),
+        "turn": F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")),
+    }
+    pairs = []
+    for tag, c in cols.items():
+        idx, rho = hll_prepare(c, P)
+        pairs.append(F.struct(F.lit(tag).alias("tag"), idx.alias("idx"), rho.alias("rho")))
+    exploded = tx.select("role", F.explode(F.array(*pairs)).alias("s")).select(
+        "role", F.col("s.tag").alias("tag"), F.col("s.idx").alias("idx"), F.col("s.rho").alias("rho"))
+    regs = exploded.groupBy("tag", "role", "idx").agg(F.max("rho").alias("rho"))
+    return collect_sketches_from_registers(regs, ["tag", "role"], P)
 
 job(files[:2])  # warm codegen + scan path
 open(os.path.join(ctrl_dir, f"ready_{worker_id}"), "w").close()
@@ -82,7 +94,7 @@ while True:
     if os.path.exists(stop):
         break
     sketches = job(files)
-    out = {role[0]: sk.to_json() for role, sk in sketches.items()}
+    out = {"|".join(map(str, key)): sk.to_json() for key, sk in sketches.items()}
     tmp = os.path.join(ctrl_dir, f"partial_{rep}_{worker_id}.tmp")
     with open(tmp, "w") as f:
         json.dump(out, f)
