@@ -18,14 +18,22 @@ __all__ = ["BloomFilter"]
 
 
 def _position(row: int, value: str, m_bits: int) -> int:
-    h = hashlib.md5(f"{row}:{value}".encode()).hexdigest()
-    return int(h[:15], 16) % m_bits
+    # five 24-bit windows per md5 (see kernel/cms.py); m_bits must stay
+    # <= 2^24 for this scheme — plenty for per-group runtime filters
+    h = hashlib.md5(f"{row // 5}:{value}".encode()).hexdigest()
+    w = row % 5
+    return int(h[6 * w : 6 * w + 6], 16) % m_bits
 
 
 class BloomFilter:
     __slots__ = ("m_bits", "k", "bits", "n")
 
     def __init__(self, m_bits: int = 1 << 16, k: int = 7, bits=None, n: int = 0):
+        if m_bits > 1 << 24:
+            raise ValueError(
+                "m_bits must be <= 2^24 (24-bit md5-window positions); "
+                "shard the filter by key instead of growing one bitmap"
+            )
         self.m_bits = m_bits
         self.k = k
         nbytes = (m_bits + 7) // 8
@@ -39,6 +47,7 @@ class BloomFilter:
     @classmethod
     def from_expected(cls, n_items: int, fpr: float = 0.01) -> "BloomFilter":
         m = max(8, math.ceil(-n_items * math.log(fpr) / (math.log(2) ** 2)))
+        m = min(m, 1 << 24)  # position-scheme cap; FPR degrades beyond ~1.7M items
         k = max(1, round(m / max(1, n_items) * math.log(2)))
         return cls(m_bits=m, k=k)
 

@@ -10,10 +10,14 @@ No reference implementation exists in GameAnalytics/hyper (SURVEY.md §2.4)
   w = ceil(e/eps), d = ceil(ln(1/delta))
 * merge = element-wise add (mergeable partial aggregate)
 
-Hash parity with the Spark layer: bucket_i(v) = first 60 bits of
-``md5(f"{i}:{v}")`` mod w — expressible JVM-natively as
-``conv(substring(md5(concat(lit('i:'), col)), 1, 15), 16, 10) % w`` so the
-per-row hot path never enters Python (mirrors the HLL design).
+Hash parity with the Spark layer: one md5 yields five 24-bit windows
+(6 hex chars each), so bucket_i(v) = window_{i%5} of
+``md5(f"{i//5}:{v}")`` mod w — five hash rows per md5 invocation,
+expressible JVM-natively via ``conv(substring(md5(...)), 16, 10) % w``
+so the per-row hot path never enters Python (mirrors the HLL design).
+Widths ≤ 2^24 that divide 2^24 (powers of two) have zero modulo bias;
+other widths carry ≤ w/2^24 bias — negligible for the count-min
+guarantee, which only needs pairwise-independent-ish rows.
 """
 
 from __future__ import annotations
@@ -27,8 +31,9 @@ __all__ = ["CountMinSketch"]
 
 
 def _bucket(row: int, value: str, width: int) -> int:
-    h = hashlib.md5(f"{row}:{value}".encode()).hexdigest()
-    return int(h[:15], 16) % width
+    h = hashlib.md5(f"{row // 5}:{value}".encode()).hexdigest()
+    w = row % 5
+    return int(h[6 * w : 6 * w + 6], 16) % width
 
 
 class CountMinSketch:

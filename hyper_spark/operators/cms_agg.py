@@ -45,10 +45,16 @@ _GROUP_COL = "__cms_group"
 
 
 def md5_bucket_col(col: Column, row: int, modulus: int) -> Column:
-    """JVM-native bucket: first 60 bits of md5(f"{row}:{v}") mod modulus —
-    byte-identical to hyper_spark.kernel.cms._bucket."""
-    hex15 = F.substring(F.md5(F.concat(F.lit(f"{row}:"), col.cast("string"))), 1, 15)
-    return F.pmod(F.conv(hex15, 16, 10).cast("long"), F.lit(modulus))
+    """JVM-native bucket, byte-identical to hyper_spark.kernel.cms._bucket:
+    one md5 per five hash rows; row i uses 24-bit window i%5 of
+    md5(f"{i//5}:{v}"). Catalyst CSEs the shared md5 across the five
+    windows, so a depth-5 sketch hashes each value once. modulus must be
+    ≤ 2^24."""
+    if modulus > 1 << 24:
+        raise ValueError("md5-window buckets support modulus <= 2^24")
+    digest = F.md5(F.concat(F.lit(f"{row // 5}:"), col.cast("string")))
+    window = F.substring(digest, 1 + 6 * (row % 5), 6)
+    return F.pmod(F.conv(window, 16, 10).cast("long"), F.lit(modulus))
 
 
 def cms_by(
