@@ -109,6 +109,7 @@ def minhash_signatures(
     num_hashes: int = 128,
     shingle_n: int = 5,
     seed: int = 7,
+    include_shingle_hashes: bool = False,
 ) -> DataFrame:
     """DataFrame[id, signature array<bigint>].
 
@@ -127,41 +128,67 @@ def minhash_signatures(
     normed = df.select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("__norm")
     )
-    # distinct=False: min over a multiset equals min over its set, so
-    # minhash doesn't need deduped shingles (and array_distinct is pure
-    # overhead on the hot path)
-    shingle = F.explode(
-        char_shingles_col(F.col("__norm"), shingle_n, pre_normalized=True, distinct=False)
-    ).alias("shingle")
-    x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE31))
-    exploded = normed.select(F.col(id_col), shingle).select(id_col, x.alias("x"))
 
     key_field = df.schema[id_col]
     schema = f"{key_field.name} {key_field.dataType.simpleString()}, signature array<bigint>"
+    if include_shingle_hashes:
+        # sorted unique rolling hashes of the shingle set — lets callers
+        # verify (near-)exact Jaccard on int arrays instead of re-deriving
+        # and shuffling string shingles (collision odds among ~300 values
+        # in a 2^31 space ≈ 2e-5: identical sets always hash identically,
+        # so jaccard == 1.0 is preserved exactly)
+        schema += ", shingle_hashes array<bigint>"
+
+    base = 257
+    pow_vec = np.array(
+        [pow(base, j, _MERSENNE31) for j in range(shingle_n)], dtype=np.int64
+    )
 
     def partial_sigs(batches):
+        """One Arrow batch of (id, normalized_text) in; signatures out.
+
+        Shingle hashing is a vectorized rolling polynomial hash over the
+        UTF-8 bytes (sliding_window_view @ pow_vec mod p): an earlier
+        variant materialized every shingle substring JVM-side
+        (transform+substr+explode+xxhash64) and spent 3.8 s of a 4.7 s
+        signature stage just building 1.5M UTF8Strings at sf0.1.
+        max window dot = 255·257^4·n ≈ 5.6e12 < 2^63: no overflow.
+        Duplicate shingles are harmless (min over multiset == min over
+        set). Texts shorter than the shingle width hash as one window,
+        mirroring char_shingles_col's substr behavior."""
         import pandas as pd
 
-        acc: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for gkey, sub in pdf.groupby(id_col, sort=False):
-                xs = sub["x"].to_numpy(dtype=np.int64)
-                sigs = ((xs[:, None] * a + b) % _MERSENNE31).min(axis=0)
-                prev = acc.get(gkey)
-                acc[gkey] = sigs if prev is None else np.minimum(prev, sigs)
-        if acc:
-            yield pd.DataFrame(
-                {id_col: list(acc.keys()), "signature": [s.tolist() for s in acc.values()]}
-            )
+            ids, sigs, shingle_sets = [], [], []
+            for did, txt in zip(pdf[id_col], pdf["__norm"]):
+                bts = np.frombuffer(
+                    (txt or "").encode("utf-8"), dtype=np.uint8
+                ).astype(np.int64)
+                if bts.size == 0:
+                    xs = np.zeros(1, dtype=np.int64)
+                elif bts.size < shingle_n:
+                    xs = (bts @ pow_vec[: bts.size]) % _MERSENNE31
+                    xs = np.atleast_1d(xs)
+                else:
+                    windows = np.lib.stride_tricks.sliding_window_view(
+                        bts, shingle_n
+                    )
+                    xs = np.unique((windows @ pow_vec) % _MERSENNE31)
+                ids.append(did)
+                sigs.append(((xs[:, None] * a + b) % _MERSENNE31).min(axis=0).tolist())
+                if include_shingle_hashes:
+                    shingle_sets.append(xs.tolist())
+            out = {id_col: ids, "signature": sigs}
+            if include_shingle_hashes:
+                out["shingle_hashes"] = shingle_sets
+            yield pd.DataFrame(out)
 
-    # explode() keeps every shingle of an input row inside that row's
-    # partition, so with one row per document the per-partition partial
-    # IS the final signature — no merge shuffle needed. Documents split
-    # across several input rows are the caller's responsibility to
-    # pre-concatenate (standard for a documents table).
-    return exploded.mapInPandas(partial_sigs, schema)
+    # one input row per document ⇒ the per-batch signature is final
+    # (documents split across rows are the caller's responsibility to
+    # pre-concatenate, standard for a documents table)
+    return normed.mapInPandas(partial_sigs, schema)
 
 
 def minhash_lsh_pairs(
@@ -187,7 +214,10 @@ def minhash_lsh_pairs(
     # cached: the signature table feeds band hashing AND both sides of
     # the estimate pre-filter join — without this the whole shingle+hash
     # lineage recomputes three times (measured ~3× the stage cost)
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).cache()
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, seed,
+        include_shingle_hashes=True,
+    ).cache()
 
     band_entries = sig.select(
         F.col(id_col),
@@ -225,44 +255,53 @@ def minhash_lsh_pairs(
     # (zip_with over 2×num_hashes longs, JVM) — collapses the LSH
     # candidate flood before the expensive shingle-array join (measured
     # 403k candidates → a few hundred survivors at sf0.1)
-    # the filter uses a 32-component signature *prefix* (std err of the
-    # match fraction ≈ sqrt(s(1-s)/32) ≈ 0.09 at s=0.5, margin = 2σ) so
-    # the join moves 32 longs per side instead of num_hashes
-    prefix = min(32, num_hashes)
-    est_margin = 0.18
-    sig_p = sig.select(
-        F.col(id_col), F.slice("signature", 1, prefix).alias("sig_p")
-    )
-    sig_a = sig_p.select(F.col(id_col).alias("id_a"), F.col("sig_p").alias("sig_a"))
-    sig_b = sig_p.select(F.col(id_col).alias("id_b"), F.col("sig_p").alias("sig_b"))
-    est = (
-        candidates.join(sig_a, on="id_a")
-        .join(sig_b, on="id_b")
-        .withColumn(
-            "est_jaccard",
-            F.aggregate(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(prefix),
+    # two-stage estimate filter collapses the LSH candidate flood before
+    # any heavy join (corpora with mid-similarity mass produce ~500k
+    # candidates and ~100k pairs above the loose first stage at sf0.1):
+    # stage 1 — 16-component prefix (σ ≈ 0.125 at s=0.5, margin 2.2σ):
+    # moves 16 longs per side over all candidates;
+    # stage 2 — full signature (σ ≈ sqrt(s(1-s)/H), margin 2σ): only
+    # stage-1 survivors.
+    prefix = min(16, num_hashes)
+
+    def est_filter(pairs: DataFrame, length: int, margin: float) -> DataFrame:
+        sg = sig.select(
+            F.col(id_col),
+            (F.slice("signature", 1, length) if length < num_hashes else F.col("signature")).alias("s"),
         )
-        .filter(F.col("est_jaccard") >= threshold - est_margin)
-        .select("id_a", "id_b")
-    )
-    shingles = df.select(
-        F.col(id_col), normalized_text(F.col(text_col)).alias("__norm")
-    ).select(
-        F.col(id_col),
-        char_shingles_col(F.col("__norm"), shingle_n, pre_normalized=True).alias("sh"),
-    )
+        sa = sg.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+        sb = sg.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
+        return (
+            pairs.join(sa, on="id_a")
+            .join(sb, on="id_b")
+            .withColumn(
+                "est_jaccard",
+                F.aggregate(
+                    F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(length),
+            )
+            .filter(F.col("est_jaccard") >= threshold - margin)
+            .select("id_a", "id_b")
+        )
+
+    coarse = est_filter(candidates, prefix, margin=0.28)
+    fine = est_filter(coarse, num_hashes, margin=2.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
+
+    # exact verification on the hashed shingle *sets* (int arrays emitted
+    # by the signature stage): no string shingles are recomputed or
+    # shuffled; set equality/Jaccard is preserved by the injective-in-
+    # practice rolling hash (collision note in minhash_signatures)
+    sets = sig.select(F.col(id_col), F.col("shingle_hashes"))
     verified = (
-        est.join(
-            shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+        fine.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a")),
             on="id_a",
         )
         .join(
-            shingles.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            sets.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b")),
             on="id_b",
         )
         .withColumn(
