@@ -322,24 +322,43 @@ def simhash_col_agg(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """DataFrame[id, simhash bigint]: 64-bit simhash of whitespace tokens.
-    bit k of the result = majority vote of bit k over xxhash64(token) —
-    computed as 64 aggregate sums of ±1 contributions, pure JVM."""
+    Bit k of the result = majority vote of bit k over xxhash64(token).
+
+    Token hashing stays JVM-native; the 64 bit-votes accumulate as one
+    numpy broadcast per Arrow batch in ``mapInPandas`` (an earlier
+    variant used 64 JVM aggregate sums — the same wide-aggregate shape
+    that made minhash signatures ~100× slower than a numpy broadcast).
+    One input row per document assumed (explode keeps a row's tokens in
+    its partition, so per-partition votes are final)."""
     tok = F.explode(word_tokens_col(F.col(text_col))).alias("tok")
     h = F.xxhash64(F.col("tok"))
     exploded = df.select(F.col(id_col), tok).select(id_col, h.alias("h"))
-    sums = [
-        F.sum(
-            (F.shiftrightunsigned(F.col("h"), k).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"b{k}")
-        for k in range(64)
-    ]
-    agg = exploded.groupBy(id_col).agg(*sums)
-    sim = None
-    for k in range(64):
-        bit = F.when(F.col(f"b{k}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, k)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return agg.select(id_col, sim.alias("simhash"))
+
+    key_field = df.schema[id_col]
+    schema = f"{key_field.name} {key_field.dataType.simpleString()}, simhash bigint"
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.uint64)
+
+    def build(batches):
+        acc: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for gkey, sub in pdf.groupby(id_col, sort=False):
+                hs = sub["h"].to_numpy(dtype=np.int64).view(np.uint64)
+                bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                prev = acc.get(gkey)
+                acc[gkey] = votes if prev is None else prev + votes
+        if acc:
+            ids, sims = [], []
+            for gkey, votes in acc.items():
+                sim = ((votes > 0).astype(np.uint64) * powers).sum(dtype=np.uint64)
+                ids.append(gkey)
+                sims.append(np.int64(sim))
+            yield pd.DataFrame({id_col: ids, "simhash": sims})
+
+    return exploded.mapInPandas(build, schema)
 
 
 def simhash_pairs(
