@@ -141,8 +141,13 @@ def main() -> None:
 
     distribute(spark)
 
-    # JVM/Arrow warmup so the first timed query isn't paying startup
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # JVM/Arrow/Python-worker warmup so the first timed query isn't
+    # paying JIT + the spawn of one Python worker per core
+    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    warm.count()
+    from hyper_spark.operators.hll_agg import sketch_by
+
+    sketch_by(warm.repartition(CPUS), [], "l_orderkey", 10, strategy="partial").count()
 
     queries = bench_queries(spark, SF_DIR)
     timings: dict[str, float] = {}
