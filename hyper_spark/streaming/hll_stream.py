@@ -28,7 +28,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from hyper_spark.functions.hashing import hll_prepare
 from hyper_spark.kernel.hll import estimate_from_registers
 
-__all__ = ["streaming_sketch_by"]
+__all__ = ["streaming_sketch_by", "streaming_cms_by"]
 
 
 def streaming_sketch_by(
@@ -80,6 +80,67 @@ def streaming_sketch_by(
         out["p"] = [p]
         out["registers"] = [blob]
         out["estimate"] = [est]
+        yield pd.DataFrame(out)
+
+    return prepared.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_cms_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    depth: int = 5,
+    width: int = 2048,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming grouped count-min sketches: state is the d×w int64
+    counter blob per group (addition is the merge, so late/out-of-order
+    data folds in exactly like batch). Same md5-window bucket exprs as
+    the batch operator ⇒ batch/stream counters are identical for the
+    same rows."""
+    from hyper_spark.operators.cms_agg import md5_bucket_col
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("streaming sketches need at least one group key")
+    buckets = F.posexplode(
+        F.array(*[md5_bucket_col(F.col(col), i, width) for i in range(depth)])
+    )
+    prepared = df.select(*keys, buckets.alias("row", "bucket"))
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in [df.schema[k] for k in keys]
+    )
+    output_schema = f"{out_fields}, depth int, width int, n bigint, counters binary"
+    state_schema = "n bigint, counters binary"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, blob = state.get
+            counters = np.frombuffer(blob, dtype="<i8").reshape(depth, width).copy()
+        else:
+            n, counters = 0, np.zeros((depth, width), dtype=np.int64)
+        for pdf in pdfs:
+            if len(pdf):
+                np.add.at(
+                    counters,
+                    (
+                        pdf["row"].to_numpy(dtype=np.int64),
+                        pdf["bucket"].to_numpy(dtype=np.int64),
+                    ),
+                    1,
+                )
+                n += len(pdf) // depth
+        blob = counters.astype("<i8").tobytes()
+        state.update((n, blob))
+        out = {k: [key[i]] for i, k in enumerate(keys)}
+        out.update(depth=[depth], width=[width], n=[n], counters=[blob])
         yield pd.DataFrame(out)
 
     return prepared.groupBy(*keys).applyInPandasWithState(

@@ -1,0 +1,51 @@
+"""Physical-plan hygiene: the properties that decide 100 TB behavior.
+
+These assert on `.explain` output so regressions in pruning/pushdown/
+codegen are caught by CI, not by a slow cluster bill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hyper_spark.operators.hll_agg import register_table, sketch_by
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sketch_by_prunes_scan_columns(spark, sf_correct):
+    """A sketch over one column must not read the whole table: ReadSchema
+    carries only the key + value columns."""
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    plan = _executed_plan(sketch_by(events, ["event_type"], "user_id", 12))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    line = read_schema[0]
+    assert "user_id" in line and "event_type" in line
+    assert "props" not in line and "value" not in line  # pruned
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_correct):
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    df = register_table(events.filter(F.col("user_id") > 100), [], "user_id", 12)
+    plan = _executed_plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThan(user_id,100" in pushed[0], plan
+
+
+def test_register_table_partial_aggregation(spark, sf_correct):
+    """The idx/rho aggregation must have a map-side partial phase (two
+    HashAggregates around the exchange) — this is what bounds the shuffle
+    at groups × 2^p rows regardless of input size."""
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    plan = _executed_plan(register_table(events, [], "user_id", 12))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_max" in plan, plan
+
+
+def test_no_python_before_aggregation_boundary(spark, sf_correct):
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    plan = _executed_plan(register_table(events, ["event_type"], "user_id", 14))
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan

@@ -141,3 +141,46 @@ def test_streaming_sketch_matches_batch(spark, tmp_path):
             regs = np.frombuffer(bytes(blob), dtype=np.uint8)
             final = regs if final is None else np.maximum(final, regs)
         assert final.tobytes() == batch[g]
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    from hyper_spark.kernel.cms import CountMinSketch
+    from hyper_spark.streaming.hll_stream import streaming_cms_by
+
+    rows = [Row(g=f"g{i % 2}", v=f"item{i % 40}") for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    src = str(tmp_path / "cms_src")
+    for part in range(3):
+        df.filter(F.crc32(F.col("v")) % 3 == part).write.mode(
+            "overwrite" if part == 0 else "append"
+        ).parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_cms_by(stream, ["g"], "v", depth=3, width=256)
+    sink = str(tmp_path / "cms_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import numpy as np
+
+    got = spark.read.parquet(sink).toPandas()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r.v)
+    for g, items in by_g.items():
+        sub = got[got["g"] == g]
+        final = None
+        for blob in sub["counters"]:
+            c = np.frombuffer(bytes(blob), dtype="<i8").reshape(3, 256)
+            final = c if final is None or c.sum() > final.sum() else final
+        kern = CountMinSketch(3, 256).add_many(items)
+        assert np.array_equal(final, kern.counters), g
