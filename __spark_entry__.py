@@ -407,6 +407,72 @@ def _q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-envelope JSON serde round-trip (src/hyper.erl:151-173)
+    through DataFrame columns — deterministic boolean contract."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.hll_serde import hll_from_json_cols, hll_to_json_col
+
+    events = _read(spark, sf_dir, "events")
+    sk = sketch_by(events, [], "user_id", 13)
+    original = sketch_collect(sk)
+    doc = sk.select(hll_to_json_col("p", "registers").alias("doc"))
+    p_col, reg_col = hll_from_json_cols("doc")
+    back = sketch_collect(doc.select(p_col.alias("p"), reg_col.alias("registers")))
+    return spark.createDataFrame(
+        [Row(p=13, roundtrip_ok=bool(back == original))]
+    )
+
+
+def _q_mixed_precision_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union/1 mixed-precision fold (src/hyper.erl:82-87): p=14 and p=11
+    sketches over DISJOINT custkey halves union at p=11 within ~2x p=11's
+    std-error. Disjointness matters: folding changes which hash bits form
+    the register index, so elements present in BOTH differently-built
+    sketches register twice — inherent to the reference's fold
+    (hyper_binary.erl:150-155), which its own mixed-P test also only
+    exercises on disjoint sets (hyper_test.erl:286-296)."""
+    _ensure_pkg(spark)
+    orders = _read(spark, sf_dir, "orders")
+    a = sketch_by(orders.filter("o_custkey % 2 = 0"), [], "o_custkey", 14)
+    b = sketch_by(orders.filter("o_custkey % 2 = 1"), [], "o_custkey", 11)
+    merged = sketch_collect(union_sketches(a.unionByName(b), []))
+    exact = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            Row(
+                merged_p=merged.p,
+                exact_count=exact,
+                within_bound=bool(
+                    abs(merged.cardinality() - exact) / exact
+                    <= 2 * error_bound(merged.p)
+                ),
+            )
+        ]
+    )
+
+
+def _q_checkpointed_build_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted checkpoint-resumable tree merge (plans/merge.py) produces
+    byte-identical sketches to the direct build — the losslessness that
+    makes the multi-level merge restartable."""
+    _ensure_pkg(spark)
+    import tempfile
+
+    from hyper_spark.plans.merge import checkpointed_sketch_build
+
+    events = _read(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="gate_ckpt_") as ckpt:
+        out = checkpointed_sketch_build(
+            spark, events, [], "user_id", ckpt, p=12, num_salts=8, fanout=4
+        )
+        tree = sketch_collect(out)
+    direct = sketch_collect(sketch_by(events, [], "user_id", 12))
+    return spark.createDataFrame(
+        [Row(p=12, lossless=bool(tree == direct))]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_distinct_users": _q_exact_distinct_users,
@@ -433,6 +499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_per_day": _q_events_per_day,
         "string_funcs": _q_string_funcs,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "hll_serde_roundtrip": _q_hll_serde_roundtrip,
+        "mixed_precision_union": _q_mixed_precision_union,
+        "checkpointed_build_lossless": _q_checkpointed_build_lossless,
     }
 
 
@@ -589,6 +658,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, upper(substr(c_name, 1, 8)) AS prefix, "
             "length(c_name) AS name_len FROM customer"
         ),
+        "hll_serde_roundtrip": "SELECT 13 AS p, true AS roundtrip_ok",
+        "mixed_precision_union": (
+            "SELECT 11 AS merged_p, count(DISTINCT o_custkey) AS exact_count, "
+            "true AS within_bound FROM orders"
+        ),
+        "checkpointed_build_lossless": "SELECT 12 AS p, true AS lossless",
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, "

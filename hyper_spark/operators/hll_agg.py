@@ -245,7 +245,14 @@ def collect_sketches_from_registers(
 def union_sketches(sketch_df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Merge sketches (lossless register max) grouped by ``keys`` — e.g.
     roll per-day sketches up to per-month. Mixed P folds to min P
-    (src/hyper.erl:82-87)."""
+    (src/hyper.erl:82-87).
+
+    Caveat carried over from the reference's fold (I mod 2^P',
+    hyper_binary.erl:150-155): same-P unions are exactly lossless, but a
+    *mixed*-P union of sketches built over OVERLAPPING value sets
+    double-registers the common elements (folded indices use different
+    hash bits than natively-built lower-P indices). Build at one P when
+    sets overlap; mixed P is safe for disjoint shards."""
     keys = list(keys)
     if keys:
         schema = StructType([sketch_df.schema[k] for k in keys] + SKETCH_FIELDS)
