@@ -9,20 +9,20 @@ exact
     DuckDB-reproducible for the correctness oracle.
 
 minhash + LSH
-    char-shingles → one xxhash64 per shingle (JVM) → H universal-hash
-    permutations h_i(x) = (a_i·x + b_i) mod p applied as one numpy
-    broadcast per Arrow batch with per-partition partial mins (map-side
-    combine; only signatures shuffle) → band hashes → candidate pairs
-    from band-bucket self-join → signature-agreement pre-filter (JVM
-    zip_with) → exact Jaccard verification on shingle arrays. Shuffles
-    are keyed by (band, hash): hot buckets only form for genuinely
-    similar docs. p = 2^31 - 1 keeps a·x inside signed-64 (no overflow).
+    normalized text → vectorized rolling-hash shingles + H universal-hash
+    permutations h_i(x) = (a_i·x + b_i) mod p, all as one numpy broadcast
+    per Arrow batch (only signatures shuffle) → band hashes (JVM) →
+    candidate pairs from band-bucket self-join → two-stage signature-
+    agreement filter (prefix then full, JVM zip_with) → exact Jaccard
+    verification on hashed-shingle int arrays. Shuffles are keyed by
+    (band, hash): hot buckets only form for genuinely similar docs.
+    p = 2^31 - 1 keeps a·x inside signed-64 (no overflow).
 
 simhash
-    64-bit simhash as 64 JVM aggregate sums over token-hash bits;
-    candidate generation by 16-bit block equality (4 blocks cover all
-    pairs with Hamming distance ≤ 3 by pigeonhole), verification via
-    bit_count(xor).
+    64-bit simhash: JVM xxhash64 per token, bit votes accumulated as one
+    numpy broadcast per Arrow batch; candidate generation by 16-bit
+    block equality (4 blocks cover all pairs with Hamming distance ≤ 3
+    by pigeonhole), verification via bit_count(xor).
 
 n-gram Jaccard (exact)
     inverted-index self-join on shingles with a document-frequency cap
@@ -42,7 +42,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import LongType
 
 from hyper_spark.functions.text import (
     char_shingles_col,
@@ -111,19 +111,14 @@ def minhash_signatures(
     seed: int = 7,
     include_shingle_hashes: bool = False,
 ) -> DataFrame:
-    """DataFrame[id, signature array<bigint>].
-
-    Shingle hashing stays JVM-native (xxhash64 mod p per exploded
-    shingle); the num_hashes permutations h_i(x) = (a_i·x + b_i) mod p are
-    applied as ONE numpy broadcast per Arrow batch inside ``mapInPandas``
-    (per-partition partial min per doc — map-side combine), then a final
-    ``applyInPandas`` element-wise min-merge per doc. Shuffle carries only
-    partial signatures (≤ partitions × docs rows of 128 longs).
-
-    An earlier pure-JVM variant expressed the permutations as 128
-    aggregate-min expressions; the 128-buffer hash aggregate was ~100×
-    slower than the numpy broadcast — measured, not guessed (bench.py
-    sf0.1: 158 s → ~1.5 s)."""
+    """DataFrame[id, signature array<bigint>] (+ optional hashed shingle
+    sets). Normalization is JVM; shingling + permutations are one numpy
+    broadcast per Arrow batch in ``mapInPandas``; only signatures ever
+    shuffle. Two earlier designs were measured and discarded: 128 JVM
+    aggregate-min expressions (the wide hash-aggregate was ~100× slower
+    than the numpy broadcast) and JVM transform+substr shingle
+    materialization (3.8 s of a 4.7 s stage just allocating 1.5M
+    UTF8Strings at sf0.1)."""
     a, b = _hash_params(num_hashes, seed)
     normed = df.select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("__norm")
