@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-__all__ = ["knn_brute", "knn_ivf", "ivf_assign"]
+__all__ = ["knn_brute", "knn_ivf", "ivf_assign", "build_ivf_index", "knn_with_index"]
 
 
 def _topk_map_fn(queries: np.ndarray, query_ids: np.ndarray, k: int, id_col: str, vec_col: str):
@@ -170,6 +170,86 @@ def knn_ivf(
     )
     # keep only hits whose vector lives in a cell this query probed
     cell_of = assigned.select(F.col(id_col), F.col("cell"))
+    filtered = partials.join(cell_of, on=id_col).join(
+        F.broadcast(probe_df), on=["query_id", "cell"], how="leftsemi"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        filtered.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    sample: int = 10000,
+    iters: int = 5,
+    seed: int = 23,
+) -> np.ndarray:
+    """Persist an IVF index: centroids (JSON) + vectors parquet
+    partitioned by cell. Queries then touch only the probed cells'
+    *directories* — classic partition pruning, so at 100 TB a 1%-probe
+    query reads 1% of the index. Returns the centroids."""
+    import json
+    import os
+
+    centroids = _train_centroids(df, vec_col, n_cells, sample, iters, seed)
+    assigned = ivf_assign(df, centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+    return centroids
+
+
+def knn_with_index(
+    spark,
+    path: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """Query a persisted IVF index: probe the n_probe nearest cells per
+    query via a partition-pruning filter (``cell IN (...)`` reaches the
+    directory listing), brute-search only those vectors."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    centroids = np.asarray(json.load(open(os.path.join(path, "centroids.json"))))
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(
+        query_ids if query_ids is not None else np.arange(len(queries)),
+        dtype=np.int64,
+    )
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    all_cells = sorted({int(c) for row in probe_cells for c in row})
+
+    vectors = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("cell").isin(all_cells)
+    )
+    partials = vectors.select(id_col, vec_col, "cell").mapInPandas(
+        _topk_map_fn(qn, qids, k, id_col, vec_col),
+        schema=f"query_id long, {id_col} long, score double",
+    )
+    probe_df = spark.createDataFrame(
+        [(int(qids[qi]), int(c)) for qi in range(len(qids)) for c in probe_cells[qi]],
+        schema="query_id long, cell long",
+    )
+    cell_of = spark.read.parquet(os.path.join(path, "vectors")).select(
+        F.col(id_col), F.col("cell")
+    )
     filtered = partials.join(cell_of, on=id_col).join(
         F.broadcast(probe_df), on=["query_id", "cell"], how="leftsemi"
     )

@@ -231,3 +231,26 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_features(df, strict=True)
+
+
+def test_ivf_index_persist_and_prune(spark, sf_correct, tmp_path):
+    """Persisted IVF index: partition-pruned queries agree with brute
+    force at high recall, and the scan actually prunes cells."""
+    from hyper_spark.operators.similarity import build_ivf_index, knn_with_index
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_cells=8)
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    queries = mat[5:8]
+    got = knn_with_index(spark, path, queries, k=10, n_probe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # cell pruning reaches the scan
+    exact = knn_brute(emb, queries, k=10).collect()
+    approx = got.collect()
+    for qi in range(3):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        assert len(e & a) / 10 >= 0.6, qi
