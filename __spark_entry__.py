@@ -473,6 +473,32 @@ def _q_checkpointed_build_lossless(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_intersect_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect_card inclusion-exclusion estimate (src/hyper.erl:97-100,
+    'no guarantees') vs exact overlap — 10% tolerance mirrors the
+    reference's own 5%-at-50%-overlap test at a thinner overlap."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.hll_agg import intersect_card as ic
+
+    orders = _read(spark, sf_dir, "orders")
+    a_rows = orders.filter("o_orderkey % 2 = 0")
+    b_rows = orders.filter("o_orderkey % 3 = 0")
+    a = sketch_by(a_rows, [], "o_custkey", 13)
+    b = sketch_by(b_rows, [], "o_custkey", 13)
+    est = ic(a, b).collect()[0]["intersect_card"]
+    exact = (
+        a_rows.select("o_custkey").intersect(b_rows.select("o_custkey")).count()
+    )
+    return spark.createDataFrame(
+        [
+            Row(
+                exact_intersect=exact,
+                within_tol=bool(abs(est - exact) / exact <= 0.10),
+            )
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_distinct_users": _q_exact_distinct_users,
@@ -502,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_serde_roundtrip": _q_hll_serde_roundtrip,
         "mixed_precision_union": _q_mixed_precision_union,
         "checkpointed_build_lossless": _q_checkpointed_build_lossless,
+        "intersect_card_bound": _q_intersect_card,
     }
 
 
@@ -664,6 +691,11 @@ def oracle_sql() -> dict[str, str]:
             "true AS within_bound FROM orders"
         ),
         "checkpointed_build_lossless": "SELECT 12 AS p, true AS lossless",
+        "intersect_card_bound": (
+            "SELECT count(*) AS exact_intersect, true AS within_tol FROM "
+            "(SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0 "
+            "INTERSECT SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)"
+        ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, "
