@@ -46,6 +46,11 @@ __all__ = [
     "estimate_from_registers",
     "error_bound",
     "is_sketch",
+    "sparse_threshold",
+    "encode_registers",
+    "decode_register_blob",
+    "pack6",
+    "unpack6",
 ]
 
 
@@ -123,6 +128,111 @@ def hash_values(values, p: int) -> tuple[np.ndarray, np.ndarray]:
     for i, v in enumerate(values):
         idxs[i], rhos[i] = hash_value(v, p)
     return idxs, rhos
+
+
+# -- register blob codecs ------------------------------------------------
+#
+# Three physical layouts for one logical register array, mirroring the
+# reference's backend split:
+#
+# dense    2^p bytes, one per register in index order — the canonical
+#          cross-implementation form (src/hyper_register.erl:61-65); one
+#          trailing zero pad byte tolerated on decode
+#          (src/hyper_binary.erl:182-189).
+# sparse   consecutive ⟨idx:uint16 big-endian, rho:uint8⟩ entries sorted
+#          by idx — hyper_bisect's layout (KEY_SIZE=16/VALUE_SIZE=8,
+#          src/hyper_bisect.erl:18-19,31-36), chosen when the fill is
+#          below DenseSize div EntrySize = 2^p/3 non-zero registers
+#          (src/hyper_bisect.erl:25-29,38-43). A p=14 sketch holding 3
+#          values is 9 bytes instead of 16384.
+# packed6  6 bits per register, MSB-first — hyper_binary's in-memory
+#          dense form (VALUE_SIZE=6, src/hyper_binary.erl:25,176-189);
+#          25% smaller than dense. Not length-distinguishable from
+#          sparse, so always an explicit opt-in for persisted tables.
+#
+# Disambiguation between dense and sparse is by length alone: dense is
+# exactly 2^p (or 2^p+1 pad) bytes; sparse is a multiple of 3 strictly
+# below 2^p (2^p is never divisible by 3, and the <1/3-fill rule keeps
+# 3·nnz < 2^p), so the two can share one binary column.
+
+SPARSE_ENTRY_BYTES = 3  # ⟨idx:16, rho:8⟩ (src/hyper_bisect.erl:18-19)
+
+
+def sparse_threshold(p: int) -> int:
+    """Max non-zero registers before dense promotion: 2^p div 3
+    (src/hyper_bisect.erl:25-29)."""
+    return (1 << p) // SPARSE_ENTRY_BYTES
+
+
+def encode_registers(regs: np.ndarray, mode: str = "auto") -> bytes:
+    """Encode a dense uint8 register array as dense or sparse bytes.
+
+    ``auto`` picks sparse below the hyper_bisect fill threshold
+    (nnz < 2^p/3), dense otherwise — the same promotion policy the
+    reference applies per insert (src/hyper_bisect.erl:38-43)."""
+    regs = np.ascontiguousarray(regs, dtype=np.uint8)
+    if mode == "dense":
+        return regs.tobytes()
+    nnz_idx = np.flatnonzero(regs)
+    if mode == "auto":
+        if SPARSE_ENTRY_BYTES * len(nnz_idx) >= regs.shape[0]:
+            return regs.tobytes()
+    elif mode != "sparse":
+        raise ValueError(f"unknown encoding mode {mode!r}")
+    if SPARSE_ENTRY_BYTES * len(nnz_idx) >= regs.shape[0]:
+        if mode == "sparse":
+            raise ValueError("sparse encoding would exceed dense size")
+        return regs.tobytes()
+    out = np.empty((len(nnz_idx), SPARSE_ENTRY_BYTES), dtype=np.uint8)
+    out[:, 0] = nnz_idx >> 8
+    out[:, 1] = nnz_idx & 0xFF
+    out[:, 2] = regs[nnz_idx]
+    return out.tobytes()
+
+
+def decode_register_blob(p: int, data) -> np.ndarray:
+    """Decode a dense-or-sparse register blob to a dense uint8[2^p] array
+    (sparse promotion = scatter, matching bisect2dense's expansion,
+    src/hyper_bisect.erl:203-217)."""
+    data = bytes(data)
+    m = 1 << p
+    n = len(data)
+    if n == m:
+        return np.frombuffer(data, dtype=np.uint8).copy()
+    if n == m + 1 and data[-1] == 0:  # pad tolerance (hyper_binary.erl:182-189)
+        return np.frombuffer(data[:m], dtype=np.uint8).copy()
+    if n < m and n % SPARSE_ENTRY_BYTES == 0:
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, SPARSE_ENTRY_BYTES)
+        idxs = (arr[:, 0].astype(np.int64) << 8) | arr[:, 1]
+        regs = np.zeros(m, dtype=np.uint8)
+        # idxs are unique by construction; maximum.at tolerates duplicates
+        np.maximum.at(regs, idxs, arr[:, 2])
+        return regs
+    raise ValueError(f"cannot decode {n}-byte register blob at p={p}")
+
+
+def pack6(regs: np.ndarray) -> bytes:
+    """Pack registers 6 bits each, MSB-first — hyper_binary's dense
+    layout (VALUE_SIZE=6, src/hyper_binary.erl:25). rho ≤ P+1 ≤ 17 < 64
+    always fits. 2^p registers → 3·2^p/4 bytes (m ≥ 16 keeps the bit
+    count byte-aligned)."""
+    regs = np.ascontiguousarray(regs, dtype=np.uint8)
+    if regs.max(initial=0) > 63:
+        raise ValueError("packed6 holds values 0..63")
+    bits = np.unpackbits(regs[:, None], axis=1)[:, 2:]  # low 6 bits, MSB-first
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def unpack6(p: int, data) -> np.ndarray:
+    """Inverse of pack6: widen 6-bit registers to uint8[2^p], the same
+    6→8 widening the reference applies in encode_registers
+    (src/hyper_binary.erl:176-180)."""
+    m = 1 << p
+    data = bytes(data)
+    if len(data) != 6 * m // 8:
+        raise ValueError(f"expected {6 * m // 8} packed bytes, got {len(data)}")
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).reshape(m, 6)
+    return np.packbits(np.pad(bits, ((0, 0), (2, 0))), axis=1).reshape(m)
 
 
 def estimate_bias(e: float, p: int) -> float:
@@ -266,6 +376,33 @@ class HllSketch:
         if len(data) != m:
             raise ValueError(f"expected {m} register bytes, got {len(data)}")
         return cls(p, np.frombuffer(data, dtype=np.uint8).copy())
+
+    def nnz(self) -> int:
+        """Non-zero register count (the sparse-promotion fill metric,
+        src/hyper_bisect.erl:38-43)."""
+        return int(np.count_nonzero(self.registers))
+
+    def to_sparse_bytes(self) -> bytes:
+        """⟨idx:uint16, rho:uint8⟩ pairs (src/hyper_bisect.erl:18-19)."""
+        return encode_registers(self.registers, mode="sparse")
+
+    def encode(self, mode: str = "auto") -> bytes:
+        """Dense or sparse blob, auto-picked at the hyper_bisect fill
+        threshold (nnz < 2^p/3 → sparse)."""
+        return encode_registers(self.registers, mode=mode)
+
+    @classmethod
+    def from_blob(cls, p: int, data) -> "HllSketch":
+        """Decode either blob layout (dense / padded dense / sparse)."""
+        return cls(p, decode_register_blob(p, data))
+
+    def to_packed6(self) -> bytes:
+        """6-bit packed dense form (src/hyper_binary.erl:25,176-189)."""
+        return pack6(self.registers)
+
+    @classmethod
+    def from_packed6(cls, p: int, data) -> "HllSketch":
+        return cls(p, unpack6(p, data))
 
     def to_json(self) -> str:
         """JSON envelope per src/hyper.erl:151-159. Register *bytes* are the

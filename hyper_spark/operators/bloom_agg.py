@@ -58,14 +58,17 @@ def bloom_by(
     positions = F.posexplode(
         F.array(*[md5_bucket_col(col, i, m_bits) for i in range(k)])
     )
+    # NULLs are skipped (NULL positions would poison the bitmap pack),
+    # matching sketch_by's null contract
+    nn = df.filter(col.isNotNull())
     # approximate insert count per group (for FPR introspection)
     counts = (
-        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        nn.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
         if keys
-        else df.agg(F.count(F.lit(1)).alias("__n")).withColumn(_GROUP_COL, F.lit(0))
+        else nn.agg(F.count(F.lit(1)).alias("__n")).withColumn(_GROUP_COL, F.lit(0))
     )
     bits_df = (
-        df.select(*keys, positions.alias("__row", "pos"))
+        nn.select(*keys, positions.alias("__row", "pos"))
         .select(*keys, "pos")
         .distinct()
     )
@@ -120,10 +123,17 @@ def bloom_might_contain(
 
     @F.pandas_udf(BooleanType())
     def probe(positions: pd.Series) -> pd.Series:
-        mat = np.stack(positions.to_numpy()).astype(np.int64)  # (n, k)
-        hit = (bits[mat >> 3] & (1 << (mat & 7)).astype(np.uint8)) != 0
-        return pd.Series(hit.all(axis=1))
+        # NULL probe values arrive as None: not a member, never an error
+        vals = positions.to_numpy()
+        ok = np.array([v is not None for v in vals])
+        out = np.zeros(len(vals), dtype=bool)
+        if ok.any():
+            mat = np.stack(vals[ok]).astype(np.int64)  # (n_ok, k)
+            hit = (bits[mat >> 3] & (1 << (mat & 7)).astype(np.uint8)) != 0
+            out[ok] = hit.all(axis=1)
+        return pd.Series(out)
 
+    pos_arr = F.when(F.col(col).isNotNull(), pos_arr)
     return probe_df.withColumn(alias, probe(pos_arr))
 
 

@@ -67,14 +67,17 @@ def cms_by(
     """One count-min sketch per keys group over ``col``.
 
     Returns DataFrame[*keys, depth, width, n, counters] with ``counters``
-    the row-major little-endian int64 d×w matrix (kernel-compatible)."""
+    the row-major little-endian int64 d×w matrix (kernel-compatible).
+    NULL values are skipped (a NULL would bucket to NULL and poison the
+    densify), matching sketch_by's null contract."""
     col = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
     buckets = F.posexplode(
         F.array(*[md5_bucket_col(col, i, width) for i in range(depth)])
     )
     cells = (
-        df.select(*keys, buckets.alias("row", "bucket"))
+        df.filter(col.isNotNull())
+        .select(*keys, buckets.alias("row", "bucket"))
         .groupBy(*keys, "row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

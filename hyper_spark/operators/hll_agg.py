@@ -49,7 +49,12 @@ from pyspark.sql.types import (
 )
 
 from hyper_spark.functions.hashing import hll_prepare
-from hyper_spark.kernel.hll import HllSketch, estimate_from_registers
+from hyper_spark.kernel.hll import (
+    HllSketch,
+    decode_register_blob,
+    encode_registers,
+    estimate_from_registers,
+)
 
 __all__ = [
     "sketch_by",
@@ -76,7 +81,7 @@ def _sketch_schema(df: DataFrame, keys: Sequence[str]) -> StructType:
     return StructType(list(key_fields) + SKETCH_FIELDS)
 
 
-def _densify_fn(p: int, keys: Sequence[str]):
+def _densify_fn(p: int, keys: Sequence[str], encoding: str = "dense"):
     m = 1 << p
 
     def densify(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -88,32 +93,32 @@ def _densify_fn(p: int, keys: Sequence[str]):
         )
         out = {k: [pdf[k].iloc[0]] for k in keys}
         out["p"] = [p]
-        out["registers"] = [regs.tobytes()]
+        out["registers"] = [encode_registers(regs, encoding)]
         return pd.DataFrame(out)
 
     return densify
 
 
-def _merge_fn(keys: Sequence[str]):
+def _merge_fn(keys: Sequence[str], encoding: str = "dense"):
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         ps = pdf["p"].to_numpy()
         min_p = int(ps.min())
         stacked = []
         for p_i, blob in zip(ps, pdf["registers"]):
-            regs = np.frombuffer(blob, dtype=np.uint8)
+            regs = decode_register_blob(int(p_i), blob)
             if p_i != min_p:
                 regs = regs.reshape(-1, 1 << min_p).max(axis=0)
             stacked.append(regs)
         merged = np.maximum.reduce(stacked) if len(stacked) > 1 else stacked[0]
         out = {k: [pdf[k].iloc[0]] for k in keys}
         out["p"] = [min_p]
-        out["registers"] = [np.ascontiguousarray(merged).tobytes()]
+        out["registers"] = [encode_registers(merged, encoding)]
         return pd.DataFrame(out)
 
     return merge
 
 
-def _partials_fn(p: int, keys: Sequence[str]):
+def _partials_fn(p: int, keys: Sequence[str], encoding: str = "dense"):
     """mapInPandas worker: per Arrow batch, per group, build a dense partial
     sketch (the map-side combine of the `partial` strategy)."""
     m = 1 << p
@@ -150,7 +155,9 @@ def _partials_fn(p: int, keys: Sequence[str]):
                 k: [gkey[i] for gkey in acc] for i, k in enumerate(keys)
             }
             rows["p"] = [p] * len(acc)
-            rows["registers"] = [regs.tobytes() for regs in acc.values()]
+            rows["registers"] = [
+                encode_registers(regs, encoding) for regs in acc.values()
+            ]
             yield pd.DataFrame(rows)
 
     return build
@@ -162,42 +169,56 @@ def sketch_by(
     col: str | Column,
     p: int = 14,
     strategy: str = "auto",
+    encoding: str = "dense",
 ) -> DataFrame:
     """Aggregate ``col`` into one HLL sketch per ``keys`` group.
 
-    Returns DataFrame[*keys, p int, registers binary] where ``registers``
-    is the canonical 2^p-byte encoding (src/hyper_register.erl:61-65) —
-    byte-equal to a kernel-side sequential build over the same values.
-    """
+    Returns DataFrame[*keys, p int, registers binary]. ``encoding``:
+    ``dense`` (default) is the canonical 2^p-byte form
+    (src/hyper_register.erl:61-65), byte-equal to a kernel-side
+    sequential build; ``sparse``/``auto`` emit the ⟨idx:16, rho:8⟩-pairs
+    blob below the hyper_bisect fill threshold
+    (src/hyper_bisect.erl:18-29) — up to ~1000x smaller for
+    low-cardinality groups, decoded transparently by every consumer.
+
+    NULL values are skipped, matching the null-skipping contract of
+    Spark's own approx_count_distinct (the reference only accepts
+    binaries, src/hyper.erl:20, so it has no null case)."""
     col = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
     if strategy == "auto":
         strategy = "explode" if keys else "partial"
 
     idx, rho = hll_prepare(col, p)
-    prepared = df.select(*keys, idx.alias("idx"), rho.alias("rho"))
+    prepared = df.filter(col.isNotNull()).select(
+        *keys, idx.alias("idx"), rho.alias("rho")
+    )
     schema = _sketch_schema(df, keys)
 
     if strategy == "partial":
-        partials = prepared.mapInPandas(_partials_fn(p, keys), schema=schema)
+        partials = prepared.mapInPandas(
+            _partials_fn(p, keys, encoding), schema=schema
+        )
         if keys:
-            return partials.groupBy(*keys).applyInPandas(_merge_fn(keys), schema)
+            return partials.groupBy(*keys).applyInPandas(
+                _merge_fn(keys, encoding), schema
+            )
         grouped = partials.withColumn(_GROUP_COL, F.lit(0))
         return (
             grouped.groupBy(_GROUP_COL)
-            .applyInPandas(_merge_fn([]), StructType(SKETCH_FIELDS))
+            .applyInPandas(_merge_fn([], encoding), StructType(SKETCH_FIELDS))
         )
 
     if strategy == "explode":
         reg_table = prepared.groupBy(*keys, "idx").agg(F.max("rho").alias("rho"))
         if keys:
             return reg_table.groupBy(*keys).applyInPandas(
-                _densify_fn(p, keys), schema
+                _densify_fn(p, keys, encoding), schema
             )
         grouped = reg_table.withColumn(_GROUP_COL, F.lit(0))
         return (
             grouped.groupBy(_GROUP_COL)
-            .applyInPandas(_densify_fn(p, []), StructType(SKETCH_FIELDS))
+            .applyInPandas(_densify_fn(p, [], encoding), StructType(SKETCH_FIELDS))
         )
 
     raise ValueError(f"unknown strategy {strategy!r}")
@@ -208,11 +229,14 @@ def register_table(
 ) -> DataFrame:
     """The sparse sketch as rows: DataFrame[*keys, idx, rho] with rho the
     per-(group, idx) max — 100% JVM (scan → hash exprs → partial/final
-    aggregate), no Python stage anywhere. At most groups × 2^p rows."""
+    aggregate), no Python stage anywhere. At most groups × 2^p rows.
+    NULL values are skipped (see sketch_by)."""
     col = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
     idx, rho = hll_prepare(col, p)
-    prepared = df.select(*keys, idx.alias("idx"), rho.alias("rho"))
+    prepared = df.filter(col.isNotNull()).select(
+        *keys, idx.alias("idx"), rho.alias("rho")
+    )
     return prepared.groupBy(*keys, "idx").agg(F.max("rho").alias("rho"))
 
 
@@ -242,7 +266,9 @@ def collect_sketches_from_registers(
     return out
 
 
-def union_sketches(sketch_df: DataFrame, keys: Sequence[str]) -> DataFrame:
+def union_sketches(
+    sketch_df: DataFrame, keys: Sequence[str], encoding: str = "dense"
+) -> DataFrame:
     """Merge sketches (lossless register max) grouped by ``keys`` — e.g.
     roll per-day sketches up to per-month. Mixed P folds to min P
     (src/hyper.erl:82-87).
@@ -256,21 +282,23 @@ def union_sketches(sketch_df: DataFrame, keys: Sequence[str]) -> DataFrame:
     keys = list(keys)
     if keys:
         schema = StructType([sketch_df.schema[k] for k in keys] + SKETCH_FIELDS)
-        return sketch_df.groupBy(*keys).applyInPandas(_merge_fn(keys), schema)
+        return sketch_df.groupBy(*keys).applyInPandas(
+            _merge_fn(keys, encoding), schema
+        )
     grouped = sketch_df.withColumn(_GROUP_COL, F.lit(0))
     return grouped.groupBy(_GROUP_COL).applyInPandas(
-        _merge_fn([]), StructType(SKETCH_FIELDS)
+        _merge_fn([], encoding), StructType(SKETCH_FIELDS)
     )
 
 
 @F.pandas_udf(DoubleType())
 def cardinality_col(p: pd.Series, registers: pd.Series) -> pd.Series:
-    """Arrow-batched estimator column: sketch blob → cardinality estimate
-    (src/hyper.erl:103-130)."""
+    """Arrow-batched estimator column: sketch blob (dense or sparse) →
+    cardinality estimate (src/hyper.erl:103-130)."""
     out = np.empty(len(p), dtype=np.float64)
     for i, (p_i, blob) in enumerate(zip(p, registers)):
         out[i] = estimate_from_registers(
-            np.frombuffer(blob, dtype=np.uint8), int(p_i)
+            decode_register_blob(int(p_i), blob), int(p_i)
         )
     return pd.Series(out)
 
@@ -296,7 +324,7 @@ def sketch_collect(sketch_df: DataFrame, p: int | None = None) -> HllSketch:
         if p is None:
             raise ValueError("empty sketch DataFrame and no default precision")
         return HllSketch(p)
-    sketches = [HllSketch.from_bytes(r["p"], bytes(r["registers"])) for r in rows]
+    sketches = [HllSketch.from_blob(r["p"], bytes(r["registers"])) for r in rows]
     return HllSketch.merge_all(sketches)
 
 
@@ -321,8 +349,8 @@ def intersect_card(
     ) -> pd.Series:
         out = np.empty(len(p_l))
         for i in range(len(p_l)):
-            a = HllSketch.from_bytes(int(p_l[i]), bytes(reg_l[i]))
-            b = HllSketch.from_bytes(int(p_r[i]), bytes(reg_r[i]))
+            a = HllSketch.from_blob(int(p_l[i]), bytes(reg_l[i]))
+            b = HllSketch.from_blob(int(p_r[i]), bytes(reg_r[i]))
             out[i] = a.intersect_cardinality(b)
         return pd.Series(out)
 

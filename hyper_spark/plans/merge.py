@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 )
 
 from hyper_spark.functions.hashing import hll_prepare
+from hyper_spark.kernel.hll import encode_registers
 from hyper_spark.operators.hll_agg import SKETCH_FIELDS, _merge_fn
 
 __all__ = ["checkpointed_sketch_build", "resume_info"]
@@ -81,14 +82,29 @@ def resume_info(checkpoint_dir: str) -> dict:
     return {"completed_levels": levels, "checkpoint_dir": checkpoint_dir}
 
 
-def _partials_with_lineage(df: DataFrame, keys: Sequence[str], col, p: int, num_salts: int):
-    """Level-0 worker: per task partition, build one dense partial sketch
-    per (keys, salt) plus lineage columns. JVM hashing feeds it; Python
-    sees only (keys, salt, idx, rho) rows."""
+def _partials_with_lineage(
+    df: DataFrame,
+    keys: Sequence[str],
+    col,
+    p: int,
+    num_salts: int,
+    encoding: str = "auto",
+):
+    """Level-0 worker: per task partition, build one partial sketch per
+    (keys, salt) plus lineage columns. JVM hashing feeds it; Python sees
+    only (keys, salt, idx, rho) rows. NULL values are skipped (the
+    reference only accepts binaries, src/hyper.erl:20; a NULL would
+    otherwise produce NULL idx/rho and poison the densify).
+
+    ``encoding='auto'`` stores low-fill partials as ⟨idx:16, rho:8⟩ pairs
+    (src/hyper_bisect.erl:18-29): a salted partial covers ~1/num_salts of
+    a group's values, so early levels are exactly the low-fill case and
+    the checkpoint/shuffle bytes drop from 2^p to 3·nnz per partial."""
     m = 1 << p
-    idx, rho = hll_prepare(F.col(col) if isinstance(col, str) else col, p)
-    salt = F.pmod(F.xxhash64(F.col(col) if isinstance(col, str) else col), F.lit(num_salts))
-    prepared = df.select(
+    value = F.col(col) if isinstance(col, str) else col
+    idx, rho = hll_prepare(value, p)
+    salt = F.pmod(F.xxhash64(value), F.lit(num_salts))
+    prepared = df.filter(value.isNotNull()).select(
         *keys, salt.alias("__salt"), idx.alias("idx"), rho.alias("rho"),
         F.spark_partition_id().alias("__pid"),
     )
@@ -122,13 +138,14 @@ def _partials_with_lineage(df: DataFrame, keys: Sequence[str], col, p: int, num_
                 rows_in[gkey] = rows_in.get(gkey, 0) + len(sub)
         if acc:
             build_ms = (time.perf_counter() - t0) * 1000.0
+            blobs = [encode_registers(r, encoding) for r in acc.values()]
             out = {k: [g[i] for g in acc] for i, k in enumerate(keys)}
             out["__salt"] = [g[len(keys)] for g in acc]
             out["p"] = [p] * len(acc)
-            out["registers"] = [r.tobytes() for r in acc.values()]
+            out["registers"] = blobs
             out["partition_id"] = [pid] * len(acc)
             out["rows_in"] = [rows_in[g] for g in acc]
-            out["sketch_bytes"] = [m] * len(acc)
+            out["sketch_bytes"] = [len(b) for b in blobs]
             out["build_ms"] = [build_ms / len(acc)] * len(acc)
             yield pd.DataFrame(out)
 
@@ -144,12 +161,20 @@ def checkpointed_sketch_build(
     p: int = 14,
     num_salts: int = 64,
     fanout: int = 8,
+    encoding: str = "auto",
 ) -> DataFrame:
     """Build per-``keys`` HLL sketches with salted partials and a
     checkpointed level-by-level merge. Returns DataFrame[*keys, p,
-    registers]; byte-identical to ``sketch_by`` output (lossless salting).
-    Rerun the same call after a failure to resume at the first incomplete
-    level."""
+    registers]; register-identical to ``sketch_by`` output (lossless
+    salting). Rerun the same call after a failure to resume at the first
+    incomplete level.
+
+    ``encoding='auto'`` (default) persists each level's sketches sparse
+    when fill < 2^p/3 (src/hyper_bisect.erl:25-29) — at high-cardinality
+    keys this is most partials, cutting checkpoint I/O and the next
+    level's shuffle bytes by up to ~2^p/3·nnz; ``'dense'`` forces the
+    canonical blobs everywhere. The final level always returns dense
+    blobs so output bytes stay canonical."""
     keys = list(keys)
     # ≥2 salts: level 0 emits one partial per (keys, salt) per task
     # partition; at least one merge level must run to collapse them
@@ -160,7 +185,7 @@ def checkpointed_sketch_build(
     lvl0 = _level_path(checkpoint_dir, 0)
     if not _complete(lvl0):
         t0 = time.perf_counter()
-        partials = _partials_with_lineage(df, keys, col, p, num_salts)
+        partials = _partials_with_lineage(df, keys, col, p, num_salts, encoding)
         # one durable write carries both sketch and lineage columns;
         # pre-merge duplicates (same (keys,salt) from different task
         # partitions) are collapsed at level 1
@@ -183,8 +208,11 @@ def checkpointed_sketch_build(
             schema = StructType(
                 [folded.schema[k] for k in merge_keys] + SKETCH_FIELDS
             )
+            # intermediate levels keep the chosen encoding; the last level
+            # (next_salts == 1) emits canonical dense output blobs
+            lvl_enc = "dense" if next_salts == 1 else encoding
             merged = folded.groupBy(*merge_keys).applyInPandas(
-                _merge_fn(merge_keys), schema
+                _merge_fn(merge_keys, lvl_enc), schema
             )
             merged.write.mode("overwrite").parquet(path)
             _write_metrics(spark, checkpoint_dir, level, path, t0)

@@ -48,7 +48,11 @@ def streaming_sketch_by(
         raise ValueError("streaming sketches need at least one group key")
     m = 1 << p
     idx, rho = hll_prepare(F.col(col), p)
-    prepared = df.select(*keys, idx.alias("idx"), rho.alias("rho"))
+    # NULLs are skipped exactly as in batch sketch_by (NULL would hash to
+    # NULL idx/rho and poison the densify)
+    prepared = df.filter(F.col(col).isNotNull()).select(
+        *keys, idx.alias("idx"), rho.alias("rho")
+    )
 
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in [df.schema[k] for k in keys]
@@ -112,7 +116,9 @@ def streaming_cms_by(
     buckets = F.posexplode(
         F.array(*[md5_bucket_col(F.col(col), i, width) for i in range(depth)])
     )
-    prepared = df.select(*keys, buckets.alias("row", "bucket"))
+    prepared = df.filter(F.col(col).isNotNull()).select(
+        *keys, buckets.alias("row", "bucket")
+    )
 
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in [df.schema[k] for k in keys]
@@ -128,15 +134,17 @@ def streaming_cms_by(
             n, counters = 0, np.zeros((depth, width), dtype=np.int64)
         for pdf in pdfs:
             if len(pdf):
+                rows = pdf["row"].to_numpy(dtype=np.int64)
                 np.add.at(
                     counters,
-                    (
-                        pdf["row"].to_numpy(dtype=np.int64),
-                        pdf["bucket"].to_numpy(dtype=np.int64),
-                    ),
+                    (rows, pdf["bucket"].to_numpy(dtype=np.int64)),
                     1,
                 )
-                n += len(pdf) // depth
+                # count input rows as row==0 cells: exact even when a
+                # group's exploded rows split across Arrow batches at a
+                # non-multiple of depth (len//depth would floor-undercount
+                # and understate the eps*n bound derived from n)
+                n += int((rows == 0).sum())
         blob = counters.astype("<i8").tobytes()
         state.update((n, blob))
         out = {k: [key[i]] for i, k in enumerate(keys)}

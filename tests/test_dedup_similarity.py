@@ -254,3 +254,87 @@ def test_ivf_index_persist_and_prune(spark, sf_correct, tmp_path):
         e = {r["vec_id"] for r in exact if r["query_id"] == qi}
         a = {r["vec_id"] for r in approx if r["query_id"] == qi}
         assert len(e & a) / 10 >= 0.6, qi
+
+
+def test_knn_ivf_recall_on_clustered_layout(spark, sf_correct):
+    """VERDICT r01 fix #2: centroid training must survive a clustered
+    physical layout. repartitionByRange on the first component packs
+    similar vectors into the same partitions — the old
+    sample(1.0).limit(n) trained on one corner and recall collapsed;
+    the rand()-reservoir sample must hold recall@10 >= 0.9 with a
+    generous probe."""
+    from hyper_spark.operators.similarity import _train_centroids, ivf_assign
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    clustered = emb.repartitionByRange(8, F.element_at("embedding", 1))
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    queries = mat[20:40]
+    exact = knn_brute(emb, queries, k=10).collect()
+    approx = knn_ivf(clustered, queries, k=10, n_cells=16, n_probe=11).collect()
+    recalls = []
+    for qi in range(20):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        recalls.append(len(e & a) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # direct evidence of the unbiased sample: cells stay balanced even on
+    # the clustered layout (corner-trained centroids produce a catch-all
+    # giant cell — no pruning value at scale)
+    cents = _train_centroids(clustered, "embedding", 16, 10000, 5, 23)
+    sizes = [r["count"] for r in ivf_assign(emb, cents).groupBy("cell").count().collect()]
+    assert max(sizes) <= 2.5 * (sum(sizes) / len(sizes)), sorted(sizes)
+
+
+def test_knn_ivf_exactly_k_with_divergent_probes(spark, sf_correct):
+    """VERDICT r01 fix #3 (probe masking): queries probing DIFFERENT
+    cells must each still get exactly k rows — the old post-hoc filter
+    let one query's candidates displace another's map-side heap and
+    silently returned < k."""
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet").repartition(2)
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    # strongly different query directions -> different probed cells
+    queries = np.stack([mat[0], -mat[0], mat[7], -mat[7], mat[31]])
+    got = knn_ivf(emb, queries, k=5, n_cells=8, n_probe=2).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qi in range(5):
+        assert len(per_q.get(qi, [])) == 5, (qi, len(per_q.get(qi, [])))
+        ranks = sorted(r["rank"] for r in per_q[qi])
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_ivf_index_reads_only_probed_cells(spark, sf_correct, tmp_path):
+    """VERDICT r01 fix #3 (pruning): the executed query must touch only
+    probed cells' files — no unpruned full-index rescan anywhere."""
+    from hyper_spark.operators.similarity import (
+        _probe,
+        build_ivf_index,
+        knn_with_index,
+    )
+    import json as js
+    import re
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    path = str(tmp_path / "ivf2")
+    build_ivf_index(emb, path, n_cells=8)
+    centroids = np.asarray(js.load(open(f"{path}/centroids.json")))
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    queries = mat[3:5]
+    _, _, all_cells = _probe(queries, centroids, n_probe=3)
+    got = knn_with_index(spark, path, queries, k=5, n_probe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the cell IN-list reaches the scan as a partition filter (directory
+    # pruning), and ONLY that one pruned scan of the index exists — the
+    # round-1 plan had a second, unpruned full-index scan for id->cell
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    in_cells = {int(x) for x in re.findall(r"\d+", m.group(1).split("IN")[-1])}
+    assert in_cells == set(all_cells), (in_cells, all_cells)
+    assert plan.count("PartitionFilters") == 1
+    # no unpruned scan: every file-scan node carries the partition filter
+    scans = [seg for seg in plan.split("\n") if "FileScan" in seg]
+    assert len(scans) == 1, scans

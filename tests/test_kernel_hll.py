@@ -281,3 +281,63 @@ def test_estimate_bias_is_6nn_mean():
     e = float(est_vec[37]) + 0.1
     nearest = np.argsort((est_vec - e) ** 2, kind="stable")[:6]
     assert estimate_bias(e, p) == pytest.approx(float(bias_vec[nearest].mean()))
+
+
+# ---------------------------------------------------------------- encodings
+
+
+def test_golden_insert_vector_packed6():
+    """README.md:51-53 publishes insert(<<"foo">>, new(4)) as the 6-bit
+    dense binary <<4,0,0,0,0,0,0,0,0,0,0,0>> — pins SHA-1/idx/rho parity
+    against reference output we did not produce ourselves."""
+    sk = HllSketch(4).insert(b"foo")
+    assert sk.registers[0] == 1 and sk.nnz() == 1
+    golden = bytes([4] + [0] * 11)
+    assert sk.to_packed6() == golden
+    # and the 6->8 widening decode (hyper_binary.erl:176-180)
+    assert HllSketch.from_packed6(4, golden) == sk
+
+
+def test_packed6_roundtrip_random():
+    rng = np.random.default_rng(3)
+    for p in (4, 10, 14):
+        regs = rng.integers(0, p + 2, size=1 << p, dtype=np.uint8)
+        sk = HllSketch(p, regs)
+        assert HllSketch.from_packed6(p, sk.to_packed6()) == sk
+        assert len(sk.to_packed6()) == 3 * (1 << p) // 4
+
+
+def test_sparse_encoding_roundtrip_and_threshold():
+    from hyper_spark.kernel.hll import (
+        decode_register_blob,
+        encode_registers,
+        sparse_threshold,
+    )
+
+    p = 10
+    m = 1 << p
+    sk = HllSketch(p).insert_many(generate_unique(40, seed=5))
+    blob = sk.encode("auto")
+    # low fill -> sparse: 3 bytes per non-zero register, far below 2^p
+    assert len(blob) == 3 * sk.nnz() < m
+    assert HllSketch.from_blob(p, blob) == sk
+    # dense stays canonical and also decodes
+    assert HllSketch.from_blob(p, sk.encode("dense")) == sk
+    # promotion policy: fill >= 2^p/3 -> dense (hyper_bisect.erl:25-29)
+    full = HllSketch(p).insert_many(generate_unique(20 * m, seed=6))
+    assert full.nnz() >= sparse_threshold(p)
+    assert len(full.encode("auto")) == m
+    # forced sparse above the threshold is an explicit error
+    with pytest.raises(ValueError):
+        encode_registers(full.registers, mode="sparse")
+    # pad tolerance still applies to dense blobs
+    assert np.array_equal(
+        decode_register_blob(p, sk.encode("dense") + b"\x00"), sk.registers
+    )
+
+
+def test_sparse_dense_length_disjoint():
+    # the dual-format binary column relies on length disambiguation:
+    # 2^p is never a multiple of 3, sparse is always < 2^p bytes
+    for p in range(4, 17):
+        assert (1 << p) % 3 != 0

@@ -140,3 +140,61 @@ def test_register_table_driver_assembly_matches(spark):
     got = collect_sketches_from_registers(regs, ["g"], 12)
     direct = {r["g"]: bytes(r["registers"]) for r in sketch_by(df, ["g"], "v", 12).collect()}
     assert {k[0]: v.to_bytes() for k, v in got.items()} == direct
+
+
+def test_null_values_skipped(spark):
+    """NULLs never crash the pipeline and never register (ADVICE r01:
+    F.sha1(NULL) -> NULL idx/rho previously poisoned the densify)."""
+    rows = [Row(g="a", v=f"x{i}") for i in range(300)] + [
+        Row(g="a", v=None),
+        Row(g="b", v=None),  # group with ONLY nulls: no output row
+    ]
+    df = spark.createDataFrame(rows).repartition(4)
+    sk = sketch_by(df, ["g"], "v", 12).collect()
+    assert {r["g"] for r in sk} == {"a"}
+    kern = HllSketch(12).insert_many([f"x{i}".encode() for i in range(300)])
+    assert bytes(sk[0]["registers"]) == kern.to_bytes()
+    # partial strategy too
+    glob = sketch_collect(sketch_by(df, [], "v", 12, strategy="partial"))
+    assert glob == kern
+
+
+@pytest.mark.parametrize("strategy", ["explode", "partial"])
+def test_sparse_encoding_spark(spark, strategy):
+    """sketch_by(encoding='sparse'/'auto') emits hyper_bisect pair blobs
+    for low-fill groups; every consumer decodes them; promotion to dense
+    register arrays is byte-identical to a dense-encoded build."""
+    rows = [Row(g=f"g{i % 4}", v=f"val-{i % 40}") for i in range(2000)]
+    df = spark.createDataFrame(rows).repartition(6)
+    dense = {
+        r["g"]: bytes(r["registers"])
+        for r in sketch_by(df, ["g"], "v", 14, strategy=strategy).collect()
+    }
+    sparse = {
+        r["g"]: bytes(r["registers"])
+        for r in sketch_by(
+            df, ["g"], "v", 14, strategy=strategy, encoding="auto"
+        ).collect()
+    }
+    for g, blob in sparse.items():
+        # ~10 distinct values/group at p=14: sparse pairs, tiny
+        assert len(blob) % 3 == 0 and len(blob) < (1 << 14)
+        assert HllSketch.from_blob(14, blob).to_bytes() == dense[g]
+    # estimator + union consume sparse directly
+    sk = sketch_by(df, ["g"], "v", 14, strategy=strategy, encoding="auto")
+    ests = sk.select(cardinality_col("p", "registers").alias("e")).collect()
+    assert all(5 <= r["e"] <= 15 for r in ests)
+    rolled = sketch_collect(union_sketches(sk, []))
+    direct = sketch_collect(sketch_by(df, [], "v", 14))
+    assert rolled == direct
+
+
+def test_sparse_union_output_encoding(spark):
+    rows = [Row(day=i % 3, v=f"u{i % 30}") for i in range(900)]
+    df = spark.createDataFrame(rows)
+    per_day = sketch_by(df, ["day"], "v", 14, encoding="sparse")
+    rolled_sparse = union_sketches(per_day, [], encoding="auto").collect()[0]
+    assert len(bytes(rolled_sparse["registers"])) < (1 << 14)
+    assert HllSketch.from_blob(14, bytes(rolled_sparse["registers"])) == (
+        sketch_collect(sketch_by(df, [], "v", 14))
+    )

@@ -3,7 +3,9 @@ __spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
 over the same sf dir, compare row count, column names, and
 order-insensitive values.
 
-Usage: python tools/check_correctness.py [sf_dir]
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+(query names restrict the run; the entry smoke-check runs only on a
+full, unfiltered pass)
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ def normalize(rows, cols):
     return sorted(out, key=repr)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("correctness-check")
@@ -56,6 +58,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         )
 
     qs = entrymod.queries()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -94,14 +101,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             failures += 1
         else:
             print(f"OK   {name}: {len(got)} rows")
-    # entry smoke
-    try:
-        edf = entrymod.entry(spark)
-        n = len(edf.collect())
-        print(f"OK   entry: {n} rows, schema {edf.schema.simpleString()}")
-    except Exception as e:
-        print(f"FAIL entry: {type(e).__name__}: {e}")
-        failures += 1
+    # entry smoke (full pass only)
+    if not only:
+        try:
+            edf = entrymod.entry(spark)
+            n = len(edf.collect())
+            print(f"OK   entry: {n} rows, schema {edf.schema.simpleString()}")
+        except Exception as e:
+            print(f"FAIL entry: {type(e).__name__}: {e}")
+            failures += 1
     spark.stop()
     print(f"{'PASS' if failures == 0 else 'FAIL'}: {len(qs) - failures}/{len(qs)} queries match")
     return failures
