@@ -574,6 +574,76 @@ def _q_packed6_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_hitters_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """heavy_hitters(guarantee=True): CMS threshold pass makes the top-k
+    exact regardless of skew shape (VERDICT r01 wrong #4). Flat-ish
+    derived distribution: 2 hot values + 4096 cold values, partitioned
+    by user so hot values are spread thin across partitions."""
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    derived = events.withColumn(
+        "v",
+        F.when(
+            F.col("event_id") % 97 < 2,
+            F.concat(F.lit("hot_"), (F.col("event_id") % 97).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("cold_"), (F.col("event_id") % 4096).cast("string"))
+        ),
+    ).repartition(32, "user_id")
+    return heavy_hitters(derived, "v", k=5, exact=True, guarantee=True)
+
+
+def _q_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sketch state (applyInPandasWithState,
+    streaming/hll_stream.py) is byte-identical to the batch operator over
+    the same rows: stream the events table through an availableNow
+    multi-micro-batch run, max-fold each group's emitted states, and
+    compare against batch sketch_by registers byte-for-byte."""
+    _ensure_pkg(spark)
+    import tempfile
+
+    from hyper_spark.streaming.hll_stream import streaming_sketch_by
+
+    events = _read(spark, sf_dir, "events")
+    p = 12
+    batch = {
+        r["event_type"]: bytes(r["registers"])
+        for r in sketch_by(events, ["event_type"], "user_id", p).collect()
+    }
+    with tempfile.TemporaryDirectory(prefix="gate_stream_") as td:
+        src, sink, ckpt = f"{td}/src", f"{td}/sink", f"{td}/ckpt"
+        events.select("event_type", "user_id").repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, user_id bigint")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        out = streaming_sketch_by(
+            stream, ["event_type"], "user_id", p=p, output_mode="append"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emitted = spark.read.parquet(sink).collect()
+    folded: dict[str, np.ndarray] = {}
+    for r in emitted:
+        regs = np.frombuffer(bytes(r["registers"]), dtype=np.uint8)
+        key = r["event_type"]
+        folded[key] = regs if key not in folded else np.maximum(folded[key], regs)
+    parity = set(folded) == set(batch) and all(
+        folded[g].tobytes() == batch[g] for g in batch
+    )
+    return spark.createDataFrame(
+        [Row(n_groups=len(batch), parity=bool(parity))]
+    )
+
+
 def _q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN on a CLUSTERED layout (repartitionByRange on the first
     component) holds recall@10 ≥ 0.9 vs brute force — the layout that
@@ -640,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_precision_union": _q_mixed_precision_union,
         "checkpointed_build_lossless": _q_checkpointed_build_lossless,
         "intersect_card_bound": _q_intersect_card,
+        "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
+        "streaming_batch_parity": _q_streaming_batch_parity,
         "knn_ivf_recall": _q_knn_ivf_recall,
         "sparse_dense_parity": _q_sparse_dense_parity,
         "null_skip_sketch": _q_null_skip_sketch,
@@ -810,6 +882,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS exact_intersect, true AS within_tol FROM "
             "(SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0 "
             "INTERSECT SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)"
+        ),
+        "heavy_hitters_guaranteed": (
+            "SELECT v, count(*) AS est_count FROM ("
+            "SELECT CASE WHEN event_id % 97 < 2 "
+            "THEN 'hot_' || (event_id % 97) "
+            "ELSE 'cold_' || (event_id % 4096) END AS v FROM events) "
+            "GROUP BY v ORDER BY est_count DESC, v LIMIT 5"
+        ),
+        "streaming_batch_parity": (
+            "SELECT count(DISTINCT event_type) AS n_groups, true AS parity "
+            "FROM events"
         ),
         "knn_ivf_recall": (
             "SELECT 20 AS n_queries, true AS recall_ok, true AS exactly_k_each"

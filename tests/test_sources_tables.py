@@ -1,0 +1,61 @@
+"""Table-access layer: parquet profile, catalog-table routing, and the
+(skip-marked, sandbox has no runtime jar) Iceberg integration path."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from hyper_spark.sources.tables import load_table, load_tables
+
+
+def _has_iceberg_jar(spark) -> bool:
+    java_cp = spark.sparkContext._jsc.sc().conf().get("spark.jars", "")
+    spark_home = os.environ.get("SPARK_HOME", "")
+    jar_dirs = [os.path.join(spark_home, "jars")] if spark_home else []
+    hits = [j for d in jar_dirs for j in glob.glob(os.path.join(d, "iceberg-spark-runtime*"))]
+    return bool(hits) or "iceberg" in java_cp
+
+
+def test_load_table_parquet_profile(spark, sf_correct):
+    ev = load_table(spark, "events", sf_correct)
+    assert ev.count() > 0
+    direct = load_table(spark, f"{sf_correct}/events.parquet")
+    assert direct.count() == ev.count()
+    all_tables = load_tables(spark, sf_correct)
+    assert set(all_tables) >= {"events", "orders", "lineitem", "documents"}
+
+
+def test_load_table_catalog_routing(spark, sf_correct):
+    """A dotted name routes through spark.read.table — the exact code
+    path an Iceberg catalog table takes (global_temp exercises it
+    without needing the jar)."""
+    ev = spark.read.parquet(f"{sf_correct}/events.parquet")
+    ev.createOrReplaceGlobalTempView("gate_events")
+    got = load_table(spark, "global_temp.gate_events")
+    assert got.count() == ev.count()
+    assert got.schema == ev.schema
+
+
+def test_iceberg_roundtrip(spark, tmp_path):
+    """End-to-end Iceberg profile: hadoop catalog, write-then-load via
+    load_table('catalog.db.table'). Skipped in this sandbox (no
+    iceberg-spark-runtime jar is baked in); runs anywhere the jar is on
+    the classpath, keeping the production-profile claim compile-checked."""
+    if not _has_iceberg_jar(spark):
+        pytest.skip("iceberg-spark-runtime jar not on classpath in sandbox")
+    spark.conf.set(
+        "spark.sql.catalog.it_cat", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.it_cat.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it_cat.warehouse", str(tmp_path / "wh"))
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(conv_id=f"c{i}", turn_idx=i) for i in range(100)])
+    df.writeTo("it_cat.db.turns").using("iceberg").createOrReplace()
+    got = load_table(spark, "it_cat.db.turns")
+    assert got.count() == 100
+    # partition-pruning sanity: filter pushes into the Iceberg scan
+    assert got.filter("turn_idx < 10").count() == 10

@@ -179,3 +179,31 @@ def test_bloom_prune_keeps_all_matches(spark, sf_correct):
     assert pruned.join(exact_matches, on=list(orders.columns), how="leftsemi").count() == exact_matches.count()
     # and pruning actually prunes
     assert pruned.count() < orders.count()
+
+
+def test_heavy_hitters_guarantee_flat_skew(spark):
+    """VERDICT r01 wrong #4: a true top-k item that is moderately
+    frequent EVERYWHERE but local top-(k*fanout) NOWHERE. The heuristic
+    candidate pass misses it by construction; guarantee=True (CMS
+    threshold pass) must return the exact top-k."""
+    from pyspark.sql import Row
+
+    from hyper_spark.operators.cms_agg import heavy_hitters, local_topk_candidates
+
+    rows = []
+    for p in range(8):
+        for i in range(20):
+            rows += [Row(pkey=p, v=f"j{p}_{i}")] * 9  # 20 junk values x9
+        for h in ("H1", "H2", "H3"):
+            rows += [Row(pkey=p, v=h)] * 2  # heavies: 2 per partition
+    df = spark.createDataFrame(rows).repartitionByRange(8, "pkey")
+    # globally: H* count 16 each, junk 9 each -> true top-3 is H1..H3
+    # locally: H* count ~2-4 < junk 9 -> never in local top-12
+    cand = {r["v"] for r in local_topk_candidates(df, "v", k=3).collect()}
+    assert not {"H1", "H2", "H3"} & cand  # the heuristic gap, by design
+    heur = heavy_hitters(df, "v", k=3, exact=True).collect()
+    assert {r["v"] for r in heur} != {"H1", "H2", "H3"}
+    got = heavy_hitters(df, "v", k=3, exact=True, guarantee=True).collect()
+    assert [(r["v"], r["est_count"]) for r in got] == [
+        ("H1", 16), ("H2", 16), ("H3", 16),
+    ]
