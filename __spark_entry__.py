@@ -574,6 +574,85 @@ def _q_packed6_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed-path deterministic transcripts table (BASELINE.json input_hint
+# shape: conv_id, turn_idx, role, text, tool, ts) — generated once at
+# sf0.01/seed42; the DuckDB oracle reads the same parquet by absolute
+# path, so the north-star workloads (distinct-conversation cardinality,
+# heavy-hitter tool counts, turn-latency quantiles) are oracle-gated
+# over the real transcript shape, not a stand-in.
+_TX_GATE_PATH = "/root/repo/.data/transcripts_gate_sf0.01"
+_TX_GATE_SQL = f"'{_TX_GATE_PATH}/*.parquet'"
+
+
+def _tx(spark: SparkSession) -> DataFrame:
+    from hyper_spark.sources.transcripts import write_transcripts
+
+    write_transcripts(spark, _TX_GATE_PATH, sf=0.01, seed=42)
+    return spark.read.parquet(_TX_GATE_PATH)
+
+
+def _q_tx_distinct_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star workload 1: distinct conversations per role via HLL,
+    bound-checked against exact counts."""
+    _ensure_pkg(spark)
+    tx = _tx(spark)
+    p = 14
+    sk = sketch_by(tx, ["role"], "conv_id", p)
+    est = sk.select(
+        "role", cardinality_col(F.col("p"), F.col("registers")).alias("est")
+    )
+    exact = tx.groupBy("role").agg(F.countDistinct("conv_id").alias("exact_convs"))
+    return est.join(exact, on="role").select(
+        "role",
+        "exact_convs",
+        (
+            F.abs(F.col("est") - F.col("exact_convs")) / F.col("exact_convs")
+            <= F.lit(error_bound(p))
+        ).alias("within_bound"),
+    )
+
+
+def _q_tx_tool_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star workload 2: heavy-hitter tool counts (power-law tool
+    vocab), exact via the guaranteed CMS-threshold path."""
+    _ensure_pkg(spark)
+    tx = _tx(spark)
+    return heavy_hitters(tx, "tool", k=5, exact=True, guarantee=True).select(
+        "tool", "est_count"
+    )
+
+
+def _q_tx_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star workload 3: turn-latency quantiles (KLL) with the
+    rank-check bound pattern. Latency = seconds between consecutive
+    turns of a conversation under stable turn ordering."""
+    _ensure_pkg(spark)
+    from pyspark.sql.window import Window
+
+    tx = _tx(spark)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        tx.withColumn(
+            "gap",
+            (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+            ),
+        )
+        .filter(F.col("gap").isNotNull())
+        .select("gap")
+    )
+    return _quantile_bound_df(spark, gaps, "gap", "kll")
+
+
+def _q_tx_text_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint per-row invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — every turn's text fingerprint checked
+    value-for-value by the gate's row-hash compare."""
+    _ensure_pkg(spark)
+    tx = _tx(spark)
+    return tx.select("conv_id", "turn_idx", F.md5("text").alias("text_md5"))
+
+
 def _q_heavy_hitters_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """heavy_hitters(guarantee=True): CMS threshold pass makes the top-k
     exact regardless of skew shape (VERDICT r01 wrong #4). Flat-ish
@@ -710,6 +789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_precision_union": _q_mixed_precision_union,
         "checkpointed_build_lossless": _q_checkpointed_build_lossless,
         "intersect_card_bound": _q_intersect_card,
+        "transcripts_distinct_convs": _q_tx_distinct_convs,
+        "transcripts_tool_heavy_hitters": _q_tx_tool_heavy_hitters,
+        "transcripts_latency_quantiles": _q_tx_latency_quantiles,
+        "transcripts_text_determinism": _q_tx_text_determinism,
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
         "knn_ivf_recall": _q_knn_ivf_recall,
@@ -882,6 +965,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS exact_intersect, true AS within_tol FROM "
             "(SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0 "
             "INTERSECT SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)"
+        ),
+        "transcripts_distinct_convs": (
+            "SELECT role, count(DISTINCT conv_id) AS exact_convs, "
+            f"true AS within_bound FROM {_TX_GATE_SQL} GROUP BY role"
+        ),
+        "transcripts_tool_heavy_hitters": (
+            "SELECT tool, count(*) AS est_count FROM "
+            f"{_TX_GATE_SQL} WHERE tool IS NOT NULL "
+            "GROUP BY tool ORDER BY est_count DESC, tool LIMIT 5"
+        ),
+        "transcripts_latency_quantiles": (
+            "SELECT * FROM (VALUES (0.1::DOUBLE, true), (0.5::DOUBLE, true), "
+            "(0.9::DOUBLE, true), (0.99::DOUBLE, true)) AS t(q, within_eps)"
+        ),
+        "transcripts_text_determinism": (
+            "SELECT conv_id, turn_idx, md5(text) AS text_md5 "
+            f"FROM {_TX_GATE_SQL}"
         ),
         "heavy_hitters_guaranteed": (
             "SELECT v, count(*) AS est_count FROM ("

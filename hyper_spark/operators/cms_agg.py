@@ -158,13 +158,21 @@ def cms_estimate(
     counters = sk.counters
     depth, width = sk.depth, sk.width
     c = F.col(col)
-    bucket_arr = F.array(*[md5_bucket_col(c, i, width) for i in range(depth)])
+    bucket_arr = F.when(
+        c.isNotNull(),
+        F.array(*[md5_bucket_col(c, i, width) for i in range(depth)]),
+    )
 
     @F.pandas_udf(LongType())
     def lookup(buckets: pd.Series) -> pd.Series:
-        mat = np.stack(buckets.to_numpy())  # (n, depth)
-        ests = counters[np.arange(depth)[None, :], mat].min(axis=1)
-        return pd.Series(ests)
+        # NULL candidates arrive as None: estimate 0 (never inserted)
+        vals = buckets.to_numpy()
+        ok = np.array([v is not None for v in vals])
+        out = np.zeros(len(vals), dtype=np.int64)
+        if ok.any():
+            mat = np.stack(vals[ok])  # (n_ok, depth)
+            out[ok] = counters[np.arange(depth)[None, :], mat].min(axis=1)
+        return pd.Series(out)
 
     return candidates.withColumn(alias, lookup(bucket_arr))
 

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from hyper_spark.functions.hashing import hll_prepare
-from hyper_spark.kernel.hll import estimate_from_registers
+from hyper_spark.kernel.hll import (
+    decode_register_blob,
+    encode_registers,
+    estimate_from_registers,
+)
 
 __all__ = ["streaming_sketch_by", "streaming_cms_by"]
 
@@ -37,12 +41,18 @@ def streaming_sketch_by(
     col: str,
     p: int = 14,
     output_mode: str = "update",
+    state_encoding: str = "auto",
 ) -> DataFrame:
     """Streaming grouped distinct-count sketches.
 
     Input: a streaming DataFrame. Output: one row per group per
-    micro-batch with the current (p, registers, estimate). State size is
-    exactly 2^p bytes per group, independent of stream length."""
+    micro-batch with the current (p, registers, estimate); the emitted
+    ``registers`` are always canonical dense bytes (batch parity).
+    State per group is at most 2^p bytes independent of stream length;
+    with ``state_encoding='auto'`` (default) low-fill groups store the
+    sparse ⟨idx:16, rho:8⟩ pair blob instead (src/hyper_bisect.erl:
+    18-29) — at high-cardinality streaming keys this shrinks the state
+    store by up to ~2^p/3·nnz per group."""
     keys = list(keys)
     if not keys:
         raise ValueError("streaming sketches need at least one group key")
@@ -67,7 +77,7 @@ def streaming_sketch_by(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             (blob,) = state.get
-            regs = np.frombuffer(blob, dtype=np.uint8).copy()
+            regs = decode_register_blob(p, blob)
         else:
             regs = np.zeros(m, dtype=np.uint8)
         for pdf in pdfs:
@@ -77,12 +87,11 @@ def streaming_sketch_by(
                     pdf["idx"].to_numpy(dtype=np.int64),
                     pdf["rho"].to_numpy(dtype=np.uint8),
                 )
-        blob = regs.tobytes()
-        state.update((blob,))
+        state.update((encode_registers(regs, state_encoding),))
         est = estimate_from_registers(regs, p)
         out = {k: [key[i]] for i, k in enumerate(keys)}
         out["p"] = [p]
-        out["registers"] = [blob]
+        out["registers"] = [regs.tobytes()]  # canonical dense out
         out["estimate"] = [est]
         yield pd.DataFrame(out)
 

@@ -184,3 +184,66 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
             final = c if final is None or c.sum() > final.sum() else final
         kern = CountMinSketch(3, 256).add_many(items)
         assert np.array_equal(final, kern.counters), g
+
+
+def test_salting_spreads_hot_key(spark, ckpt_dir):
+    """North-rule skew clause: a conv_id-style hot key (95% of rows) is
+    spread over num_salts distinct reducer keys at level 0 — the salted
+    pre-aggregation actually defeats the skew rather than funneling the
+    hot group through one reducer — and the final sketch is lossless."""
+    hot = [Row(g="hot", v=f"u{i % 5000}") for i in range(9500)]
+    cold = [Row(g=f"c{i % 7}", v=f"w{i}") for i in range(500)]
+    df = spark.createDataFrame(hot + cold).repartition(8)
+    out = checkpointed_sketch_build(
+        spark, df, ["g"], "v", ckpt_dir, p=12, num_salts=8, fanout=4
+    )
+    lvl0 = spark.read.parquet(os.path.join(ckpt_dir, "level_00"))
+    hot_salts = lvl0.filter(F.col("g") == "hot").select("__salt").distinct().count()
+    assert hot_salts == 8  # xxhash64(value) % 8 covers all salts
+    direct = {r["g"]: bytes(r["registers"]) for r in sketch_by(df, ["g"], "v", 12).collect()}
+    got = {r["g"]: bytes(r["registers"]) for r in out.collect()}
+    assert got == direct
+
+
+def test_streaming_sparse_state_roundtrip(spark, tmp_path):
+    """state_encoding='auto' stores low-fill groups as sparse pair blobs
+    in the state store and still emits canonical dense output that
+    matches batch byte-for-byte across micro-batches."""
+    rows = [Row(g=f"g{i % 2}", v=f"u{i % 25}") for i in range(600)]
+    df = spark.createDataFrame(rows)
+    src = str(tmp_path / "sp_src")
+    for part in range(3):
+        df.filter(F.crc32(F.col("v")) % 3 == part).write.mode(
+            "overwrite" if part == 0 else "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_sketch_by(
+        stream, ["g"], "v", p=14, output_mode="append", state_encoding="auto"
+    )
+    sink = str(tmp_path / "sp_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "sp_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import numpy as np
+
+    got = spark.read.parquet(sink).toPandas()
+    batch = {
+        r["g"]: bytes(r["registers"])
+        for r in sketch_by(df, ["g"], "v", 14).collect()
+    }
+    for g in ("g0", "g1"):
+        sub = got[got["g"] == g]
+        final = None
+        for blob in sub["registers"]:
+            regs = np.frombuffer(bytes(blob), dtype=np.uint8)
+            assert len(regs) == 1 << 14  # output stays canonical dense
+            final = regs if final is None else np.maximum(final, regs)
+        assert final.tobytes() == batch[g]

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -55,3 +57,37 @@ def test_invariants(spark):
 
 def test_scale_knob():
     assert n_convs_for_sf(0.01) == 10 * n_convs_for_sf(0.001)
+
+
+def test_spark_submit_py_files_smoke():
+    """The north rule's literal deployment: spark-submit --py-files
+    <zip> runs a sketch job with hyper_spark imported ONLY from the zip
+    (cwd=/tmp so the repo dir can't leak onto the worker path)."""
+    import json
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from hyper_spark.packaging import build_zip
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(submit):
+        pytest.skip("spark-submit not on this machine")
+    zip_path = build_zip()
+    proc = subprocess.run(
+        [
+            submit,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools", "submit_job.py"),
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/tmp",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["within_bound"] is True
