@@ -574,6 +574,38 @@ def _q_packed6_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pure_jvm_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-Python plan: register_table (scan → JVM sha1/bit exprs →
+    partial/final aggregate, no Arrow stage) + driver-side assembly.
+    Asserts both the estimate bound AND that the executed plan contains
+    no Python eval node — the plan property that keeps the 100 TB hot
+    path inside whole-stage codegen."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.hll_agg import (
+        collect_sketches_from_registers,
+        register_table,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    p = 13
+    regs = register_table(orders, [], "o_custkey", p)
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    jvm_only = "EvalPython" not in plan
+    sk = collect_sketches_from_registers(regs, [], p)[()]
+    exact = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            Row(
+                exact_count=exact,
+                within_bound=bool(
+                    abs(sk.cardinality() - exact) / exact <= error_bound(p)
+                ),
+                jvm_only_plan=bool(jvm_only),
+            )
+        ]
+    )
+
+
 # Fixed-path deterministic transcripts table (BASELINE.json input_hint
 # shape: conv_id, turn_idx, role, text, tool, ts) — generated once at
 # sf0.01/seed42; the DuckDB oracle reads the same parquet by absolute
@@ -789,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_precision_union": _q_mixed_precision_union,
         "checkpointed_build_lossless": _q_checkpointed_build_lossless,
         "intersect_card_bound": _q_intersect_card,
+        "pure_jvm_registers": _q_pure_jvm_registers,
         "transcripts_distinct_convs": _q_tx_distinct_convs,
         "transcripts_tool_heavy_hitters": _q_tx_tool_heavy_hitters,
         "transcripts_latency_quantiles": _q_tx_latency_quantiles,
@@ -965,6 +998,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS exact_intersect, true AS within_tol FROM "
             "(SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0 "
             "INTERSECT SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)"
+        ),
+        "pure_jvm_registers": (
+            "SELECT count(DISTINCT o_custkey) AS exact_count, "
+            "true AS within_bound, true AS jvm_only_plan FROM orders"
         ),
         "transcripts_distinct_convs": (
             "SELECT role, count(DISTINCT conv_id) AS exact_convs, "

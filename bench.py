@@ -44,6 +44,10 @@ def build_session(cpus: int = CPUS) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
+        # sf0.1 tables are single <=70MB files: the 128MB default gives
+        # 1-partition scans that serialize every map side onto one core.
+        # At real scale inputs have many files and this is a no-op.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .getOrCreate()
     )
 

@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 )
 
 from hyper_spark.kernel.cms import CountMinSketch
+from hyper_spark.operators.util import spread
 
 __all__ = ["cms_by", "cms_merge", "cms_estimate", "heavy_hitters", "local_topk_candidates"]
 
@@ -191,6 +192,7 @@ def local_topk_candidates(df: DataFrame, col: str, k: int, fanout: int = 4) -> D
     sits below N/k — that needs the CMS threshold pass in
     ``heavy_hitters(guarantee=True)``. No raw rows ever shuffle here."""
     limit = k * fanout
+    src = spread(df.select(col))
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: pd.Series | None = None
@@ -203,7 +205,7 @@ def local_topk_candidates(df: DataFrame, col: str, k: int, fanout: int = 4) -> D
             cand = counts.nlargest(limit).index.union(share.index)
             yield pd.DataFrame({col: cand.to_numpy()})
 
-    return df.select(col).mapInPandas(topk, df.select(col).schema).distinct()
+    return src.mapInPandas(topk, src.schema).distinct()
 
 
 def heavy_hitters(

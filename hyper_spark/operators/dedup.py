@@ -50,6 +50,7 @@ from hyper_spark.functions.text import (
     normalized_text,
     word_tokens_col,
 )
+from hyper_spark.operators.util import spread as _spread
 
 __all__ = [
     "exact_dedup",
@@ -64,18 +65,6 @@ __all__ = [
 ]
 
 _MERSENNE31 = (1 << 31) - 1
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the source scan
-    yields fewer partitions (a small-file corpus can arrive as ONE
-    partition, serializing every Arrow stage onto one core — measured
-    5.7s -> 0.9s on the sf0.1 signature stage). No-op when the input is
-    already wide, so at 100 TB nothing extra shuffles."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
 
 
 # --------------------------------------------------------------- exact

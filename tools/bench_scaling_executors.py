@@ -104,6 +104,19 @@ spark.stop()
 '''
 
 
+def _wait_quiet(threshold: float = 6.0, max_wait: float = 300.0) -> None:
+    """Shared host: start each timed rep in a quiet window. External
+    loadavg waves of 10+ (zero local consumers) poison 32-core reps —
+    measured 78s vs 259s for identical 4N reps. Also lets OUR OWN
+    previous rep's loadavg momentum decay so the 1-min average reflects
+    the outside world, not us."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        if os.getloadavg()[0] < threshold:
+            return
+        time.sleep(5.0)
+
+
 def run_cluster(n_workers: int, cores: int, files: list[str], reps: int) -> dict:
     sys.path.insert(0, REPO)
     from hyper_spark.kernel.hll import HllSketch
@@ -134,6 +147,7 @@ def run_cluster(n_workers: int, cores: int, files: list[str], reps: int) -> dict
     times = []
     merged_est = None
     for rep in range(reps):
+        _wait_quiet()
         t0 = time.perf_counter()
         open(os.path.join(ctrl, f"go_{rep}"), "w").close()
         outs = [os.path.join(ctrl, f"partial_{rep}_{i}.json") for i in range(n_workers)]
