@@ -341,3 +341,44 @@ def test_sparse_dense_length_disjoint():
     # 2^p is never a multiple of 3, sparse is always < 2^p bytes
     for p in range(4, 17):
         assert (1 << p) % 3 != 0
+
+
+@given(
+    st.integers(min_value=4, max_value=14),
+    st.lists(st.integers(min_value=0, max_value=17), min_size=0, max_size=200),
+)
+@settings(max_examples=60, deadline=None)
+def test_prop_encode_decode_roundtrip(p, updates):
+    """Any register state round-trips through every codec (sparse is
+    only valid below the fill threshold; auto always round-trips)."""
+    from hyper_spark.kernel.hll import decode_register_blob, encode_registers
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    rng = np.random.default_rng(7)
+    for v in updates:
+        regs[rng.integers(0, m)] = v
+    blob = encode_registers(regs, "auto")
+    assert np.array_equal(decode_register_blob(p, blob), regs)
+    assert np.array_equal(
+        decode_register_blob(p, encode_registers(regs, "dense")), regs
+    )
+    sk = HllSketch(p, regs)
+    assert HllSketch.from_packed6(p, sk.to_packed6()) == sk
+
+
+@given(st.lists(st.binary(min_size=1, max_size=12), min_size=1, max_size=300))
+@settings(max_examples=30, deadline=None)
+def test_prop_sparse_merge_equals_dense_merge(values):
+    """Merging via sparse-encoded blobs is indistinguishable from dense
+    merging (the gate's sparse_dense_parity as a property)."""
+    from hyper_spark.kernel.hll import decode_register_blob
+
+    p = 11
+    half = len(values) // 2
+    a = HllSketch(p).insert_many(values[:half] or [b"x"])
+    b = HllSketch(p).insert_many(values[half:] or [b"y"])
+    via_sparse = HllSketch(p, decode_register_blob(p, a.encode("auto"))).merge(
+        HllSketch(p, decode_register_blob(p, b.encode("auto")))
+    )
+    assert via_sparse == a.merge(b)

@@ -49,3 +49,56 @@ def test_no_python_before_aggregation_boundary(spark, sf_correct):
     events = spark.read.parquet(f"{sf_correct}/events.parquet")
     plan = _executed_plan(register_table(events, ["event_type"], "user_id", 14))
     assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_cms_cells_jvm_partial_aggregation(spark, sf_correct):
+    """CMS bucket exprs + posexplode + groupBy must stay JVM with a
+    map-side partial (shuffle capped at d·w rows per partition), no
+    Python before the densify boundary."""
+    from hyper_spark.operators.cms_agg import md5_bucket_col
+
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    col = F.col("event_type")
+    buckets = F.posexplode(
+        F.array(*[md5_bucket_col(col, i, 2048) for i in range(5)])
+    )
+    cells = (
+        events.filter(col.isNotNull())
+        .select(buckets.alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plan = _executed_plan(cells)
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_count" in plan, plan
+
+
+def test_bloom_positions_jvm_distinct(spark, sf_correct):
+    """Bloom set-bit distinct dedups map-side: partial aggregate before
+    the exchange bounds the shuffle at <= m set bits per group."""
+    from hyper_spark.operators.cms_agg import md5_bucket_col
+
+    customer = spark.read.parquet(f"{sf_correct}/customer.parquet")
+    col = F.col("c_custkey")
+    positions = F.posexplode(
+        F.array(*[md5_bucket_col(col, i, 1 << 16) for i in range(5)])
+    )
+    bits = (
+        customer.filter(col.isNotNull())
+        .select(positions.alias("__row", "pos"))
+        .select("pos")
+        .distinct()
+    )
+    plan = _executed_plan(bits)
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_heavy_hitters_rescan_is_broadcast(spark, sf_correct):
+    """The exact-verification rescan must broadcast the tiny candidate
+    set (no shuffle of the big table for the semi-join)."""
+    from hyper_spark.operators.cms_agg import heavy_hitters
+
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    plan = _executed_plan(heavy_hitters(events, "event_type", k=3, exact=True))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
