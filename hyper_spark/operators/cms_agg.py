@@ -7,16 +7,18 @@ d·w rows per partition regardless of input size) → one ``applyInPandas``
 densify into the d×w int64 counter blob per group.
 
 Heavy hitters use the standard scalable two-phase shape: candidate
-generation via *per-partition local top-k* (mapInPandas value_counts — no
-global shuffle of raw values), then exact-count verification of the tiny
-candidate set with a broadcast semi-join. The count-min sketch variant
-estimates candidate counts from the merged sketch instead of a second
-scan, trading the rescan for the eps·N overcount bound.
+generation via *per-partition local top-k* (JVM groupBy(partition_id,
+value) with map-side combine — no raw values ever shuffle), then
+exact-count verification of the tiny candidate set with a broadcast
+semi-join. The count-min sketch variant estimates candidate counts from
+the merged sketch instead of a second scan, trading the rescan for the
+eps·N overcount bound; ``guarantee=True`` adds the CMS threshold pass
+that makes the top-k exact on any skew shape.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
@@ -31,7 +33,6 @@ from pyspark.sql.types import (
 )
 
 from hyper_spark.kernel.cms import CountMinSketch
-from hyper_spark.operators.util import spread
 
 __all__ = ["cms_by", "cms_merge", "cms_estimate", "heavy_hitters", "local_topk_candidates"]
 
@@ -190,22 +191,33 @@ def local_topk_candidates(df: DataFrame, col: str, k: int, fanout: int = 4) -> D
 
     What neither rule can promise is the exact top-k when the k-th item
     sits below N/k — that needs the CMS threshold pass in
-    ``heavy_hitters(guarantee=True)``. No raw rows ever shuffle here."""
+    ``heavy_hitters(guarantee=True)``.
+
+    100% JVM: groupBy(partition_id, value) does the per-partition count
+    with a map-side combine (nothing raw shuffles — at most the distinct
+    (pid, value) pairs), then two window functions pick each partition's
+    candidates. An earlier mapInPandas/value_counts variant paid an
+    Arrow round-trip of the whole column; this stays in codegen."""
+    from pyspark.sql.window import Window
+
     limit = k * fanout
-    src = spread(df.select(col))
-
-    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: pd.Series | None = None
-        for pdf in batches:
-            vc = pdf[col].value_counts(dropna=True)
-            counts = vc if counts is None else counts.add(vc, fill_value=0)
-        if counts is not None and len(counts):
-            local_n = int(counts.sum())
-            share = counts[counts * k >= local_n]
-            cand = counts.nlargest(limit).index.union(share.index)
-            yield pd.DataFrame({col: cand.to_numpy()})
-
-    return src.mapInPandas(topk, src.schema).distinct()
+    c = F.col(col)
+    counts = (
+        df.filter(c.isNotNull())
+        .groupBy(F.spark_partition_id().alias("__pid"), c.alias(col))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w_rank = Window.partitionBy("__pid").orderBy(F.desc("__cnt"), col)
+    w_all = Window.partitionBy("__pid")
+    return (
+        counts.withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn("__n", F.sum("__cnt").over(w_all))
+        .filter(
+            (F.col("__rk") <= limit) | (F.col("__cnt") * k >= F.col("__n"))
+        )
+        .select(col)
+        .distinct()
+    )
 
 
 def heavy_hitters(
