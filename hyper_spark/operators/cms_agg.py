@@ -256,15 +256,16 @@ def heavy_hitters(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         top1 = counted1.orderBy(F.desc("cnt")).limit(k).collect()
-        t = min((r["cnt"] for r in top1), default=0)
-        sketch = cms_by(df, [], col, depth, width)
-        flagged = (
-            cms_estimate(sketch, df.select(col).where(F.col(col).isNotNull()), col)
-            .filter(F.col("est_count") >= t)
-            .select(col)
-            .distinct()
-        )
-        candidates = candidates.unionByName(flagged).distinct()
+        if top1:  # empty input: nothing to guarantee, skip the CMS pass
+            t = min(r["cnt"] for r in top1)
+            sketch = cms_by(df, [], col, depth, width)
+            flagged = (
+                cms_estimate(sketch, df.select(col).where(F.col(col).isNotNull()), col)
+                .filter(F.col("est_count") >= t)
+                .select(col)
+                .distinct()
+            )
+            candidates = candidates.unionByName(flagged).distinct()
         exact = True
     if exact:
         counted = (

@@ -207,3 +207,26 @@ def test_heavy_hitters_guarantee_flat_skew(spark):
     assert [(r["v"], r["est_count"]) for r in got] == [
         ("H1", 16), ("H2", 16), ("H3", 16),
     ]
+
+
+def test_empty_input_operators(spark):
+    """Empty inputs yield empty results, never executor crashes."""
+    from hyper_spark.operators.bloom_agg import bloom_by
+    from hyper_spark.operators.cms_agg import cms_by, heavy_hitters
+    from hyper_spark.operators.hll_agg import (
+        approx_distinct,
+        sketch_by,
+        union_sketches,
+    )
+    from hyper_spark.operators.quantiles import quantiles_by
+
+    empty = spark.createDataFrame([], "g string, v string, x double")
+    assert sketch_by(empty, ["g"], "v", 12).count() == 0
+    assert sketch_by(empty, [], "v", 12, strategy="partial").count() == 0
+    assert approx_distinct(empty, [], "v", 12).count() == 0
+    assert union_sketches(sketch_by(empty, ["g"], "v", 12), []).count() == 0
+    assert heavy_hitters(empty, "v", k=3, exact=True).count() == 0
+    assert heavy_hitters(empty, "v", k=3, exact=True, guarantee=True).count() == 0
+    assert cms_by(empty, [], "v").count() == 0
+    assert bloom_by(empty, [], "v").count() == 0
+    assert quantiles_by(empty, [], "x", [0.5], "kll").count() == 0
