@@ -755,6 +755,57 @@ def _q_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming t-digest quantiles (applyInPandasWithState) land within
+    rank-eps of exact per group after an availableNow multi-micro-batch
+    run — the turn-latency workload in streaming form."""
+    _ensure_pkg(spark)
+    import tempfile
+
+    from hyper_spark.streaming.hll_stream import streaming_quantiles_by
+
+    events = _read(spark, sf_dir, "events")
+    qs = [0.5, 0.9]
+    with tempfile.TemporaryDirectory(prefix="gate_squant_") as td:
+        src, sink, ckpt = f"{td}/src", f"{td}/sink", f"{td}/ckpt"
+        events.select("event_type", "value").repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        out = streaming_quantiles_by(stream, ["event_type"], "value", qs)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emitted = spark.read.parquet(sink).toPandas()
+    finals = emitted.loc[emitted.groupby("event_type")["n"].idxmax()]
+    rows = []
+    for _, r in finals.iterrows():
+        vals = (
+            events.filter(F.col("event_type") == r["event_type"])
+            .select("value")
+            .toPandas()["value"]
+            .to_numpy()
+        )
+        vals.sort()
+        ok = True
+        for qq in qs:
+            est = r[f"q_{int(qq * 1000):04d}"]
+            rank = float(np.searchsorted(vals, est)) / len(vals)
+            ok = ok and abs(rank - qq) <= 0.02
+        rows.append(
+            Row(event_type=str(r["event_type"]), n=int(r["n"]), within_eps=bool(ok))
+        )
+    return spark.createDataFrame(sorted(rows, key=lambda x: x.event_type))
+
+
 def _q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN on a CLUSTERED layout (repartitionByRange on the first
     component) holds recall@10 ≥ 0.9 vs brute force — the layout that
@@ -828,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_text_determinism": _q_tx_text_determinism,
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
+        "streaming_quantiles_bound": _q_streaming_quantiles_bound,
         "knn_ivf_recall": _q_knn_ivf_recall,
         "sparse_dense_parity": _q_sparse_dense_parity,
         "null_skip_sketch": _q_null_skip_sketch,
@@ -1033,6 +1085,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_ivf_recall": (
             "SELECT 20 AS n_queries, true AS recall_ok, true AS exactly_k_each"
+        ),
+        "streaming_quantiles_bound": (
+            "SELECT event_type, count(*) AS n, true AS within_eps "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "sparse_dense_parity": (
             "SELECT count(DISTINCT user_id) AS n_groups, "

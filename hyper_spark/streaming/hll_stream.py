@@ -32,7 +32,7 @@ from hyper_spark.kernel.hll import (
     estimate_from_registers,
 )
 
-__all__ = ["streaming_sketch_by", "streaming_cms_by"]
+__all__ = ["streaming_sketch_by", "streaming_cms_by", "streaming_quantiles_by"]
 
 
 def streaming_sketch_by(
@@ -158,6 +158,73 @@ def streaming_cms_by(
         state.update((n, blob))
         out = {k: [key[i]] for i, k in enumerate(keys)}
         out.update(depth=[depth], width=[width], n=[n], counters=[blob])
+        yield pd.DataFrame(out)
+
+    return prepared.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_quantiles_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    qs: Sequence[float],
+    method: str = "tdigest",
+    param: float | None = None,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming grouped quantiles (KLL or t-digest state per group) —
+    the turn-latency-quantile workload in streaming form. State is the
+    kernel sketch's JSON dict (bounded: KLL O(k·log(n/k)) items,
+    t-digest O(delta) centroids — independent of stream length); every
+    micro-batch folds its values with ``update_batch`` and emits the
+    current quantile estimates, column-named like the batch operator
+    (``q_0500`` for q=0.5). NULL values are skipped as in batch."""
+    import json
+
+    from hyper_spark.kernel.kll import KllSketch
+    from hyper_spark.kernel.tdigest import TDigest
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("streaming sketches need at least one group key")
+    qs = [float(q) for q in qs]
+    if param is None:
+        param = 200.0
+    prepared = df.filter(F.col(col).isNotNull()).select(
+        *keys, F.col(col).cast("double").alias("__v")
+    )
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in [df.schema[k] for k in keys]
+    )
+    q_fields = ", ".join(f"q_{int(q * 1000):04d} double" for q in qs)
+    output_schema = f"{out_fields}, n bigint, {q_fields}"
+    state_schema = "state binary"
+
+    def new_sketch():
+        return KllSketch(int(param)) if method == "kll" else TDigest(param)
+
+    def from_state(blob: bytes):
+        d = json.loads(bytes(blob).decode())
+        return KllSketch.from_dict(d) if method == "kll" else TDigest.from_dict(d)
+
+    def update(key, pdfs, state: GroupState):
+        sk = from_state(state.get[0]) if state.exists else new_sketch()
+        for pdf in pdfs:
+            if len(pdf):
+                sk.update_batch(pdf["__v"].to_numpy(dtype=np.float64))
+        state.update((json.dumps(sk.to_dict()).encode(),))
+        out = {k: [key[i]] for i, k in enumerate(keys)}
+        out["n"] = [int(sk.n)]
+        ests = sk.quantiles(qs)
+        for q, est in zip(qs, ests):
+            out[f"q_{int(q * 1000):04d}"] = [float(est)]
         yield pd.DataFrame(out)
 
     return prepared.groupBy(*keys).applyInPandasWithState(

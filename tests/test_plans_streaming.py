@@ -247,3 +247,44 @@ def test_streaming_sparse_state_roundtrip(spark, tmp_path):
             assert len(regs) == 1 << 14  # output stays canonical dense
             final = regs if final is None else np.maximum(final, regs)
         assert final.tobytes() == batch[g]
+
+
+def test_streaming_quantiles_matches_kernel(spark, tmp_path):
+    """Streaming quantile state over multiple micro-batches converges to
+    the same estimates a single kernel sketch gives over all values (KLL
+    is deterministic for our seedless compaction path only in aggregate;
+    t-digest is deterministic — use tdigest for exact state parity)."""
+    import numpy as np
+
+    from hyper_spark.kernel.tdigest import TDigest
+    from hyper_spark.streaming.hll_stream import streaming_quantiles_by
+
+    rows = [Row(g="a", v=float(i % 997)) for i in range(4000)]
+    df = spark.createDataFrame(rows)
+    src = str(tmp_path / "q_src")
+    for part in range(3):
+        df.filter(F.crc32(F.col("v").cast("string")) % 3 == part).write.mode(
+            "overwrite" if part == 0 else "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_quantiles_by(stream, ["g"], "v", [0.5, 0.9], method="tdigest")
+    sink = str(tmp_path / "q_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "q_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).toPandas()
+    final = got.loc[got["n"].idxmax()]  # last emitted state has all rows
+    assert final["n"] == 4000
+    exact = np.sort(np.array([r.v for r in rows]))
+    for qq, cname in ((0.5, "q_0500"), (0.9, "q_0900")):
+        est = final[cname]
+        rank = np.searchsorted(exact, est) / len(exact)
+        assert abs(rank - qq) <= 0.02, (qq, est, rank)
