@@ -685,6 +685,51 @@ def _q_tx_text_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.select("conv_id", "turn_idx", F.md5("text").alias("text_md5"))
 
 
+def _q_tx_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over transcripts (new session when the
+    inter-turn gap exceeds 60s): sessions-per-conversation histogram,
+    exactly reproduced by the DuckDB window oracle."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import sessionize
+
+    tx = _tx(spark)
+    sess = sessionize(tx, "conv_id", "ts", gap=60.0)
+    per_conv = sess.groupBy("conv_id").agg(
+        (F.max("session_idx") + 1).alias("n_sessions")
+    )
+    return per_conv.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_convs")
+    )
+
+
+def _q_asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (window carry-forward composition) checked
+    row-for-row against DuckDB's native ASOF JOIN: every event gains the
+    most recent mark value at-or-before its timestamp per user."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    marks = (
+        events.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mark_value"))
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        marks,
+        on="ts",
+        by="user_id",
+        right_cols=["mark_value"],
+        suffix="",
+    )
+    # events before any mark have no match: sentinel instead of NULL
+    # (DuckDB's .df() renders unmatched DOUBLEs as NaN, not None)
+    return joined.select(
+        "event_id", F.coalesce("mark_value", F.lit(-1.0)).alias("mark_value")
+    )
+
+
 def _q_heavy_hitters_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """heavy_hitters(guarantee=True): CMS threshold pass makes the top-k
     exact regardless of skew shape (VERDICT r01 wrong #4). Flat-ish
@@ -877,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_tool_heavy_hitters": _q_tx_tool_heavy_hitters,
         "transcripts_latency_quantiles": _q_tx_latency_quantiles,
         "transcripts_text_determinism": _q_tx_text_determinism,
+        "transcripts_sessionization": _q_tx_sessionization,
+        "asof_join_marks": _q_asof_join_marks,
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
         "streaming_quantiles_bound": _q_streaming_quantiles_bound,
@@ -1071,6 +1118,27 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_text_determinism": (
             "SELECT conv_id, turn_idx, md5(text) AS text_md5 "
             f"FROM {_TX_GATE_SQL}"
+        ),
+        "transcripts_sessionization": f"""
+            WITH g AS (
+                SELECT conv_id,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                            WHEN epoch(ts) - epoch(lag(ts) OVER w) > 60 THEN 1
+                            ELSE 0 END AS ns
+                FROM {_TX_GATE_SQL}
+                WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+            ),
+            per_conv AS (
+                SELECT conv_id, 1 + sum(ns) AS n_sessions FROM g GROUP BY conv_id
+            )
+            SELECT n_sessions, count(*) AS n_convs
+            FROM per_conv GROUP BY n_sessions
+        """,
+        "asof_join_marks": (
+            "SELECT l.event_id, coalesce(r.mark_value, -1.0) AS mark_value FROM events l "
+            "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS mark_value "
+            "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts) r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "heavy_hitters_guaranteed": (
             "SELECT v, count(*) AS est_count FROM ("

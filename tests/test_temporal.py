@@ -1,0 +1,65 @@
+"""sessionize + asof_join vs brute-force python oracles."""
+
+from __future__ import annotations
+
+import bisect
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hyper_spark.operators.temporal import asof_join, sessionize
+
+
+def test_sessionize_matches_python(spark):
+    rows = [
+        Row(k="a", t=0.0), Row(k="a", t=10.0), Row(k="a", t=100.0),
+        Row(k="a", t=101.0), Row(k="b", t=5.0), Row(k="b", t=500.0),
+    ]
+    got = {
+        (r["k"], r["t"]): r["session_idx"]
+        for r in sessionize(spark.createDataFrame(rows).repartition(3), "k", "t", gap=60).collect()
+    }
+    assert got == {
+        ("a", 0.0): 0, ("a", 10.0): 0, ("a", 100.0): 1, ("a", 101.0): 1,
+        ("b", 5.0): 0, ("b", 500.0): 1,
+    }
+
+
+def test_asof_join_matches_python(spark):
+    import random
+
+    rng = random.Random(3)
+    left = [Row(k=f"k{i % 3}", t=float(rng.randint(0, 1000)), lid=i) for i in range(200)]
+    # unique right timestamps per key: with duplicates the "latest at t"
+    # is ambiguous and any oracle comparison is arbitrary
+    right = [
+        Row(k=f"k{j % 3}", t=float(t), price=float(j))
+        for j, t in enumerate(rng.sample(range(0, 3000), 60))
+    ]
+    got = asof_join(
+        spark.createDataFrame(left).repartition(4),
+        spark.createDataFrame(right).repartition(3),
+        on="t", by="k",
+    ).collect()
+    # python oracle: latest right at-or-before per key
+    by_key: dict = {}
+    for r in right:
+        by_key.setdefault(r.k, []).append((r.t, r.price))
+    for k in by_key:
+        by_key[k].sort()
+    expect = {}
+    for r in left:
+        arr = by_key.get(r.k, [])
+        i = bisect.bisect_right([t for t, _ in arr], r.t)
+        expect[r.lid] = arr[i - 1][1] if i else None
+    assert len(got) == len(left)
+    for row in got:
+        assert row["price_asof"] == expect[row["lid"]], row
+
+
+def test_asof_join_plan_is_single_window_shuffle(spark):
+    left = spark.createDataFrame([Row(k="a", t=1.0, lid=1)])
+    right = spark.createDataFrame([Row(k="a", t=0.5, price=2.0)])
+    plan = asof_join(left, right, on="t", by="k")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Window") >= 1
