@@ -730,6 +730,35 @@ def _q_asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed interval join (equi hash join, never a nested-loop):
+    events matched to per-user 1-hour windows opened by every 50th
+    event, checked against DuckDB's BETWEEN join."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import range_join
+
+    events = _read(spark, sf_dir, "events")
+    windows = events.filter(F.col("event_id") % 50 == 0).select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+        F.col("event_id").alias("rid"),
+    )
+    joined = range_join(
+        events.select("event_id", "user_id", "ts"),
+        windows,
+        left_ts="ts",
+        right_start="s",
+        right_end="e",
+        by="user_id",
+        bin_width=3600.0,
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("event_id").alias("n_events_matched"),
+    )
+
+
 def _q_heavy_hitters_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """heavy_hitters(guarantee=True): CMS threshold pass makes the top-k
     exact regardless of skew shape (VERDICT r01 wrong #4). Flat-ish
@@ -924,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_text_determinism": _q_tx_text_determinism,
         "transcripts_sessionization": _q_tx_sessionization,
         "asof_join_marks": _q_asof_join_marks,
+        "range_join_windows": _q_range_join_windows,
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
         "streaming_quantiles_bound": _q_streaming_quantiles_bound,
@@ -1134,6 +1164,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_sessions, count(*) AS n_convs
             FROM per_conv GROUP BY n_sessions
         """,
+        "range_join_windows": (
+            "SELECT count(*) AS n_pairs, count(DISTINCT l.event_id) AS "
+            "n_events_matched FROM events l JOIN "
+            "(SELECT user_id, ts AS s, ts + INTERVAL 1 HOUR AS e "
+            "FROM events WHERE event_id % 50 = 0) r "
+            "ON l.user_id = r.user_id AND l.ts BETWEEN r.s AND r.e"
+        ),
         "asof_join_marks": (
             "SELECT l.event_id, coalesce(r.mark_value, -1.0) AS mark_value FROM events l "
             "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS mark_value "

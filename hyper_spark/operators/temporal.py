@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "asof_join"]
+__all__ = ["sessionize", "asof_join", "range_join"]
 
 
 def sessionize(
@@ -97,3 +97,53 @@ def asof_join(
     for cc in carried:
         unioned = unioned.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
     return unioned.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    by: str | Sequence[str] = (),
+    bin_width: float = 3600.0,
+) -> DataFrame:
+    """Interval containment join: left rows matched to every right
+    interval with start <= ts <= end (optionally per ``by`` key).
+
+    Spark's native plan for an inequality join is broadcast-nested-loop
+    (quadratic). This is the standard bin-bucketing rewrite: left rows
+    key on floor(ts / bin_width); right intervals explode into every bin
+    they overlap (sequence()), the join is an EQUI-join on (by, bin),
+    and an exact BETWEEN filter removes bin-edge false candidates. Cost:
+    |right| x avg_interval_bins explode + a hash join — pick bin_width
+    near the typical interval length so the fan-out stays O(1) per
+    interval. Timestamps may be TIMESTAMP, TIMESTAMP_NTZ, or numeric."""
+    bys = [by] if isinstance(by, str) else list(by)
+
+    def as_double(df, c):
+        col = F.col(c)
+        if df.schema[c].dataType.simpleString().startswith("timestamp"):
+            col = col.cast("timestamp")
+        return col.cast("double")
+
+    l = left.withColumn("__ts", as_double(left, left_ts)).withColumn(
+        "__bin", F.floor(F.col("__ts") / bin_width)
+    )
+    r = (
+        right.withColumn("__s", as_double(right, right_start))
+        .withColumn("__e", as_double(right, right_end))
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__s") / bin_width),
+                    F.floor(F.col("__e") / bin_width),
+                )
+            ),
+        )
+    )
+    joined = l.join(r, on=bys + ["__bin"]).filter(
+        (F.col("__ts") >= F.col("__s")) & (F.col("__ts") <= F.col("__e"))
+    )
+    return joined.drop("__bin", "__ts", "__s", "__e")

@@ -7,7 +7,7 @@ import bisect
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from hyper_spark.operators.temporal import asof_join, sessionize
+from hyper_spark.operators.temporal import asof_join, range_join, sessionize
 
 
 def test_sessionize_matches_python(spark):
@@ -63,3 +63,39 @@ def test_asof_join_plan_is_single_window_shuffle(spark):
     plan = asof_join(left, right, on="t", by="k")._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_range_join_matches_python(spark):
+    import random
+
+    rng = random.Random(9)
+    left = [Row(k=f"k{i % 2}", t=float(rng.randint(0, 500)), lid=i) for i in range(150)]
+    right = []
+    for j in range(30):
+        s = float(rng.randint(0, 480))
+        right.append(Row(k=f"k{j % 2}", s=s, e=s + rng.randint(0, 60), rid=j))
+    got = range_join(
+        spark.createDataFrame(left).repartition(4),
+        spark.createDataFrame(right).repartition(3),
+        left_ts="t", right_start="s", right_end="e", by="k", bin_width=50.0,
+    ).select("lid", "rid").collect()
+    expect = {
+        (l.lid, r.rid)
+        for l in left
+        for r in right
+        if l.k == r.k and r.s <= l.t <= r.e
+    }
+    assert {(r["lid"], r["rid"]) for r in got} == expect
+    assert len(got) == len(expect)  # no duplicate matches from bin overlap
+
+
+def test_range_join_plan_is_hash_join(spark):
+    left = spark.createDataFrame([Row(k="a", t=1.0, lid=1)])
+    right = spark.createDataFrame([Row(k="a", s=0.0, e=2.0, rid=1)])
+    plan = (
+        range_join(left, right, "t", "s", "e", by="k", bin_width=10.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the whole point: an equi hash join, not BroadcastNestedLoopJoin
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
