@@ -33,6 +33,7 @@ from hyper_spark.operators.quantiles import (
     sketch_quantiles,
     tdigest_by,
 )
+from hyper_spark.operators.temporal import asof_join, range_join, sessionize
 
 __all__ = [
     "approx_distinct",
@@ -54,4 +55,7 @@ __all__ = [
     "quantiles_by",
     "sketch_quantiles",
     "tdigest_by",
+    "sessionize",
+    "asof_join",
+    "range_join",
 ]
