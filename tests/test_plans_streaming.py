@@ -288,3 +288,25 @@ def test_streaming_quantiles_matches_kernel(spark, tmp_path):
         est = final[cname]
         rank = np.searchsorted(exact, est) / len(exact)
         assert abs(rank - qq) <= 0.02, (qq, est, rank)
+
+
+def test_sparse_checkpoint_shrinks_partials(spark, ckpt_dir):
+    """encoding='auto' (default) stores low-fill salted partials as
+    3-byte-per-register sparse blobs: lineage records the actual blob
+    bytes, and the final output is register-identical to sketch_by."""
+    rows = [Row(u=i % 500, v=f"e{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows).repartition(8)
+    p = 14
+    out = checkpointed_sketch_build(
+        spark, df, ["u"], "v", ckpt_dir, p=p, num_salts=4, fanout=4
+    )
+    lin = lineage_table(spark, ckpt_dir)
+    stats = lin.agg(
+        F.max("sketch_bytes").alias("mx"), F.avg("sketch_bytes").alias("avg")
+    ).collect()[0]
+    # ~10 values per (user, salt, partition) partial -> ~30 bytes, never
+    # anywhere near the 16384-byte dense blob
+    assert stats["mx"] < (1 << p) // 3, stats
+    direct = {r["u"]: bytes(r["registers"]) for r in sketch_by(df, ["u"], "v", p).collect()}
+    got = {r["u"]: bytes(r["registers"]) for r in out.collect()}
+    assert got == direct
