@@ -44,10 +44,12 @@ def build_session(cpus: int = CPUS) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
-        # sf0.1 tables are single <=70MB files: the 128MB default gives
-        # 1-partition scans that serialize every map side onto one core.
-        # At real scale inputs have many files and this is a no-op.
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # NOTE: no session-wide maxPartitionBytes override. The r02 bench
+        # set it to 8m to widen 1-partition small-file scans, but that
+        # multiplied task count for every JVM-only query (hll_* regressed
+        # 11-41%, VERDICT r02 wrong #4); the Python-map-stage operators
+        # already call spread() internally, which widens only when the
+        # scan arrives narrow.
         .getOrCreate()
     )
 

@@ -143,44 +143,71 @@ def minhash_signatures(
     def partial_sigs(batches):
         """One Arrow batch of (id, normalized_text) in; signatures out.
 
-        Shingle hashing is a vectorized rolling polynomial hash over the
-        UTF-8 bytes (sliding_window_view @ pow_vec mod p): an earlier
-        variant materialized every shingle substring JVM-side
-        (transform+substr+explode+xxhash64) and spent 3.8 s of a 4.7 s
-        signature stage just building 1.5M UTF8Strings at sf0.1.
+        Fully batch-vectorized (VERDICT r02 next #7): all texts in the
+        Arrow batch concatenate into ONE byte blob, the rolling polynomial
+        hash runs as ONE sliding_window_view @ pow_vec matmul over the
+        blob (windows crossing document boundaries are sliced away via
+        per-doc offsets — slicing is a view, not a copy), per-doc
+        np.unique dedups shingles, and the 128 permutation minima come
+        from chunked (xs·a+b) mod p + np.minimum.reduceat over the doc
+        segment boundaries. The only per-doc Python left is encode() and
+        two O(doc) numpy calls; the earlier per-doc matmul loop was
+        overhead-dominated on small docs.
         max window dot = 255·257^4·n ≈ 5.6e12 < 2^63: no overflow.
-        Duplicate shingles are harmless (min over multiset == min over
-        set). Texts shorter than the shingle width hash as one window,
+        Texts shorter than the shingle width hash as one window,
         mirroring char_shingles_col's substr behavior."""
         import pandas as pd
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, sigs, shingle_sets = [], [], []
-            for did, txt in zip(pdf[id_col], pdf["__norm"]):
-                bts = np.frombuffer(
-                    (txt or "").encode("utf-8"), dtype=np.uint8
-                ).astype(np.int64)
-                if bts.size == 0:
-                    xs = np.zeros(1, dtype=np.int64)
-                elif bts.size < shingle_n:
-                    xs = (bts @ pow_vec[: bts.size]) % _MERSENNE31
-                    xs = np.atleast_1d(xs)
-                else:
-                    windows = np.lib.stride_tricks.sliding_window_view(
-                        bts, shingle_n
+            texts = [(t or "").encode("utf-8") for t in pdf["__norm"]]
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            blob = np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.int64)
+            if blob.size >= shingle_n:
+                windows = np.lib.stride_tricks.sliding_window_view(blob, shingle_n)
+                wh = (windows @ pow_vec) % _MERSENNE31
+            else:
+                wh = np.empty(0, dtype=np.int64)
+
+            doc_xs = []
+            for d in range(len(texts)):
+                ln = lens[d]
+                if ln == 0:
+                    doc_xs.append(np.zeros(1, dtype=np.int64))
+                elif ln < shingle_n:
+                    seg = blob[starts[d] : starts[d] + ln]
+                    doc_xs.append(
+                        np.unique(np.atleast_1d((seg @ pow_vec[:ln]) % _MERSENNE31))
                     )
-                    xs = np.unique((windows @ pow_vec) % _MERSENNE31)
-                ids.append(did)
-                # numpy arrays convert to Arrow lists directly — .tolist()
-                # here built ~10M Python ints per sf0.1 batch
-                sigs.append(((xs[:, None] * a + b) % _MERSENNE31).min(axis=0))
-                if include_shingle_hashes:
-                    shingle_sets.append(xs)
-            out = {id_col: ids, "signature": sigs}
+                else:
+                    # full windows for this doc: blob positions
+                    # starts[d] .. starts[d] + ln - shingle_n
+                    doc_xs.append(
+                        np.unique(wh[starts[d] : starts[d] + ln - shingle_n + 1])
+                    )
+            seg_lens = np.fromiter(
+                (x.size for x in doc_xs), dtype=np.int64, count=len(doc_xs)
+            )
+            xs_all = np.concatenate(doc_xs)
+            seg_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+            sig_mat = np.empty((len(texts), num_hashes), dtype=np.int64)
+            # chunk the permutation axis so the (n_shingles × chunk)
+            # intermediate stays ~<=256 MB whatever the batch size
+            chunk = max(1, min(num_hashes, int(32e6 // max(xs_all.size, 1)) or 1))
+            for j0 in range(0, num_hashes, chunk):
+                hv = (
+                    xs_all[:, None] * a[j0 : j0 + chunk] + b[j0 : j0 + chunk]
+                ) % _MERSENNE31
+                sig_mat[:, j0 : j0 + chunk] = np.minimum.reduceat(
+                    hv, seg_starts, axis=0
+                )
+            # numpy arrays convert to Arrow lists directly — .tolist()
+            # here built ~10M Python ints per sf0.1 batch
+            out = {id_col: pdf[id_col].reset_index(drop=True), "signature": list(sig_mat)}
             if include_shingle_hashes:
-                out["shingle_hashes"] = shingle_sets
+                out["shingle_hashes"] = doc_xs
             yield pd.DataFrame(out)
 
     # one input row per document ⇒ the per-batch signature is final
@@ -205,7 +232,14 @@ def minhash_lsh_pairs(
     1-(1-s^r)^b, r = num_hashes/bands — with 128/32 the S-curve midpoint
     sits near s≈0.3, comfortably below the default 0.5 threshold.
     Verification computes *exact* Jaccard on distinct shingle arrays, so
-    precision is 1.0 by construction; only recall depends on LSH."""
+    precision is 1.0 by construction; only recall depends on LSH.
+
+    CALLER CONTRACT (ADVICE r02): the returned DataFrame is eagerly
+    materialized and **persisted** (so the signature lineage never
+    re-runs and its much larger cache can be released before return).
+    Call ``.unpersist()`` on the result when done with it — the returned
+    handle IS the persisted DataFrame — or the (small) pair cache lives
+    until the session ends / ``spark.catalog.clearCache()``."""
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands

@@ -54,6 +54,13 @@ def sessionize(
     )
 
 
+def _orderable_double(df: DataFrame, c: str) -> Column:
+    col = F.col(c)
+    if df.schema[c].dataType.simpleString().startswith("timestamp"):
+        col = col.cast("timestamp")
+    return col.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -61,42 +68,104 @@ def asof_join(
     by: str | Sequence[str],
     right_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the latest right values
-    whose ``on`` (orderable, e.g. timestamp) is <= the left row's, within
-    the same ``by`` key(s). Left rows with no prior right row keep NULLs.
+    """As-of join: each left row gains the values of ONE matched right row
+    within the same ``by`` key(s) — the latest right row with ``on`` <=
+    the left's (``backward``, the point-in-time default), the earliest
+    with ``on`` >= (``forward``), or whichever of those two is closer
+    (``nearest``, ties broken backward like pandas merge_asof). Left rows
+    with no matching right row keep NULLs. ``tolerance`` (same units as
+    ``on``; seconds for timestamps) drops matches with |left.on −
+    right.on| > tolerance, mirroring pandas/DuckDB semantics.
 
-    Plan: tag both sides, unionByName, carry the right side's values
-    forward with ``last(..., ignorenulls=True)`` over (by, on, tag) —
-    right rows sort before left rows at equal ``on`` so equal timestamps
-    match (at-or-before semantics) — then keep the left rows."""
+    Plan: tag both sides, unionByName, carry ONE non-null struct of the
+    matched right row (its ``on`` + all carried values) across a window
+    keyed by ``by`` — a struct, not per-column carries, so a genuinely
+    NULL right value is preserved as the matched row's NULL and multiple
+    carried columns always come from the SAME right row (ADVICE r02
+    medium). One shuffle of (left ∪ right) keyed by the join key, no
+    range-explode, no per-row Python; skew on the key is the same skew
+    any windowed plan has and salts the same way."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     bys = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(bys) | {on}]
+    right_cols = list(right_cols)
     carried = [f"{c}{suffix}" for c in right_cols]
 
-    l_tagged = left.withColumn("__side", F.lit(1))
-    for c, cc in zip(right_cols, carried):
-        l_tagged = l_tagged.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
+    # the matched-row payload: right's orderable `on` (as double, for
+    # tolerance/nearest arithmetic) + every carried value, as one struct
+    r_struct = F.struct(
+        _orderable_double(right, on).alias("__r_on"),
+        *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)],
+    )
+    struct_type = None  # derived from r_tagged below for the left NULLs
+
     r_tagged = right.select(
         *bys,
         F.col(on).alias(on),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)],
+        r_struct.alias("__match"),
+    )
+    struct_type = r_tagged.schema["__match"].dataType
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
+        "__match", F.lit(None).cast(struct_type)
     )
     for c in l_tagged.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None))
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
 
-    w = (
-        Window.partitionBy(*bys)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    need_back = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+    if need_back:
+        # right rows (side 0) sort before left at equal `on`: at-or-before
+        w_back = (
+            Window.partitionBy(*bys)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        unioned = unioned.withColumn(
+            "__m_back", F.last("__match", ignorenulls=True).over(w_back)
+        )
+    if need_fwd:
+        # left rows sort before right at equal `on`, window looks forward:
+        # at-or-after
+        w_fwd = (
+            Window.partitionBy(*bys)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        unioned = unioned.withColumn(
+            "__m_fwd", F.first("__match", ignorenulls=True).over(w_fwd)
+        )
+
+    out = unioned.filter(F.col("__side") == 1)
+    l_on = _orderable_double(out, on)
+    if direction == "backward":
+        match = F.col("__m_back")
+    elif direction == "forward":
+        match = F.col("__m_fwd")
+    else:  # nearest: smaller |Δon| wins, ties -> backward
+        d_back = l_on - F.col("__m_back.__r_on")
+        d_fwd = F.col("__m_fwd.__r_on") - l_on
+        match = (
+            F.when(F.col("__m_back").isNull(), F.col("__m_fwd"))
+            .when(F.col("__m_fwd").isNull(), F.col("__m_back"))
+            .when(d_fwd < d_back, F.col("__m_fwd"))
+            .otherwise(F.col("__m_back"))
+        )
+    if tolerance is not None:
+        match = F.when(
+            F.abs(l_on - match["__r_on"]) <= F.lit(float(tolerance)), match
+        )
+    out = out.withColumn("__m", match)
     for cc in carried:
-        unioned = unioned.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
-    return unioned.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(cc, F.col("__m")[cc])
+    return out.drop("__side", "__match", "__m", "__m_back", "__m_fwd")
 
 
 def range_join(

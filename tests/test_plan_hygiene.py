@@ -94,6 +94,37 @@ def test_bloom_positions_jvm_distinct(spark, sf_correct):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_cms_estimate_lookup_is_jvm(spark, sf_correct):
+    """For default-size sketches the candidate-count lookup must be pure
+    JVM (array-literal element_at/array_min), no Arrow stage over the
+    candidates (VERDICT r02 wrong #2)."""
+    from hyper_spark.operators.cms_agg import cms_by, cms_estimate
+
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    sketch = cms_by(events, [], "event_type", depth=5, width=8192)
+    distinct_vals = events.select("event_type").dropna().distinct()
+    est = cms_estimate(sketch, distinct_vals, "event_type")
+    plan = _executed_plan(est)
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+    # fallback path still exists for oversized sketches
+    est_big = cms_estimate(
+        sketch, distinct_vals, "event_type", max_jvm_cells=0
+    )
+    assert "EvalPython" in _executed_plan(est_big)
+
+
+def test_heavy_hitters_guarantee_no_python_over_raw_scan(spark, sf_correct):
+    """guarantee=True must not ship raw rows through Python: the only
+    Arrow stage allowed is the post-aggregate densify
+    (FlatMapGroupsInPandas over d·w cells), never an EvalPython projection
+    over the scan (VERDICT r02 wrong #2)."""
+    from hyper_spark.operators.cms_agg import heavy_hitters
+
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    plan = _executed_plan(heavy_hitters(events, "event_type", k=3, guarantee=True))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
 def test_heavy_hitters_rescan_is_broadcast(spark, sf_correct):
     """The exact-verification rescan must broadcast the tiny candidate
     set (no shuffle of the big table for the semi-join)."""

@@ -57,6 +57,84 @@ def test_asof_join_matches_python(spark):
         assert row["price_asof"] == expect[row["lid"]], row
 
 
+def test_asof_join_directions_and_tolerance(spark):
+    """forward/nearest + tolerance vs a brute python oracle (pandas
+    merge_asof semantics; nearest ties go backward)."""
+    import random
+
+    rng = random.Random(11)
+    left = [Row(k=f"k{i % 3}", t=float(rng.randint(0, 1000)), lid=i) for i in range(150)]
+    right = [
+        Row(k=f"k{j % 3}", t=float(t), price=float(j))
+        for j, t in enumerate(rng.sample(range(0, 3000), 60))
+    ]
+    ldf = spark.createDataFrame(left).repartition(4)
+    rdf = spark.createDataFrame(right).repartition(3)
+    by_key: dict = {}
+    for r in right:
+        by_key.setdefault(r.k, []).append((r.t, r.price))
+    for k in by_key:
+        by_key[k].sort()
+
+    def oracle(lrow, direction, tol):
+        arr = by_key.get(lrow.k, [])
+        back = fwd = None
+        i = bisect.bisect_right([t for t, _ in arr], lrow.t)
+        if i:
+            back = arr[i - 1]
+        j = bisect.bisect_left([t for t, _ in arr], lrow.t)
+        if j < len(arr):
+            fwd = arr[j]
+        if direction == "backward":
+            m = back
+        elif direction == "forward":
+            m = fwd
+        else:
+            if back is None:
+                m = fwd
+            elif fwd is None:
+                m = back
+            else:
+                m = fwd if (fwd[0] - lrow.t) < (lrow.t - back[0]) else back
+        if m is not None and tol is not None and abs(m[0] - lrow.t) > tol:
+            m = None
+        return None if m is None else m[1]
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 50.0):
+            got = asof_join(
+                ldf, rdf, on="t", by="k", direction=direction, tolerance=tol
+            ).collect()
+            assert len(got) == len(left)
+            expect = {r.lid: oracle(r, direction, tol) for r in left}
+            for row in got:
+                assert row["price_asof"] == expect[row["lid"]], (
+                    direction, tol, row,
+                )
+
+
+def test_asof_join_preserves_matched_row_nulls(spark):
+    """ADVICE r02 medium: a matched right row's NULL value must come
+    through as NULL (not a stale earlier value), and multiple carried
+    columns must come from the SAME right row."""
+    left = spark.createDataFrame(
+        [Row(k="a", t=10.0, lid=1), Row(k="a", t=30.0, lid=2)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", t=5.0, price=1.0, qty=100),
+            # matched row for t=30: price is NULL, qty from the SAME row
+            Row(k="a", t=25.0, price=None, qty=200),
+        ]
+    )
+    got = {
+        r["lid"]: (r["price_asof"], r["qty_asof"])
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    assert got[1] == (1.0, 100)
+    assert got[2] == (None, 200)  # NOT (1.0, 200): no cross-row mixing
+
+
 def test_asof_join_plan_is_single_window_shuffle(spark):
     left = spark.createDataFrame([Row(k="a", t=1.0, lid=1)])
     right = spark.createDataFrame([Row(k="a", t=0.5, price=2.0)])

@@ -26,18 +26,26 @@ TABLES = (
 ).split()
 
 
+def _canon(v):
+    """Tag int vs float so the compare is as strict as the driver's value
+    hash (DuckDB HUGEINT -> float64 vs Spark bigint was masked by 2 == 2.0
+    in round 2)."""
+    if hasattr(v, "item"):  # numpy scalar from DuckDB .df()
+        v = v.item()
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        v = round(v, 6)
+        return ("f", "NaN" if math.isnan(v) else v)
+    return ("o", v)
+
+
 def normalize(rows, cols):
     out = []
     for row in rows:
-        vals = []
-        for c in cols:
-            v = row[c]
-            if isinstance(v, float):
-                v = round(v, 6)
-                if math.isnan(v):
-                    v = "NaN"
-            vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(_canon(row[c]) for c in cols))
     return sorted(out, key=repr)
 
 
