@@ -788,6 +788,49 @@ def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: hour-grain HLL sketches unioned up
+    to day must be (a) byte-identical to day sketches built directly
+    from raw rows (register-max associativity = lossless coarsening) and
+    (b) within the published error bound of DuckDB's exact per-day
+    distinct counts."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.rollup import rollup_estimates, sketch_time_rollup
+
+    events = _read(spark, sf_dir, "events")
+    p = 12
+    roll = sketch_time_rollup(events, "ts", "user_id", p=p, grains=["hour", "day"])
+    day_sk = roll.filter(F.col("grain") == "day")
+    direct = sketch_by(
+        events.withColumn("__b", F.date_trunc("day", "ts")), ["__b"], "user_id", p
+    )
+    est = rollup_estimates(day_sk).select("bucket", "estimate")
+    exact = events.groupBy(F.date_trunc("day", "ts").alias("bucket")).agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    bound = 3 * 1.04 / (2**p) ** 0.5
+    j = (
+        est.join(exact, "bucket")
+        .join(day_sk.select("bucket", F.col("registers").alias("reg_roll")), "bucket")
+        .join(
+            direct.select(
+                F.col("__b").alias("bucket"), F.col("registers").alias("reg_direct")
+            ),
+            "bucket",
+        )
+    )
+    return j.select(
+        # string day: DuckDB DATE arrives as a pandas Timestamp via .df()
+        # and hash-mismatches Spark's date (same trap as events_per_day)
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        (
+            F.abs(F.col("estimate") - F.col("exact"))
+            <= F.greatest(F.lit(1.0), F.lit(bound) * F.col("exact"))
+        ).alias("within_bound"),
+        (F.col("reg_roll") == F.col("reg_direct")).alias("rollup_lossless"),
+    )
+
+
 def _q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-bucketed interval join (equi hash join, never a nested-loop):
     events matched to per-user 1-hour windows opened by every 50th
@@ -906,7 +949,9 @@ def _q_streaming_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "2")
             .parquet(src)
         )
-        out = streaming_quantiles_by(stream, ["event_type"], "value", qs)
+        out = streaming_quantiles_by(
+            stream, ["event_type"], "value", qs, output_mode="append"
+        )  # parquet sink requires append; operator default is 'update'
         q = (
             out.writeStream.format("parquet")
             .option("path", sink)
@@ -1013,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_marks": _q_asof_join_marks,
         "asof_forward_tolerance": _q_asof_forward_tolerance,
         "multimodal_metadata": _q_multimodal_metadata,
+        "hll_time_rollup": _q_hll_time_rollup,
         "range_join_windows": _q_range_join_windows,
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
@@ -1264,6 +1310,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
         """,
+        "hll_time_rollup": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "true AS within_bound, true AS rollup_lossless "
+            "FROM events GROUP BY 1"
+        ),
         "heavy_hitters_guaranteed": (
             "SELECT v, count(*) AS est_count FROM ("
             "SELECT CASE WHEN event_id % 97 < 2 "

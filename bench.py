@@ -152,22 +152,34 @@ def checkpoint_bytes(spark: SparkSession, sf_dir: str) -> dict:
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = {}
-    for enc in ("dense", "auto"):
-        d = tempfile.mkdtemp(prefix=f"bench_ckpt_{enc}_")
+
+    def run(tag: str, keys: list, enc: str) -> None:
+        d = tempfile.mkdtemp(prefix=f"bench_ckpt_{tag}_{enc}_")
         t0 = time.perf_counter()
         checkpointed_sketch_build(
-            spark, events, ["user_id"], "event_id", d,
+            spark, events, keys, "event_id", d,
             p=14, num_salts=8, fanout=4, encoding=enc,
         ).count()
         secs = time.perf_counter() - t0
         total = 0
         for root, _, files in os.walk(d):
             total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-        out[f"ckpt_bytes_{enc}"] = total
-        out[f"ckpt_secs_{enc}"] = round(secs, 3)
+        out[f"ckpt_bytes_{tag}{enc}"] = total
+        out[f"ckpt_secs_{tag}{enc}"] = round(secs, 3)
         shutil.rmtree(d, ignore_errors=True)
+
+    # per-user sketches: low fill, the sparse sweet spot
+    for enc in ("dense", "auto"):
+        run("", ["user_id"], enc)
     out["ckpt_bytes_ratio"] = round(
         out["ckpt_bytes_dense"] / max(out["ckpt_bytes_auto"], 1), 1
+    )
+    # one global sketch: every salted partial is near-full — the
+    # packed6 (6-bit dense) arm's 25% saving shows here
+    for enc in ("dense", "packed6"):
+        run("global_", [], enc)
+    out["ckpt_bytes_global_ratio"] = round(
+        out["ckpt_bytes_global_dense"] / max(out["ckpt_bytes_global_packed6"], 1), 2
     )
     return out
 

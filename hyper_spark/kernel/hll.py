@@ -168,14 +168,30 @@ def encode_registers(regs: np.ndarray, mode: str = "auto") -> bytes:
     """Encode a dense uint8 register array as dense or sparse bytes.
 
     ``auto`` picks sparse below the hyper_bisect fill threshold
-    (nnz < 2^p/3), dense otherwise — the same promotion policy the
-    reference applies per insert (src/hyper_bisect.erl:38-43)."""
+    (nnz < 2^p div 3), dense at or above it — exactly the reference's
+    promotion policy: hyper_bisect promotes when num_keys >= Threshold
+    = 2^p div 3 (src/hyper_bisect.erl:38-43; ADVICE r02 flagged the
+    earlier 3·nnz < 2^p form as off by one at nnz == 2^p div 3).
+
+    ``packed6`` keeps the sparse arm for low fill but replaces the DENSE
+    arm with the 6-bit packed layout (hyper_binary.erl:25 — 3/4 the
+    bytes): sparse while 3·nnz < 6·2^p/8, packed6 at or above, so the
+    two are length-unambiguous within the mode (sparse blobs are
+    strictly shorter than the fixed packed length). Persisted tables
+    must record the mode — a packed6 blob is NOT distinguishable from
+    an ``auto`` sparse blob by length alone (see decode_register_blob).
+    """
     regs = np.ascontiguousarray(regs, dtype=np.uint8)
     if mode == "dense":
         return regs.tobytes()
     nnz_idx = np.flatnonzero(regs)
-    if mode == "auto":
-        if SPARSE_ENTRY_BYTES * len(nnz_idx) >= regs.shape[0]:
+    if mode == "packed6":
+        if SPARSE_ENTRY_BYTES * len(nnz_idx) < (6 * regs.shape[0]) // 8:
+            pass  # fall through to the sparse emitter below
+        else:
+            return pack6(regs)
+    elif mode == "auto":
+        if len(nnz_idx) >= regs.shape[0] // SPARSE_ENTRY_BYTES:
             return regs.tobytes()
     elif mode != "sparse":
         raise ValueError(f"unknown encoding mode {mode!r}")
@@ -190,13 +206,21 @@ def encode_registers(regs: np.ndarray, mode: str = "auto") -> bytes:
     return out.tobytes()
 
 
-def decode_register_blob(p: int, data) -> np.ndarray:
+def decode_register_blob(p: int, data, encoding: str = "auto") -> np.ndarray:
     """Decode a dense-or-sparse register blob to a dense uint8[2^p] array
     (sparse promotion = scatter, matching bisect2dense's expansion,
-    src/hyper_bisect.erl:203-217)."""
+    src/hyper_bisect.erl:203-217).
+
+    ``encoding='packed6'`` declares the blob was written by
+    ``encode_registers(mode='packed6')``: a blob of exactly 6·2^p/8
+    bytes is then the 6-bit dense layout (by length alone it would parse
+    as sparse — 6·2^p/8 is divisible by 3 — so the writer's mode must
+    travel with persisted packed6 tables)."""
     data = bytes(data)
     m = 1 << p
     n = len(data)
+    if encoding == "packed6" and n == (6 * m) // 8:
+        return unpack6(p, data)
     if n == m:
         return np.frombuffer(data, dtype=np.uint8).copy()
     if n == m + 1 and data[-1] == 0:  # pad tolerance (hyper_binary.erl:182-189)

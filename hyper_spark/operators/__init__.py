@@ -33,6 +33,7 @@ from hyper_spark.operators.quantiles import (
     sketch_quantiles,
     tdigest_by,
 )
+from hyper_spark.operators.rollup import rollup_estimates, sketch_time_rollup
 from hyper_spark.operators.temporal import asof_join, range_join, sessionize
 
 __all__ = [
@@ -55,6 +56,8 @@ __all__ = [
     "quantiles_by",
     "sketch_quantiles",
     "tdigest_by",
+    "sketch_time_rollup",
+    "rollup_estimates",
     "sessionize",
     "asof_join",
     "range_join",

@@ -99,13 +99,16 @@ def _densify_fn(p: int, keys: Sequence[str], encoding: str = "dense"):
     return densify
 
 
-def _merge_fn(keys: Sequence[str], encoding: str = "dense"):
+def _merge_fn(keys: Sequence[str], encoding: str = "dense", decode_encoding: str = "auto"):
+    """``decode_encoding`` declares how the INPUT blobs were written —
+    required for 'packed6' inputs, whose length is ambiguous with sparse
+    (kernel.decode_register_blob docstring)."""
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         ps = pdf["p"].to_numpy()
         min_p = int(ps.min())
         stacked = []
         for p_i, blob in zip(ps, pdf["registers"]):
-            regs = decode_register_blob(int(p_i), blob)
+            regs = decode_register_blob(int(p_i), blob, decode_encoding)
             if p_i != min_p:
                 regs = regs.reshape(-1, 1 << min_p).max(axis=0)
             stacked.append(regs)

@@ -1,0 +1,125 @@
+"""Time-grain sketch rollups (hypertable-style continuous aggregates).
+
+The workload: "distinct users per hour, per day, per week" over an
+append-heavy event/transcript table. Naively that is one full scan per
+grain. Here the raw table is scanned ONCE — HLL sketches are built at
+the finest grain, and every coarser grain is derived by lossless
+register-max union of the finer sketches (union associativity is the
+reference's own merge law, src/hyper.erl:82-87, property-tested in
+tests/test_kernel_hll.py). Because the union is exact over registers,
+a rolled-up day sketch is byte-identical to one built directly from the
+raw rows — that identity is the correctness gate.
+
+Scale shape: the single raw scan feeds the usual two-level sketch
+aggregation (shuffle bounded by buckets × 2^p rows); each coarser grain
+then shuffles only |finer buckets| sketch blobs — independent of the
+raw row count, which is what makes serving many grains over 10^12 rows
+cheap.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hyper_spark.operators.hll_agg import (
+    cardinality_col,
+    sketch_by,
+    union_sketches,
+)
+
+__all__ = ["sketch_time_rollup", "rollup_estimates"]
+
+# Spark date_trunc fmts, fine -> coarse (all also valid DuckDB grains)
+_GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def sketch_time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    col: str | Column,
+    p: int = 14,
+    grains: Sequence[str] = ("hour", "day"),
+    keys: Sequence[str] = (),
+    encoding: str = "dense",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """One HLL sketch per (keys, grain, bucket) for every grain in
+    ``grains`` (ordered fine → coarse), coarser grains derived by
+    lossless union of the previous grain's sketches.
+
+    With ``checkpoint_dir`` each grain is persisted as parquet under
+    ``<dir>/grain_<name>`` before the next is derived, so the raw table
+    is scanned exactly ONCE however many grains are served (and a rerun
+    resumes: complete grains are read back, not rebuilt) — the shape to
+    use at scale. Without it the result is a lazy plan whose execution
+    re-derives the finer levels once per grain (fine for interactive /
+    small inputs; Spark does not reuse the shared subplan across the
+    union branches).
+
+    Returns DataFrame[*keys, grain string, bucket timestamp, p,
+    registers]."""
+    keys = list(keys)
+    grains = list(grains)
+    order = {g: i for i, g in enumerate(_GRAIN_ORDER)}
+    unknown = [g for g in grains if g not in order]
+    if unknown:
+        raise ValueError(f"unknown grains {unknown}; pick from {_GRAIN_ORDER}")
+    if len(grains) != len(set(grains)) or sorted(grains, key=order.get) != grains:
+        raise ValueError("grains must be unique and ordered fine -> coarse")
+
+    def materialize(grain: str, sk: DataFrame) -> DataFrame:
+        """checkpoint_dir: write-once-then-read so the next grain and the
+        final union read parquet, never re-deriving this level."""
+        if checkpoint_dir is None:
+            return sk
+        import os
+
+        path = os.path.join(checkpoint_dir, f"grain_{grain}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            sk.write.mode("overwrite").parquet(path)
+        return sk.sparkSession.read.parquet(path)
+
+    fine = grains[0]
+    cur = materialize(
+        fine,
+        sketch_by(
+            df.withColumn("__bucket", F.date_trunc(fine, F.col(ts_col))),
+            keys + ["__bucket"],
+            col,
+            p,
+            encoding=encoding,
+        ),
+    )
+
+    def tagged(grain: str, sk: DataFrame) -> DataFrame:
+        return sk.select(
+            *keys,
+            F.lit(grain).alias("grain"),
+            F.col("__bucket").alias("bucket"),
+            "p",
+            "registers",
+        )
+
+    out = tagged(fine, cur)
+    for g in grains[1:]:
+        cur = materialize(
+            g,
+            union_sketches(
+                cur.withColumn("__bucket", F.date_trunc(g, F.col("__bucket"))),
+                keys + ["__bucket"],
+                encoding=encoding,
+            ),
+        )
+        out = out.unionByName(tagged(g, cur))
+    return out
+
+
+def rollup_estimates(rollup_df: DataFrame) -> DataFrame:
+    """Attach the cardinality estimate to a ``sketch_time_rollup``
+    output (drops the register blobs — the query-serving projection)."""
+    return rollup_df.withColumn(
+        "estimate", cardinality_col(F.col("p"), F.col("registers"))
+    ).drop("p", "registers")

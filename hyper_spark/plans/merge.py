@@ -172,9 +172,12 @@ def checkpointed_sketch_build(
     ``encoding='auto'`` (default) persists each level's sketches sparse
     when fill < 2^p/3 (src/hyper_bisect.erl:25-29) — at high-cardinality
     keys this is most partials, cutting checkpoint I/O and the next
-    level's shuffle bytes by up to ~2^p/3·nnz; ``'dense'`` forces the
-    canonical blobs everywhere. The final level always returns dense
-    blobs so output bytes stay canonical."""
+    level's shuffle bytes by up to ~2^p/3·nnz; ``'packed6'`` keeps the
+    sparse arm but stores dense-fill levels 6-bit packed
+    (hyper_binary.erl:25 — 25% smaller than dense, for low-salt/late
+    levels where fill is high); ``'dense'`` forces the canonical blobs
+    everywhere. The final level always returns dense blobs so output
+    bytes stay canonical."""
     keys = list(keys)
     # ≥2 salts: level 0 emits one partial per (keys, salt) per task
     # partition; at least one merge level must run to collapse them
@@ -209,10 +212,12 @@ def checkpointed_sketch_build(
                 [folded.schema[k] for k in merge_keys] + SKETCH_FIELDS
             )
             # intermediate levels keep the chosen encoding; the last level
-            # (next_salts == 1) emits canonical dense output blobs
+            # (next_salts == 1) emits canonical dense output blobs. The
+            # decode hint mirrors the writer's encoding — mandatory for
+            # 'packed6', whose blob length is ambiguous with sparse.
             lvl_enc = "dense" if next_salts == 1 else encoding
             merged = folded.groupBy(*merge_keys).applyInPandas(
-                _merge_fn(merge_keys, lvl_enc), schema
+                _merge_fn(merge_keys, lvl_enc, decode_encoding=encoding), schema
             )
             merged.write.mode("overwrite").parquet(path)
             _write_metrics(spark, checkpoint_dir, level, path, t0)

@@ -110,7 +110,7 @@ def streaming_cms_by(
     col: str,
     depth: int = 5,
     width: int = 2048,
-    output_mode: str = "append",
+    output_mode: str = "update",
 ) -> DataFrame:
     """Streaming grouped count-min sketches: state is the d×w int64
     counter blob per group (addition is the merge, so late/out-of-order
@@ -176,10 +176,13 @@ def streaming_quantiles_by(
     qs: Sequence[float],
     method: str = "tdigest",
     param: float | None = None,
-    output_mode: str = "append",
+    output_mode: str = "update",
 ) -> DataFrame:
     """Streaming grouped quantiles (KLL or t-digest state per group) —
-    the turn-latency-quantile workload in streaming form. State is the
+    the turn-latency-quantile workload in streaming form. Emits an
+    UPDATED row per key every micro-batch, so the default output mode is
+    'update' like the other stateful operators (ADVICE r02: with an
+    append sink each per-batch row would look final). State is the
     kernel sketch's JSON dict (bounded: KLL O(k·log(n/k)) items,
     t-digest O(delta) centroids — independent of stream length); every
     micro-batch folds its values with ``update_batch`` and emits the

@@ -336,6 +336,45 @@ def test_sparse_encoding_roundtrip_and_threshold():
     )
 
 
+def test_sparse_promotion_threshold_exact_boundary():
+    """ADVICE r02: promotion must fire AT nnz == 2^p div 3, exactly like
+    hyper_bisect (num_keys >= Threshold = 2^p div 3, erl:38-43) — the
+    earlier 3·nnz < 2^p form stayed sparse one step too long."""
+    from hyper_spark.kernel.hll import encode_registers, sparse_threshold
+
+    p = 10
+    m = 1 << p
+    thr = sparse_threshold(p)
+    for nnz, want_dense in ((thr - 1, False), (thr, True), (thr + 1, True)):
+        regs = np.zeros(m, dtype=np.uint8)
+        regs[:nnz] = 1
+        blob = encode_registers(regs, "auto")
+        assert (len(blob) == m) == want_dense, (nnz, len(blob))
+
+
+def test_packed6_mode_roundtrip_and_arms():
+    """encoding='packed6': sparse arm below 6·2^p/8 bytes, 6-bit packed
+    at/above; both decode with the declared mode; boundary nnz == 2^p/4
+    goes packed (lengths would collide)."""
+    from hyper_spark.kernel.hll import decode_register_blob, encode_registers
+
+    p = 10
+    m = 1 << p
+    packed_len = 6 * m // 8
+    for nnz in (0, 5, m // 4 - 1, m // 4, m // 3, m // 2, m):
+        regs = np.zeros(m, dtype=np.uint8)
+        rng = np.random.default_rng(nnz)
+        idx = rng.choice(m, size=nnz, replace=False)
+        regs[idx] = rng.integers(1, 18, size=nnz)
+        blob = encode_registers(regs, "packed6")
+        nz = int((regs != 0).sum())
+        if 3 * nz < packed_len:
+            assert len(blob) == 3 * nz  # sparse arm, strictly shorter
+        else:
+            assert len(blob) == packed_len
+        assert np.array_equal(decode_register_blob(p, blob, "packed6"), regs)
+
+
 def test_sparse_dense_length_disjoint():
     # the dual-format binary column relies on length disambiguation:
     # 2^p is never a multiple of 3, sparse is always < 2^p bytes

@@ -158,7 +158,9 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     stream = spark.readStream.schema(df.schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(src)
-    out = streaming_cms_by(stream, ["g"], "v", depth=3, width=256)
+    # parquet sinks only take append; the operator defaults to 'update'
+    # (one refreshed row per key per batch) so opt in to append here
+    out = streaming_cms_by(stream, ["g"], "v", depth=3, width=256, output_mode="append")
     sink = str(tmp_path / "cms_sink")
     q = (
         out.writeStream.format("parquet")
@@ -269,7 +271,9 @@ def test_streaming_quantiles_matches_kernel(spark, tmp_path):
     stream = spark.readStream.schema(df.schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(src)
-    out = streaming_quantiles_by(stream, ["g"], "v", [0.5, 0.9], method="tdigest")
+    out = streaming_quantiles_by(
+        stream, ["g"], "v", [0.5, 0.9], method="tdigest", output_mode="append"
+    )  # parquet sink requires append; default is 'update'
     sink = str(tmp_path / "q_sink")
     q = (
         out.writeStream.format("parquet")
@@ -310,3 +314,34 @@ def test_sparse_checkpoint_shrinks_partials(spark, ckpt_dir):
     direct = {r["u"]: bytes(r["registers"]) for r in sketch_by(df, ["u"], "v", p).collect()}
     got = {r["u"]: bytes(r["registers"]) for r in out.collect()}
     assert got == direct
+
+
+def test_packed6_checkpoint_shrinks_dense_levels(spark, ckpt_dir):
+    """encoding='packed6' (VERDICT r02 next #8): dense-fill partials
+    persist at 6 bits/register (exactly 3/4 the dense blob), low-fill
+    ones still go sparse, and the final output is byte-identical to a
+    dense-encoded build. A GLOBAL sketch over many distinct values makes
+    every salted partial near-full — the packed6 case."""
+    import tempfile as _tf
+
+    rows = [Row(v=f"user-{i}") for i in range(60000)]
+    df = spark.createDataFrame(rows).repartition(4)
+    p = 10  # 2^10 registers, ~15k distinct per salt -> full registers
+    out = checkpointed_sketch_build(
+        spark, df, [], "v", ckpt_dir, p=p, num_salts=4, fanout=4,
+        encoding="packed6",
+    )
+    lin = lineage_table(spark, ckpt_dir)
+    mx = lin.agg(F.max("sketch_bytes").alias("mx")).collect()[0]["mx"]
+    assert mx == 6 * (1 << p) // 8, mx  # the 25%-smaller packed layout
+    d2 = _tf.mkdtemp(prefix="hyper_spark_ckpt_dense_")
+    try:
+        dense = checkpointed_sketch_build(
+            spark, df, [], "v", d2, p=p, num_salts=4, fanout=4,
+            encoding="dense",
+        )
+        assert [bytes(r["registers"]) for r in out.collect()] == [
+            bytes(r["registers"]) for r in dense.collect()
+        ]
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)

@@ -1,0 +1,103 @@
+"""Time-grain sketch rollup: lossless coarsening + single-scan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hyper_spark.operators.hll_agg import sketch_by
+from hyper_spark.operators.rollup import rollup_estimates, sketch_time_rollup
+
+
+@pytest.fixture(scope="module")
+def ts_events(spark):
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        Row(
+            ts=base + dt.timedelta(minutes=17 * i),
+            uid=f"u{i % 97}",
+            site=f"s{i % 2}",
+        )
+        for i in range(800)  # ~9.4 days of data
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_rollup_byte_identical_to_direct_build(ts_events):
+    """A rolled-up coarse sketch must equal one built directly from raw
+    rows (register max is associative), at every grain."""
+    p = 12
+    roll = sketch_time_rollup(
+        ts_events, "ts", "uid", p=p, grains=["hour", "day", "week"]
+    )
+    got = {
+        (r["grain"], r["bucket"]): bytes(r["registers"]) for r in roll.collect()
+    }
+    for grain in ("hour", "day", "week"):
+        direct = sketch_by(
+            ts_events.withColumn("b", F.date_trunc(grain, "ts")), ["b"], "uid", p
+        )
+        want = {r["b"]: bytes(r["registers"]) for r in direct.collect()}
+        assert {b: v for (g, b), v in got.items() if g == grain} == want, grain
+
+
+def test_rollup_with_keys_and_estimates(ts_events):
+    roll = sketch_time_rollup(
+        ts_events, "ts", "uid", p=12, grains=["day"], keys=["site"]
+    )
+    est = rollup_estimates(roll).collect()
+    exact = {
+        (r["site"], r["b"]): r["x"]
+        for r in ts_events.groupBy(
+            "site", F.date_trunc("day", "ts").alias("b")
+        )
+        .agg(F.countDistinct("uid").alias("x"))
+        .collect()
+    }
+    assert len(est) == len(exact)
+    bound = 1.04 / (2**12) ** 0.5 * 3
+    for r in est:
+        x = exact[(r["site"], r["bucket"])]
+        assert abs(r["estimate"] - x) <= max(1.0, bound * x), r
+
+
+def test_rollup_grain_validation(ts_events):
+    with pytest.raises(ValueError):
+        sketch_time_rollup(ts_events, "ts", "uid", grains=["day", "hour"])
+    with pytest.raises(ValueError):
+        sketch_time_rollup(ts_events, "ts", "uid", grains=["fortnight"])
+
+
+def test_rollup_checkpointed_single_scan_and_resume(spark, tmp_path):
+    """With checkpoint_dir the raw table is scanned once: every grain in
+    the FINAL plan reads back its parquet level (zero scans of the raw
+    source), and a rerun resumes from the persisted grains."""
+    import os
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "roll")
+    roll = sketch_time_rollup(
+        ev, "ts", "user_id", p=10, grains=["hour", "day", "week"],
+        checkpoint_dir=d,
+    )
+    lazy = sketch_time_rollup(ev, "ts", "user_id", p=10, grains=["hour", "day", "week"])
+    got = {(r["grain"], r["bucket"]): bytes(r["registers"]) for r in roll.collect()}
+    want = {(r["grain"], r["bucket"]): bytes(r["registers"]) for r in lazy.collect()}
+    assert got == want
+    for g in ("hour", "day", "week"):
+        assert os.path.exists(os.path.join(d, f"grain_{g}", "_SUCCESS"))
+    # final plan reads only the persisted grains — the events scan is gone
+    plan = roll._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in plan, plan
+    assert plan.count("FileScan") == 3  # one per grain level
+    # resume: a fresh call over a DIFFERENT (empty-ish) frame still
+    # serves the persisted grains rather than rebuilding
+    again = sketch_time_rollup(
+        ev.limit(0), "ts", "user_id", p=10, grains=["hour", "day", "week"],
+        checkpoint_dir=d,
+    )
+    got2 = {(r["grain"], r["bucket"]): bytes(r["registers"]) for r in again.collect()}
+    assert got2 == got

@@ -39,6 +39,24 @@ def test_load_table_catalog_routing(spark, sf_correct):
     assert got.schema == ev.schema
 
 
+def test_load_table_managed_catalog_roundtrip(spark, sf_correct):
+    """Write-then-load through the session catalog (saveAsTable →
+    load_table('db.table')): the same createOrReplace/read.table V1
+    round-trip an Iceberg catalog performs, minus the jar — so the
+    production read path executes even where the Iceberg runtime is
+    absent (VERDICT r02 next #9)."""
+    ev = spark.read.parquet(f"{sf_correct}/events.parquet")
+    spark.sql("CREATE DATABASE IF NOT EXISTS gate_db")
+    try:
+        ev.write.mode("overwrite").saveAsTable("gate_db.events_managed")
+        got = load_table(spark, "gate_db.events_managed")
+        assert got.count() == ev.count()
+        assert set(got.columns) == set(ev.columns)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gate_db.events_managed")
+        spark.sql("DROP DATABASE IF EXISTS gate_db")
+
+
 def test_iceberg_roundtrip(spark, tmp_path):
     """End-to-end Iceberg profile: hadoop catalog, write-then-load via
     load_table('catalog.db.table'). Skipped in this sandbox (no
