@@ -170,18 +170,22 @@ def cms_estimate(
     c = F.col(col)
 
     if depth * width <= max_jvm_cells:
-        flat = F.lit([int(v) for v in counters.reshape(-1)])  # row-major
-        est = F.array_min(
-            F.array(
-                *[
-                    F.element_at(
-                        flat,
-                        (md5_bucket_col(c, i, width) + i * width + 1).cast("int"),
-                    )
-                    for i in range(depth)
-                ]
+        # ONE binary literal (py4j ships bytes in a single transfer; a
+        # 40960-element F.lit(list) costs one py4j call PER ELEMENT —
+        # measured 19 s of pure driver overhead) + fixed-width decode in
+        # codegen: counter[i][b] = int64 at byte offset (i·width+b)·8,
+        # big-endian so hex() reads in order; counts are non-negative so
+        # the unsigned conv() is exact.
+        blob = F.lit(bytearray(counters.astype(">i8").tobytes()))
+        cells = []
+        for i in range(depth):
+            pos = (md5_bucket_col(c, i, width) + i * width) * 8 + 1
+            cells.append(
+                F.conv(F.hex(F.substring(blob, pos.cast("int"), 8)), 16, 10).cast(
+                    "long"
+                )
             )
-        )
+        est = F.array_min(F.array(*cells))
         # NULL candidates: estimate 0 (never inserted)
         return candidates.withColumn(
             alias, F.when(c.isNull(), F.lit(0).cast("long")).otherwise(est)

