@@ -16,6 +16,7 @@ exact value with the boolean literally true. Hash/fingerprint operators
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -930,6 +931,81 @@ def _q_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window streaming sketches (watermark + bounded
+    state): stream the events table in four ts-ordered slices, build
+    1-day window HLLs with a 1-hour watermark, and require every
+    window's (monotone) final estimate to land within bound of the
+    exact per-day distinct count DuckDB computes."""
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from hyper_spark.streaming.hll_stream import streaming_windowed_sketch_by
+
+    events = _read(spark, sf_dir, "events")
+    p = 12
+    with tempfile.TemporaryDirectory(prefix="gate_wstream_") as td:
+        src = os.path.join(td, "src")
+        os.makedirs(src)
+        qs = events.select(
+            F.expr(
+                "percentile(cast(cast(ts as timestamp) as double), array(0.25, 0.5, 0.75))"
+            ).alias("q")
+        ).collect()[0]["q"]
+        lo = [None] + list(qs)
+        hi = list(qs) + [None]
+        # sequential writes => ascending mod-times => the file source
+        # replays slices in event-time order (no artificial late data)
+        for i, (a, b) in enumerate(zip(lo, hi)):
+            sl = events.select("user_id", "ts")
+            tsd = F.col("ts").cast("timestamp").cast("double")  # NTZ->TS->dbl
+            if a is not None:
+                sl = sl.filter(tsd > a)
+            if b is not None:
+                sl = sl.filter(tsd <= b)
+            sl.coalesce(1).write.mode("overwrite").parquet(os.path.join(td, f"s{i}"))
+            for f in _glob.glob(os.path.join(td, f"s{i}", "*.parquet")):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_windowed_sketch_by(
+            stream, "ts", [], "user_id", p=p, window="1 day", watermark="1 hour"
+        )
+        name = "gate_wstream_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emitted = spark.table(name).groupBy("window_start").agg(
+            F.max("estimate").alias("estimate")  # monotone: latest == max
+        )
+        exact = events.groupBy(F.date_trunc("day", "ts").alias("window_start")).agg(
+            F.countDistinct("user_id").alias("exact")
+        )
+        bound = 3 * 1.04 / (2**p) ** 0.5
+        result = (
+            emitted.join(exact, "window_start")
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+                (
+                    F.abs(F.col("estimate") - F.col("exact"))
+                    <= F.greatest(F.lit(1.0), F.lit(bound) * F.col("exact"))
+                ).alias("within_bound"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(result)
+
+
 def _q_streaming_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming t-digest quantiles (applyInPandasWithState) land within
     rank-eps of exact per group after an availableNow multi-micro-batch
@@ -1062,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": _q_range_join_windows,
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
+        "streaming_windowed_rollup": _q_streaming_windowed_rollup,
         "streaming_quantiles_bound": _q_streaming_quantiles_bound,
         "knn_ivf_recall": _q_knn_ivf_recall,
         "sparse_dense_parity": _q_sparse_dense_parity,
@@ -1328,6 +1405,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_ivf_recall": (
             "SELECT 20 AS n_queries, true AS recall_ok, true AS exactly_k_each"
+        ),
+        "streaming_windowed_rollup": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "true AS within_bound FROM events GROUP BY 1"
         ),
         "streaming_quantiles_bound": (
             "SELECT event_type, count(*) AS n, true AS within_eps "

@@ -124,8 +124,31 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         ).astype(np.float64)
         return knn_with_index(spark, ivf_path, qs, k=10, n_probe=4)
 
+    def q_hll_rollup():
+        # hour->day->week rollup via the checkpointed single-scan path
+        # (fresh dir per rep: resume would serve rep 2 from disk and lie)
+        import shutil
+        import tempfile
+
+        from hyper_spark.operators.rollup import sketch_time_rollup
+
+        d = tempfile.mkdtemp(prefix="bench_rollup_")
+
+        class _Rollup:
+            def count(self_inner):
+                try:
+                    return sketch_time_rollup(
+                        events, "ts", "user_id", p=12,
+                        grains=["hour", "day", "week"], checkpoint_dir=d,
+                    ).count()
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+
+        return _Rollup()
+
     return {
         "hll_orderkey": q_hll_orderkey,
+        "hll_rollup_hour_day_week": q_hll_rollup,
         "hll_orderkey_partial": q_hll_orderkey_partial,
         "hll_by_flag": q_hll_by_flag,
         "hll_users": q_hll_users,

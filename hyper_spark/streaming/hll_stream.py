@@ -32,7 +32,12 @@ from hyper_spark.kernel.hll import (
     estimate_from_registers,
 )
 
-__all__ = ["streaming_sketch_by", "streaming_cms_by", "streaming_quantiles_by"]
+__all__ = [
+    "streaming_sketch_by",
+    "streaming_cms_by",
+    "streaming_quantiles_by",
+    "streaming_windowed_sketch_by",
+]
 
 
 def streaming_sketch_by(
@@ -101,6 +106,121 @@ def streaming_sketch_by(
         stateStructType=state_schema,
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_windowed_sketch_by(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    col: str,
+    p: int = 14,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    output_mode: str = "update",
+    state_encoding: str = "auto",
+) -> DataFrame:
+    """Event-time tumbling-window distinct sketches with BOUNDED state —
+    the "watermarks + windowed aggs for late data" shape the north star
+    asks for. Without expiry, per-(key, window) state grows forever on
+    an endless stream; here a window's state is dropped once the
+    watermark passes its end, at which point Spark has already filtered
+    every row that could still belong to it, so the drop is lossless.
+
+    Per micro-batch each live (keys, window) emits its current estimate
+    with ``final = false``; when the watermark passes a window's end its
+    state times out and ONE closing row with ``final = true`` is emitted
+    before the state is removed (rows after the last input never close
+    windows still below the watermark — standard Structured Streaming).
+    Late rows inside the watermark fold in exactly like batch (register
+    max is order-insensitive); rows older than the watermark are dropped
+    by Spark upstream.
+
+    Output: [*keys, window_start, window_end, p, registers, estimate,
+    final]. State per live window ≤ 2^p bytes (sparse-encoded below the
+    fill threshold with the default ``state_encoding='auto'``)."""
+    keys = list(keys)
+    m = 1 << p
+    idx, rho = hll_prepare(F.col(col), p)
+    win = F.window(F.col(ts_col), window)
+    # the watermarked event-time column must survive into the stateful
+    # operator's child plan (extracting window.start strips the watermark
+    # metadata and Spark then rejects EventTimeTimeout), so ts rides
+    # along unused
+    prepared = (
+        df.withWatermark(ts_col, watermark)
+        .filter(F.col(col).isNotNull())
+        .select(
+            *keys,
+            win["start"].alias("window_start"),
+            win["end"].alias("window_end"),
+            idx.alias("idx"),
+            rho.alias("rho"),
+            F.col(ts_col),
+        )
+    )
+
+    out_fields = [
+        f"{df.schema[k].name} {df.schema[k].dataType.simpleString()}" for k in keys
+    ] + [
+        "window_start timestamp",
+        "window_end timestamp",
+        "p int",
+        "registers binary",
+        "estimate double",
+        "final boolean",
+    ]
+    output_schema = ", ".join(out_fields)
+    state_schema = "registers binary"
+    group_cols = keys + ["window_start", "window_end"]
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def emit(regs: np.ndarray, final: bool) -> pd.DataFrame:
+            out = {k: [key[i]] for i, k in enumerate(keys)}
+            out["window_start"] = [key[len(keys)]]
+            out["window_end"] = [key[len(keys) + 1]]
+            out["p"] = [p]
+            out["registers"] = [regs.tobytes()]
+            out["estimate"] = [estimate_from_registers(regs, p)]
+            out["final"] = [final]
+            return pd.DataFrame(out)
+
+        if state.hasTimedOut:
+            # watermark passed window_end: no row for this window can
+            # still arrive — close it and drop the state
+            (blob,) = state.get
+            regs = decode_register_blob(p, blob)
+            state.remove()
+            yield emit(regs, True)
+            return
+        if state.exists:
+            (blob,) = state.get
+            regs = decode_register_blob(p, blob)
+        else:
+            regs = np.zeros(m, dtype=np.uint8)
+        for pdf in pdfs:
+            if len(pdf):
+                np.maximum.at(
+                    regs,
+                    pdf["idx"].to_numpy(dtype=np.int64),
+                    pdf["rho"].to_numpy(dtype=np.uint8),
+                )
+        state.update((encode_registers(regs, state_encoding),))
+        # expire when the event-time watermark passes the window end
+        window_end = key[len(keys) + 1]
+        state.setTimeoutTimestamp(int(pd.Timestamp(window_end).value // 10**6))
+        yield emit(regs, False)
+
+    return prepared.groupBy(*group_cols).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

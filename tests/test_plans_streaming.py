@@ -294,6 +294,82 @@ def test_streaming_quantiles_matches_kernel(spark, tmp_path):
         assert abs(rank - qq) <= 0.02, (qq, est, rank)
 
 
+def test_streaming_windowed_sketch_watermark_expiry(spark, tmp_path):
+    """Event-time windowed sketches with bounded state: windows emit
+    live updates, close with ONE final row when the watermark passes
+    their end (state removed — the property that bounds state on an
+    endless stream), fold late-but-in-watermark rows, and drop rows
+    older than the watermark."""
+    import datetime as dt
+    import shutil
+    from pathlib import Path
+
+    from hyper_spark.streaming.hll_stream import streaming_windowed_sketch_by
+
+    base = dt.datetime(2024, 5, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    batches = [
+        # window [0,30): u0..u4 distinct=5 ; window [30,60): v0..v2 =3
+        [Row(g="a", ts=t(m), v=f"u{m // 5}") for m in range(0, 25, 5)]
+        + [Row(g="a", ts=t(m), v=f"v{m % 3}") for m in range(30, 55, 5)],
+        # advances watermark to 110-10=100 -> closes [0,30) and [30,60);
+        # also a LATE row for window [60,90): ts=62 > wm(=40 at batch-1
+        # end) when processed here, folds in
+        [Row(g="a", ts=t(m), v=f"w{m}" ) for m in range(100, 111, 5)]
+        + [Row(g="a", ts=t(62), v="late-ok")],
+        # a row for the long-closed [0,30) window: older than the
+        # watermark (100) -> dropped by Spark, must NOT reopen the window
+        [Row(g="a", ts=t(2), v="too-late")]
+        + [Row(g="a", ts=t(200), v="tail")],
+    ]
+    raw = tmp_path / "wsrc"
+    flat = tmp_path / "wflat"
+    flat.mkdir()
+    k = 0
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+            str(raw / f"b{i}")
+        )
+        for f in sorted(Path(raw / f"b{i}").glob("*.parquet")):
+            shutil.copy(f, flat / f"{k:03d}.parquet")
+            k += 1
+    stream = (
+        spark.readStream.schema("g string, ts timestamp, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    out = streaming_windowed_sketch_by(
+        stream, "ts", ["g"], "v", p=12, window="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wsk_gate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from wsk_gate").collect()
+    finals = {
+        r["window_start"]: r for r in rows if r["final"]
+    }
+    # exactly one final per closed window, estimates exact at these sizes
+    assert len([r for r in rows if r["final"]]) == len(finals)
+    assert round(finals[t(0)]["estimate"]) == 5
+    assert round(finals[t(30)]["estimate"]) == 3
+    # the late-but-in-watermark row made it into [60,90)'s sketch
+    w60 = [r for r in rows if r["window_start"] == t(60)]
+    assert w60 and max(round(r["estimate"]) for r in w60) == 1
+    # the too-late row did NOT reopen [0,30): its only final stays 5 and
+    # no post-final live row exists
+    assert [round(r["estimate"]) for r in rows if r["window_start"] == t(0)].count(5) == len(
+        [r for r in rows if r["window_start"] == t(0)]
+    )
+
+
 def test_sparse_checkpoint_shrinks_partials(spark, ckpt_dir):
     """encoding='auto' (default) stores low-fill salted partials as
     3-byte-per-register sparse blobs: lineage records the actual blob

@@ -113,6 +113,56 @@ def test_asof_join_directions_and_tolerance(spark):
                 )
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-validation against pandas.merge_asof (the de-facto
+    reference semantics) over a seeded random case per direction ×
+    tolerance, including duplicate left timestamps and keys absent from
+    one side."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    left = pd.DataFrame(
+        {
+            "k": [f"k{int(x)}" for x in rng.integers(0, 4, 120)],  # k3 absent right
+            "t": rng.integers(0, 500, 120).astype("float64"),
+            "lid": np.arange(120),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [f"k{int(x)}" for x in rng.integers(0, 3, 50)],
+            "t": np.sort(rng.choice(np.arange(0, 1500, dtype="float64"), 50, replace=False)),
+            "price": rng.standard_normal(50).round(3),
+        }
+    )
+    ldf = spark.createDataFrame(left).repartition(5)
+    rdf = spark.createDataFrame(right).repartition(3)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 40.0):
+            want = pd.merge_asof(
+                left.sort_values(["t", "lid"]),
+                right.sort_values("t"),
+                on="t",
+                by="k",
+                direction=direction,
+                tolerance=tol,
+                suffixes=("", "_r"),
+            ).set_index("lid")["price"]
+            got = asof_join(
+                ldf, rdf, on="t", by="k", right_cols=["price"],
+                direction=direction, tolerance=tol,
+            ).collect()
+            assert len(got) == len(left)
+            for row in got:
+                w = want[row["lid"]]
+                g = row["price_asof"]
+                if pd.isna(w):
+                    assert g is None, (direction, tol, row)
+                else:
+                    assert g is not None and abs(g - w) < 1e-9, (direction, tol, row, w)
+
+
 def test_asof_join_preserves_matched_row_nulls(spark):
     """ADVICE r02 medium: a matched right row's NULL value must come
     through as NULL (not a stale earlier value), and multiple carried
