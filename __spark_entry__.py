@@ -789,6 +789,30 @@ def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_fast_hash_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The opt-in xxhash64 fast path (~3x hash-stage throughput vs the
+    reference-parity sha1) must still estimate within the published
+    bound — same registers/codecs/estimator, different well-mixed
+    32-bit head."""
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    p = 14
+    est = sketch_collect(
+        sketch_by(events, [], "user_id", p, hash_fn="xxhash64")
+    ).cardinality()
+    exact_df = events.select(F.countDistinct("user_id").alias("exact_count"))
+    # 3 sigma: at n=150 << 2^14 the estimator is linear counting, where
+    # 2-3 register collisions (a routine ~2 sigma event, deterministic
+    # per hash) already exceed the 1-sigma relative bound
+    return exact_df.select(
+        "exact_count",
+        (
+            F.abs(F.lit(est) - F.col("exact_count")) / F.col("exact_count")
+            <= F.lit(3 * error_bound(p))
+        ).alias("within_bound"),
+    )
+
+
 def _q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time rollup: hour-grain HLL sketches unioned up
     to day must be (a) byte-identical to day sketches built directly
@@ -1213,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_tolerance": _q_asof_forward_tolerance,
         "multimodal_metadata": _q_multimodal_metadata,
         "hll_time_rollup": _q_hll_time_rollup,
+        "hll_fast_hash_bound": _q_hll_fast_hash_bound,
         "range_join_windows": _q_range_join_windows,
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
@@ -1262,6 +1287,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(DISTINCT user_id) AS n_users FROM events"
         ),
         "hll_users_within_bound": (
+            f"SELECT count(DISTINCT user_id) AS exact_count, {true_flags} FROM events"
+        ),
+        "hll_fast_hash_bound": (
             f"SELECT count(DISTINCT user_id) AS exact_count, {true_flags} FROM events"
         ),
         "hll_users_by_type": (

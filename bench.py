@@ -82,6 +82,10 @@ def bench_queries(spark: SparkSession, sf_dir: str):
     def q_hll_users():
         return approx_distinct(events, [], "user_id", 14)
 
+    def q_hll_users_xxh():
+        # opt-in fast hash path (no reference byte parity, same bounds)
+        return approx_distinct(events, [], "user_id", 14, hash_fn="xxhash64")
+
     def q_heavy_hitters():
         return heavy_hitters(lineitem, "l_suppkey", k=10, width=8192)
 
@@ -152,6 +156,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "hll_orderkey_partial": q_hll_orderkey_partial,
         "hll_by_flag": q_hll_by_flag,
         "hll_users": q_hll_users,
+        "hll_users_xxhash": q_hll_users_xxh,
         "heavy_hitters_suppkey": q_heavy_hitters,
         "kll_price": q_kll_price,
         "tdigest_price_by_flag": q_tdigest_price_by_flag,
@@ -209,7 +214,8 @@ def checkpoint_bytes(spark: SparkSession, sf_dir: str) -> dict:
 
 def transcripts_throughput(spark: SparkSession) -> tuple[float, int, float]:
     """Flagship: HLL sketch build (per-role + global distinct conv_id)
-    over the transcripts table. Returns (seconds, rows, turns_per_sec)."""
+    over the transcripts table. Returns (seconds, rows, turns_per_sec,
+    turns_per_sec with the xxhash64 fast path)."""
     from hyper_spark.operators.hll_agg import sketch_by, union_sketches, sketch_collect
     from hyper_spark.sources.transcripts import write_transcripts
 
@@ -221,7 +227,16 @@ def transcripts_throughput(spark: SparkSession) -> tuple[float, int, float]:
     merged = sketch_collect(union_sketches(per_role, []))
     elapsed = time.perf_counter() - t0
     assert merged.cardinality() > 0
-    return elapsed, rows, rows / elapsed
+    # fast-hash variant of the same job (xxhash64 head — same bounds,
+    # no reference byte parity; ~3x cheaper hash stage)
+    t0 = time.perf_counter()
+    per_role_x = sketch_by(
+        tx, ["role"], "conv_id", 14, strategy="explode", hash_fn="xxhash64"
+    )
+    merged_x = sketch_collect(union_sketches(per_role_x, []))
+    elapsed_x = time.perf_counter() - t0
+    assert merged_x.cardinality() > 0
+    return elapsed, rows, rows / elapsed, rows / elapsed_x
 
 
 def main() -> None:
@@ -262,7 +277,7 @@ def main() -> None:
     ckpt = checkpoint_bytes(spark, SF_DIR)
     print(f"# checkpoint bytes dense/sparse: {ckpt}", file=sys.stderr)
 
-    tx_sec, tx_rows, turns_per_sec = transcripts_throughput(spark)
+    tx_sec, tx_rows, turns_per_sec, turns_per_sec_xxh = transcripts_throughput(spark)
     timings["transcripts_sketch_build"] = round(tx_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -277,6 +292,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "transcript_rows": tx_rows,
                 "turns_per_sec": round(turns_per_sec, 1),
+                "turns_per_sec_xxhash": round(turns_per_sec_xxh, 1),
                 **ckpt,
             }
         )

@@ -173,6 +173,7 @@ def sketch_by(
     p: int = 14,
     strategy: str = "auto",
     encoding: str = "dense",
+    hash_fn: str = "sha1",
 ) -> DataFrame:
     """Aggregate ``col`` into one HLL sketch per ``keys`` group.
 
@@ -186,13 +187,19 @@ def sketch_by(
 
     NULL values are skipped, matching the null-skipping contract of
     Spark's own approx_count_distinct (the reference only accepts
-    binaries, src/hyper.erl:20, so it has no null case)."""
+    binaries, src/hyper.erl:20, so it has no null case).
+
+    ``hash_fn``: ``'sha1'`` (default) is byte-compatible with the
+    reference; ``'xxhash64'`` is the 100-TB fast path — ~3x hash-stage
+    throughput, same error bounds, NO reference/kernel byte parity, and
+    sketches from different hash_fns must never be unioned (see
+    functions/hashing.py)."""
     col = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
     if strategy == "auto":
         strategy = "explode" if keys else "partial"
 
-    idx, rho = hll_prepare(col, p)
+    idx, rho = hll_prepare(col, p, hash_fn)
     prepared = df.filter(col.isNotNull()).select(
         *keys, idx.alias("idx"), rho.alias("rho")
     )
@@ -228,7 +235,11 @@ def sketch_by(
 
 
 def register_table(
-    df: DataFrame, keys: Sequence[str], col: str | Column, p: int = 14
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    p: int = 14,
+    hash_fn: str = "sha1",
 ) -> DataFrame:
     """The sparse sketch as rows: DataFrame[*keys, idx, rho] with rho the
     per-(group, idx) max — 100% JVM (scan → hash exprs → partial/final
@@ -236,7 +247,7 @@ def register_table(
     NULL values are skipped (see sketch_by)."""
     col = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
-    idx, rho = hll_prepare(col, p)
+    idx, rho = hll_prepare(col, p, hash_fn)
     prepared = df.filter(col.isNotNull()).select(
         *keys, idx.alias("idx"), rho.alias("rho")
     )
@@ -312,9 +323,10 @@ def approx_distinct(
     col: str | Column,
     p: int = 14,
     strategy: str = "auto",
+    hash_fn: str = "sha1",
 ) -> DataFrame:
     """User-facing distinct-cardinality query: one estimate per group."""
-    sk = sketch_by(df, keys, col, p, strategy)
+    sk = sketch_by(df, keys, col, p, strategy, hash_fn=hash_fn)
     return sk.select(
         *keys, cardinality_col(F.col("p"), F.col("registers")).alias("estimate")
     )

@@ -83,6 +83,29 @@ def test_estimate_within_bound_events(spark, sf_correct):
     assert abs(est - exact) / exact <= error_bound(P), (est, exact)
 
 
+def test_fast_hash_path(spark):
+    """hash_fn='xxhash64': estimates stay in bound (any well-mixed
+    32-bit head), registers differ from sha1 (the param takes effect),
+    rollup losslessness is hash-independent, and an unknown hash_fn is
+    an explicit error."""
+    import pytest as _pytest
+
+    rows = [Row(day=i % 5, v=f"user-{i}") for i in range(30000)]
+    df = spark.createDataFrame(rows).repartition(6)
+    p = 12
+    est = approx_distinct(df, [], "v", p, hash_fn="xxhash64").collect()[0]["estimate"]
+    assert abs(est - 30000) / 30000 <= error_bound(p), est
+    sha = sketch_collect(sketch_by(df, [], "v", p))
+    xxh = sketch_collect(sketch_by(df, [], "v", p, hash_fn="xxhash64"))
+    assert sha.registers.tobytes() != xxh.registers.tobytes()
+    # union algebra is hash-independent: per-day rollup == direct, both hashes
+    per_day = sketch_by(df, ["day"], "v", p, hash_fn="xxhash64")
+    rolled = sketch_collect(union_sketches(per_day, []))
+    assert rolled.registers.tobytes() == xxh.registers.tobytes()
+    with _pytest.raises(ValueError):
+        sketch_by(df, [], "v", p, hash_fn="md5")
+
+
 def test_union_rollup_lossless(spark):
     """Sketch per sub-group, union up == sketch of the whole — the
     prop_union property (hyper_test.erl:486-496) at DataFrame level."""
