@@ -45,6 +45,7 @@ def sketch_time_rollup(
     keys: Sequence[str] = (),
     encoding: str = "dense",
     checkpoint_dir: str | None = None,
+    hash_fn: str = "sha1",
 ) -> DataFrame:
     """One HLL sketch per (keys, grain, bucket) for every grain in
     ``grains`` (ordered fine → coarse), coarser grains derived by
@@ -91,6 +92,7 @@ def sketch_time_rollup(
             col,
             p,
             encoding=encoding,
+            hash_fn=hash_fn,
         ),
     )
 

@@ -89,6 +89,7 @@ def _partials_with_lineage(
     p: int,
     num_salts: int,
     encoding: str = "auto",
+    hash_fn: str = "sha1",
 ):
     """Level-0 worker: per task partition, build one partial sketch per
     (keys, salt) plus lineage columns. JVM hashing feeds it; Python sees
@@ -102,7 +103,7 @@ def _partials_with_lineage(
     the checkpoint/shuffle bytes drop from 2^p to 3·nnz per partial."""
     m = 1 << p
     value = F.col(col) if isinstance(col, str) else col
-    idx, rho = hll_prepare(value, p)
+    idx, rho = hll_prepare(value, p, hash_fn)
     salt = F.pmod(F.xxhash64(value), F.lit(num_salts))
     prepared = df.filter(value.isNotNull()).select(
         *keys, salt.alias("__salt"), idx.alias("idx"), rho.alias("rho"),
@@ -162,6 +163,7 @@ def checkpointed_sketch_build(
     num_salts: int = 64,
     fanout: int = 8,
     encoding: str = "auto",
+    hash_fn: str = "sha1",
 ) -> DataFrame:
     """Build per-``keys`` HLL sketches with salted partials and a
     checkpointed level-by-level merge. Returns DataFrame[*keys, p,
@@ -188,7 +190,7 @@ def checkpointed_sketch_build(
     lvl0 = _level_path(checkpoint_dir, 0)
     if not _complete(lvl0):
         t0 = time.perf_counter()
-        partials = _partials_with_lineage(df, keys, col, p, num_salts, encoding)
+        partials = _partials_with_lineage(df, keys, col, p, num_salts, encoding, hash_fn)
         # one durable write carries both sketch and lineage columns;
         # pre-merge duplicates (same (keys,salt) from different task
         # partitions) are collapsed at level 1

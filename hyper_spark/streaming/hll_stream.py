@@ -47,6 +47,7 @@ def streaming_sketch_by(
     p: int = 14,
     output_mode: str = "update",
     state_encoding: str = "auto",
+    hash_fn: str = "sha1",
 ) -> DataFrame:
     """Streaming grouped distinct-count sketches.
 
@@ -62,7 +63,7 @@ def streaming_sketch_by(
     if not keys:
         raise ValueError("streaming sketches need at least one group key")
     m = 1 << p
-    idx, rho = hll_prepare(F.col(col), p)
+    idx, rho = hll_prepare(F.col(col), p, hash_fn)
     # NULLs are skipped exactly as in batch sketch_by (NULL would hash to
     # NULL idx/rho and poison the densify)
     prepared = df.filter(F.col(col).isNotNull()).select(
@@ -119,6 +120,7 @@ def streaming_windowed_sketch_by(
     watermark: str = "10 minutes",
     output_mode: str = "update",
     state_encoding: str = "auto",
+    hash_fn: str = "sha1",
 ) -> DataFrame:
     """Event-time tumbling-window distinct sketches with BOUNDED state —
     the "watermarks + windowed aggs for late data" shape the north star
@@ -141,7 +143,7 @@ def streaming_windowed_sketch_by(
     fill threshold with the default ``state_encoding='auto'``)."""
     keys = list(keys)
     m = 1 << p
-    idx, rho = hll_prepare(F.col(col), p)
+    idx, rho = hll_prepare(F.col(col), p, hash_fn)
     win = F.window(F.col(ts_col), window)
     # the watermarked event-time column must survive into the stateful
     # operator's child plan (extracting window.start strips the watermark
