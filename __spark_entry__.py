@@ -789,6 +789,16 @@ def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_hitters_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped heavy hitters: per-event-type top-2 users (candidates per
+    (partition, group) with the Misra-Gries clause, broadcast exact
+    rescan, per-group window selection), matching DuckDB's windowed
+    exact top-2 row-for-row (ties broken by user_id)."""
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    return heavy_hitters(events, "user_id", k=2, by=["event_type"], exact=True)
+
+
 def _q_hll_fast_hash_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The opt-in xxhash64 fast path (~3x hash-stage throughput vs the
     reference-parity sha1) must still estimate within the published
@@ -1238,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": _q_multimodal_metadata,
         "hll_time_rollup": _q_hll_time_rollup,
         "hll_fast_hash_bound": _q_hll_fast_hash_bound,
+        "heavy_hitters_per_group": _q_heavy_hitters_per_group,
         "range_join_windows": _q_range_join_windows,
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
@@ -1292,6 +1303,18 @@ def oracle_sql() -> dict[str, str]:
         "hll_fast_hash_bound": (
             f"SELECT count(DISTINCT user_id) AS exact_count, {true_flags} FROM events"
         ),
+        "heavy_hitters_per_group": """
+            SELECT event_type, user_id, cnt AS est_count FROM (
+                SELECT event_type, user_id, cnt, row_number() OVER (
+                    PARTITION BY event_type ORDER BY cnt DESC, user_id
+                ) AS rn
+                FROM (
+                    SELECT event_type, user_id, count(*) AS cnt FROM events
+                    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                    GROUP BY 1, 2
+                )
+            ) WHERE rn <= 2
+        """,
         "hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_count, "
             f"{true_flags} FROM events GROUP BY event_type"

@@ -210,7 +210,13 @@ def cms_estimate(
     return candidates.withColumn(alias, lookup(bucket_arr))
 
 
-def local_topk_candidates(df: DataFrame, col: str, k: int, fanout: int = 4) -> DataFrame:
+def local_topk_candidates(
+    df: DataFrame,
+    col: str,
+    k: int,
+    fanout: int = 4,
+    by: Sequence[str] = (),
+) -> DataFrame:
     """Candidate heavy hitters via per-partition counting, two emission
     rules per partition:
 
@@ -228,25 +234,30 @@ def local_topk_candidates(df: DataFrame, col: str, k: int, fanout: int = 4) -> D
     with a map-side combine (nothing raw shuffles — at most the distinct
     (pid, value) pairs), then two window functions pick each partition's
     candidates. An earlier mapInPandas/value_counts variant paid an
-    Arrow round-trip of the whole column; this stays in codegen."""
+    Arrow round-trip of the whole column; this stays in codegen.
+
+    With ``by`` keys, all counting/windowing runs per (partition, group):
+    the Misra-Gries clause then guarantees emission of every value with
+    global within-group share ≥ 1/k, independently for each group."""
     from pyspark.sql.window import Window
 
+    bys = list(by)
     limit = k * fanout
     c = F.col(col)
     counts = (
         df.filter(c.isNotNull())
-        .groupBy(F.spark_partition_id().alias("__pid"), c.alias(col))
+        .groupBy(F.spark_partition_id().alias("__pid"), *bys, c.alias(col))
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    w_rank = Window.partitionBy("__pid").orderBy(F.desc("__cnt"), col)
-    w_all = Window.partitionBy("__pid")
+    w_rank = Window.partitionBy("__pid", *bys).orderBy(F.desc("__cnt"), col)
+    w_all = Window.partitionBy("__pid", *bys)
     return (
         counts.withColumn("__rk", F.row_number().over(w_rank))
         .withColumn("__n", F.sum("__cnt").over(w_all))
         .filter(
             (F.col("__rk") <= limit) | (F.col("__cnt") * k >= F.col("__n"))
         )
-        .select(col)
+        .select(*bys, col)
         .distinct()
     )
 
@@ -259,6 +270,7 @@ def heavy_hitters(
     width: int = 8192,
     exact: bool = False,
     guarantee: bool = False,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Top-k frequent values. ``exact=True`` verifies candidates with a
     broadcast semi-join rescan (exact counts); otherwise counts come from
@@ -278,7 +290,36 @@ def heavy_hitters(
     |{v: count(v) + eps·n ≥ T}|); pick ``width`` so eps·n ≪ T to keep
     it tight. Result is the *exact* top-k regardless of skew shape —
     flat distributions where a true top-k item is top-(k·fanout) in no
-    partition included (guarantee forces an exact final rescan)."""
+    partition included (guarantee forces an exact final rescan).
+
+    ``by`` keys make it GROUPED top-k (per-conversation top tools,
+    per-day top URLs): candidates come from per-(partition, group)
+    counting (Misra-Gries clause holds within each group), counts from a
+    broadcast-candidate rescan, final selection by a per-group window.
+    Output: [*by, col, est_count], ≤ k rows per group. Grouped mode is
+    exact-count only (the CMS threshold pass needs per-group sketches;
+    combine ``by`` with guarantee/sketch counts is not supported)."""
+    bys = list(by)
+    if bys:
+        from pyspark.sql.window import Window
+
+        if guarantee or not exact:
+            # per-group CMS thresholding would need one sketch per group;
+            # the rescan is exact anyway, so grouped mode always rescans
+            if guarantee:
+                raise ValueError("guarantee=True is not supported with by keys")
+        candidates = local_topk_candidates(df, col, k, by=bys)
+        counted = (
+            df.join(F.broadcast(candidates), on=bys + [col], how="leftsemi")
+            .groupBy(*bys, col)
+            .agg(F.count(F.lit(1)).alias("est_count"))
+        )
+        w = Window.partitionBy(*bys).orderBy(F.desc("est_count"), col)
+        return (
+            counted.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )
     candidates = local_topk_candidates(df, col, k)
     if guarantee:
         counted1 = (

@@ -181,6 +181,29 @@ def test_bloom_prune_keeps_all_matches(spark, sf_correct):
     assert pruned.count() < orders.count()
 
 
+def test_heavy_hitters_grouped(spark):
+    """Grouped top-k is independent per group: each group's winners are
+    its OWN hot values even when they are globally rare, counts are
+    exact, and ties break deterministically by value."""
+    import pytest as _pytest
+
+    rows = []
+    # group g0: a dominates; group g1: z dominates but z is globally rare
+    rows += [Row(g="g0", v="a")] * 50 + [Row(g="g0", v="b")] * 30
+    rows += [Row(g="g0", v=f"noise{i}") for i in range(40)]
+    rows += [Row(g="g1", v="z")] * 9 + [Row(g="g1", v="y")] * 7
+    rows += [Row(g="g1", v=f"n{i}") for i in range(30)]
+    df = spark.createDataFrame(rows).repartition(7)
+    got = heavy_hitters(df, "v", k=2, by=["g"], exact=True).collect()
+    per_g = {}
+    for r in got:
+        per_g.setdefault(r["g"], []).append((r["v"], r["est_count"]))
+    assert sorted(per_g["g0"]) == [("a", 50), ("b", 30)]
+    assert sorted(per_g["g1"]) == [("y", 7), ("z", 9)]
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "v", k=2, by=["g"], guarantee=True)
+
+
 def test_heavy_hitters_guarantee_flat_skew(spark):
     """VERDICT r01 wrong #4: a true top-k item that is moderately
     frequent EVERYWHERE but local top-(k*fanout) NOWHERE. The heuristic
