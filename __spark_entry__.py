@@ -789,6 +789,47 @@ def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_metric_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three distinct-count metrics from ONE scan of events
+    (multi_sketch_by — the analytics-pass shape the scaling harness
+    measures), each estimate within bound of DuckDB's exacts."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.hll_agg import multi_sketch_by
+
+    events = _read(spark, sf_dir, "events")
+    p = 14
+    multi = multi_sketch_by(
+        events, [], {"users": "user_id", "types": "event_type", "ids": "event_id"}, p
+    )
+    est = {
+        r["metric"]: estimate_from_registers_row(r) for r in multi.collect()
+    }
+    exact = events.select(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct("event_type").alias("types"),
+        F.countDistinct("event_id").alias("ids"),
+    ).collect()[0]
+    rows = []
+    for tag in ("ids", "types", "users"):
+        x = exact[tag]
+        rows.append(
+            Row(
+                metric=tag,
+                exact_count=x,
+                within_bound=bool(abs(est[tag] - x) <= max(1.0, 3 * error_bound(p) * x)),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def estimate_from_registers_row(r) -> float:
+    from hyper_spark.kernel.hll import decode_register_blob, estimate_from_registers
+
+    return estimate_from_registers(
+        decode_register_blob(int(r["p"]), bytes(r["registers"])), int(r["p"])
+    )
+
+
 def _q_heavy_hitters_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped heavy hitters: per-event-type top-2 users (candidates per
     (partition, group) with the Misra-Gries clause, broadcast exact
@@ -1249,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_time_rollup": _q_hll_time_rollup,
         "hll_fast_hash_bound": _q_hll_fast_hash_bound,
         "heavy_hitters_per_group": _q_heavy_hitters_per_group,
+        "multi_metric_single_scan": _q_multi_metric_single_scan,
         "range_join_windows": _q_range_join_windows,
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
@@ -1302,6 +1344,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_fast_hash_bound": (
             f"SELECT count(DISTINCT user_id) AS exact_count, {true_flags} FROM events"
+        ),
+        "multi_metric_single_scan": (
+            "SELECT 'ids' AS metric, count(DISTINCT event_id) AS exact_count, "
+            "true AS within_bound FROM events UNION ALL "
+            "SELECT 'types', count(DISTINCT event_type), true FROM events "
+            "UNION ALL "
+            "SELECT 'users', count(DISTINCT user_id), true FROM events"
         ),
         "heavy_hitters_per_group": """
             SELECT event_type, user_id, cnt AS est_count FROM (

@@ -33,6 +33,7 @@ from hyper_spark.operators.quantiles import (
     sketch_quantiles,
     tdigest_by,
 )
+from hyper_spark.operators.hll_agg import multi_sketch_by
 from hyper_spark.operators.rollup import rollup_estimates, sketch_time_rollup
 from hyper_spark.operators.temporal import asof_join, range_join, sessionize
 
@@ -41,6 +42,7 @@ __all__ = [
     "cardinality_col",
     "intersect_card",
     "sketch_by",
+    "multi_sketch_by",
     "sketch_collect",
     "union_sketches",
     "cms_by",

@@ -58,6 +58,7 @@ from hyper_spark.kernel.hll import (
 
 __all__ = [
     "sketch_by",
+    "multi_sketch_by",
     "union_sketches",
     "cardinality_col",
     "approx_distinct",
@@ -232,6 +233,60 @@ def sketch_by(
         )
 
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def multi_sketch_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    cols: dict,
+    p: int = 14,
+    hash_fn: str = "sha1",
+    encoding: str = "dense",
+) -> DataFrame:
+    """Several distinct-count metrics in ONE scan: ``cols`` maps metric
+    tag → value column; each (tag, keys) group gets its own sketch,
+    byte-identical to a separate ``sketch_by`` per column.
+
+    Shape: the per-row hash expressions for every metric compute in the
+    same projection, explode into (tag, idx, rho) rows (so one pass over
+    the data feeds all metrics), then the usual bounded register
+    aggregation — shuffle ≤ |metrics| × groups × 2^p rows regardless of
+    input size. This is the realistic analytics-pass shape (the scaling
+    harness measures exactly this job): N metrics cost one read plus N
+    tiny aggregates, not N reads.
+
+    Returns DataFrame[metric string, *keys, p, registers]."""
+    from pyspark.sql.types import StringType
+
+    keys = list(keys)
+    structs = []
+    for tag, c in cols.items():
+        c = F.col(c) if isinstance(c, str) else c
+        idx, rho = hll_prepare(c, p, hash_fn)
+        # NULL value -> NULL idx/rho inside the struct; filtered after the
+        # explode (a pre-filter can't apply per-metric)
+        structs.append(
+            F.struct(F.lit(tag).alias("tag"), idx.alias("idx"), rho.alias("rho"))
+        )
+    exploded = (
+        df.select(*keys, F.explode(F.array(*structs)).alias("s"))
+        .select(
+            *keys,
+            F.col("s.tag").alias("metric"),
+            F.col("s.idx").alias("idx"),
+            F.col("s.rho").alias("rho"),
+        )
+        .filter(F.col("idx").isNotNull())
+    )
+    reg = exploded.groupBy("metric", *keys, "idx").agg(F.max("rho").alias("rho"))
+    schema = StructType(
+        [StructField("metric", StringType(), False)]
+        + [df.schema[k] for k in keys]
+        + SKETCH_FIELDS
+    )
+    return reg.groupBy("metric", *keys).applyInPandas(
+        _densify_fn(p, ["metric"] + keys, encoding), schema
+    )
 
 
 def register_table(

@@ -83,6 +83,39 @@ def test_estimate_within_bound_events(spark, sf_correct):
     assert abs(est - exact) / exact <= error_bound(P), (est, exact)
 
 
+def test_multi_sketch_by_matches_per_column(spark, sf_correct):
+    """N metrics in one scan: byte-identical to N separate sketch_by
+    calls, and the plan reads the source exactly once."""
+    from hyper_spark.operators.hll_agg import multi_sketch_by
+
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    p = 12
+    cols = {"users": "user_id", "types": "event_type", "ids": "event_id"}
+    multi = multi_sketch_by(events, [], cols, p)
+    got = {r["metric"]: bytes(r["registers"]) for r in multi.collect()}
+    for tag, c in cols.items():
+        want = bytes(
+            sketch_by(events, [], c, p).collect()[0]["registers"]
+        )
+        assert got[tag] == want, tag
+    # after execution AQE prints final + initial sections — count scans
+    # in the final section only
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("FileScan") == 1, plan
+
+    # grouped variant agrees with grouped sketch_by
+    multi_g = multi_sketch_by(events, ["event_type"], {"users": "user_id"}, p)
+    got_g = {
+        r["event_type"]: bytes(r["registers"]) for r in multi_g.collect()
+    }
+    want_g = {
+        r["event_type"]: bytes(r["registers"])
+        for r in sketch_by(events, ["event_type"], "user_id", p).collect()
+    }
+    assert got_g == want_g
+
+
 def test_fast_hash_path(spark):
     """hash_fn='xxhash64': estimates stay in bound (any well-mixed
     32-bit head), registers differ from sha1 (the param takes effect),
