@@ -303,11 +303,11 @@ def heavy_hitters(
     if bys:
         from pyspark.sql.window import Window
 
-        if guarantee or not exact:
-            # per-group CMS thresholding would need one sketch per group;
-            # the rescan is exact anyway, so grouped mode always rescans
-            if guarantee:
-                raise ValueError("guarantee=True is not supported with by keys")
+        if guarantee:
+            raise ValueError("guarantee=True is not supported with by keys")
+        # grouped mode always exact-counts via the rescan (per-group CMS
+        # thresholding would need one sketch per group); `exact` is
+        # effectively always True here
         candidates = local_topk_candidates(df, col, k, by=bys)
         counted = (
             df.join(F.broadcast(candidates), on=bys + [col], how="leftsemi")
