@@ -1043,6 +1043,13 @@ def _q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sl.coalesce(1).write.mode("overwrite").parquet(os.path.join(td, f"s{i}"))
             for f in _glob.glob(os.path.join(td, f"s{i}", "*.parquet")):
                 _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        # read ts as TIMESTAMP deliberately even though the source column
+        # is TIMESTAMP_NTZ: watermarks require TimestampType
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), and the NTZ
+        # wall-clock values reinterpret consistently on BOTH compare
+        # sides of this gate (stream windows and the exact date_trunc
+        # both use session-tz wall time), so day buckets agree in any
+        # single session
         stream = (
             spark.readStream.schema("user_id bigint, ts timestamp")
             .option("maxFilesPerTrigger", "1")

@@ -212,7 +212,7 @@ def checkpoint_bytes(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
-def transcripts_throughput(spark: SparkSession) -> tuple[float, int, float]:
+def transcripts_throughput(spark: SparkSession) -> tuple[float, int, float, float]:
     """Flagship: HLL sketch build (per-role + global distinct conv_id)
     over the transcripts table. Returns (seconds, rows, turns_per_sec,
     turns_per_sec with the xxhash64 fast path)."""

@@ -309,10 +309,22 @@ def heavy_hitters(
         # thresholding would need one sketch per group); `exact` is
         # effectively always True here
         candidates = local_topk_candidates(df, col, k, by=bys)
-        counted = (
-            df.join(F.broadcast(candidates), on=bys + [col], how="leftsemi")
-            .groupBy(*bys, col)
-            .agg(F.count(F.lit(1)).alias("est_count"))
+        # null-safe on the group keys: groupBy treats NULL as a real
+        # group, so a plain equi-join would silently drop the NULL
+        # group's candidates (its top-k would vanish from the output)
+        cand = candidates.select(
+            *[F.col(b).alias(f"__cand_{b}") for b in bys],
+            F.col(col).alias("__cand_v"),
+        )
+        cond = [df[b].eqNullSafe(cand[f"__cand_{b}"]) for b in bys]
+        cond.append(df[col] == cand["__cand_v"])
+        joined = df.join(
+            F.broadcast(cand),
+            on=cond[0] if len(cond) == 1 else cond,
+            how="leftsemi",
+        )
+        counted = joined.groupBy(*bys, col).agg(
+            F.count(F.lit(1)).alias("est_count")
         )
         w = Window.partitionBy(*bys).orderBy(F.desc("est_count"), col)
         return (

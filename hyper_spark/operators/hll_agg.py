@@ -197,6 +197,17 @@ def sketch_by(
     functions/hashing.py)."""
     col = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
+    if encoding == "packed6":
+        # packed6 blobs are length-ambiguous with sparse; every generic
+        # consumer (cardinality_col, union_sketches, serde) decodes with
+        # the 'auto' default. Only checkpointed_sketch_build threads the
+        # decode hint level-to-level, so the mode lives there (and in the
+        # explicit hll_pack6_col/hll_unpack6_col serde pair).
+        raise ValueError(
+            "encoding='packed6' is only supported inside "
+            "checkpointed_sketch_build (the decode hint must travel with "
+            "the blobs); use dense/auto/sparse here"
+        )
     if strategy == "auto":
         strategy = "explode" if keys else "partial"
 
@@ -259,6 +270,11 @@ def multi_sketch_by(
     from pyspark.sql.types import StringType
 
     keys = list(keys)
+    if encoding == "packed6":
+        raise ValueError(
+            "encoding='packed6' is only supported inside "
+            "checkpointed_sketch_build; use dense/auto/sparse here"
+        )
     structs = []
     for tag, c in cols.items():
         c = F.col(c) if isinstance(c, str) else c
@@ -336,7 +352,10 @@ def collect_sketches_from_registers(
 
 
 def union_sketches(
-    sketch_df: DataFrame, keys: Sequence[str], encoding: str = "dense"
+    sketch_df: DataFrame,
+    keys: Sequence[str],
+    encoding: str = "dense",
+    decode_encoding: str = "auto",
 ) -> DataFrame:
     """Merge sketches (lossless register max) grouped by ``keys`` — e.g.
     roll per-day sketches up to per-month. Mixed P folds to min P
@@ -349,14 +368,20 @@ def union_sketches(
     hash bits than natively-built lower-P indices). Build at one P when
     sets overlap; mixed P is safe for disjoint shards."""
     keys = list(keys)
+    if encoding == "packed6":
+        raise ValueError(
+            "encoding='packed6' is only supported inside "
+            "checkpointed_sketch_build (the decode hint must travel with "
+            "the blobs); use dense/auto/sparse here"
+        )
     if keys:
         schema = StructType([sketch_df.schema[k] for k in keys] + SKETCH_FIELDS)
         return sketch_df.groupBy(*keys).applyInPandas(
-            _merge_fn(keys, encoding), schema
+            _merge_fn(keys, encoding, decode_encoding), schema
         )
     grouped = sketch_df.withColumn(_GROUP_COL, F.lit(0))
     return grouped.groupBy(_GROUP_COL).applyInPandas(
-        _merge_fn([], encoding), StructType(SKETCH_FIELDS)
+        _merge_fn([], encoding, decode_encoding), StructType(SKETCH_FIELDS)
     )
 
 

@@ -36,6 +36,22 @@ __all__ = ["sketch_time_rollup", "rollup_estimates"]
 _GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "quarter", "year")
 
 
+def _nests_in(fine: str, coarse: str) -> bool:
+    """True iff every ``fine`` bucket lies wholly inside one ``coarse``
+    bucket — the condition under which ``coarse`` sketches may be derived
+    from ``fine`` sketches. minute ⊂ hour ⊂ day ⊂ everything;
+    month ⊂ quarter ⊂ year; but a WEEK can straddle a month/quarter/year
+    boundary, so week nests into nothing coarser."""
+    order = {g: i for i, g in enumerate(_GRAIN_ORDER)}
+    if order[fine] >= order[coarse]:
+        return False
+    if fine in ("minute", "hour", "day"):
+        return True
+    if fine == "week":
+        return False
+    return True  # month -> quarter/year, quarter -> year
+
+
 def sketch_time_rollup(
     df: DataFrame,
     ts_col: str,
@@ -70,21 +86,40 @@ def sketch_time_rollup(
         raise ValueError(f"unknown grains {unknown}; pick from {_GRAIN_ORDER}")
     if len(grains) != len(set(grains)) or sorted(grains, key=order.get) != grains:
         raise ValueError("grains must be unique and ordered fine -> coarse")
+    if encoding == "packed6":
+        # a packed6 blob is length-ambiguous with sparse and the rollup's
+        # consumers (cardinality_col / rollup_estimates / union_sketches)
+        # decode with the 'auto' default — only checkpointed_sketch_build
+        # threads the required decode hint level-to-level
+        raise ValueError("encoding='packed6' is not supported by rollups; use dense/auto/sparse")
+    # every coarser grain must derive from a grain that NESTS inside it —
+    # a week sketch cannot roll into a month (weeks straddle month
+    # boundaries; such a union would misattribute whole weeks)
+    for i, g in enumerate(grains[1:], start=1):
+        if not any(_nests_in(f, g) for f in grains[:i]):
+            raise ValueError(
+                f"grain {g!r} cannot be derived from any finer grain in "
+                f"{grains[:i]} (weeks straddle month/quarter/year "
+                "boundaries); include a day-or-finer grain before it"
+            )
 
     def materialize(grain: str, sk: DataFrame) -> DataFrame:
-        """checkpoint_dir: write-once-then-read so the next grain and the
+        """checkpoint_dir: write-once-then-read so coarser grains and the
         final union read parquet, never re-deriving this level."""
         if checkpoint_dir is None:
             return sk
         import os
 
+        from hyper_spark.plans.merge import _complete
+
         path = os.path.join(checkpoint_dir, f"grain_{grain}")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not _complete(path):
             sk.write.mode("overwrite").parquet(path)
         return sk.sparkSession.read.parquet(path)
 
     fine = grains[0]
-    cur = materialize(
+    built: dict[str, DataFrame] = {}
+    built[fine] = materialize(
         fine,
         sketch_by(
             df.withColumn("__bucket", F.date_trunc(fine, F.col(ts_col))),
@@ -105,17 +140,22 @@ def sketch_time_rollup(
             "registers",
         )
 
-    out = tagged(fine, cur)
-    for g in grains[1:]:
-        cur = materialize(
+    out = tagged(fine, built[fine])
+    for i, g in enumerate(grains[1:], start=1):
+        # derive from the COARSEST already-built grain that nests in g
+        # (coarsest = fewest sketches to union); validated above
+        src = max(
+            (f for f in grains[:i] if _nests_in(f, g)), key=order.get
+        )
+        built[g] = materialize(
             g,
             union_sketches(
-                cur.withColumn("__bucket", F.date_trunc(g, F.col("__bucket"))),
+                built[src].withColumn("__bucket", F.date_trunc(g, F.col("__bucket"))),
                 keys + ["__bucket"],
                 encoding=encoding,
             ),
         )
-        out = out.unionByName(tagged(g, cur))
+        out = out.unionByName(tagged(g, built[g]))
     return out
 
 

@@ -90,6 +90,19 @@ def asof_join(
     any windowed plan has and salts the same way."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest" or tolerance is not None:
+        # these options do arithmetic on `on`: a string column would cast
+        # to NULL and silently null every match, a date would fail at
+        # analysis — reject clearly instead
+        on_type = left.schema[on].dataType.simpleString()
+        numericish = on_type.startswith("timestamp") or on_type in (
+            "int", "bigint", "smallint", "tinyint", "float", "double",
+        ) or on_type.startswith("decimal")
+        if not numericish:
+            raise ValueError(
+                f"direction='nearest' / tolerance need a timestamp or "
+                f"numeric `on` column, got {on_type}"
+            )
     bys = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(bys) | {on}]
@@ -97,13 +110,19 @@ def asof_join(
     carried = [f"{c}{suffix}" for c in right_cols]
 
     # the matched-row payload: right's orderable `on` (as double, for
-    # tolerance/nearest arithmetic) + every carried value, as one struct
+    # tolerance/nearest arithmetic — only cast when those modes need it:
+    # an ANSI cast of a non-numeric `on` would throw at runtime even for
+    # plain backward joins that never read it) + every carried value
+    needs_on_math = direction == "nearest" or tolerance is not None
+    r_on = (
+        _orderable_double(right, on)
+        if needs_on_math
+        else F.lit(None).cast("double")
+    )
     r_struct = F.struct(
-        _orderable_double(right, on).alias("__r_on"),
+        r_on.alias("__r_on"),
         *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)],
     )
-    struct_type = None  # derived from r_tagged below for the left NULLs
-
     r_tagged = right.select(
         *bys,
         F.col(on).alias(on),
@@ -144,7 +163,7 @@ def asof_join(
         )
 
     out = unioned.filter(F.col("__side") == 1)
-    l_on = _orderable_double(out, on)
+    l_on = _orderable_double(out, on) if needs_on_math else F.lit(None).cast("double")
     if direction == "backward":
         match = F.col("__m_back")
     elif direction == "forward":

@@ -83,7 +83,7 @@ def streaming_sketch_by(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             (blob,) = state.get
-            regs = decode_register_blob(p, blob)
+            regs = decode_register_blob(p, blob, state_encoding)
         else:
             regs = np.zeros(m, dtype=np.uint8)
         for pdf in pdfs:
@@ -143,6 +143,7 @@ def streaming_windowed_sketch_by(
     fill threshold with the default ``state_encoding='auto'``)."""
     keys = list(keys)
     m = 1 << p
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     idx, rho = hll_prepare(F.col(col), p, hash_fn)
     win = F.window(F.col(ts_col), window)
     # the watermarked event-time column must survive into the stateful
@@ -195,13 +196,13 @@ def streaming_windowed_sketch_by(
             # watermark passed window_end: no row for this window can
             # still arrive — close it and drop the state
             (blob,) = state.get
-            regs = decode_register_blob(p, blob)
+            regs = decode_register_blob(p, blob, state_encoding)
             state.remove()
             yield emit(regs, True)
             return
         if state.exists:
             (blob,) = state.get
-            regs = decode_register_blob(p, blob)
+            regs = decode_register_blob(p, blob, state_encoding)
         else:
             regs = np.zeros(m, dtype=np.uint8)
         for pdf in pdfs:
@@ -212,9 +213,14 @@ def streaming_windowed_sketch_by(
                     pdf["rho"].to_numpy(dtype=np.uint8),
                 )
         state.update((encode_registers(regs, state_encoding),))
-        # expire when the event-time watermark passes the window end
-        window_end = key[len(keys) + 1]
-        state.setTimeoutTimestamp(int(pd.Timestamp(window_end).value // 10**6))
+        # expire when the event-time watermark passes the window end.
+        # The key's window_end arrives tz-NAIVE rendered in the session
+        # timezone; localize before taking epoch millis or the timeout
+        # shifts by the tz offset (early close west of UTC, late east)
+        window_end = pd.Timestamp(key[len(keys) + 1])
+        if window_end.tz is None:
+            window_end = window_end.tz_localize(session_tz)
+        state.setTimeoutTimestamp(int(window_end.value // 10**6))
         yield emit(regs, False)
 
     return prepared.groupBy(*group_cols).applyInPandasWithState(

@@ -370,6 +370,120 @@ def test_streaming_windowed_sketch_watermark_expiry(spark, tmp_path):
     )
 
 
+def test_streaming_packed6_state_roundtrip(spark, tmp_path):
+    """Review fix: state written with state_encoding='packed6' must be
+    decoded with the same hint on the next micro-batch (its length is
+    ambiguous with sparse — the 'auto' decode scattered out-of-range
+    indices). Multi-batch run, final registers byte-equal to batch."""
+    from hyper_spark.operators.hll_agg import sketch_by
+    from hyper_spark.streaming.hll_stream import streaming_sketch_by
+
+    rows = [Row(g=f"g{i % 2}", v=f"u{i}") for i in range(1200)]
+    df = spark.createDataFrame(rows)
+    src = str(tmp_path / "p6_src")
+    for part in range(3):
+        df.filter(F.crc32(F.col("v")) % 3 == part).write.mode(
+            "overwrite" if part == 0 else "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    p = 8  # 600 distinct per group >> 2^8 registers: dense fill -> packed arm
+    out = streaming_sketch_by(
+        stream, ["g"], "v", p=p, output_mode="append", state_encoding="packed6"
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "p6_sink"))
+        .option("checkpointLocation", str(tmp_path / "p6_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import numpy as np
+
+    emitted = spark.read.parquet(str(tmp_path / "p6_sink")).collect()
+    folded = {}
+    for r in emitted:
+        regs = np.frombuffer(bytes(r["registers"]), dtype=np.uint8)
+        g = r["g"]
+        folded[g] = regs if g not in folded else np.maximum(folded[g], regs)
+    batch = {
+        r["g"]: bytes(r["registers"])
+        for r in sketch_by(df, ["g"], "v", p).collect()
+    }
+    assert {g: v.tobytes() for g, v in folded.items()} == batch
+
+
+def test_streaming_windowed_sketch_non_utc_timezone(spark, tmp_path):
+    """Review fix: the window_end grouping key arrives tz-naive in the
+    SESSION timezone; taking epoch millis as UTC shifted expiry by the
+    tz offset (early close + state resurrection west of UTC). Under a
+    non-UTC session tz every closed window must emit exactly ONE final
+    row with the exact distinct count."""
+    import datetime as dt
+    import shutil
+    from pathlib import Path
+
+    from hyper_spark.streaming.hll_stream import streaming_windowed_sketch_by
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        base = dt.datetime(2024, 5, 1, 0, 0, 0)
+
+        def t(minutes):
+            return base + dt.timedelta(minutes=minutes)
+
+        batches = [
+            [Row(g="a", ts=t(m), v=f"u{m // 5}") for m in range(0, 25, 5)],
+            # advances watermark past [0,30)'s end; also a late row for
+            # the still-open [30,60) window
+            [Row(g="a", ts=t(m), v=f"w{m}") for m in range(45, 56, 5)],
+            [Row(g="a", ts=t(200), v="tail")],
+        ]
+        raw, flat = tmp_path / "tzsrc", tmp_path / "tzflat"
+        flat.mkdir()
+        k = 0
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(raw / f"b{i}"))
+            for f in sorted(Path(raw / f"b{i}").glob("*.parquet")):
+                shutil.copy(f, flat / f"{k:03d}.parquet")
+                k += 1
+        stream = (
+            spark.readStream.schema("g string, ts timestamp, v string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(flat))
+        )
+        out = streaming_windowed_sketch_by(
+            stream, "ts", ["g"], "v", p=12, window="30 minutes",
+            watermark="5 minutes",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("wsk_tz")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("select * from wsk_tz").collect()
+        finals = [r for r in rows if r["final"]]
+        by_start = {}
+        for r in finals:
+            by_start.setdefault(r["window_start"], []).append(r)
+        # exactly one final per closed window, no duplicates from
+        # early-expiry state resurrection
+        assert all(len(v) == 1 for v in by_start.values()), by_start
+        w0 = [v[0] for s, v in by_start.items() if s == t(0)]
+        assert w0 and round(w0[0]["estimate"]) == 5
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_sparse_checkpoint_shrinks_partials(spark, ckpt_dir):
     """encoding='auto' (default) stores low-fill salted partials as
     3-byte-per-register sparse blobs: lineage records the actual blob

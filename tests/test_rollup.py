@@ -69,6 +69,43 @@ def test_rollup_grain_validation(ts_events):
         sketch_time_rollup(ts_events, "ts", "uid", grains=["day", "hour"])
     with pytest.raises(ValueError):
         sketch_time_rollup(ts_events, "ts", "uid", grains=["fortnight"])
+    # weeks straddle month boundaries: month cannot derive from week
+    with pytest.raises(ValueError, match="week"):
+        sketch_time_rollup(ts_events, "ts", "uid", grains=["week", "month"])
+    # packed6 is checkpointed-merge-only (length-ambiguous for the
+    # rollup's 'auto'-decoding consumers)
+    with pytest.raises(ValueError, match="packed6"):
+        sketch_time_rollup(ts_events, "ts", "uid", grains=["day"], encoding="packed6")
+
+
+def test_rollup_month_skips_week_when_deriving(spark):
+    """Review fix: with grains [day, week, month], month sketches must
+    derive from DAY (weeks straddle month boundaries — deriving from
+    week misattributes whole weeks). Data spans a Jan/Feb boundary whose
+    containing week starts in January."""
+    import datetime as dt
+
+    rows = [
+        Row(ts=dt.datetime(2026, 1, 28) + dt.timedelta(hours=6 * i), uid=f"j{i}")
+        for i in range(8)  # Jan 28..29 (week of Mon Jan 26)
+    ] + [
+        Row(ts=dt.datetime(2026, 2, 1) + dt.timedelta(hours=6 * i), uid=f"f{i}")
+        for i in range(8)  # Feb 1..2 (SAME week of Mon Jan 26)
+    ]
+    df = spark.createDataFrame(rows)
+    p = 12
+    roll = sketch_time_rollup(df, "ts", "uid", p=p, grains=["day", "week", "month"])
+    got = {
+        r["bucket"]: bytes(r["registers"])
+        for r in roll.filter(F.col("grain") == "month").collect()
+    }
+    direct = {
+        r["b"]: bytes(r["registers"])
+        for r in sketch_by(
+            df.withColumn("b", F.date_trunc("month", "ts")), ["b"], "uid", p
+        ).collect()
+    }
+    assert got == direct  # byte-identical: Feb users not leaked into Jan
 
 
 def test_rollup_checkpointed_single_scan_and_resume(spark, tmp_path):

@@ -204,6 +204,23 @@ def test_heavy_hitters_grouped(spark):
         heavy_hitters(df, "v", k=2, by=["g"], guarantee=True)
 
 
+def test_heavy_hitters_grouped_null_group(spark):
+    """Review fix: a NULL group key is a real group (groupBy semantics);
+    the null-safe rescan must keep its top-k instead of dropping it."""
+    rows = (
+        [Row(g="a", v="x")] * 5
+        + [Row(g=None, v="n1")] * 7
+        + [Row(g=None, v="n2")] * 3
+    )
+    df = spark.createDataFrame(rows).repartition(3)
+    got = heavy_hitters(df, "v", k=2, by=["g"], exact=True).collect()
+    per_g = {}
+    for r in got:
+        per_g.setdefault(r["g"], []).append((r["v"], r["est_count"]))
+    assert sorted(per_g[None]) == [("n1", 7), ("n2", 3)]
+    assert per_g["a"] == [("x", 5)]
+
+
 def test_heavy_hitters_guarantee_flat_skew(spark):
     """VERDICT r01 wrong #4: a true top-k item that is moderately
     frequent EVERYWHERE but local top-(k*fanout) NOWHERE. The heuristic

@@ -163,6 +163,22 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                     assert g is not None and abs(g - w) < 1e-9, (direction, tol, row, w)
 
 
+def test_asof_join_rejects_non_numeric_on_for_tolerance(spark):
+    """Review fix: tolerance/nearest do arithmetic on `on`; a string
+    column would cast to NULL and silently null every match — reject."""
+    import pytest
+
+    left = spark.createDataFrame([Row(k="a", t="2024-01-01", lid=1)])
+    right = spark.createDataFrame([Row(k="a", t="2024-01-01", price=1.0)])
+    with pytest.raises(ValueError, match="timestamp or numeric"):
+        asof_join(left, right, on="t", by="k", tolerance=5.0)
+    with pytest.raises(ValueError, match="timestamp or numeric"):
+        asof_join(left, right, on="t", by="k", direction="nearest")
+    # plain backward on a string `on` column still works (lexicographic)
+    got = asof_join(left, right, on="t", by="k").collect()
+    assert got[0]["price_asof"] == 1.0
+
+
 def test_asof_join_preserves_matched_row_nulls(spark):
     """ADVICE r02 medium: a matched right row's NULL value must come
     through as NULL (not a stale earlier value), and multiple carried
