@@ -1166,6 +1166,75 @@ def _q_tx_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(result)
 
 
+def _q_tx_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessionization (session-window merge semantics,
+    bounded state) over the transcripts fixture: after a sentinel flush
+    advances the watermark past everything, the sessions-per-conversation
+    histogram must equal DuckDB's windowed sessionization exactly — the
+    streaming twin of the transcripts_sessionization gate."""
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from hyper_spark.streaming import streaming_sessionize
+
+    tx = _tx(spark)
+    with tempfile.TemporaryDirectory(prefix="gate_txss_") as td:
+        src = os.path.join(td, "src")
+        os.makedirs(src)
+        qs = tx.select(
+            F.expr(
+                "percentile(cast(cast(ts as timestamp) as double), array(0.33, 0.66))"
+            ).alias("q")
+        ).collect()[0]["q"]
+        tsd = F.col("ts").cast("timestamp").cast("double")
+        slices = [tsd <= qs[0], (tsd > qs[0]) & (tsd <= qs[1]), tsd > qs[1]]
+        for i, flt in enumerate(slices):
+            tx.select("conv_id", "ts").filter(flt).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(td, f"s{i}"))
+            for f in _glob.glob(os.path.join(td, f"s{i}", "*.parquet")):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        # sentinel far in the future: advances the watermark past every
+        # real session so each one closes and emits exactly once
+        flush = spark.createDataFrame(
+            [Row(conv_id="__flush", ts=tx.agg(F.max("ts")).collect()[0][0])]
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        flush.coalesce(1).write.mode("overwrite").parquet(os.path.join(td, "sf"))
+        for f in _glob.glob(os.path.join(td, "sf", "*.parquet")):
+            _shutil.copy(f, os.path.join(src, "999.parquet"))
+        # read as TIMESTAMP: watermarks require TimestampType; both
+        # compare sides use session-tz wall time consistently
+        stream = (
+            spark.readStream.schema("conv_id string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_sessionize(
+            stream, ["conv_id"], "ts", gap=60.0, watermark="2 minutes"
+        )
+        name = "gate_txss_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = (
+            spark.table(name)
+            .filter(F.col("conv_id") != "__flush")
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .groupBy("n_sessions")
+            .agg(F.count(F.lit(1)).alias("n_convs"))
+            .collect()
+        )
+    return spark.createDataFrame(result)
+
+
 def _q_streaming_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming t-digest quantiles (applyInPandasWithState) land within
     rank-eps of exact per group after an availableNow multi-micro-batch
@@ -1303,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_batch_parity": _q_streaming_batch_parity,
         "streaming_windowed_rollup": _q_streaming_windowed_rollup,
         "transcripts_windowed_distinct": _q_tx_windowed_distinct,
+        "transcripts_streaming_sessions": _q_tx_streaming_sessions,
         "streaming_quantiles_bound": _q_streaming_quantiles_bound,
         "knn_ivf_recall": _q_knn_ivf_recall,
         "sparse_dense_parity": _q_sparse_dense_parity,
@@ -1596,6 +1666,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
             "true AS within_bound FROM events GROUP BY 1"
         ),
+        "transcripts_streaming_sessions": f"""
+            WITH g AS (
+                SELECT conv_id,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                            WHEN epoch(ts) - epoch(lag(ts) OVER w) > 60 THEN 1
+                            ELSE 0 END AS ns
+                FROM {_TX_GATE_SQL}
+                WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+            ),
+            per_conv AS (
+                SELECT conv_id, (1 + sum(ns))::BIGINT AS n_sessions
+                FROM g GROUP BY conv_id
+            )
+            SELECT n_sessions, count(*) AS n_convs
+            FROM per_conv GROUP BY n_sessions
+        """,
         "transcripts_windowed_distinct": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
             f"true AS within_bound FROM {_TX_GATE_SQL} GROUP BY 1"

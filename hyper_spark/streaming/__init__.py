@@ -1,3 +1,4 @@
+from hyper_spark.streaming.sessionize_stream import streaming_sessionize
 from hyper_spark.streaming.hll_stream import (
     streaming_cms_by,
     streaming_quantiles_by,
@@ -10,4 +11,5 @@ __all__ = [
     "streaming_cms_by",
     "streaming_quantiles_by",
     "streaming_windowed_sketch_by",
+    "streaming_sessionize",
 ]

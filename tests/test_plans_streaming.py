@@ -535,3 +535,118 @@ def test_packed6_checkpoint_shrinks_dense_levels(spark, ckpt_dir):
         ]
     finally:
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_streaming_sessionize_late_row_bridges_sessions(spark, tmp_path):
+    """The session-window MERGE property: two provisional sessions must
+    not be finalized while an in-watermark late row could still bridge
+    them into one — the defining difference from naive incremental
+    sessionization."""
+    import datetime as dt
+    import shutil
+    from pathlib import Path
+
+    from hyper_spark.streaming import streaming_sessionize
+
+    base = dt.datetime(2024, 5, 1)
+
+    def t(m):
+        return base + dt.timedelta(minutes=m)
+
+    gap = 30 * 60.0
+    batches = [
+        # two runs 50 minutes apart: provisionally TWO sessions at gap=30m
+        [Row(k="a", ts=t(0)), Row(k="a", ts=t(50))],
+        # late row at 25m (watermark after batch 1 = 50m - 40m = 10m, so
+        # it is accepted) bridges them: gaps 25m and 25m <= 30m
+        [Row(k="a", ts=t(25))],
+        [Row(k="__flush", ts=t(5000))],
+    ]
+    raw, flat = tmp_path / "br_src", tmp_path / "br_flat"
+    flat.mkdir()
+    n = 0
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+            str(raw / f"b{i}")
+        )
+        for f in sorted(Path(raw / f"b{i}").glob("*.parquet")):
+            shutil.copy(f, flat / f"{n:03d}.parquet")
+            n += 1
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    out = streaming_sessionize(stream, ["k"], "ts", gap=gap, watermark="40 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_bridge")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ss_bridge where k = 'a'").collect()
+    assert len(rows) == 1, rows  # ONE bridged session, emitted once
+    assert rows[0]["n_events"] == 3
+    assert rows[0]["session_start"] == t(0) and rows[0]["session_end"] == t(50)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """After a sentinel flush, streaming sessions == batch sessionize
+    partition of the same rows (count and membership per key)."""
+    import datetime as dt
+    import shutil
+    from pathlib import Path
+
+    from hyper_spark.operators.temporal import sessionize
+    from hyper_spark.streaming import streaming_sessionize
+
+    rng = __import__("random").Random(7)
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for k in ("a", "b", "c"):
+        m = 0.0
+        for _ in range(40):
+            m += rng.choice([1, 2, 5, 90, 200])  # minutes; gap = 60min
+            rows.append(Row(k=k, ts=base + dt.timedelta(minutes=m)))
+    df = spark.createDataFrame(rows)
+    batch = (
+        sessionize(df, "k", "ts", gap=3600.0)
+        .groupBy("k")
+        .agg(F.max("session_idx").alias("mx"))
+        .collect()
+    )
+    want = {r["k"]: r["mx"] + 1 for r in batch}
+
+    raw, flat = tmp_path / "sb_src", tmp_path / "sb_flat"
+    flat.mkdir()
+    ordered = sorted(rows, key=lambda r: r.ts)
+    thirds = [ordered[:40], ordered[40:80], ordered[80:]]
+    thirds.append([Row(k="__flush", ts=base + dt.timedelta(days=30))])
+    n = 0
+    for i, chunk in enumerate(thirds):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            str(raw / f"b{i}")
+        )
+        for f in sorted(Path(raw / f"b{i}").glob("*.parquet")):
+            shutil.copy(f, flat / f"{n:03d}.parquet")
+            n += 1
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    out = streaming_sessionize(stream, ["k"], "ts", gap=3600.0, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_batch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("select k, count(*) c from ss_batch where k <> '__flush' group by k").collect():
+        got[r["k"]] = r["c"]
+    assert got == want, (got, want)
