@@ -1324,6 +1324,74 @@ def _q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hash_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: membership is a pure function
+    of (doc_id, seed) via an md5 threshold — DuckDB reproduces every row
+    (operators/sampling.py::hash_split)."""
+    from hyper_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).select("doc_id", "split")
+
+
+def _q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% Bernoulli sample by key hash (pure filter, no
+    shuffle) — exact row set matches the SQL threshold predicate."""
+    from hyper_spark.operators.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2, seed=7).select("doc_id")
+
+
+def _q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (sampleBy's stable analogue):
+    50% of en, 20% of de, drop other strata."""
+    from hyper_spark.operators.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(
+        docs, "doc_id", by="lang", fractions={"en": 0.5, "de": 0.2}, seed=11
+    ).select("doc_id", "lang")
+
+
+def _q_deterministic_sample_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n uniform sample = n smallest key hashes (min-wise, so
+    per-shard samples merge losslessly); compiles to TakeOrdered."""
+    from hyper_spark.operators.sampling import deterministic_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 25, on="doc_id", seed=3).select("doc_id")
+
+
+def _q_pack_offsets_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing offsets via the distributed two-level
+    prefix sum (operators/packing.py) — equals the global running sum the
+    oracle computes with one window."""
+    from hyper_spark.operators.packing import pack_offsets
+
+    docs = _read(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_offsets(
+        sized, "doc_id", "n_tokens", chunk_size=2048, n_buckets=8
+    ).select("doc_id", "offset", "first_chunk", "last_chunk", "n_chunks")
+
+
+def _q_incremental_dedup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-ingest dedup: new docs (odd ids) against a prior corpus
+    (even ids), bloom-prefiltered anti join + self-dedup winner."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.dedup import incremental_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(new, seen, bloom_bits=1 << 14).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_distinct_users": _q_exact_distinct_users,
@@ -1375,6 +1443,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_streaming_sessions": _q_tx_streaming_sessions,
         "streaming_quantiles_bound": _q_streaming_quantiles_bound,
         "knn_ivf_recall": _q_knn_ivf_recall,
+        "hash_split_assignments": _q_hash_split_assignments,
+        "hash_sample_docs": _q_hash_sample_docs,
+        "stratified_sample_langs": _q_stratified_sample_langs,
+        "deterministic_sample_top": _q_deterministic_sample_top,
+        "pack_offsets_chunks": _q_pack_offsets_chunks,
+        "incremental_dedup_new": _q_incremental_dedup_new,
         "sparse_dense_parity": _q_sparse_dense_parity,
         "null_skip_sketch": _q_null_skip_sketch,
         "packed6_roundtrip": _q_packed6_roundtrip,
@@ -1410,9 +1484,71 @@ def _lang_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from hyper_spark.operators.sampling import _hex_threshold
+
     norm = _NORM_SQL.format(col="text")
     true_flags = "true AS within_bound"
+
+    def draw(seed: object) -> str:
+        return f"substring(md5(doc_id::VARCHAR || ':{seed}'), 1, 8)"
+
     return {
+        "hash_split_assignments": (
+            "SELECT doc_id, CASE "
+            f"WHEN {draw(42)} < '{_hex_threshold(0.8)}' THEN 'train' "
+            f"WHEN {draw(42)} < '{_hex_threshold(0.9)}' THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
+        ),
+        "hash_sample_docs": (
+            "SELECT doc_id FROM documents "
+            f"WHERE {draw(7)} < '{_hex_threshold(0.2)}'"
+        ),
+        "stratified_sample_langs": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            f"(lang = 'en' AND {draw(11)} < '{_hex_threshold(0.5)}') OR "
+            f"(lang = 'de' AND {draw(11)} < '{_hex_threshold(0.2)}')"
+        ),
+        "deterministic_sample_top": (
+            "SELECT doc_id FROM documents "
+            f"ORDER BY {draw(3)}, doc_id::VARCHAR LIMIT 25"
+        ),
+        "pack_offsets_chunks": """
+            WITH sized AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS off
+                FROM sized
+            )
+            SELECT doc_id, off AS offset,
+                   CAST(floor(off / 2048.0) AS BIGINT) AS first_chunk,
+                   greatest(
+                       CAST(floor((off + n_tokens - 1) / 2048.0) AS BIGINT),
+                       CAST(floor(off / 2048.0) AS BIGINT)
+                   ) AS last_chunk,
+                   greatest(
+                       CAST(floor((off + n_tokens - 1) / 2048.0) AS BIGINT),
+                       CAST(floor(off / 2048.0) AS BIGINT)
+                   ) - CAST(floor(off / 2048.0) AS BIGINT) + 1 AS n_chunks
+            FROM c
+        """,
+        "incremental_dedup_new": f"""
+            WITH seen AS (
+                SELECT DISTINCT md5({norm}) AS fp
+                FROM documents WHERE doc_id % 2 = 0
+            ), fresh AS (
+                SELECT doc_id, md5({norm}) AS fp
+                FROM documents WHERE doc_id % 2 = 1
+                AND md5({norm}) NOT IN (SELECT fp FROM seen)
+            )
+            SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp
+        """,
         "exact_distinct_users": (
             "SELECT count(DISTINCT user_id) AS n_users FROM events"
         ),

@@ -36,6 +36,12 @@ from hyper_spark.operators.quantiles import (
 from hyper_spark.operators.hll_agg import multi_sketch_by
 from hyper_spark.operators.rollup import rollup_estimates, sketch_time_rollup
 from hyper_spark.operators.temporal import asof_join, range_join, sessionize
+from hyper_spark.operators.sampling import (
+    deterministic_sample,
+    hash_sample,
+    hash_split,
+)
+from hyper_spark.operators.packing import chunk_stats, pack_offsets
 
 __all__ = [
     "approx_distinct",
@@ -63,4 +69,9 @@ __all__ = [
     "sessionize",
     "asof_join",
     "range_join",
+    "hash_split",
+    "hash_sample",
+    "deterministic_sample",
+    "pack_offsets",
+    "chunk_stats",
 ]

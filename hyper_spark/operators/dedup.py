@@ -57,6 +57,7 @@ __all__ = [
     "exact_dup_groups",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "incremental_dedup",
     "simhash_col_agg",
     "simhash_pairs",
     "ngram_jaccard_pairs",
@@ -91,6 +92,56 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom_bits: int | None = None,
+    self_dedup: bool = True,
+) -> DataFrame:
+    """Rows of ``new_df`` not already present in a prior corpus: the
+    cross-ingest dedup every growing training set needs (only fresh
+    documents proceed to tokenization / packing).
+
+    Membership is by normalized-text fingerprint (``fingerprint_col``).
+    With ``self_dedup`` the new batch is also deduped against itself
+    (min-id winner), so the output is ingestible as the next corpus
+    increment with no internal dupes.
+
+    Scale: the exact check is an anti join keyed by fingerprint — one
+    shuffle bounded by the *new batch*, not the historical corpus, when
+    the seen side is a pre-aggregated fingerprint store. ``bloom_bits``
+    enables a Bloom pre-filter built from the seen fingerprints: rows
+    whose fingerprint is definitely-new skip the join entirely, so the
+    shuffled volume drops to (true dupes + false-positive rate) — the
+    right shape when daily increments are large and overlap is small.
+    """
+    from hyper_spark.operators.bloom_agg import bloom_by, bloom_might_contain
+
+    fp = fingerprint_col(F.col(text_col))
+    tagged = new_df.withColumn("__fp", fp)
+    seen_fps = seen_df.select(
+        fingerprint_col(F.col(text_col)).alias("__fp")
+    ).distinct()
+
+    if bloom_bits:
+        bloom = bloom_by(seen_df, [], fingerprint_col(F.col(text_col)),
+                         m_bits=bloom_bits)
+        flagged = bloom_might_contain(bloom, tagged, "__fp", alias="__maybe")
+        definite_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
+        suspects = flagged.filter(F.col("__maybe")).drop("__maybe")
+        checked = suspects.join(seen_fps, on="__fp", how="left_anti")
+        fresh = definite_new.unionByName(checked)
+    else:
+        fresh = tagged.join(seen_fps, on="__fp", how="left_anti")
+
+    if self_dedup:
+        winners = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+        fresh = fresh.join(winners.select(id_col), on=id_col, how="leftsemi")
+    return fresh.drop("__fp")
 
 
 # --------------------------------------------------------------- minhash

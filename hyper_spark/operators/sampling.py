@@ -1,0 +1,182 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+The reference (GameAnalytics/hyper) has no sampling surface; these are the
+"beyond the reference" training-data operators. Everything here is
+*deterministic by construction* — membership is a pure function of
+(key, seed), never of partitioning, task order, or a RNG stream — which is
+what a 100 TB pipeline actually needs:
+
+- re-running the job (or one failed task) yields the identical split;
+- the same document lands in the same split across corpus versions, so
+  train/test contamination can't creep in when data is re-ingested;
+- any engine (here: the DuckDB oracle) can reproduce membership row-by-row.
+
+Mechanics: a row's "coin flip" is the first 8 hex chars of
+``md5(key || ':' || seed)`` — a uniform 32-bit value compared *as a
+fixed-width hex string* against precomputed thresholds, so the whole
+predicate is native Catalyst (md5/substring/comparison, whole-stage
+codegen) and pushes through scans as an ordinary filter. No shuffle is
+introduced by ``hash_split`` / ``hash_sample``; ``deterministic_sample``
+is sort+limit (TakeOrdered) globally or one window shuffle per group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "split_hash_col",
+    "hash_split",
+    "hash_sample",
+    "deterministic_sample",
+]
+
+_HASH_BITS = 32
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def split_hash_col(key: str | Column, seed: str | int = 0) -> Column:
+    """Uniform 32-bit draw for a row, as an 8-char lowercase hex string.
+
+    ``md5(cast(key as string) || ':' || seed)`` truncated to 8 hex chars.
+    Fixed-width lowercase hex compares identically as a string and as the
+    integer it encodes, so thresholds can stay string literals and the
+    expression never leaves codegen. NULL keys hash to NULL (callers get
+    NULL splits / are never sampled), matching the sketch NULL contract.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    # F.concat (not concat_ws) so a NULL key yields a NULL draw — the SQL
+    # `key || ':' || seed` oracle propagates NULL the same way
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(":" + str(seed)))), 1, 8
+    )
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Exclusive upper bound in hex for ``P(draw < t) == fraction``."""
+    t = int(round(fraction * _HASH_SPACE))
+    t = max(0, min(_HASH_SPACE, t))
+    # 2^32 itself can't be an 8-char hex; 'g' sorts after every hex digit,
+    # giving an always-true bound for fraction == 1.0.
+    return "g" if t == _HASH_SPACE else format(t, "08x")
+
+
+def hash_split(
+    df: DataFrame,
+    on: str | Column,
+    weights: Mapping[str, float],
+    seed: str | int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by key hash.
+
+    ``weights`` maps split name -> weight (normalized internally; dict
+    order defines the threshold order). Rows with equal ``on`` values land
+    in the same split — pass the *dedup key* (e.g. document fingerprint)
+    to keep near-identical rows from straddling train/test.
+
+    Scale: pure map-side column (no shuffle, no state); the assignment is
+    a when-chain over one md5 call, fully inside whole-stage codegen.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    h = split_hash_col(on, seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names:
+        acc += weights[name] / total
+        cond = h < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    # float rounding can leave a sliver above the last threshold
+    assert expr is not None
+    expr = expr.otherwise(F.lit(names[-1]))
+    expr = F.when(h.isNotNull(), expr)  # NULL key -> NULL split
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    on: str | Column,
+    fraction: float | None = None,
+    seed: str | int = 0,
+    by: str | None = None,
+    fractions: Mapping[object, float] | None = None,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its key hash falls
+    below the fraction threshold.
+
+    Global mode: ``fraction`` in [0, 1]. Stratified mode: ``by`` names a
+    stratum column and ``fractions`` maps stratum value -> fraction
+    (strata not listed are dropped), the deterministic analogue of
+    ``DataFrame.sampleBy``.
+
+    Unlike ``df.sample`` this is stable under re-execution, retries, and
+    repartitioning, and the *same keys* are kept at a smaller fraction
+    (f' < f samples a subset of f's rows) — the property that makes
+    nested-subset ablation corpora possible.
+
+    Scale: a plain filter — no shuffle; pushes down past column pruning.
+    """
+    h = split_hash_col(on, seed)
+    if fractions is not None:
+        if by is None:
+            raise ValueError("stratified sampling needs `by`")
+        cond: Column = F.lit(False)
+        for value, frac in fractions.items():
+            cond = F.when(
+                F.col(by) == F.lit(value), h < F.lit(_hex_threshold(frac))
+            ).otherwise(cond)
+        return df.filter(cond)
+    if fraction is None:
+        raise ValueError("pass either fraction or (by, fractions)")
+    return df.filter(h < F.lit(_hex_threshold(fraction)))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    n: int,
+    on: str | Column,
+    seed: str | int = 0,
+    by: Sequence[str] | None = None,
+    hash_col: str | None = None,
+) -> DataFrame:
+    """Exact-size uniform sample: the ``n`` rows with the smallest key
+    hashes (per group when ``by`` is given) — a deterministic reservoir.
+
+    Ties (md5 collisions on distinct keys are ~2^-32, but equal keys tie
+    exactly) break on the key's string value, so the selected *set* is a
+    pure function of (keys, seed). Keep ``hash_col`` to chain samples:
+    the union of per-shard deterministic samples re-sampled to ``n`` is
+    exactly the sample of the union (min-wise property), so shards can be
+    sampled independently and merged — the treeAggregate shape.
+
+    Scale: global mode compiles to TakeOrderedAndProject (per-partition
+    top-n, tiny merge at the driver-side limit — no full sort); grouped
+    mode is one window shuffle keyed by ``by``.
+    """
+    key = F.col(on) if isinstance(on, str) else on
+    h = split_hash_col(key, seed)
+    tagged = df.withColumn("__h", h).filter(F.col("__h").isNotNull())
+    if by:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*by).orderBy(F.col("__h"), key.cast("string"))
+        out = (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+    else:
+        out = tagged.orderBy(F.col("__h"), key.cast("string")).limit(n)
+    if hash_col:
+        return out.withColumnRenamed("__h", hash_col)
+    return out.drop("__h")

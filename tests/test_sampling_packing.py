@@ -1,0 +1,230 @@
+"""Deterministic sampling/splitting and sequence-packing operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyper_spark.operators.dedup import incremental_dedup
+from hyper_spark.operators.packing import chunk_stats, pack_offsets
+from hyper_spark.operators.sampling import (
+    deterministic_sample,
+    hash_sample,
+    hash_split,
+    split_hash_col,
+)
+
+
+def _draw(key: str, seed: str = "0") -> str:
+    return hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:8]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/documents.parquet")
+
+
+# ------------------------------------------------------------- splitting
+
+
+def test_split_hash_matches_python_md5(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    rows = df.select("k", split_hash_col("k", 7).alias("h")).collect()
+    for r in rows:
+        assert r["h"] == _draw(str(r["k"]), "7")
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["k"])
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["k"]: r["split"] for r in hash_split(df, "k", w, seed=1).collect()}
+    b = {r["k"]: r["split"] for r in hash_split(df, "k", w, seed=1).collect()}
+    assert a == b  # re-execution identical
+    counts = {s: 0 for s in w}
+    for s in a.values():
+        counts[s] += 1
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    # oracle replication: membership is a pure function of the hash
+    for k, s in list(a.items())[:200]:
+        h = _draw(str(k), "1")
+        if h < format(int(round(0.8 * 2**32)), "08x"):
+            assert s == "train"
+
+
+def test_hash_split_null_key_gets_null_split(spark):
+    df = spark.createDataFrame([("a",), (None,)], ["k"])
+    rows = {r["k"]: r["split"] for r in hash_split(
+        df, "k", {"x": 1.0}).collect()}
+    assert rows["a"] == "x"
+    assert rows[None] is None
+
+
+def test_hash_split_seed_changes_assignment(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    w = {"a": 0.5, "b": 0.5}
+    s1 = {r["k"]: r["split"] for r in hash_split(df, "k", w, seed=1).collect()}
+    s2 = {r["k"]: r["split"] for r in hash_split(df, "k", w, seed=2).collect()}
+    moved = sum(1 for k in s1 if s1[k] != s2[k])
+    assert moved > 500  # ~50% expected
+
+
+# -------------------------------------------------------------- sampling
+
+
+def test_hash_sample_nested_subset_property(spark):
+    df = spark.createDataFrame([(i,) for i in range(4000)], ["k"])
+    small = {r["k"] for r in hash_sample(df, "k", 0.1, seed=3).collect()}
+    big = {r["k"] for r in hash_sample(df, "k", 0.3, seed=3).collect()}
+    assert small <= big  # smaller fraction samples a subset
+    assert abs(len(big) / 4000 - 0.3) < 0.03
+
+
+def test_hash_sample_stratified(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = hash_sample(
+        df, "k", by="lang", fractions={"en": 0.5, "de": 0.1}, seed=5
+    ).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in out}
+    n_en = 2000
+    n_de = 1000
+    assert abs(got["en"] / n_en - 0.5) < 0.05
+    assert abs(got["de"] / n_de - 0.1) < 0.04
+
+
+def test_hash_sample_is_pure_filter_no_shuffle(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    plan = hash_sample(df, "k", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_deterministic_sample_global_and_grouped(spark):
+    rows = [(i, "g%d" % (i % 4)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    top = deterministic_sample(df, 50, on="k", seed=9)
+    got = sorted(r["k"] for r in top.collect())
+    # oracle: 50 smallest hashes
+    expected = sorted(range(2000), key=lambda k: (_draw(str(k), "9"), str(k)))[:50]
+    assert got == sorted(expected)
+
+    per_g = deterministic_sample(df, 10, on="k", seed=9, by=["g"])
+    counts = per_g.groupBy("g").count().collect()
+    assert all(r["count"] == 10 for r in counts)
+
+
+def test_deterministic_sample_minwise_merge(spark):
+    """Sample-of-union == union-of-samples re-sampled (min-wise)."""
+    df = spark.createDataFrame([(i,) for i in range(3000)], ["k"])
+    shard_a = df.filter(F.col("k") < 1500)
+    shard_b = df.filter(F.col("k") >= 1500)
+    sa = deterministic_sample(shard_a, 40, on="k", seed=2, hash_col="h")
+    sb = deterministic_sample(shard_b, 40, on="k", seed=2, hash_col="h")
+    merged = deterministic_sample(
+        sa.unionByName(sb).drop("h"), 40, on="k", seed=2
+    )
+    direct = deterministic_sample(df, 40, on="k", seed=2)
+    assert sorted(r["k"] for r in merged.collect()) == sorted(
+        r["k"] for r in direct.collect()
+    )
+
+
+# --------------------------------------------------------------- packing
+
+
+def test_pack_offsets_matches_sequential(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 900)) for i in range(2500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).repartition(8)
+    packed = pack_offsets(df, "doc_id", "n_tokens", chunk_size=2048,
+                          n_buckets=8)
+    got = {r["doc_id"]: r for r in packed.collect()}
+    off = 0
+    for i, sz in rows:
+        r = got[i]
+        assert r["offset"] == off
+        assert r["first_chunk"] == off // 2048
+        assert r["last_chunk"] == max(off, off + sz - 1) // 2048
+        assert r["n_chunks"] == r["last_chunk"] - r["first_chunk"] + 1
+        off += sz
+
+
+def test_pack_offsets_zero_size_and_single_bucket(spark):
+    rows = [(1, 0), (2, 5), (3, 0), (4, 4091)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    got = {r["doc_id"]: r for r in pack_offsets(
+        df, "doc_id", "n", chunk_size=4096, n_buckets=1).collect()}
+    assert got[1]["offset"] == 0 and got[1]["n_chunks"] == 1
+    assert got[2]["offset"] == 0
+    assert got[3]["offset"] == 5 and got[3]["last_chunk"] == 0
+    assert got[4]["offset"] == 5 and got[4]["last_chunk"] == 0
+    assert got[4]["first_chunk"] == 0
+
+
+def test_pack_offsets_no_global_single_partition_window(spark):
+    """The corpus-side window must be partitioned (parallel), never a
+    bare ORDER BY over everything."""
+    df = spark.createDataFrame([(i, 10) for i in range(100)], ["doc_id", "n"])
+    packed = pack_offsets(df, "doc_id", "n", chunk_size=64, n_buckets=4)
+    import re
+
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side running sum must be a window PARTITIONED by the
+    # range bucket (parallel); the only unpartitioned window may be the
+    # tiny per-bucket totals prefix (its input is the bucket aggregate)
+    windows = re.findall(r"Window \[[^\n]*", plan)
+    assert any("__pack_bucket" in w for w in windows)
+    corpus_windows = [w for w in windows if "__cum" in w]
+    assert corpus_windows and all("__pack_bucket" in w for w in corpus_windows)
+
+
+def test_chunk_stats(spark):
+    rows = [(1, 100), (2, 2000), (3, 100)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    packed = pack_offsets(df, "doc_id", "n", chunk_size=1024, n_buckets=2)
+    stats = chunk_stats(packed, 1024).collect()[0]
+    assert stats["n_docs"] == 3
+    assert stats["n_chunks_total"] == 3  # 2200 tokens / 1024 -> chunks 0..2
+    assert stats["n_split_docs"] == 1  # doc 2 spans 0..2
+
+
+# ----------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_exact_and_bloom(spark, docs):
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    plain = incremental_dedup(new, seen)
+    bloomed = incremental_dedup(new, seen, bloom_bits=1 << 14)
+    a = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in bloomed.select("doc_id").collect())
+    assert a == b  # bloom is an optimization, never changes the answer
+    # every surviving doc's fingerprint is absent from seen and unique
+    fps_seen = {
+        r[0]
+        for r in seen.select(
+            F.md5(F.lower(F.col("text"))).alias("x")
+        ).collect()
+    }
+    assert len(a) <= new.count()
+
+
+def test_incremental_dedup_self_dedup_flag(spark):
+    seen = spark.createDataFrame([(100, "already seen")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "fresh one"), (2, "fresh one"), (3, "already seen")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup(new, seen).collect()
+    )
+    assert kept == [1]  # 3 is seen; 2 loses self-dedup to 1
+    kept_all = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new, seen, self_dedup=False).collect()
+    )
+    assert kept_all == [1, 2]
