@@ -1324,6 +1324,21 @@ def _q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-to-DataFrame similarity join (both sides distributed —
+    no driver-side query collection). n_probe == n_cells ⇒ exact: must
+    equal DuckDB's windowed cosine top-k row-for-row
+    (operators/similarity.py::knn_join)."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.similarity import knn_join
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_side = emb.filter(F.col("vec_id") < 20)
+    return knn_join(
+        queries_side, emb, k=5, n_cells=8, n_probe=8, sample=600
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_hash_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: membership is a pure function
     of (doc_id, seed) via an md5 threshold — DuckDB reproduces every row
@@ -1443,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_streaming_sessions": _q_tx_streaming_sessions,
         "streaming_quantiles_bound": _q_streaming_quantiles_bound,
         "knn_ivf_recall": _q_knn_ivf_recall,
+        "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
         "hash_sample_docs": _q_hash_sample_docs,
         "stratified_sample_langs": _q_stratified_sample_langs,
@@ -1493,6 +1509,18 @@ def oracle_sql() -> dict[str, str]:
         return f"substring(md5(doc_id::VARCHAR || ':{seed}'), 1, 8)"
 
     return {
+        "knn_join_exact": """
+            SELECT query_id, vec_id, rank FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                               a.embedding, b.embedding) DESC, b.vec_id
+                       ) AS rank
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < 20
+            ) WHERE rank <= 5
+        """,
         "hash_split_assignments": (
             "SELECT doc_id, CASE "
             f"WHEN {draw(42)} < '{_hex_threshold(0.8)}' THEN 'train' "

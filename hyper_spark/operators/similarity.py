@@ -33,7 +33,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-__all__ = ["knn_brute", "knn_ivf", "ivf_assign", "build_ivf_index", "knn_with_index"]
+__all__ = [
+    "knn_brute",
+    "knn_ivf",
+    "knn_join",
+    "ivf_assign",
+    "build_ivf_index",
+    "knn_with_index",
+]
 
 
 def _topk_map_fn(
@@ -227,6 +234,124 @@ def knn_ivf(
     candidates = assigned.filter(F.col("cell").isin(all_cells))
     return _masked_topk(
         candidates, qn, qids, k, id_col, vec_col, probe_cells, len(centroids)
+    )
+
+
+def knn_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str | None = None,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_salt: int = 1,
+    sample: int = 10000,
+    iters: int = 5,
+    seed: int = 23,
+) -> DataFrame:
+    """Distributed top-k cosine similarity JOIN: every row of
+    ``queries_df`` finds its ``k`` nearest rows of ``corpus_df``.
+
+    Unlike ``knn_brute``/``knn_ivf`` (driver-side numpy queries — fine
+    for dashboards, wrong for a million-query retrieval pass), both
+    sides here stay DataFrames end to end:
+
+    1. coarse k-means centroids trained on a corpus sample (the only
+       driver-side object: n_cells × dim floats, broadcast in closures);
+    2. corpus rows assigned to their nearest cell, query rows exploded
+       to their ``n_probe`` nearest cells — fan-out n_probe, not
+       |corpus|;
+    3. a cogroup on ``cell``: per cell, one numpy matmul scores that
+       cell's probing queries against that cell's vectors and keeps each
+       query's local top-k — the only shuffle is (rows keyed by cell);
+    4. a per-query window over ≤ n_probe·k candidates picks the global
+       top-k.
+
+    ``n_probe >= n_cells`` makes the result exact (every query scores
+    every cell). ``n_salt > 1`` splits each cell into salt sub-groups
+    (corpus rows salted by id hash, probes replicated per salt) so one
+    hot cell cannot pin a single task — candidates become n_probe·n_salt·k
+    per query, the answer is unchanged.
+
+    Returns DataFrame[query_id, id_col, score, rank], rank 1..k.
+    """
+    qv = query_vec_col or vec_col
+    centroids = _train_centroids(corpus_df, vec_col, n_cells, sample, iters, seed)
+    cents = centroids  # closure copy
+    n_cells_eff = len(centroids)
+    n_probe_eff = min(n_probe, n_cells_eff)
+
+    corpus = ivf_assign(
+        corpus_df.filter(F.col(vec_col).isNotNull()), centroids, vec_col
+    ).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"), "cell"
+    )
+
+    @F.pandas_udf("array<long>")
+    def probe_cells_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ cents.T), axis=1)[:, :n_probe_eff]
+        return pd.Series(list(order))
+
+    probes = (
+        queries_df.filter(F.col(qv).isNotNull())
+        .select(
+            F.col(query_id_col).alias("query_id"), F.col(qv).alias("__qvec")
+        )
+        .withColumn("cell", F.explode(probe_cells_udf(F.col("__qvec"))))
+    )
+
+    if n_salt > 1:
+        corpus = corpus.withColumn(
+            "__salt", F.pmod(F.xxhash64("__cid"), F.lit(n_salt))
+        )
+        probes = probes.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
+        )
+        group_keys = ["cell", "__salt"]
+    else:
+        group_keys = ["cell"]
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "__cid": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+        if left.empty or right.empty:
+            return empty
+        q = np.stack(left["__qvec"].to_numpy()).astype(np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        m = np.stack(right["__cvec"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = right["__cid"].to_numpy(dtype=np.int64)
+        s = q @ m.T
+        take = min(k, s.shape[1])
+        part = np.argpartition(-s, take - 1, axis=1)[:, :take]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(
+                    left["query_id"].to_numpy(dtype=np.int64), take
+                ),
+                "__cid": ids[part].reshape(-1),
+                "score": np.take_along_axis(s, part, axis=1).reshape(-1),
+            }
+        )
+
+    candidates = (
+        probes.groupBy(*group_keys)
+        .cogroup(corpus.groupBy(*group_keys))
+        .applyInPandas(score_cell, schema="query_id long, __cid long, score double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("__cid"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("__cid").alias(id_col), "score", "rank")
     )
 
 

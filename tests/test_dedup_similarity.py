@@ -359,3 +359,67 @@ def test_ivf_index_reads_only_probed_cells(spark, sf_correct, tmp_path):
     # no unpruned scan: every file-scan node carries the partition filter
     scans = [seg for seg in plan.split("\n") if "FileScan" in seg]
     assert len(scans) == 1, scans
+
+
+# --------------------------------------------------------------- knn_join
+
+
+def test_knn_join_exact_matches_brute(spark, sf_correct):
+    """n_probe == n_cells makes the bucketed join exact — identical
+    (query, id, rank) set as the driver-side brute baseline."""
+    from hyper_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet").repartition(8)
+    queries = emb.filter(F.col("vec_id") < 8)
+    qmat = np.stack(
+        queries.orderBy("vec_id").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    expect = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in knn_brute(emb, qmat, k=5, query_ids=list(range(8))).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in knn_join(
+            queries, emb, k=5, n_cells=6, n_probe=6, sample=600
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_knn_join_salted_identical(spark, sf_correct):
+    """Salting splits hot cells across tasks without changing the answer."""
+    from hyper_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet").repartition(8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    plain = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in knn_join(queries, emb, k=4, n_cells=6, n_probe=6).collect()
+    }
+    salted = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in knn_join(
+            queries, emb, k=4, n_cells=6, n_probe=6, n_salt=3
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_knn_join_approx_recall(spark, sf_correct):
+    """Probing 6 of 8 cells keeps recall high on the driver corpus
+    (these embeddings are near-uniform — the hostile case for IVF; the
+    existing knn_ivf test accepts 0.6 per query at n_probe=4)."""
+    from hyper_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet").repartition(8)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = knn_join(queries, emb, k=10, n_cells=8, n_probe=8).collect()
+    approx = knn_join(queries, emb, k=10, n_cells=8, n_probe=6).collect()
+    recalls = []
+    for qi in range(20):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        assert len(a) == 10  # always exactly k
+        recalls.append(len(e & a) / 10)
+    assert sum(recalls) / len(recalls) >= 0.85, recalls
