@@ -293,50 +293,59 @@ def minhash_lsh_pairs(
         include_shingle_hashes=True,
     ).cache()
 
+    # band hash = xxhash64 over the band's r signature longs DIRECTLY
+    # (multi-arg xxhash64). The earlier concat_ws-of-string-casts
+    # expression allocated 128 UTF8Strings per row and cost 1.8 s per
+    # evaluation at sf0.1 — and a self-join evaluates its source branch
+    # TWICE, so it dominated the whole pipeline (3.7 s of the 4.3 s
+    # candidate stage). The entries are also cached so the join's two
+    # branches share one materialization; released before return.
+    prefix = min(32, num_hashes)
     band_entries = sig.select(
         F.col(id_col),
+        F.slice("signature", 1, prefix).alias("pre"),
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[i].cast("string")
-                                for i in range(j * r, (j + 1) * r)
-                            ],
-                        )
+                        *[F.col("signature")[i] for i in range(j * r, (j + 1) * r)]
                     )
                     for j in range(bands)
                 ]
             )
         ).alias("band", "band_hash"),
-    )
+    ).persist()
+
     left = band_entries.select(
-        F.col(id_col).alias("id_a"), "band", "band_hash"
+        F.col(id_col).alias("id_a"), F.col("pre").alias("p_a"), "band", "band_hash"
     )
     right = band_entries.select(
-        F.col(id_col).alias("id_b"), "band", "band_hash"
+        F.col(id_col).alias("id_b"), F.col("pre").alias("p_b"), "band", "band_hash"
     )
-    candidates = (
+    # fused coarse estimate: the 32-long signature prefix travels WITH
+    # the band entries, so the first Jaccard screen (σ ≈ 0.088 at
+    # s=0.5, margin 2.2σ) runs as a codegen filter on the join output
+    # BEFORE distinct — no extra join, and distinct sees only the
+    # survivors (measured 514k join rows → 163k at sf0.1; the old
+    # 16-prefix post-distinct stage kept 417k of 493k and needed two
+    # more shuffles)
+    coarse_margin = 2.2 * (threshold * (1 - threshold) / prefix) ** 0.5
+    est_pre = F.aggregate(
+        F.zip_with("p_a", "p_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(prefix)
+    coarse = (
         left.join(right, on=["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__est", est_pre)
+        .filter(F.col("__est") >= threshold - coarse_margin)
         .select("id_a", "id_b")
         .distinct()
     )
 
-    # cheap pre-filter: estimated Jaccard from signature agreement
-    # (zip_with over 2×num_hashes longs, JVM) — collapses the LSH
-    # candidate flood before the expensive shingle-array join (measured
-    # 403k candidates → a few hundred survivors at sf0.1)
-    # two-stage estimate filter collapses the LSH candidate flood before
-    # any heavy join (corpora with mid-similarity mass produce ~500k
-    # candidates and ~100k pairs above the loose first stage at sf0.1):
-    # stage 1 — 16-component prefix (σ ≈ 0.125 at s=0.5, margin 2.2σ):
-    # moves 16 longs per side over all candidates;
-    # stage 2 — full signature (σ ≈ sqrt(s(1-s)/H), margin 2σ): only
-    # stage-1 survivors.
-    prefix = min(16, num_hashes)
+    # stage 2 — full signature (σ = sqrt(s(1-s)/H), margin 2σ): only
+    # coarse survivors join the cached signature table
 
     def est_filter(pairs: DataFrame, length: int, margin: float) -> DataFrame:
         sg = sig.select(
@@ -361,7 +370,6 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b")
         )
 
-    coarse = est_filter(candidates, prefix, margin=0.28)
     fine = est_filter(coarse, num_hashes, margin=2.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
 
     # exact verification on the hashed shingle *sets* (int arrays emitted
@@ -387,8 +395,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     verified = verified.persist()
-    verified.count()  # materialize, then drop the big signature cache
+    verified.count()  # materialize, then drop the big upstream caches
     sig.unpersist()
+    band_entries.unpersist()
     return verified
 
 
