@@ -1324,6 +1324,25 @@ def _q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline (annotate → lang/quality/
+    length filter → exact dedup → fingerprint-keyed split) in ONE
+    Catalyst plan — every stage individually gated elsewhere; this row
+    proves the composition (operators/corpus.py::prepare_corpus)."""
+    from hyper_spark.operators.corpus import prepare_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    out = prepare_corpus(
+        docs,
+        langs=("en", "de", "fr", "es"),
+        min_quality=0.35,
+        min_tokens=5,
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=13,
+    )
+    return out.select("doc_id", "lang_guess", "n_tokens", "quality", "split")
+
+
 def _q_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-to-DataFrame similarity join (both sides distributed —
     no driver-side query collection). n_probe == n_cells ⇒ exact: must
@@ -1458,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_streaming_sessions": _q_tx_streaming_sessions,
         "streaming_quantiles_bound": _q_streaming_quantiles_bound,
         "knn_ivf_recall": _q_knn_ivf_recall,
+        "corpus_prepare": _q_corpus_prepare,
         "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
         "hash_sample_docs": _q_hash_sample_docs,
@@ -1479,7 +1499,8 @@ _NORM_SQL = (
 )
 
 
-def _lang_sql() -> str:
+def _lang_case_sql() -> str:
+    """DuckDB CASE expression mirroring ``lang_guess_col``."""
     norm = _NORM_SQL.format(col="text")
     hits = {
         lang: (
@@ -1493,8 +1514,35 @@ def _lang_sql() -> str:
     for lang in LANG_STOPWORDS:  # dict order = tie-break priority
         case += f"WHEN {hits[lang]} > 0 AND {hits[lang]} = {best} THEN '{lang}' "
     case += "ELSE 'und' END"
+    return case
+
+
+def _quality_sql() -> str:
+    """DuckDB expression mirroring ``quality_score_col`` term by term
+    (same operation order, so IEEE doubles agree bit-for-bit)."""
+    norm = _NORM_SQL.format(col="text")
+    sw = ", ".join(repr(w) for w in LANG_STOPWORDS["en"])
+    nt = "(len(string_split_regex(trim(text), '\\s+'))::DOUBLE)"
+    ls = f"(least({nt} / 20.0, 1.0) * least(2000.0 / greatest({nt}, 1.0), 1.0))"
+    punct = (
+        "(CASE WHEN length(text) > 0 THEN "
+        "(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))"
+        " / length(text) ELSE 0.0 END)"
+    )
+    pp = f"(1.0 - least({punct} * 4, 1.0))"
+    toks = f"string_split({norm}, ' ')"
+    ratio = (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, x -> x in ({sw}))) / len({toks}) "
+        "ELSE 0.0 END)"
+    )
+    ss = f"greatest(1.0 - abs({ratio} - 0.4) / 0.6, 0.0)"
+    return f"round({ls} * 0.4 + {pp} * 0.3 + {ss} * 0.3, 6)"
+
+
+def _lang_sql() -> str:
     return (
-        f"SELECT {case} AS lang_guess, count(*) AS n_docs "
+        f"SELECT {_lang_case_sql()} AS lang_guess, count(*) AS n_docs "
         f"FROM documents GROUP BY 1"
     )
 
@@ -1509,6 +1557,32 @@ def oracle_sql() -> dict[str, str]:
         return f"substring(md5(doc_id::VARCHAR || ':{seed}'), 1, 8)"
 
     return {
+        "corpus_prepare": f"""
+            WITH ann AS (
+                SELECT doc_id,
+                       {_lang_case_sql()} AS lang_guess,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT
+                           AS n_tokens,
+                       {_quality_sql()} AS quality,
+                       md5({norm}) AS fingerprint
+                FROM documents
+            ), kept AS (
+                SELECT * FROM ann
+                WHERE quality >= 0.35 AND n_tokens BETWEEN 5 AND 1000000
+                  AND lang_guess IN ('en', 'de', 'fr', 'es')
+            ), deduped AS (
+                SELECT * FROM kept WHERE doc_id IN (
+                    SELECT min(doc_id) FROM kept GROUP BY fingerprint
+                )
+            )
+            SELECT doc_id, lang_guess, n_tokens, quality,
+                   CASE WHEN substring(md5(fingerprint || ':13'), 1, 8)
+                             < '{_hex_threshold(0.9)}' THEN 'train'
+                        WHEN substring(md5(fingerprint || ':13'), 1, 8)
+                             < '{_hex_threshold(0.95)}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM deduped
+        """,
         "knn_join_exact": """
             SELECT query_id, vec_id, rank FROM (
                 SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

@@ -228,3 +228,39 @@ def test_incremental_dedup_self_dedup_flag(spark):
         for r in incremental_dedup(new, seen, self_dedup=False).collect()
     )
     assert kept_all == [1, 2]
+
+
+# ---------------------------------------------------------------- corpus
+
+
+def test_prepare_corpus_composition(spark, docs):
+    from hyper_spark.operators.corpus import prepare_corpus
+
+    out = prepare_corpus(
+        docs, splits={"train": 0.9, "val": 0.1}, seed=1
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= docs.count()
+    # every surviving row satisfies the filters
+    for r in rows[:100]:
+        assert r["quality"] >= 0.35 and r["n_tokens"] >= 5
+        assert r["lang_guess"] in ("en", "de", "fr", "es")
+        assert r["split"] in ("train", "val")
+    # no duplicate fingerprints survive
+    n_fp = out.select("fingerprint").distinct().count()
+    assert n_fp == len(rows)
+    # whole pipeline stays JVM: no Python eval nodes in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    # the quality/lang/token filter sits under the dedup shuffle: the
+    # aggregate's child already contains the Filter
+    assert plan.index("Filter") > -1
+
+
+def test_prepare_corpus_no_dedup_no_split(spark, docs):
+    from hyper_spark.operators.corpus import prepare_corpus
+
+    out = prepare_corpus(docs, dedup=False, splits=None, langs=None)
+    assert "split" not in out.columns
+    # language filter off: 'und'/zh docs may survive
+    assert out.count() >= prepare_corpus(docs, splits=None).count()
