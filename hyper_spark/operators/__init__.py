@@ -42,6 +42,7 @@ from hyper_spark.operators.sampling import (
     hash_split,
 )
 from hyper_spark.operators.packing import chunk_stats, pack_offsets
+from hyper_spark.operators.corpus import prepare_corpus
 
 __all__ = [
     "approx_distinct",
@@ -74,4 +75,5 @@ __all__ = [
     "deterministic_sample",
     "pack_offsets",
     "chunk_stats",
+    "prepare_corpus",
 ]
