@@ -150,6 +150,29 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return _Rollup()
 
+    def q_knn_join():
+        from hyper_spark.operators.similarity import knn_join
+
+        return knn_join(
+            emb.filter(F.col("vec_id") < 64), emb, k=10, n_cells=16, n_probe=4
+        )
+
+    def q_corpus_prepare():
+        from hyper_spark.operators.corpus import prepare_corpus
+
+        return prepare_corpus(
+            docs, splits={"train": 0.98, "val": 0.01, "test": 0.01}, seed=1
+        )
+
+    def q_pack_offsets():
+        from hyper_spark.functions.text import token_count_col
+        from hyper_spark.operators.packing import pack_offsets
+
+        sized = docs.select(
+            "doc_id", token_count_col(F.col("text")).cast("long").alias("n")
+        )
+        return pack_offsets(sized, "doc_id", "n", chunk_size=2048)
+
     return {
         "hll_orderkey": q_hll_orderkey,
         "hll_rollup_hour_day_week": q_hll_rollup,
@@ -165,6 +188,9 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "simhash_docs": q_simhash,
         "knn_embeddings": q_knn,
         "knn_ivf_persisted": q_knn_ivf,
+        "knn_join_64q": q_knn_join,
+        "corpus_prepare": q_corpus_prepare,
+        "pack_offsets": q_pack_offsets,
     }
 
 

@@ -20,7 +20,10 @@ __all__ = [
     "punct_ratio_col",
     "stopword_ratio_col",
     "quality_score_col",
+    "quality_score_from_parts",
     "lang_guess_col",
+    "lang_hit_counts",
+    "lang_guess_from_counts",
     "char_shingles_col",
     "word_shingles_col",
     "LANG_STOPWORDS",
@@ -83,17 +86,22 @@ def stopword_ratio_col(col: Column, lang: str = "en") -> Column:
     return F.when(F.size(toks) > 0, F.size(hits) / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score_col(col: Column) -> Column:
-    """Heuristic document quality in [0, 1]: rewards moderate length,
-    penalizes extreme punctuation density and stopword-free word salads
-    (all JVM arithmetic)."""
-    n_tokens = token_count_col(col).cast("double")
+def quality_score_from_parts(
+    n_tokens: Column, punct_ratio: Column, stop_ratio: Column
+) -> Column:
+    """Quality score from pre-computed parts (see ``quality_score_col``).
+    Callers annotating whole tables should materialize the parts as real
+    columns first and combine here — handing the composed expression a
+    raw text column re-runs the regex/lambda chains once per reference
+    (Catalyst can't CSE across lambda boundaries, and ArrayFilter is
+    CodegenFallback, outside runtime subexpression elimination)."""
+    n_tokens = n_tokens.cast("double")
     length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * F.least(
         F.lit(2000.0) / F.greatest(n_tokens, F.lit(1.0)), F.lit(1.0)
     )
-    punct_penalty = F.lit(1.0) - F.least(punct_ratio_col(col) * 4, F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))
     stop_score = F.greatest(
-        F.lit(1.0) - F.abs(stopword_ratio_col(col) - F.lit(0.4)) / F.lit(0.6),
+        F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4)) / F.lit(0.6),
         F.lit(0.0),
     )
     return F.round(
@@ -101,19 +109,33 @@ def quality_score_col(col: Column) -> Column:
     )
 
 
-def lang_guess_col(col: Column) -> Column:
-    """Stopword-profile language heuristic: language with the highest
-    stopword hit count among the profiled set; 'und' (undetermined) when
-    nothing matches. Pure JVM (greatest/when over per-language counts)."""
-    toks = word_tokens_col(col)
+def quality_score_col(col: Column) -> Column:
+    """Heuristic document quality in [0, 1]: rewards moderate length,
+    penalizes extreme punctuation density and stopword-free word salads
+    (all JVM arithmetic)."""
+    return quality_score_from_parts(
+        token_count_col(col), punct_ratio_col(col), stopword_ratio_col(col)
+    )
+
+
+def lang_hit_counts(toks: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts over a token-array column."""
 
     def hit_counter(sw: list[str]):
         return lambda t: t.isin(*sw)
 
-    counts = {
+    return {
         lang: F.size(F.filter(toks, hit_counter(sw)))
         for lang, sw in LANG_STOPWORDS.items()
     }
+
+
+def lang_guess_from_counts(counts: dict[str, Column]) -> Column:
+    """Language pick from per-language hit-count columns. Pass real
+    (materialized) columns when annotating whole tables: the when-chain
+    references every count up to 3x, and ``greatest`` of all of them per
+    branch — with inline ArrayFilter counts that's ~20 lambda evaluations
+    per row."""
     best = F.greatest(*counts.values())
     expr = F.lit("und")
     # iterate in reverse so earlier languages win ties (when-chains nest)
@@ -122,6 +144,13 @@ def lang_guess_col(col: Column) -> Column:
             expr
         )
     return expr
+
+
+def lang_guess_col(col: Column) -> Column:
+    """Stopword-profile language heuristic: language with the highest
+    stopword hit count among the profiled set; 'und' (undetermined) when
+    nothing matches. Pure JVM (greatest/when over per-language counts)."""
+    return lang_guess_from_counts(lang_hit_counts(word_tokens_col(col)))
 
 
 def char_shingles_col(

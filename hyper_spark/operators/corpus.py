@@ -29,12 +29,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hyper_spark.functions.text import (
-    fingerprint_col,
-    lang_guess_col,
-    quality_score_col,
+    LANG_STOPWORDS,
+    lang_guess_from_counts,
+    lang_hit_counts,
+    normalized_text,
+    punct_ratio_col,
+    quality_score_from_parts,
     token_count_col,
 )
 from hyper_spark.operators.sampling import hash_split
+from hyper_spark.operators.util import spread
 
 __all__ = ["prepare_corpus"]
 
@@ -64,11 +68,40 @@ def prepare_corpus(
     strategy); the split is a map-side hash. Nothing leaves the JVM.
     """
     text = F.col(text_col)
-    annotated = df.withColumn("lang_guess", lang_guess_col(text)).withColumn(
-        "quality", quality_score_col(text)
-    ).withColumn(
-        "n_tokens", token_count_col(text).cast("long")
-    ).withColumn("fingerprint", fingerprint_col(text))
+    # Stage the expensive intermediates as REAL columns, one per
+    # projection level: the normalized text (3 regexes) feeds the token
+    # array, which feeds 5 ArrayFilter stopword counts, which feed both
+    # the language when-chain and the quality formula. Handing the raw
+    # column to the composed lang_guess_col/quality_score_col instead
+    # re-evaluates the regex chain ~20x per row (lambda-CSE +
+    # CodegenFallback; measured ~3x the whole pipeline cost at sf0.1).
+    # CollapseProject keeps non-cheap exprs referenced more than once in
+    # their own projection, so the staging survives optimization.
+    counts = {lang: F.col(f"__c_{lang}") for lang in LANG_STOPWORDS}
+    # spread(): a small-file table arrives as ONE scan partition and the
+    # whole annotate stage would run on one core (no-op on wide inputs)
+    staged = (
+        spread(df).withColumn("__norm", normalized_text(text))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumns(
+            {f"__c_{lang}": c for lang, c in lang_hit_counts(F.col("__toks")).items()}
+        )
+        .withColumn("n_tokens", token_count_col(text).cast("long"))
+    )
+    stop_ratio = F.when(
+        F.size("__toks") > 0, counts["en"] / F.size("__toks")
+    ).otherwise(F.lit(0.0))
+    annotated = (
+        staged.withColumn("lang_guess", lang_guess_from_counts(counts))
+        .withColumn(
+            "quality",
+            quality_score_from_parts(
+                F.col("n_tokens"), punct_ratio_col(text), stop_ratio
+            ),
+        )
+        .withColumn("fingerprint", F.md5(F.col("__norm")))
+        .drop("__norm", "__toks", *[f"__c_{lang}" for lang in LANG_STOPWORDS])
+    )
 
     cond = (
         (F.col("quality") >= F.lit(float(min_quality)))
@@ -80,8 +113,20 @@ def prepare_corpus(
     kept = annotated.filter(cond)
 
     if dedup:
-        winners = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-        kept = kept.join(winners.select(id_col), on=id_col, how="leftsemi")
+        # winner-per-fingerprint via ONE window over the surviving rows.
+        # The agg + semi-join formulation (exact_dedup) re-evaluates the
+        # whole annotate subtree on the winners branch — measured ~1.7x
+        # the pipeline cost at sf0.1 with the lambda-heavy lang counts.
+        # One fingerprint-keyed shuffle of annotated rows is cheaper than
+        # computing the annotation twice.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("fingerprint").orderBy(id_col)
+        kept = (
+            kept.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     if splits:
         kept = hash_split(kept, "fingerprint", splits, seed=seed)
