@@ -1343,6 +1343,62 @@ def _q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_guess", "n_tokens", "quality", "split")
 
 
+def _q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (first-arrival-per-fingerprint tombstone
+    state, streaming/dedup_stream.py) over a multi-micro-batch replay of
+    the documents table equals batch GROUP BY min(id). The source is
+    bucketed by fingerprint so each dup group arrives within one
+    micro-batch, making the winner the global min id (deterministic)."""
+    _ensure_pkg(spark)
+    import tempfile
+
+    from hyper_spark.functions.text import fingerprint_col as _fpc
+    from hyper_spark.streaming.dedup_stream import streaming_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory(prefix="gate_sdedup_") as td:
+        src, sink, ckpt = f"{td}/src", f"{td}/sink", f"{td}/ckpt"
+        docs.select("doc_id", "text").repartition(
+            4, _fpc(F.col("text"))
+        ).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.read.parquet(sink).collect()
+    return spark.createDataFrame(
+        [(r["fingerprint"], r["doc_id"]) for r in rows],
+        "fingerprint string, doc_id bigint",
+    )
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (retrieval/packing prep), pure
+    Catalyst sequence+slice (operators/corpus.py::chunk_documents);
+    chunk text checked by md5 so no bulk strings cross the gate."""
+    from hyper_spark.operators.corpus import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 def _q_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-to-DataFrame similarity join (both sides distributed —
     no driver-side query collection). n_probe == n_cells ⇒ exact: must
@@ -1478,6 +1534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantiles_bound": _q_streaming_quantiles_bound,
         "knn_ivf_recall": _q_knn_ivf_recall,
         "corpus_prepare": _q_corpus_prepare,
+        "doc_chunks": _q_doc_chunks,
+        "streaming_dedup_parity": _q_streaming_dedup_parity,
         "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
         "hash_sample_docs": _q_hash_sample_docs,
@@ -1582,6 +1640,25 @@ def oracle_sql() -> dict[str, str]:
                              < '{_hex_threshold(0.95)}' THEN 'val'
                         ELSE 'test' END AS split
             FROM deduped
+        """,
+        "streaming_dedup_parity": (
+            f"SELECT md5({norm}) AS fingerprint, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY 1"
+        ),
+        "doc_chunks": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks)-1, 0)+1, 48)) AS st
+                FROM t
+            )
+            SELECT doc_id,
+                   (st // 48)::BIGINT AS chunk_idx,
+                   least(len(toks) - st, 64)::BIGINT AS n_chunk_tokens,
+                   md5(array_to_string(toks[st+1 : st+64], ' ')) AS chunk_md5
+            FROM s
         """,
         "knn_join_exact": """
             SELECT query_id, vec_id, rank FROM (

@@ -10,7 +10,7 @@ one scan of the documents table:
 - filtering happens before any shuffle, so the scan-side volume drop
   (often 10-50% of a web corpus) is free;
 - exact dedup is the only shuffling stage: winner-per-fingerprint
-  (min id) — one groupBy plus one semi join;
+  (min id) — one window over the survivors;
 - the split assignment is a deterministic hash of the FINGERPRINT, not
   the doc id: if a near-identical doc re-enters the corpus later under
   a new id, it lands in the same split — the train/test-contamination
@@ -40,7 +40,7 @@ from hyper_spark.functions.text import (
 from hyper_spark.operators.sampling import hash_split
 from hyper_spark.operators.util import spread
 
-__all__ = ["prepare_corpus"]
+__all__ = ["prepare_corpus", "chunk_documents"]
 
 
 def prepare_corpus(
@@ -63,9 +63,9 @@ def prepare_corpus(
     ``dedup=False`` keeps exact duplicates.
 
     Scale: annotate+filter are shuffle-free codegen over the scan;
-    dedup adds one fingerprint-keyed aggregate and a semi join (the
-    winners side is O(distinct surviving docs) — AQE picks the join
-    strategy); the split is a map-side hash. Nothing leaves the JVM.
+    dedup adds ONE fingerprint-keyed shuffle (window winner — see the
+    inline note for why not agg+semi-join); the split is a map-side
+    hash. Nothing leaves the JVM.
     """
     text = F.col(text_col)
     # Stage the expensive intermediates as REAL columns, one per
@@ -131,3 +131,60 @@ def prepare_corpus(
     if splits:
         kept = hash_split(kept, "fingerprint", splits, seed=seed)
     return kept
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Split documents into (optionally overlapping) token-window chunks
+    — the retrieval/packing preprocessing step.
+
+    Output: one row per chunk with ``id_col``, ``chunk_idx`` (0-based),
+    ``chunk_text`` (tokens re-joined with single spaces), and
+    ``n_chunk_tokens``; ``keep_cols`` pass through. Tokenization is the
+    same whitespace split as ``token_count_col`` (so
+    ``sum(n_chunk_tokens)`` over non-overlapping chunks equals the doc's
+    token count). A document always yields at least one chunk.
+
+    Scale: pure Catalyst — tokenize once, posexplode a
+    ``sequence(0, n-1, step)`` of chunk starts, slice + rejoin per
+    chunk. No shuffle, no Python; the fan-out is rows->chunks, the
+    volume fan-out is ~1x (+overlap fraction) of the text bytes.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(step)
+    )
+    out = (
+        df.withColumn("__toks", toks)
+        .select(
+            id_col,
+            *keep_cols,
+            "__toks",
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .withColumn(
+            "chunk_text",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens), " "
+            ),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.least(
+                F.size("__toks") - F.col("__start"), F.lit(chunk_tokens)
+            ).cast("long"),
+        )
+        .drop("__toks", "__start")
+    )
+    return out

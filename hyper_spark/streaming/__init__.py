@@ -1,3 +1,4 @@
+from hyper_spark.streaming.dedup_stream import streaming_dedup
 from hyper_spark.streaming.sessionize_stream import streaming_sessionize
 from hyper_spark.streaming.hll_stream import (
     streaming_cms_by,
@@ -12,4 +13,5 @@ __all__ = [
     "streaming_quantiles_by",
     "streaming_windowed_sketch_by",
     "streaming_sessionize",
+    "streaming_dedup",
 ]

@@ -650,3 +650,64 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     for r in spark.sql("select k, count(*) c from ss_batch where k <> '__flush' group by k").collect():
         got[r["k"]] = r["c"]
     assert got == want, (got, want)
+
+
+def test_streaming_dedup_first_arrival_only(spark, tmp_path):
+    """Across micro-batches, each fingerprint is admitted exactly once;
+    the final fingerprint set equals the batch distinct set."""
+    from hyper_spark.streaming.dedup_stream import streaming_dedup
+
+    rows = [
+        Row(doc_id=i, text=f"document body {i % 40}")  # 40 distinct texts
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    src = str(tmp_path / "dd_src")
+    for part in range(4):
+        df.filter(F.col("doc_id") % 4 == part).write.mode(
+            "overwrite" if part == 0 else "append"
+        ).parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_dedup(stream)
+    sink = str(tmp_path / "dd_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink).collect()
+    # exactly one row per distinct fingerprint
+    assert len(got) == 40
+    assert len({r["fingerprint"] for r in got}) == 40
+    from hyper_spark.functions.text import fingerprint_col as fpc
+
+    batch_fps = {
+        r["fp"] for r in df.select(fpc(F.col("text")).alias("fp")).distinct().collect()
+    }
+    assert {r["fingerprint"] for r in got} == batch_fps
+    # resuming the same checkpoint with a replayed (duplicate) source
+    # admits nothing new
+    df.limit(100).write.mode("append").parquet(src)
+    q2 = (
+        streaming_dedup(
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 40
