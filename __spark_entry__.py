@@ -1343,6 +1343,26 @@ def _q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_guess", "n_tokens", "quality", "split")
 
 
+def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: odd-id docs surviving after removing
+    exact + near (jaccard ≥ 0.5) matches against the even-id "eval" half
+    (operators/dedup.py::decontaminate — exact fingerprint anti join +
+    cross-corpus minhash join with exact shingle-set verification)."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 1)
+    eval_df = docs.filter(F.col("doc_id") % 2 == 0)
+    kept = decontaminate(train, eval_df, threshold=0.5)
+    out = kept.select("doc_id")
+    # the operator persists its result (documented contract) — copy out
+    # and release so the gate leaves no cache behind
+    rows = [(r["doc_id"],) for r in out.collect()]
+    kept.unpersist()
+    return spark.createDataFrame(rows, "doc_id bigint")
+
+
 def _q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (first-arrival-per-fingerprint tombstone
     state, streaming/dedup_stream.py) over a multi-micro-batch replay of
@@ -1536,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": _q_corpus_prepare,
         "doc_chunks": _q_doc_chunks,
         "streaming_dedup_parity": _q_streaming_dedup_parity,
+        "decontaminate_docs": _q_decontaminate_docs,
         "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
         "hash_sample_docs": _q_hash_sample_docs,
@@ -1645,6 +1666,38 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT md5({norm}) AS fingerprint, min(doc_id) AS doc_id "
             "FROM documents GROUP BY 1"
         ),
+        "decontaminate_docs": f"""
+            WITH norm_t AS (
+                SELECT doc_id, {norm} AS t FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+                FROM norm_t
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(t, i::BIGINT, 5) AS s FROM pos
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                GROUP BY 1, 2
+            ),
+            contaminated AS (
+                SELECT DISTINCT id_l
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_l
+                JOIN sizes sb ON sb.doc_id = id_r
+                WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT id_l FROM contaminated)
+        """,
         "doc_chunks": """
             WITH t AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

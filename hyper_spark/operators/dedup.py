@@ -58,6 +58,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "incremental_dedup",
+    "minhash_join_pairs",
+    "decontaminate",
     "simhash_col_agg",
     "simhash_pairs",
     "ngram_jaccard_pairs",
@@ -399,6 +401,174 @@ def minhash_lsh_pairs(
     sig.unpersist()
     band_entries.unpersist()
     return verified
+
+
+def minhash_join_pairs(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora: (id_l, id_r, jaccard ≥
+    threshold) — the contamination-detection join (which training docs
+    are near-copies of an eval/benchmark set?).
+
+    Same three-stage shape as ``minhash_lsh_pairs`` (banded LSH join →
+    fused signature-prefix screen pre-distinct → full-signature screen →
+    exact Jaccard on hashed shingle sets), but the band join pairs left
+    against right instead of self-joining — both sides hash with the
+    SAME seed so signatures are comparable. The right side (typically
+    the small eval set) broadcast-joins when small; only signatures and
+    band keys shuffle, never text.
+
+    CALLER CONTRACT: the returned pair DataFrame is materialized +
+    persisted (the signature lineage never re-runs); call
+    ``.unpersist()`` on it when done."""
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    prefix = min(32, num_hashes)
+
+    def sig_of(df: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_n, seed,
+            include_shingle_hashes=True,
+        )
+
+    sig_l = sig_of(left_df).cache()
+    sig_r = sig_of(right_df).cache()
+
+    def bands_of(sig: DataFrame, side: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.slice("signature", 1, prefix).alias(f"p_{side}"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[i]
+                                for i in range(j * r, (j + 1) * r)
+                            ]
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    coarse_margin = 2.2 * (threshold * (1 - threshold) / prefix) ** 0.5
+    est_pre = F.aggregate(
+        F.zip_with("p_l", "p_r", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(prefix)
+    coarse = (
+        bands_of(sig_l, "l")
+        .join(bands_of(sig_r, "r"), on=["band", "band_hash"])
+        .withColumn("__est", est_pre)
+        .filter(F.col("__est") >= threshold - coarse_margin)
+        .select("id_l", "id_r")
+        .distinct()
+    )
+
+    fine_margin = 2.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5
+    fine = (
+        coarse.join(
+            sig_l.select(F.col(id_col).alias("id_l"), F.col("signature").alias("s_l")),
+            on="id_l",
+        )
+        .join(
+            sig_r.select(F.col(id_col).alias("id_r"), F.col("signature").alias("s_r")),
+            on="id_r",
+        )
+        .withColumn(
+            "__est",
+            F.aggregate(
+                F.zip_with("s_l", "s_r", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("__est") >= threshold - fine_margin)
+        .select("id_l", "id_r")
+    )
+
+    verified = (
+        fine.join(
+            sig_l.select(
+                F.col(id_col).alias("id_l"), F.col("shingle_hashes").alias("sh_l")
+            ),
+            on="id_l",
+        )
+        .join(
+            sig_r.select(
+                F.col(id_col).alias("id_r"), F.col("shingle_hashes").alias("sh_r")
+            ),
+            on="id_r",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_l", "sh_r"))
+            / F.size(F.array_union("sh_l", "sh_r")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+    )
+    verified = verified.persist()
+    verified.count()
+    sig_l.unpersist()
+    sig_r.unpersist()
+    return verified
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    exact_first: bool = True,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Remove training documents that are exact or near duplicates of an
+    evaluation/benchmark set — the leakage guard a trustworthy training
+    pipeline runs before every release.
+
+    Two passes: an exact fingerprint anti join (cheap, catches verbatim
+    copies), then ``minhash_join_pairs`` at ``threshold`` for
+    near-copies. Returns the surviving train rows; the (small)
+    contaminated-pair cache is released before returning.
+
+    Scale: the eval side is tiny next to the corpus — its signatures
+    broadcast; the training corpus is touched by one signature pass and
+    one anti join keyed by id."""
+    train = train_df
+    if exact_first:
+        eval_fps = eval_df.select(
+            fingerprint_col(F.col(text_col)).alias("__fp")
+        ).distinct()
+        train = (
+            train.withColumn("__fp", fingerprint_col(F.col(text_col)))
+            .join(F.broadcast(eval_fps), on="__fp", how="left_anti")
+            .drop("__fp")
+        )
+    pairs = minhash_join_pairs(
+        train, eval_df, id_col=id_col, text_col=text_col,
+        threshold=threshold, **minhash_kwargs,
+    )
+    contaminated = pairs.select(F.col("id_l").alias(id_col)).distinct()
+    out = train.join(contaminated, on=id_col, how="left_anti")
+    out = out.persist()
+    out.count()
+    pairs.unpersist()
+    return out
 
 
 # --------------------------------------------------------------- simhash

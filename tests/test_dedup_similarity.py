@@ -423,3 +423,44 @@ def test_knn_join_approx_recall(spark, sf_correct):
         assert len(a) == 10  # always exactly k
         recalls.append(len(e & a) / 10)
     assert sum(recalls) / len(recalls) >= 0.85, recalls
+
+
+# ------------------------------------------------------- cross-table dedup
+
+
+def test_minhash_join_matches_exact_cross_pairs(spark, sf_correct):
+    """Cross-corpus near-dup join finds exactly the exact-Jaccard pairs
+    that straddle the two halves of the documents table."""
+    from hyper_spark.operators.dedup import minhash_join_pairs
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    got = minhash_join_pairs(odd, even, threshold=0.5)
+    got_pairs = {(r["id_l"], r["id_r"]) for r in got.collect()}
+    got.unpersist()
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    expect = set()
+    for r in exact:
+        a, b = r["id_a"], r["id_b"]
+        if a % 2 != b % 2:  # one odd, one even
+            expect.add((a, b) if a % 2 == 1 else (b, a))
+    assert got_pairs == expect
+    assert expect, "fixture should contain cross-parity near-dups"
+
+
+def test_decontaminate_removes_exact_and_near(spark):
+    from hyper_spark.operators.dedup import decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    train = spark.createDataFrame(
+        [(1, base), (2, near), (3, "completely unrelated text about spark "
+                                  "aggregation pipelines and sketches " * 5)],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    kept = decontaminate(train, eval_df, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    kept.unpersist()
+    assert ids == [3]  # 1 exact copy, 2 near-dup, 3 unrelated survives
