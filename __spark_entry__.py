@@ -1701,10 +1701,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": """
             WITH t AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-                FROM documents
+                FROM documents WHERE text IS NOT NULL
             ), s AS (
                 SELECT doc_id, toks,
-                       unnest(range(0, greatest(len(toks)-1, 0)+1, 48)) AS st
+                       unnest(range(0,
+                           ((greatest(len(toks) - 64, 0) + 47) // 48) * 48 + 1,
+                           48)) AS st
                 FROM t
             )
             SELECT doc_id,

@@ -149,7 +149,10 @@ def chunk_documents(
     ``n_chunk_tokens``; ``keep_cols`` pass through. Tokenization is the
     same whitespace split as ``token_count_col`` (so
     ``sum(n_chunk_tokens)`` over non-overlapping chunks equals the doc's
-    token count). A document always yields at least one chunk.
+    token count). A non-NULL document always yields at least one chunk;
+    NULL-text rows are skipped (the sketch-operator NULL contract).
+    Chunk starts stop once a chunk reaches the document end, so with
+    overlap no trailing chunk is a subset of its predecessor.
 
     Scale: pure Catalyst — tokenize once, posexplode a
     ``sequence(0, n-1, step)`` of chunk starts, slice + rejoin per
@@ -162,11 +165,14 @@ def chunk_documents(
     if step <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(step)
-    )
+    # last start = smallest multiple of step whose chunk reaches the end:
+    # ceil(max(n - chunk, 0) / step) * step
+    over = F.greatest(F.size("__toks") - chunk_tokens, F.lit(0))
+    last_start = F.floor((over + step - 1) / F.lit(step)) * step
+    starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(step).cast("long"))
     out = (
-        df.withColumn("__toks", toks)
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__toks", toks)
         .select(
             id_col,
             *keep_cols,

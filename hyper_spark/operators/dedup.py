@@ -103,6 +103,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     bloom_bits: int | None = None,
     self_dedup: bool = True,
+    seen_fp_col: str | None = None,
 ) -> DataFrame:
     """Rows of ``new_df`` not already present in a prior corpus: the
     cross-ingest dedup every growing training set needs (only fresh
@@ -115,7 +116,10 @@ def incremental_dedup(
 
     Scale: the exact check is an anti join keyed by fingerprint — one
     shuffle bounded by the *new batch*, not the historical corpus, when
-    the seen side is a pre-aggregated fingerprint store. ``bloom_bits``
+    ``seen_fp_col`` points at a pre-computed fingerprint store (a table
+    of fingerprints maintained across ingests — pass the store as
+    ``seen_df`` and name its column; without it the seen side re-scans
+    and re-normalizes the whole history every increment). ``bloom_bits``
     enables a Bloom pre-filter built from the seen fingerprints: rows
     whose fingerprint is definitely-new skip the join entirely, so the
     shuffled volume drops to (true dupes + false-positive rate) — the
@@ -125,13 +129,15 @@ def incremental_dedup(
 
     fp = fingerprint_col(F.col(text_col))
     tagged = new_df.withColumn("__fp", fp)
-    seen_fps = seen_df.select(
-        fingerprint_col(F.col(text_col)).alias("__fp")
-    ).distinct()
+    if seen_fp_col is not None:
+        seen_fps = seen_df.select(F.col(seen_fp_col).alias("__fp")).distinct()
+    else:
+        seen_fps = seen_df.select(
+            fingerprint_col(F.col(text_col)).alias("__fp")
+        ).distinct()
 
     if bloom_bits:
-        bloom = bloom_by(seen_df, [], fingerprint_col(F.col(text_col)),
-                         m_bits=bloom_bits)
+        bloom = bloom_by(seen_fps, [], F.col("__fp"), m_bits=bloom_bits)
         flagged = bloom_might_contain(bloom, tagged, "__fp", alias="__maybe")
         definite_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
         suspects = flagged.filter(F.col("__maybe")).drop("__maybe")
@@ -141,8 +147,17 @@ def incremental_dedup(
         fresh = tagged.join(seen_fps, on="__fp", how="left_anti")
 
     if self_dedup:
-        winners = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-        fresh = fresh.join(winners.select(id_col), on=id_col, how="leftsemi")
+        # window winner, not agg+semi-join: the semi join would evaluate
+        # fresh's lineage (regex fingerprints + the bloom probe) once per
+        # branch — the same tradeoff measured in corpus.prepare_corpus
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("__fp").orderBy(id_col)
+        fresh = (
+            fresh.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return fresh.drop("__fp")
 
 
@@ -543,12 +558,15 @@ def decontaminate(
 
     Two passes: an exact fingerprint anti join (cheap, catches verbatim
     copies), then ``minhash_join_pairs`` at ``threshold`` for
-    near-copies. Returns the surviving train rows; the (small)
-    contaminated-pair cache is released before returning.
+    near-copies. Returns the surviving train rows LAZILY; only the tiny
+    contaminated-id set stays persisted (it anchors the result's
+    lineage so the minhash pipeline never re-runs), and the pair cache
+    is released before returning. Call ``.unpersist()`` on the returned
+    frame only if you persisted it yourself.
 
     Scale: the eval side is tiny next to the corpus — its signatures
     broadcast; the training corpus is touched by one signature pass and
-    one anti join keyed by id."""
+    one anti join keyed by id. The corpus itself is never cached."""
     train = train_df
     if exact_first:
         eval_fps = eval_df.select(
@@ -563,12 +581,10 @@ def decontaminate(
         train, eval_df, id_col=id_col, text_col=text_col,
         threshold=threshold, **minhash_kwargs,
     )
-    contaminated = pairs.select(F.col("id_l").alias(id_col)).distinct()
-    out = train.join(contaminated, on=id_col, how="left_anti")
-    out = out.persist()
-    out.count()
+    contaminated = pairs.select(F.col("id_l").alias(id_col)).distinct().persist()
+    contaminated.count()  # materialize ids, then drop the pair cache
     pairs.unpersist()
-    return out
+    return train.join(F.broadcast(contaminated), on=id_col, how="left_anti")
 
 
 # --------------------------------------------------------------- simhash

@@ -58,9 +58,9 @@ def pack_offsets(
     - ``n_chunks``    how many chunk boundaries the doc spans (1 = fits
                       inside a single context window's slice).
 
-    ``order_col`` must be unique (doc ids) and numeric-castable (bucket
-    boundaries come from quantiles): running sums over tied keys have no
-    deterministic value. Zero-size docs get ``last_chunk = first_chunk``
+    ``order_col`` must be unique *after casting to double* (doc ids) —
+    bucket boundaries and the running-sum order both use the numeric
+    value, so tied casts have no deterministic order. Zero-size docs get ``last_chunk = first_chunk``
     (they occupy no tokens but anchor at their offset).
 
     Scale: one column-pruned quantile pass + one hash shuffle by bucket
@@ -101,9 +101,13 @@ def pack_offsets(
         bucket = F.lit(0)
     bucketed = sized.withColumn(_BUCKET, bucket)
 
+    # order by the SAME double cast the buckets were computed from — a
+    # string-typed numeric order column would otherwise sort
+    # lexicographically inside buckets while the boundaries split
+    # numerically, making results depend on n_buckets
     intra_w = (
         Window.partitionBy(_BUCKET)
-        .orderBy(order_col)
+        .orderBy("__o")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = bucketed.withColumn("__cum", F.sum("__sz").over(intra_w))
@@ -142,11 +146,11 @@ def pack_offsets(
     return out
 
 
-def chunk_stats(packed: DataFrame, chunk_size: int) -> DataFrame:
+def chunk_stats(packed: DataFrame) -> DataFrame:
     """Corpus-level packing summary from a ``pack_offsets`` result:
     doc count, chunk count, and the count/fraction of docs split across
-    a chunk boundary (the packing-loss signal tuners watch). One
-    aggregate over the packed table — no extra scan of the raw corpus."""
+    a chunk boundary (the packing-loss signal tuners watch). Derived
+    entirely from the packed columns — one aggregate, no extra scan."""
     split = F.sum(F.when(F.col("n_chunks") > 1, 1).otherwise(0))
     return packed.agg(
         F.count(F.lit(1)).alias("n_docs"),

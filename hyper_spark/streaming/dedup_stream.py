@@ -46,10 +46,13 @@ def streaming_dedup(
     its first arrival. See module docstring for semantics and the
     unbounded-state contract."""
     id_field = df.schema[id_col]
+    # NULL-text rows keep their NULL fingerprint and form ONE state
+    # group (a single admitted winner) — matching the batch operator's
+    # self-dedup and the GROUP BY oracle, which both bucket NULLs
     prepared = df.select(
         fingerprint_col(F.col(text_col)).alias("fingerprint"),
         F.col(id_col),
-    ).filter(F.col("fingerprint").isNotNull())
+    )
 
     output_schema = (
         f"fingerprint string, {id_field.name} {id_field.dataType.simpleString()}"

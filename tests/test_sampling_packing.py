@@ -186,7 +186,7 @@ def test_chunk_stats(spark):
     rows = [(1, 100), (2, 2000), (3, 100)]
     df = spark.createDataFrame(rows, ["doc_id", "n"])
     packed = pack_offsets(df, "doc_id", "n", chunk_size=1024, n_buckets=2)
-    stats = chunk_stats(packed, 1024).collect()[0]
+    stats = chunk_stats(packed).collect()[0]
     assert stats["n_docs"] == 3
     assert stats["n_chunks_total"] == 3  # 2200 tokens / 1024 -> chunks 0..2
     assert stats["n_split_docs"] == 1  # doc 2 spans 0..2
@@ -204,13 +204,17 @@ def test_incremental_dedup_exact_and_bloom(spark, docs):
     b = sorted(r["doc_id"] for r in bloomed.select("doc_id").collect())
     assert a == b  # bloom is an optimization, never changes the answer
     # every surviving doc's fingerprint is absent from seen and unique
+    from hyper_spark.functions.text import fingerprint_col as _fpc
+
     fps_seen = {
-        r[0]
-        for r in seen.select(
-            F.md5(F.lower(F.col("text"))).alias("x")
-        ).collect()
+        r["fp"] for r in seen.select(_fpc(F.col("text")).alias("fp")).collect()
     }
-    assert len(a) <= new.count()
+    surv = [
+        r["fp"] for r in plain.select(_fpc(F.col("text")).alias("fp")).collect()
+    ]
+    assert not (set(surv) & fps_seen)  # nothing seen survives
+    assert len(surv) == len(set(surv))  # self-dedup holds
+    assert a, "some odd docs must survive"
 
 
 def test_incremental_dedup_self_dedup_flag(spark):
@@ -264,3 +268,114 @@ def test_prepare_corpus_no_dedup_no_split(spark, docs):
     assert "split" not in out.columns
     # language filter off: 'und'/zh docs may survive
     assert out.count() >= prepare_corpus(docs, splits=None).count()
+
+
+# ----------------------------------------------- review regression tests
+
+
+def test_chunk_documents_null_text_and_overlap_tail(spark):
+    """Review findings: NULL text must be skipped (not emit a -1-token
+    chunk), and with overlap no trailing chunk may be a subset of its
+    predecessor."""
+    from hyper_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, words), (2, None), (3, "short text")], ["doc_id", "text"]
+    )
+    got = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    ids = {r["doc_id"] for r in got}
+    assert ids == {1, 3}  # NULL-text doc skipped entirely
+    assert all(r["n_chunk_tokens"] > 0 for r in got)
+    # 50 tokens < 64: exactly ONE chunk, no redundant tail
+    assert sum(1 for r in got if r["doc_id"] == 1) == 1
+    # 100 tokens, chunk 64, step 48: chunks at 0 and 48 (48+64 covers all)
+    long = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(100)))], ["doc_id", "text"]
+    )
+    starts = sorted(
+        r["chunk_idx"]
+        for r in chunk_documents(long, chunk_tokens=64, overlap=16).collect()
+    )
+    assert starts == [0, 1]
+
+
+def test_pack_offsets_string_order_col_numeric_ordering(spark):
+    """Review finding: a digit-string order column must order numerically
+    (consistent with the quantile bucketing) at every n_buckets."""
+    rows = [(str(i), 10 + i) for i in range(1, 30)]  # '1'..'29'
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    expected = {}
+    off = 0
+    for i in range(1, 30):
+        expected[str(i)] = off
+        off += 10 + i
+    for nb in (1, 4):
+        got = {
+            r["doc_id"]: r["offset"]
+            for r in pack_offsets(df, "doc_id", "n", 64, n_buckets=nb).collect()
+        }
+        assert got == expected, nb
+
+
+def test_incremental_dedup_fingerprint_store(spark):
+    """seen side can be a precomputed fingerprint store — no text rescan."""
+    import hashlib
+
+    seen_store = spark.createDataFrame(
+        [(hashlib.md5(b"already seen").hexdigest(),)], ["fp"]
+    )
+    new = spark.createDataFrame(
+        [(1, "fresh one"), (3, "already seen")], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new, seen_store, seen_fp_col="fp").collect()
+    )
+    assert kept == [1]
+
+
+def test_streaming_dedup_null_text_one_winner(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from hyper_spark.streaming.dedup_stream import streaming_dedup
+
+    rows = [Row(doc_id=1, text=None), Row(doc_id=2, text=None),
+            Row(doc_id=3, text="real")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path / "nsrc")
+    df.write.parquet(src)
+    q = (
+        streaming_dedup(
+            spark.readStream.schema(df.schema).parquet(src)
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "nsink"))
+        .option("checkpointLocation", str(tmp_path / "nckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "nsink")).collect()
+    by_fp = {r["fingerprint"]: r["doc_id"] for r in got}
+    assert len(got) == 2  # one NULL-fp winner + one real
+    assert by_fp[None] == 1  # min id among the NULL-text rows
+
+
+def test_decontaminate_leaves_no_corpus_cache(spark):
+    from hyper_spark.operators.dedup import decontaminate
+
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    base = "shared leaked content words repeated here " * 8
+    train = spark.createDataFrame(
+        [(1, base), (2, "unrelated material entirely " * 8)],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(9, base)], ["doc_id", "text"])
+    baseline = jsc.getPersistentRDDs().size()
+    kept = decontaminate(train, ev)
+    # only the tiny contaminated-id set is cached, never the corpus
+    assert jsc.getPersistentRDDs().size() == baseline + 1
+    assert [r["doc_id"] for r in kept.collect()] == [2]
