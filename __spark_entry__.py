@@ -204,6 +204,36 @@ def _q_cms_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(flags)
 
 
+def _q_cms_fast_hash_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in xxhash64 CMS fast path (cms_bucket_col — ~7x cheaper than
+    the md5-window bucket's conv() parse at sf0.1): the one-sided CMS
+    bound must still hold, with the estimate computed by the pure-JVM
+    cms_estimate lookup against the same-hash sketch."""
+    _ensure_pkg(spark)
+    import math
+
+    from hyper_spark.operators.cms_agg import cms_estimate
+
+    events = _read(spark, sf_dir, "events")
+    sketch = cms_by(events, [], "event_type", depth=5, width=8192,
+                    hash_fn="xxhash64")
+    srow = sketch.select("n", "width").collect()[0]
+    eps_n = (math.e / srow["width"]) * srow["n"]
+    cand = events.select("event_type").distinct()
+    est = cms_estimate(sketch, cand, "event_type", hash_fn="xxhash64")
+    exact = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return exact.join(est, on="event_type").select(
+        "event_type",
+        "exact_count",
+        (
+            (F.col("exact_count") <= F.col("est_count"))
+            & (F.col("est_count") <= F.col("exact_count") + F.lit(eps_n))
+        ).alias("within_bound"),
+    )
+
+
 def _q_heavy_hitters_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     events = _read(spark, sf_dir, "events")
@@ -1510,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup_lossless": _q_hll_rollup_lossless,
         "hll_custkey_within_bound": _q_hll_custkey_within_bound,
         "cms_event_type_bounds": _q_cms_event_type_bounds,
+        "cms_fast_hash_bounds": _q_cms_fast_hash_bounds,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "kll_value_quantiles": _q_kll_value_quantiles,
         "tdigest_value_quantiles": _q_tdigest_value_quantiles,
@@ -1823,6 +1854,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT count(DISTINCT o_custkey) AS exact_count, {true_flags} FROM orders"
         ),
         "cms_event_type_bounds": (
+            "SELECT event_type, count(*) AS exact_count, "
+            f"{true_flags} FROM events GROUP BY event_type"
+        ),
+        "cms_fast_hash_bounds": (
             "SELECT event_type, count(*) AS exact_count, "
             f"{true_flags} FROM events GROUP BY event_type"
         ),

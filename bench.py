@@ -89,6 +89,12 @@ def bench_queries(spark: SparkSession, sf_dir: str):
     def q_heavy_hitters():
         return heavy_hitters(lineitem, "l_suppkey", k=10, width=8192)
 
+    def q_heavy_hitters_xxh():
+        # opt-in fast bucket hash (no kernel byte parity, same bounds)
+        return heavy_hitters(
+            lineitem, "l_suppkey", k=10, width=8192, hash_fn="xxhash64"
+        )
+
     def q_kll_price():
         return quantiles_by(lineitem, [], "l_extendedprice", [0.5, 0.9, 0.99], "kll")
 
@@ -181,6 +187,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "hll_users": q_hll_users,
         "hll_users_xxhash": q_hll_users_xxh,
         "heavy_hitters_suppkey": q_heavy_hitters,
+        "heavy_hitters_xxhash": q_heavy_hitters_xxh,
         "kll_price": q_kll_price,
         "tdigest_price_by_flag": q_tdigest_price_by_flag,
         "exact_dedup_docs": q_exact_dedup,

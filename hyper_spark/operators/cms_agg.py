@@ -34,7 +34,14 @@ from pyspark.sql.types import (
 
 from hyper_spark.kernel.cms import CountMinSketch
 
-__all__ = ["cms_by", "cms_merge", "cms_estimate", "heavy_hitters", "local_topk_candidates"]
+__all__ = [
+    "cms_by",
+    "cms_bucket_col",
+    "cms_merge",
+    "cms_estimate",
+    "heavy_hitters",
+    "local_topk_candidates",
+]
 
 CMS_FIELDS = [
     StructField("depth", IntegerType(), False),
@@ -59,12 +66,34 @@ def md5_bucket_col(col: Column, row: int, modulus: int) -> Column:
     return F.pmod(F.conv(window, 16, 10).cast("long"), F.lit(modulus))
 
 
+def cms_bucket_col(
+    col: Column, row: int, modulus: int, hash_fn: str = "md5"
+) -> Column:
+    """Bucket expression for sketch row ``row``. ``md5`` (default) is
+    byte-compatible with the pure-Python kernel; ``xxhash64`` is the
+    opt-in fast path — measured 7x cheaper at sf0.1 (the md5 path's
+    cost is the per-window ``conv(hex,16,10)`` string parse, not the
+    digest). Same contract as the HLL ``hash_fn``: never merge or
+    estimate across sketches built with different hash_fns, and
+    xxhash64 sketches have no kernel/serde parity (Spark-side only).
+    The value is cast to string first so e.g. 5 and '5' bucket
+    identically under both hash functions."""
+    if hash_fn == "md5":
+        return md5_bucket_col(col, row, modulus)
+    if hash_fn == "xxhash64":
+        return F.pmod(
+            F.xxhash64(F.lit(row), col.cast("string")), F.lit(modulus)
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def cms_by(
     df: DataFrame,
     keys: Sequence[str],
     col: str | Column,
     depth: int = 5,
     width: int = 2048,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """One count-min sketch per keys group over ``col``.
 
@@ -75,7 +104,7 @@ def cms_by(
     col = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
     buckets = F.posexplode(
-        F.array(*[md5_bucket_col(col, i, width) for i in range(depth)])
+        F.array(*[cms_bucket_col(col, i, width, hash_fn) for i in range(depth)])
     )
     cells = (
         df.filter(col.isNotNull())
@@ -155,6 +184,7 @@ def cms_estimate(
     col: str,
     alias: str = "est_count",
     max_jvm_cells: int = 1 << 17,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Estimate counts for each candidate value against a *global* (single
     row) sketch. The sketch is collected (d·w ints — small by design) and
@@ -179,7 +209,7 @@ def cms_estimate(
         blob = F.lit(bytearray(counters.astype(">i8").tobytes()))
         cells = []
         for i in range(depth):
-            pos = (md5_bucket_col(c, i, width) + i * width) * 8 + 1
+            pos = (cms_bucket_col(c, i, width, hash_fn) + i * width) * 8 + 1
             cells.append(
                 F.conv(F.hex(F.substring(blob, pos.cast("int"), 8)), 16, 10).cast(
                     "long"
@@ -193,7 +223,7 @@ def cms_estimate(
 
     bucket_arr = F.when(
         c.isNotNull(),
-        F.array(*[md5_bucket_col(c, i, width) for i in range(depth)]),
+        F.array(*[cms_bucket_col(c, i, width, hash_fn) for i in range(depth)]),
     )
 
     @F.pandas_udf(LongType())
@@ -271,6 +301,7 @@ def heavy_hitters(
     exact: bool = False,
     guarantee: bool = False,
     by: Sequence[str] = (),
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Top-k frequent values. ``exact=True`` verifies candidates with a
     broadcast semi-join rescan (exact counts); otherwise counts come from
@@ -342,7 +373,7 @@ def heavy_hitters(
         top1 = counted1.orderBy(F.desc("cnt")).limit(k).collect()
         if top1:  # empty input: nothing to guarantee, skip the CMS pass
             t = min(r["cnt"] for r in top1)
-            sketch = cms_by(df, [], col, depth, width)
+            sketch = cms_by(df, [], col, depth, width, hash_fn=hash_fn)
             # estimate once per DISTINCT value, not per raw row: the
             # distinct shuffle is bounded by the vocabulary and stays JVM
             # until the (also-JVM) counter lookup (VERDICT r02 wrong #2,
@@ -351,7 +382,7 @@ def heavy_hitters(
                 df.select(col).where(F.col(col).isNotNull()).distinct()
             )
             flagged = (
-                cms_estimate(sketch, distinct_vals, col)
+                cms_estimate(sketch, distinct_vals, col, hash_fn=hash_fn)
                 .filter(F.col("est_count") >= t)
                 .select(col)
             )
@@ -364,6 +395,6 @@ def heavy_hitters(
             .agg(F.count(F.lit(1)).alias("est_count"))
         )
     else:
-        sketch = cms_by(df, [], col, depth, width)
-        counted = cms_estimate(sketch, candidates, col)
+        sketch = cms_by(df, [], col, depth, width, hash_fn=hash_fn)
+        counted = cms_estimate(sketch, candidates, col, hash_fn=hash_fn)
     return counted.orderBy(F.desc("est_count"), F.col(col)).limit(k)

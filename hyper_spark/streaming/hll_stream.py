@@ -239,19 +239,21 @@ def streaming_cms_by(
     depth: int = 5,
     width: int = 2048,
     output_mode: str = "update",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Streaming grouped count-min sketches: state is the d×w int64
     counter blob per group (addition is the merge, so late/out-of-order
-    data folds in exactly like batch). Same md5-window bucket exprs as
-    the batch operator ⇒ batch/stream counters are identical for the
-    same rows."""
-    from hyper_spark.operators.cms_agg import md5_bucket_col
+    data folds in exactly like batch). Same bucket exprs as the batch
+    operator (md5 default; opt-in xxhash64 fast path — same hash_fn
+    contract: never merge across hash_fns) ⇒ batch/stream counters are
+    identical for the same rows."""
+    from hyper_spark.operators.cms_agg import cms_bucket_col
 
     keys = list(keys)
     if not keys:
         raise ValueError("streaming sketches need at least one group key")
     buckets = F.posexplode(
-        F.array(*[md5_bucket_col(F.col(col), i, width) for i in range(depth)])
+        F.array(*[cms_bucket_col(F.col(col), i, width, hash_fn) for i in range(depth)])
     )
     prepared = df.filter(F.col(col).isNotNull()).select(
         *keys, buckets.alias("row", "bucket")

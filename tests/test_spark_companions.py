@@ -270,3 +270,45 @@ def test_empty_input_operators(spark):
     assert cms_by(empty, [], "v").count() == 0
     assert bloom_by(empty, [], "v").count() == 0
     assert quantiles_by(empty, [], "x", [0.5], "kll").count() == 0
+
+
+def test_cms_fast_hash_bounds_and_consistency(spark):
+    """xxhash64 CMS fast path: estimates respect the CMS one-sided bound
+    (never under, over by <= eps*n at prob 1-delta) and build/estimate
+    are hash-consistent; heavy_hitters(hash_fn='xxhash64') finds the
+    same exact top-k on a zipf-ish corpus."""
+    from hyper_spark.operators.cms_agg import cms_by, cms_estimate, heavy_hitters
+
+    rows = [(f"v{i % 100}",) for i in range(5000) for _ in range(1)]
+    df = spark.createDataFrame(rows, ["v"]).cache()
+    exact = {r["v"]: r["cnt"] for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for hf in ("md5", "xxhash64"):
+        sk = cms_by(df, [], "v", depth=5, width=2048, hash_fn=hf)
+        cand = df.select("v").distinct()
+        est = {r["v"]: r["est_count"] for r in
+               cms_estimate(sk, cand, "v", hash_fn=hf).collect()}
+        n = sum(exact.values())
+        eps = 2.718281828 / 2048
+        for v, cnt in exact.items():
+            assert est[v] >= cnt, (hf, v)       # never underestimates
+            assert est[v] <= cnt + eps * n * 3, (hf, v)
+    hh_md5 = [(r["v"], r["est_count"]) for r in
+              heavy_hitters(df, "v", k=5, exact=True).collect()]
+    hh_xx = [(r["v"], r["est_count"]) for r in
+             heavy_hitters(df, "v", k=5, exact=True, hash_fn="xxhash64").collect()]
+    assert hh_md5 == hh_xx
+    df.unpersist()
+
+
+def test_heavy_hitters_guarantee_fast_hash(spark):
+    """The exact-top-k guarantee holds under the fast hash too (the
+    threshold pass only needs the one-sided CMS bound, any hash)."""
+    from hyper_spark.operators.cms_agg import heavy_hitters
+
+    rows = [(f"x{i}",) for i in range(200) for _ in range(5)]
+    rows += [("big1",)] * 40 + [("big2",)] * 30
+    df = spark.createDataFrame(rows, ["v"])
+    got = heavy_hitters(df, "v", k=2, guarantee=True, hash_fn="xxhash64")
+    top = [(r["v"], r["est_count"]) for r in got.collect()]
+    assert top == [("big1", 40), ("big2", 30)]
