@@ -29,7 +29,7 @@ from pyspark.sql.types import (
 )
 
 from hyper_spark.kernel.bloom import BloomFilter
-from hyper_spark.operators.cms_agg import md5_bucket_col
+from hyper_spark.operators.cms_agg import cms_bucket_col
 
 __all__ = ["bloom_by", "bloom_collect", "bloom_might_contain", "bloom_prune"]
 
@@ -49,14 +49,18 @@ def bloom_by(
     col: str | Column,
     m_bits: int = 1 << 16,
     k: int = 7,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """One Bloom filter per keys group. Position hashing is identical to
-    the kernel's (md5-derived), so filters built here interoperate with
-    kernel-side ``might_contain``."""
+    """One Bloom filter per keys group. Default position hashing is
+    identical to the kernel's (md5-derived), so filters built here
+    interoperate with kernel-side ``might_contain``. ``hash_fn=
+    'xxhash64'`` is the opt-in fast path (the md5 path's conv() hex
+    parse dominates build cost): probe with the SAME hash_fn; no kernel
+    interop."""
     col = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
     positions = F.posexplode(
-        F.array(*[md5_bucket_col(col, i, m_bits) for i in range(k)])
+        F.array(*[cms_bucket_col(col, i, m_bits, hash_fn) for i in range(k)])
     )
     # NULLs are skipped (NULL positions would poison the bitmap pack),
     # matching sketch_by's null contract
@@ -111,7 +115,11 @@ def bloom_collect(bloom_df: DataFrame) -> BloomFilter:
 
 
 def bloom_might_contain(
-    bloom_df: DataFrame, probe_df: DataFrame, col: str, alias: str = "might_contain"
+    bloom_df: DataFrame,
+    probe_df: DataFrame,
+    col: str,
+    alias: str = "might_contain",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Adds a boolean membership column to ``probe_df``. Positions are
     computed JVM-side; the bit probe is an Arrow-batched numpy lookup over
@@ -119,7 +127,9 @@ def bloom_might_contain(
     bf = bloom_collect(bloom_df)
     bits = bf.bits
     m_bits, k = bf.m_bits, bf.k
-    pos_arr = F.array(*[md5_bucket_col(F.col(col), i, m_bits) for i in range(k)])
+    pos_arr = F.array(
+        *[cms_bucket_col(F.col(col), i, m_bits, hash_fn) for i in range(k)]
+    )
 
     @F.pandas_udf(BooleanType())
     def probe(positions: pd.Series) -> pd.Series:
@@ -138,10 +148,13 @@ def bloom_might_contain(
 
 
 def bloom_prune(
-    bloom_df: DataFrame, big_df: DataFrame, col: str
+    bloom_df: DataFrame, big_df: DataFrame, col: str, hash_fn: str = "md5"
 ) -> DataFrame:
     """Runtime-filter: keep only rows of ``big_df`` whose ``col`` might be
     in the filter (no false negatives ⇒ no lost rows; false positives are
-    caught by whatever exact join follows)."""
-    flagged = bloom_might_contain(bloom_df, big_df, col, alias="__keep")
+    caught by whatever exact join follows). ``hash_fn`` must match the
+    filter's build."""
+    flagged = bloom_might_contain(
+        bloom_df, big_df, col, alias="__keep", hash_fn=hash_fn
+    )
     return flagged.filter(F.col("__keep")).drop("__keep")

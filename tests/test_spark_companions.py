@@ -312,3 +312,16 @@ def test_heavy_hitters_guarantee_fast_hash(spark):
     got = heavy_hitters(df, "v", k=2, guarantee=True, hash_fn="xxhash64")
     top = [(r["v"], r["est_count"]) for r in got.collect()]
     assert top == [("big1", 40), ("big2", 30)]
+
+
+def test_bloom_fast_hash_no_false_negatives(spark):
+    from hyper_spark.operators.bloom_agg import bloom_by, bloom_prune
+
+    members = spark.createDataFrame([(i,) for i in range(0, 500, 5)], ["v"])
+    probe = spark.createDataFrame([(i,) for i in range(500)], ["v"])
+    bloom = bloom_by(members, [], "v", m_bits=1 << 14, hash_fn="xxhash64")
+    kept = {r["v"] for r in bloom_prune(bloom, probe, "v",
+                                        hash_fn="xxhash64").collect()}
+    assert set(range(0, 500, 5)) <= kept  # no false negatives
+    fp = len(kept) - 100
+    assert fp <= 50  # loose FPR sanity at m=16k, n=100
