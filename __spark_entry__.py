@@ -204,6 +204,32 @@ def _q_cms_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(flags)
 
 
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan-per-stage table profiling (operators/profile.py): exact
+    row/null counts per column, plus a per-column HLL distinct estimate
+    asserted inside 3x the 1.04/√2^p bound against the exact count."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.profile import profile_table
+
+    events = _read(spark, sf_dir, "events")
+    p = 14
+    prof = profile_table(events, p=p)
+    exact = events.select(
+        *[F.countDistinct(c).alias(c) for c in
+          ["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).collect()[0]
+    rows = []
+    for r in prof.collect():
+        ex = exact[r["column"]]
+        ok = ex == 0 or abs(r["approx_distinct"] - ex) / ex <= 3 * error_bound(p)
+        rows.append((r["column"], r["n_rows"], r["n_nulls"], ex, bool(ok)))
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows bigint, n_nulls bigint, exact_distinct bigint,"
+        " within_bound boolean",
+    )
+
+
 def _q_cms_fast_hash_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opt-in xxhash64 CMS fast path (cms_bucket_col — ~7x cheaper than
     the md5-window bucket's conv() parse at sf0.1): the one-sided CMS
@@ -1541,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_custkey_within_bound": _q_hll_custkey_within_bound,
         "cms_event_type_bounds": _q_cms_event_type_bounds,
         "cms_fast_hash_bounds": _q_cms_fast_hash_bounds,
+        "table_profile": _q_table_profile,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "kll_value_quantiles": _q_kll_value_quantiles,
         "tdigest_value_quantiles": _q_tdigest_value_quantiles,
@@ -1860,6 +1887,16 @@ def oracle_sql() -> dict[str, str]:
         "cms_fast_hash_bounds": (
             "SELECT event_type, count(*) AS exact_count, "
             f"{true_flags} FROM events GROUP BY event_type"
+        ),
+        "table_profile": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS column, count(*) AS n_rows, "
+                f"count(*) - count({c}) AS n_nulls, "
+                f"count(DISTINCT {c}) AS exact_distinct, {true_flags} "
+                "FROM events"
+                for c in ["event_id", "ts", "user_id", "event_type",
+                          "value", "props"]
+            )
         ),
         "heavy_hitters_event_type": (
             "SELECT event_type, count(*) AS est_count FROM events "

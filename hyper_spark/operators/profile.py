@@ -1,0 +1,90 @@
+"""One-pass-per-stage table profiling: the data-quality report every
+ingest runs before training (row/null counts, value ranges, distinct
+cardinality estimates per column).
+
+Two bounded passes over the table, regardless of column count:
+
+1. ONE aggregate computes count / non-null count / min / max for every
+   profiled column simultaneously (Catalyst partial aggregation — a
+   single scan, one 1-row result);
+2. ONE ``multi_sketch_by`` pass builds an HLL sketch per column from a
+   single scan (tagged (col, idx, rho) explode; shuffle bounded by
+   |columns| × 2^p rows — `operators/hll_agg.py`).
+
+N columns cost two reads total, not 2·N. Estimates carry the standard
+1.04/√2^p bound; the ``table_profile`` gate asserts it per column
+against exact distinct counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import AtomicType
+
+from hyper_spark.operators.hll_agg import cardinality_col, multi_sketch_by
+
+__all__ = ["profile_table"]
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    p: int = 14,
+    hash_fn: str = "sha1",
+) -> DataFrame:
+    """Per-column profile: DataFrame[column, n_rows, n_nulls, null_frac,
+    approx_distinct, min_value, max_value] — min/max rendered as strings
+    so heterogeneous column types share one schema.
+
+    ``columns`` defaults to every atomic-typed column (arrays, maps,
+    structs are skipped — profile their exploded projections
+    explicitly). Estimates are deterministic (sketch-based), so the
+    output is stable across runs and partitionings.
+    """
+    if columns is None:
+        columns = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, AtomicType)
+        ]
+    columns = list(columns)
+    if not columns:
+        raise ValueError("no atomic columns to profile")
+    spark = df.sparkSession
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    stats = df.agg(*aggs).collect()[0]  # one row — driver assembly is tiny
+
+    sketches = multi_sketch_by(df, [], {c: c for c in columns}, p, hash_fn)
+    ests = {
+        r["metric"]: r["est"]
+        for r in sketches.select(
+            "metric", cardinality_col("p", "registers").alias("est")
+        ).collect()
+    }
+
+    n = stats["__n"]
+    rows = []
+    for c in columns:
+        nn = stats[f"__nn_{c}"]
+        rows.append(
+            (
+                c,
+                n,
+                n - nn,
+                float((n - nn) / n) if n else 0.0,
+                float(ests.get(c, 0.0)),
+                stats[f"__min_{c}"],
+                stats[f"__max_{c}"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows bigint, n_nulls bigint, null_frac double, "
+        "approx_distinct double, min_value string, max_value string",
+    )

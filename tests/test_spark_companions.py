@@ -325,3 +325,38 @@ def test_bloom_fast_hash_no_false_negatives(spark):
     assert set(range(0, 500, 5)) <= kept  # no false negatives
     fp = len(kept) - 100
     assert fp <= 50  # loose FPR sanity at m=16k, n=100
+
+
+def test_profile_table(spark, sf_correct):
+    from hyper_spark.operators.profile import profile_table
+
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    prof = {r["column"]: r for r in profile_table(events, p=12).collect()}
+    n = events.count()
+    assert set(prof) == set(events.columns)  # all atomic columns profiled
+    for c, r in prof.items():
+        assert r["n_rows"] == n
+        nn = events.filter(F.col(c).isNotNull()).count()
+        assert r["n_nulls"] == n - nn
+        exact = events.select(c).distinct().filter(
+            F.col(c).isNotNull()).count()
+        if exact:
+            assert abs(r["approx_distinct"] - exact) / exact < 0.1, c
+    # min/max strings round-trip for a numeric column
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    assert prof["event_id"]["min_value"] == str(lo)
+    assert prof["event_id"]["max_value"] == str(hi)
+
+
+def test_profile_table_skips_complex_and_handles_nulls(spark):
+    from pyspark.sql import Row
+
+    from hyper_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [Row(a=1, b=None, arr=[1, 2]), Row(a=2, b="x", arr=[])],
+        "a bigint, b string, arr array<bigint>",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"a", "b"}  # array column skipped
+    assert prof["b"]["n_nulls"] == 1 and prof["b"]["null_frac"] == 0.5
