@@ -109,3 +109,49 @@ def test_reduce_precision_raises_on_increase(spark):
     sk = sketch_by(df, [], "v", 10)
     with pytest.raises(Exception, match="can only reduce precision"):
         hll_reduce_precision(sk, 12).collect()
+
+
+def test_register_sql_functions_end_to_end(spark, sf_correct):
+    """SQL-only consumption of sketch tables: estimate, merge, fold,
+    serde — all via spark.sql after registration."""
+    from hyper_spark.kernel.hll import HllSketch
+    from hyper_spark.operators.hll_agg import sketch_by, sketch_collect
+    from hyper_spark.sql import register_sql_functions
+
+    names = register_sql_functions(spark)
+    assert "hll_cardinality" in names
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    sketch_by(events, ["event_type"], "user_id", 12).createOrReplaceTempView(
+        "sk"
+    )
+    # estimate via SQL == kernel estimate of the same blob
+    got = {
+        r["event_type"]: r["est"]
+        for r in spark.sql(
+            "SELECT event_type, hll_cardinality(p, registers) AS est FROM sk"
+        ).collect()
+    }
+    for r in spark.table("sk").collect():
+        kern = HllSketch.from_bytes(12, bytes(r["registers"]))
+        assert got[r["event_type"]] == kern.cardinality()
+    # pairwise union via SQL == kernel merge of the same two blobs
+    # (Python UDFs are not allowed inside SQL higher-order lambdas, so
+    # fold-style aggregation unions stay a DataFrame-operator concern)
+    two = spark.sql(
+        "SELECT a.registers ra, b.registers rb, "
+        "hll_cardinality(12, hll_union2(a.registers, b.registers)) AS est "
+        "FROM sk a JOIN sk b ON a.event_type < b.event_type LIMIT 1"
+    ).collect()[0]
+    ka = HllSketch.from_bytes(12, bytes(two["ra"]))
+    kb = HllSketch.from_bytes(12, bytes(two["rb"]))
+    assert abs(two["est"] - ka.merge(kb).cardinality()) < 1e-9
+    # serde round trip + fold in pure SQL
+    row = spark.sql(
+        """
+        SELECT hll_json_p(j) AS p2,
+               hll_cardinality(10, hll_fold(12, hll_json_registers(j), 10))
+                   AS folded
+        FROM (SELECT hll_to_json(p, registers) AS j FROM sk LIMIT 1)
+        """
+    ).collect()[0]
+    assert row["p2"] == 12 and row["folded"] > 0

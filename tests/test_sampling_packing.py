@@ -379,3 +379,37 @@ def test_decontaminate_leaves_no_corpus_cache(spark):
     # only the tiny contaminated-id set is cached, never the corpus
     assert jsc.getPersistentRDDs().size() == baseline + 1
     assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+# ------------------------------------------------------------ edge cases
+
+
+def test_hash_split_unnormalized_weights(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    out = hash_split(df, "k", {"a": 2.0, "b": 2.0}, seed=4)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert abs(counts["a"] / 2000 - 0.5) < 0.05  # normalized internally
+
+
+def test_hash_sample_extreme_fractions(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], ["k"])
+    assert hash_sample(df, "k", 0.0).count() == 0
+    assert hash_sample(df, "k", 1.0).count() == 300
+
+
+def test_deterministic_sample_n_exceeds_group(spark):
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)], ["k", "g"])
+    assert deterministic_sample(df, 100, on="k").count() == 10
+    per_g = deterministic_sample(df, 100, on="k", by=["g"])
+    assert per_g.count() == 10
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {})
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {"a": 0.0})
+    with pytest.raises(ValueError):
+        pack_offsets(df.withColumnRenamed("k", "doc_id")
+                     .withColumn("n", F.lit(1)), "doc_id", "n", 0)
