@@ -204,6 +204,63 @@ def _q_cms_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(flags)
 
 
+def _q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day top-3 event types with bounded space-saving
+    state (streaming/topk_stream.py): capacity (32) exceeds the
+    event-type vocabulary, so every closed window's top-k is EXACT and
+    must equal DuckDB's windowed count ranking row-for-row (err 0).
+    Windows close at watermark passage; a far-future sentinel flushes
+    the tail."""
+    _ensure_pkg(spark)
+    import tempfile
+
+    from hyper_spark.streaming.topk_stream import streaming_windowed_topk
+
+    events = _read(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="gate_tkstream_") as td:
+        src = f"{td}/src"
+        data = events.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", "sentinel")], "ts string, event_type string"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        data.unionByName(sentinel).coalesce(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_windowed_topk(
+            stream, "ts", [], "event_type", k=3, capacity=32,
+            window="1 day", watermark="1 hour",
+        )
+        name = "gate_tkstream_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = (
+            spark.table(name)
+            .filter(F.col("value") != "sentinel")
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+                "value",
+                "est_count",
+                F.col("rank").cast("long").alias("rank"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(
+        [(r["day"], r["value"], r["est_count"], r["rank"]) for r in rows],
+        "day string, value string, est_count bigint, rank bigint",
+    )
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan-per-stage table profiling (operators/profile.py): exact
     row/null counts per column, plus a per-column HLL distinct estimate
@@ -1568,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_type_bounds": _q_cms_event_type_bounds,
         "cms_fast_hash_bounds": _q_cms_fast_hash_bounds,
         "table_profile": _q_table_profile,
+        "streaming_windowed_topk": _q_streaming_windowed_topk,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "kll_value_quantiles": _q_kll_value_quantiles,
         "tdigest_value_quantiles": _q_tdigest_value_quantiles,
@@ -1888,6 +1946,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS exact_count, "
             f"{true_flags} FROM events GROUP BY event_type"
         ),
+        "streaming_windowed_topk": """
+            SELECT strftime(day, '%Y-%m-%d') AS day, value, est_count, rank
+            FROM (
+                SELECT date_trunc('day', ts) AS day, event_type AS value,
+                       count(*) AS est_count,
+                       row_number() OVER (
+                           PARTITION BY date_trunc('day', ts)
+                           ORDER BY count(*) DESC, event_type
+                       ) AS rank
+                FROM events GROUP BY 1, 2
+            ) WHERE rank <= 3
+        """,
         "table_profile": (
             " UNION ALL ".join(
                 f"SELECT '{c}' AS column, count(*) AS n_rows, "

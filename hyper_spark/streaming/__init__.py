@@ -1,4 +1,5 @@
 from hyper_spark.streaming.dedup_stream import streaming_dedup
+from hyper_spark.streaming.topk_stream import streaming_windowed_topk
 from hyper_spark.streaming.sessionize_stream import streaming_sessionize
 from hyper_spark.streaming.hll_stream import (
     streaming_cms_by,
@@ -14,4 +15,5 @@ __all__ = [
     "streaming_windowed_sketch_by",
     "streaming_sessionize",
     "streaming_dedup",
+    "streaming_windowed_topk",
 ]

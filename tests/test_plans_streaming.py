@@ -711,3 +711,69 @@ def test_streaming_dedup_first_arrival_only(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 40
+
+
+def _run_topk_stream(spark, tmp_path, rows_df, tag, **kw):
+    from hyper_spark.streaming.topk_stream import streaming_windowed_topk
+
+    src = str(tmp_path / f"tk_src_{tag}")
+    rows_df.write.mode("overwrite").parquet(src)
+    out = streaming_windowed_topk(
+        spark.readStream.schema(rows_df.schema).parquet(src),
+        "ts", [], "v", **kw,
+    )
+    sink = str(tmp_path / f"tk_sink_{tag}")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / f"tk_ckpt_{tag}"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(sink)
+
+
+def test_streaming_windowed_topk_exact_when_capacity_fits(spark, tmp_path):
+    """capacity >= vocab: final top-k per closed window is exact."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 30)
+    rows = []
+    for h, counts in enumerate([{"a": 5, "b": 3, "c": 1}, {"x": 7, "a": 2}]):
+        for v, c in counts.items():
+            rows += [(base + dt.timedelta(hours=h), v)] * c
+    rows.append((base + dt.timedelta(days=30), "sentinel"))  # flush
+    df = spark.createDataFrame(rows, "ts timestamp, v string")
+    got = _run_topk_stream(
+        spark, tmp_path, df, "exact", k=2, capacity=16,
+        window="1 hour", watermark="10 minutes",
+    ).collect()
+    by_win = {}
+    for r in got:
+        by_win.setdefault(r["window_start"].hour, []).append(
+            (r["rank"], r["value"], r["est_count"], r["err_bound"])
+        )
+    assert sorted(by_win[0]) == [(1, "a", 5, 0), (2, "b", 3, 0)]
+    assert sorted(by_win[1]) == [(1, "x", 7, 0), (2, "a", 2, 0)]
+
+
+def test_streaming_windowed_topk_space_saving_bounds(spark, tmp_path):
+    """capacity < vocab: heavy value still guaranteed in the summary,
+    est in [true, true+err]."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 10)
+    rows = [(base, "heavy")] * 60
+    rows += [(base, f"n{i}") for i in range(40)]  # 40 singletons
+    rows.append((base + dt.timedelta(days=30), "sentinel"))
+    df = spark.createDataFrame(rows, "ts timestamp, v string")
+    got = _run_topk_stream(
+        spark, tmp_path, df, "ss", k=3, capacity=8,
+        window="1 hour", watermark="5 minutes",
+    ).collect()
+    win0 = [r for r in got if r["window_start"].hour == 0]
+    top1 = next(r for r in win0 if r["rank"] == 1)
+    assert top1["value"] == "heavy"  # freq > n/capacity => guaranteed
+    assert 60 <= top1["est_count"] <= 60 + top1["err_bound"]
