@@ -218,14 +218,25 @@ def _q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _read(spark, sf_dir, "events")
     with tempfile.TemporaryDirectory(prefix="gate_tkstream_") as td:
+        import glob as _glob
+        import shutil as _shutil
+
         src = f"{td}/src"
+        os.makedirs(src)
         data = events.select(
             F.col("ts").cast("timestamp").alias("ts"), "event_type"
         )
         sentinel = spark.createDataFrame(
             [("2100-01-01 00:00:00", "sentinel")], "ts string, event_type string"
         ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
-        data.unionByName(sentinel).coalesce(2).write.parquet(src)
+        # explicitly sequenced files: the sentinel must replay LAST or
+        # its 2100 watermark would drop every real row as late (file
+        # sources order by modification time — a parallel two-part
+        # write commits in either order)
+        for i, part in enumerate([data, sentinel]):
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
         stream = (
             spark.readStream.schema("ts timestamp, event_type string")
             .option("maxFilesPerTrigger", "1")
@@ -298,8 +309,10 @@ def _q_cms_fast_hash_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hyper_spark.operators.cms_agg import cms_estimate
 
     events = _read(spark, sf_dir, "events")
+    # cached: the n/width collect and cms_estimate's internal collect
+    # would otherwise each run the whole build job
     sketch = cms_by(events, [], "event_type", depth=5, width=8192,
-                    hash_fn="xxhash64")
+                    hash_fn="xxhash64").cache()
     srow = sketch.select("n", "width").collect()[0]
     eps_n = (math.e / srow["width"]) * srow["n"]
     cand = events.select("event_type").distinct()
@@ -307,13 +320,17 @@ def _q_cms_fast_hash_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_count")
     )
-    return exact.join(est, on="event_type").select(
+    rows = exact.join(est, on="event_type").select(
         "event_type",
         "exact_count",
         (
             (F.col("exact_count") <= F.col("est_count"))
             & (F.col("est_count") <= F.col("exact_count") + F.lit(eps_n))
         ).alias("within_bound"),
+    ).collect()
+    sketch.unpersist()
+    return spark.createDataFrame(
+        rows, "event_type string, exact_count bigint, within_bound boolean"
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     BooleanType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -38,6 +39,10 @@ BLOOM_FIELDS = [
     StructField("k", IntegerType(), False),
     StructField("n", LongType(), False),
     StructField("bits", BinaryType(), False),
+    # which position hash built this filter: probing with a different
+    # hash would produce silent FALSE NEGATIVES (dropped rows in
+    # bloom_prune), so probes validate against this column
+    StructField("hash_fn", StringType(), False),
 ]
 
 _GROUP_COL = "__bloom_group"
@@ -83,27 +88,46 @@ def bloom_by(
         pos = pdf["pos"].to_numpy(dtype=np.int64)
         np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         out = {kk: [pdf[kk].iloc[0]] for kk in keys}
-        out.update(m_bits=[m_bits], k=[k], n=[0], bits=[bits.tobytes()])
+        out.update(
+            m_bits=[m_bits], k=[k], n=[0], bits=[bits.tobytes()],
+            hash_fn=[hash_fn],
+        )
         return pd.DataFrame(out)
 
     if keys:
         packed = bits_df.groupBy(*keys).applyInPandas(pack, out_schema)
         return packed.drop("n").join(
             counts.withColumnRenamed("__n", "n"), on=keys, how="left"
-        ).select(*keys, "m_bits", "k", "n", "bits")
+        ).select(*keys, "m_bits", "k", "n", "bits", "hash_fn")
     grouped = bits_df.withColumn(_GROUP_COL, F.lit(0))
     packed = grouped.groupBy(_GROUP_COL).applyInPandas(
         pack, StructType(BLOOM_FIELDS)
     )
     return packed.drop("n").crossJoin(
         counts.select(F.col("__n").alias("n"))
-    ).select("m_bits", "k", "n", "bits")
+    ).select("m_bits", "k", "n", "bits", "hash_fn")
 
 
-def bloom_collect(bloom_df: DataFrame) -> BloomFilter:
-    rows = bloom_df.select("m_bits", "k", "n", "bits").collect()
+def bloom_collect(
+    bloom_df: DataFrame, expect_hash_fn: str = "md5"
+) -> BloomFilter:
+    """Collect+merge to a kernel ``BloomFilter``. Refuses rows whose
+    recorded ``hash_fn`` differs from ``expect_hash_fn`` — probing bits
+    set by a different hash yields silent false negatives (the kernel
+    itself is md5-only; Spark-side probes pass their own hash_fn)."""
+    cols = ["m_bits", "k", "n", "bits"]
+    has_hf = "hash_fn" in bloom_df.columns
+    rows = bloom_df.select(*cols, *(["hash_fn"] if has_hf else [])).collect()
     if not rows:
         raise ValueError("empty bloom DataFrame")
+    if has_hf:
+        bad = {r["hash_fn"] for r in rows} - {expect_hash_fn}
+        if bad:
+            raise ValueError(
+                f"bloom filter was built with hash_fn={bad.pop()!r} but is "
+                f"being probed with hash_fn={expect_hash_fn!r} — membership "
+                "tests would return silent false negatives"
+            )
     out = BloomFilter.from_bytes(
         rows[0]["m_bits"], rows[0]["k"], bytes(rows[0]["bits"]), rows[0]["n"] or 0
     )
@@ -124,7 +148,7 @@ def bloom_might_contain(
     """Adds a boolean membership column to ``probe_df``. Positions are
     computed JVM-side; the bit probe is an Arrow-batched numpy lookup over
     the (closure-captured) bitmap."""
-    bf = bloom_collect(bloom_df)
+    bf = bloom_collect(bloom_df, expect_hash_fn=hash_fn)
     bits = bf.bits
     m_bits, k = bf.m_bits, bf.k
     pos_arr = F.array(

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -48,6 +49,9 @@ CMS_FIELDS = [
     StructField("width", IntegerType(), False),
     StructField("n", LongType(), False),
     StructField("counters", BinaryType(), False),
+    # which bucket hash built this sketch: a build/probe mismatch would
+    # silently corrupt estimates, so probes validate against this column
+    StructField("hash_fn", StringType(), False),
 ]
 
 _GROUP_COL = "__cms_group"
@@ -127,6 +131,7 @@ def cms_by(
         out.update(
             depth=[depth], width=[width], n=[n],
             counters=[counters.astype("<i8").tobytes()],
+            hash_fn=[hash_fn],
         )
         return pd.DataFrame(out)
 
@@ -147,13 +152,19 @@ def cms_merge(cms_df: DataFrame, keys: Sequence[str]) -> DataFrame:
         width = int(pdf["width"].iloc[0])
         if not ((pdf["depth"] == depth) & (pdf["width"] == width)).all():
             raise ValueError("count-min dimensions must match to merge")
+        hf = str(pdf["hash_fn"].iloc[0])
+        if not (pdf["hash_fn"] == hf).all():
+            raise ValueError(
+                "count-min sketches built with different hash_fns "
+                "cannot be merged"
+            )
         acc = np.zeros((depth, width), dtype=np.int64)
         for blob in pdf["counters"]:
             acc += np.frombuffer(blob, dtype="<i8").reshape(depth, width)
         out = {k: [pdf[k].iloc[0]] for k in keys}
         out.update(
             depth=[depth], width=[width], n=[int(pdf["n"].sum())],
-            counters=[acc.astype("<i8").tobytes()],
+            counters=[acc.astype("<i8").tobytes()], hash_fn=[hf],
         )
         return pd.DataFrame(out)
 
@@ -164,10 +175,28 @@ def cms_merge(cms_df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return grouped.groupBy(_GROUP_COL).applyInPandas(merge, StructType(CMS_FIELDS))
 
 
-def cms_collect(cms_df: DataFrame) -> CountMinSketch:
-    rows = cms_df.select("depth", "width", "n", "counters").collect()
+def _collect_cms_rows(cms_df: DataFrame, expect_hash_fn: str | None) -> list:
+    cols = ["depth", "width", "n", "counters"]
+    has_hf = "hash_fn" in cms_df.columns
+    rows = cms_df.select(*cols, *(["hash_fn"] if has_hf else [])).collect()
     if not rows:
         raise ValueError("empty count-min DataFrame")
+    if expect_hash_fn is not None and has_hf:
+        bad = {r["hash_fn"] for r in rows} - {expect_hash_fn}
+        if bad:
+            raise ValueError(
+                f"sketch was built with hash_fn={bad.pop()!r} but is being "
+                f"used with hash_fn={expect_hash_fn!r} — estimates would be "
+                "silently wrong"
+            )
+    return rows
+
+
+def cms_collect(cms_df: DataFrame) -> CountMinSketch:
+    """Collect+merge to a kernel ``CountMinSketch``. The kernel's bucket
+    hash is md5-only, so xxhash64-built sketch rows are refused (their
+    counters are valid but the kernel would probe the wrong cells)."""
+    rows = _collect_cms_rows(cms_df, expect_hash_fn="md5")
     out = CountMinSketch.from_bytes(
         rows[0]["depth"], rows[0]["width"], bytes(rows[0]["counters"]), rows[0]["n"]
     )
@@ -194,9 +223,15 @@ def cms_estimate(
     ``array_min(element_at(...))`` — zero Python in the plan (VERDICT r02
     wrong #2). Bigger sketches fall back to an Arrow-batched pandas UDF
     over int arrays only."""
-    sk = cms_collect(cms_df)
-    counters = sk.counters
-    depth, width = sk.depth, sk.width
+    rows = _collect_cms_rows(cms_df, expect_hash_fn=hash_fn)
+    depth, width = rows[0]["depth"], rows[0]["width"]
+    counters = np.zeros((depth, width), dtype=np.int64)
+    for r in rows:
+        if (r["depth"], r["width"]) != (depth, width):
+            raise ValueError("count-min dimensions must match to merge")
+        counters += np.frombuffer(
+            bytes(r["counters"]), dtype="<i8"
+        ).reshape(depth, width)
     c = F.col(col)
 
     if depth * width <= max_jvm_cells:

@@ -81,7 +81,9 @@ def register_sql_functions(spark: SparkSession, prefix: str = "") -> list[str]:
 
     @F.pandas_udf(DoubleType())
     def _bound(p: pd.Series) -> pd.Series:
-        return 1.04 / np.sqrt(np.exp2(p.astype("float64")))
+        from hyper_spark.kernel.hll import error_bound
+
+        return pd.Series([error_bound(int(x)) for x in p])
 
     fns = {
         "hll_cardinality": cardinality_col,

@@ -262,7 +262,10 @@ def streaming_cms_by(
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in [df.schema[k] for k in keys]
     )
-    output_schema = f"{out_fields}, depth int, width int, n bigint, counters binary"
+    output_schema = (
+        f"{out_fields}, depth int, width int, n bigint, counters binary,"
+        " hash_fn string"
+    )
     state_schema = "n bigint, counters binary"
 
     def update(key, pdfs, state: GroupState):
@@ -287,7 +290,10 @@ def streaming_cms_by(
         blob = counters.astype("<i8").tobytes()
         state.update((n, blob))
         out = {k: [key[i]] for i, k in enumerate(keys)}
-        out.update(depth=[depth], width=[width], n=[n], counters=[blob])
+        out.update(
+            depth=[depth], width=[width], n=[n], counters=[blob],
+            hash_fn=[hash_fn],
+        )
         yield pd.DataFrame(out)
 
     return prepared.groupBy(*keys).applyInPandasWithState(

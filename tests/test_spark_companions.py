@@ -279,7 +279,7 @@ def test_cms_fast_hash_bounds_and_consistency(spark):
     same exact top-k on a zipf-ish corpus."""
     from hyper_spark.operators.cms_agg import cms_by, cms_estimate, heavy_hitters
 
-    rows = [(f"v{i % 100}",) for i in range(5000) for _ in range(1)]
+    rows = [(f"v{i % 100}",) for i in range(5000)]
     df = spark.createDataFrame(rows, ["v"]).cache()
     exact = {r["v"]: r["cnt"] for r in
              df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).collect()}
@@ -293,10 +293,13 @@ def test_cms_fast_hash_bounds_and_consistency(spark):
         for v, cnt in exact.items():
             assert est[v] >= cnt, (hf, v)       # never underestimates
             assert est[v] <= cnt + eps * n * 3, (hf, v)
+    # guarantee=True exercises the CMS threshold pass (exact=True alone
+    # never touches hash_fn)
     hh_md5 = [(r["v"], r["est_count"]) for r in
-              heavy_hitters(df, "v", k=5, exact=True).collect()]
+              heavy_hitters(df, "v", k=5, guarantee=True).collect()]
     hh_xx = [(r["v"], r["est_count"]) for r in
-             heavy_hitters(df, "v", k=5, exact=True, hash_fn="xxhash64").collect()]
+             heavy_hitters(df, "v", k=5, guarantee=True,
+                           hash_fn="xxhash64").collect()]
     assert hh_md5 == hh_xx
     df.unpersist()
 
@@ -360,3 +363,24 @@ def test_profile_table_skips_complex_and_handles_nulls(spark):
     prof = {r["column"]: r for r in profile_table(df).collect()}
     assert set(prof) == {"a", "b"}  # array column skipped
     assert prof["b"]["n_nulls"] == 1 and prof["b"]["null_frac"] == 0.5
+
+
+def test_hash_fn_mismatch_is_an_error_not_corruption(spark):
+    """Build/probe hash mismatch must raise (it would otherwise produce
+    silently-wrong CMS estimates and Bloom FALSE NEGATIVES)."""
+    from hyper_spark.operators.bloom_agg import bloom_by, bloom_might_contain
+    from hyper_spark.operators.cms_agg import cms_by, cms_collect, cms_estimate
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(50)], ["v"])
+    sk_xx = cms_by(df, [], "v", depth=3, width=256, hash_fn="xxhash64")
+    with pytest.raises(Exception, match="hash_fn"):
+        cms_estimate(sk_xx, df.select("v").distinct(), "v").collect()
+    with pytest.raises(Exception, match="hash_fn"):
+        cms_collect(sk_xx)  # kernel is md5-only
+    bl_xx = bloom_by(df, [], "v", m_bits=1 << 12, hash_fn="xxhash64")
+    with pytest.raises(Exception, match="hash_fn"):
+        bloom_might_contain(bl_xx, df, "v").collect()
+    # matched hash fns work
+    assert cms_estimate(
+        sk_xx, df.select("v").distinct(), "v", hash_fn="xxhash64"
+    ).count() == 50
