@@ -272,6 +272,70 @@ def _q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day streaming median of event values with bounded KLL state
+    and watermark expiry (streaming/quantiles_window_stream.py): each
+    closed window's final estimate must sit within 2% rank error of
+    that day's exact distribution."""
+    _ensure_pkg(spark)
+    import tempfile
+
+    from hyper_spark.streaming.quantiles_window_stream import (
+        streaming_windowed_quantiles,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="gate_wq_") as td:
+        import glob as _glob
+        import shutil as _shutil
+
+        src = f"{td}/src"
+        os.makedirs(src)
+        data = events.select(
+            F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", 0.0)], "ts string, value double"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+        for i, part in enumerate([data, sentinel]):  # sentinel LAST
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_windowed_quantiles(
+            stream, "ts", [], "value", qs=[0.5],
+            window="1 day", watermark="1 hour",
+        )
+        name = "gate_wq_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        ests = {
+            r["window_start"]: r["q_0500"]
+            for r in spark.table(name).collect()
+            if r["window_start"].year < 2100
+        }
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    rows = []
+    for ws, est in sorted(ests.items()):
+        day_vals = events.filter(day == F.lit(ws)).select("value")
+        n = day_vals.count()
+        rank = day_vals.filter(F.col("value") <= est).count() / n
+        rows.append(
+            (ws.strftime("%Y-%m-%d"), bool(abs(rank - 0.5) <= 0.02))
+        )
+    return spark.createDataFrame(rows, "day string, within_bound boolean")
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan-per-stage table profiling (operators/profile.py): exact
     row/null counts per column, plus a per-column HLL distinct estimate
@@ -1643,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_fast_hash_bounds": _q_cms_fast_hash_bounds,
         "table_profile": _q_table_profile,
         "streaming_windowed_topk": _q_streaming_windowed_topk,
+        "streaming_windowed_quantiles": _q_streaming_windowed_quantiles,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "kll_value_quantiles": _q_kll_value_quantiles,
         "tdigest_value_quantiles": _q_tdigest_value_quantiles,
@@ -1962,6 +2027,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_fast_hash_bounds": (
             "SELECT event_type, count(*) AS exact_count, "
             f"{true_flags} FROM events GROUP BY event_type"
+        ),
+        "streaming_windowed_quantiles": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "true AS within_bound FROM events GROUP BY 1"
         ),
         "streaming_windowed_topk": """
             SELECT strftime(day, '%Y-%m-%d') AS day, value, est_count, rank

@@ -1,5 +1,6 @@
 from hyper_spark.streaming.dedup_stream import streaming_dedup
 from hyper_spark.streaming.topk_stream import streaming_windowed_topk
+from hyper_spark.streaming.quantiles_window_stream import streaming_windowed_quantiles
 from hyper_spark.streaming.sessionize_stream import streaming_sessionize
 from hyper_spark.streaming.hll_stream import (
     streaming_cms_by,
@@ -16,4 +17,5 @@ __all__ = [
     "streaming_sessionize",
     "streaming_dedup",
     "streaming_windowed_topk",
+    "streaming_windowed_quantiles",
 ]

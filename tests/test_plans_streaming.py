@@ -777,3 +777,55 @@ def test_streaming_windowed_topk_space_saving_bounds(spark, tmp_path):
     top1 = next(r for r in win0 if r["rank"] == 1)
     assert top1["value"] == "heavy"  # freq > n/capacity => guaranteed
     assert 60 <= top1["est_count"] <= 60 + top1["err_bound"]
+
+
+def test_streaming_windowed_quantiles_final_per_window(spark, tmp_path):
+    """Each closed window emits one final quantile row within rank
+    bound of the exact per-window quantiles; state drops at close."""
+    import datetime as dt
+
+    import numpy as np
+
+    from hyper_spark.streaming.quantiles_window_stream import (
+        streaming_windowed_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    base = dt.datetime(2026, 2, 1, 0, 0)
+    rows = []
+    vals = {0: rng.normal(100, 10, 800), 1: rng.normal(50, 5, 600)}
+    for h, xs in vals.items():
+        for x in xs:
+            rows.append((base + dt.timedelta(hours=h, minutes=30), float(x)))
+    rows.append((base + dt.timedelta(days=30), 0.0))  # sentinel flush
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    src = str(tmp_path / "wq_src")
+    df.write.parquet(src)
+    out = streaming_windowed_quantiles(
+        spark.readStream.schema(df.schema).parquet(src),
+        "ts", [], "v", qs=[0.1, 0.5, 0.9],
+        window="1 hour", watermark="5 minutes",
+    )
+    sink = str(tmp_path / "wq_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "wq_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["window_start"].hour: r
+           for r in spark.read.parquet(sink).collect()
+           if r["window_start"].year == 2026 and r["window_start"].month == 2
+           and r["window_start"].day == 1}
+    assert set(got) == {0, 1}
+    for h, xs in vals.items():
+        r = got[h]
+        assert r["n"] == len(xs)
+        s = np.sort(xs)
+        for q_ in (0.1, 0.5, 0.9):
+            est = r[f"q_{int(q_*1000):04d}"]
+            rank = np.searchsorted(s, est, side="right") / len(s)
+            assert abs(rank - q_) <= 0.03, (h, q_, rank)
