@@ -336,6 +336,63 @@ def _q_streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(rows, "day string, within_bound boolean")
 
 
+def _q_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning-user analysis from per-day sketches alone
+    (operators/rollup.py::retention_estimates — no raw rescan): union by
+    register max, intersection by inclusion–exclusion. Estimates checked
+    against exact per-day overlaps; the intersection inherits the
+    reference's 'no guarantees' caveat (hyper.erl:97), so its tolerance
+    is the wide one used in the reference's own intersection test."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.rollup import retention_estimates
+
+    events = _read(spark, sf_dir, "events")
+    p = 14
+    daily = sketch_by(
+        events.withColumn("bucket", F.date_trunc("day", "ts")),
+        ["bucket"], "user_id", p,
+    )
+    ests = {r["bucket"]: r for r in retention_estimates(daily).collect()}
+    d = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    prev = {
+        r["day"]: r["n"]
+        for r in d.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    nxt = d.select(
+        F.col("day").alias("nday"), F.col("user_id").alias("nuser")
+    )
+    overlap = {
+        r["day"]: r["n"]
+        for r in d.join(
+            nxt,
+            (F.col("nday") == F.col("day") + F.expr("INTERVAL 1 day"))
+            & (F.col("nuser") == F.col("user_id")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = []
+    for day in sorted(ests):
+        r = ests[day]
+        ex_prev = prev[day]
+        ex_over = overlap.get(day, 0)
+        ok = abs(r["prev_estimate"] - ex_prev) / ex_prev <= 3 * error_bound(p)
+        ok = ok and abs(r["overlap_estimate"] - ex_over) <= max(
+            10.0, 0.2 * ex_over
+        )
+        rows.append(
+            (day.strftime("%Y-%m-%d"), ex_prev, ex_over, bool(ok))
+        )
+    return spark.createDataFrame(
+        rows,
+        "day string, exact_prev bigint, exact_overlap bigint,"
+        " within_bound boolean",
+    )
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan-per-stage table profiling (operators/profile.py): exact
     row/null counts per column, plus a per-column HLL distinct estimate
@@ -1708,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "streaming_windowed_topk": _q_streaming_windowed_topk,
         "streaming_windowed_quantiles": _q_streaming_windowed_quantiles,
+        "retention_daily": _q_retention_daily,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "kll_value_quantiles": _q_kll_value_quantiles,
         "tdigest_value_quantiles": _q_tdigest_value_quantiles,
@@ -2032,6 +2090,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
             "true AS within_bound FROM events GROUP BY 1"
         ),
+        "retention_daily": """
+            WITH d AS (
+                SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events
+            ), prev AS (
+                SELECT day, count(DISTINCT user_id) AS exact_prev
+                FROM d GROUP BY day
+            ), ov AS (
+                SELECT a.day, count(DISTINCT a.user_id) AS exact_overlap
+                FROM d a JOIN d b
+                  ON b.day = a.day + INTERVAL 1 DAY
+                 AND b.user_id = a.user_id
+                GROUP BY a.day
+            )
+            SELECT strftime(p.day, '%Y-%m-%d') AS day, p.exact_prev,
+                   coalesce(ov.exact_overlap, 0) AS exact_overlap,
+                   true AS within_bound
+            FROM prev p
+            LEFT JOIN ov ON ov.day = p.day
+            WHERE EXISTS (
+                SELECT 1 FROM prev q WHERE q.day = p.day + INTERVAL 1 DAY
+            )
+        """,
         "streaming_windowed_topk": """
             SELECT strftime(day, '%Y-%m-%d') AS day, value, est_count, rank
             FROM (

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,7 +32,7 @@ from hyper_spark.operators.hll_agg import (
     union_sketches,
 )
 
-__all__ = ["sketch_time_rollup", "rollup_estimates"]
+__all__ = ["sketch_time_rollup", "rollup_estimates", "retention_estimates"]
 
 # Spark date_trunc fmts, fine -> coarse (all also valid DuckDB grains)
 _GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "quarter", "year")
@@ -165,3 +167,77 @@ def rollup_estimates(rollup_df: DataFrame) -> DataFrame:
     return rollup_df.withColumn(
         "estimate", cardinality_col(F.col("p"), F.col("registers"))
     ).drop("p", "registers")
+
+
+def retention_estimates(
+    sketch_df: DataFrame,
+    bucket_col: str = "bucket",
+    step: str = "1 day",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Period-over-period audience overlap from a per-bucket sketch
+    table — the classic retention query (how many of bucket t's distinct
+    users return in bucket t+step?) answered WITHOUT rescanning raw
+    data: each adjacent pair of sketches yields the union estimate by
+    lossless register max, the intersection by inclusion–exclusion
+    (src/hyper.erl:97-100 — no accuracy guarantee, same caveat as
+    ``intersect_card``), and derived rates.
+
+    Input: [*keys, bucket_col timestamp, p, registers] (e.g. one grain
+    of ``sketch_time_rollup``). Output per consecutive pair:
+    [*keys, bucket, next_bucket, prev_estimate, next_estimate,
+    overlap_estimate, retention_rate, jaccard].
+
+    Scale: a self-join keyed by (keys, bucket+step) over |buckets| rows
+    of 2^p-byte blobs — raw-data volume never moves; the pairwise math
+    is one Arrow batch of sketch pairs.
+    """
+    from hyper_spark.kernel.hll import HllSketch
+
+    keys = list(keys)
+    cur = sketch_df.select(
+        *keys,
+        F.col(bucket_col).alias("bucket"),
+        F.col("p").alias("p_a"),
+        F.col("registers").alias("reg_a"),
+        (F.col(bucket_col) + F.expr(f"INTERVAL {step}")).alias("__next"),
+    )
+    nxt = sketch_df.select(
+        *keys,
+        F.col(bucket_col).alias("__next"),
+        F.col("p").alias("p_b"),
+        F.col("registers").alias("reg_b"),
+    )
+    joined = cur.join(nxt, on=keys + ["__next"])
+
+    @F.pandas_udf("struct<prev:double,nxt:double,overlap:double>")
+    def pair_stats(
+        p_a: pd.Series, ra: pd.Series, p_b: pd.Series, rb: pd.Series
+    ) -> pd.DataFrame:
+        prev, nxt_, over = [], [], []
+        for pa, a, pb, b in zip(p_a, ra, p_b, rb):
+            sa = HllSketch.from_bytes(int(pa), bytes(a))
+            sb = HllSketch.from_bytes(int(pb), bytes(b))
+            prev.append(sa.cardinality())
+            nxt_.append(sb.cardinality())
+            over.append(sa.intersect_cardinality(sb))
+        return pd.DataFrame({"prev": prev, "nxt": nxt_, "overlap": over})
+
+    stats = pair_stats("p_a", "reg_a", "p_b", "reg_b")
+    out = joined.withColumn("__s", stats).select(
+        *keys,
+        "bucket",
+        F.col("__next").alias("next_bucket"),
+        F.col("__s.prev").alias("prev_estimate"),
+        F.col("__s.nxt").alias("next_estimate"),
+        F.col("__s.overlap").alias("overlap_estimate"),
+        F.when(
+            F.col("__s.prev") > 0, F.col("__s.overlap") / F.col("__s.prev")
+        ).otherwise(F.lit(0.0)).alias("retention_rate"),
+        F.when(
+            F.col("__s.prev") + F.col("__s.nxt") - F.col("__s.overlap") > 0,
+            F.col("__s.overlap")
+            / (F.col("__s.prev") + F.col("__s.nxt") - F.col("__s.overlap")),
+        ).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+    return out

@@ -138,3 +138,37 @@ def test_rollup_checkpointed_single_scan_and_resume(spark, tmp_path):
     )
     got2 = {(r["grain"], r["bucket"]): bytes(r["registers"]) for r in again.collect()}
     assert got2 == got
+
+
+def test_retention_estimates_matches_exact_overlap(spark, sf_correct):
+    """Day-over-day retention from per-day sketches: estimates within
+    bound of exact next-day user overlap (no raw rescan in the op)."""
+    from pyspark.sql import functions as F
+
+    from hyper_spark.operators.hll_agg import sketch_by
+    from hyper_spark.operators.rollup import retention_estimates
+
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    p = 14
+    daily = sketch_by(
+        events.withColumn("bucket", F.date_trunc("day", "ts")),
+        ["bucket"], "user_id", p,
+    )
+    got = {r["bucket"]: r for r in retention_estimates(daily).collect()}
+    assert len(got) >= 25  # ~29 consecutive day pairs in a 30-day fixture
+    days = sorted(got)
+    for d in days[:5]:
+        r = got[d]
+        a = events.filter(F.date_trunc("day", "ts") == d).select("user_id")
+        b = events.filter(
+            F.date_trunc("day", "ts") == r["next_bucket"]
+        ).select("user_id")
+        exact_prev = a.distinct().count()
+        exact_overlap = a.intersect(b).count()
+        assert abs(r["prev_estimate"] - exact_prev) / exact_prev < 0.05
+        # inclusion-exclusion intersection: generous tolerance (the
+        # reference itself gives "no guarantees", hyper.erl:97)
+        assert abs(r["overlap_estimate"] - exact_overlap) <= max(
+            10.0, 0.15 * exact_overlap
+        )
+        assert 0 <= r["retention_rate"] <= 1.2
