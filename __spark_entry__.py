@@ -336,6 +336,27 @@ def _q_streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(rows, "day string, within_bound boolean")
 
 
+def _q_transcripts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversation funnel (operators/temporal.py::funnel): how
+    many conversations used tool_00, THEN tool_01, THEN had a user turn
+    — strictly increasing timestamps between steps. Pure-JVM state
+    machine over per-conversation sorted events; oracle reproduces it
+    with chained LATERAL min-timestamps."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import funnel_counts
+
+    tx = _tx(spark)
+    steps = [
+        F.col("tool") == "tool_00",
+        F.col("tool") == "tool_01",
+        F.col("role") == "user",
+    ]
+    return funnel_counts(tx, ["conv_id"], "ts", steps).select(
+        F.col("stage_at_least").cast("long").alias("stage_at_least"),
+        "n_keys",
+    )
+
+
 def _q_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day returning-user analysis from per-day sketches alone
     (operators/rollup.py::retention_estimates — no raw rescan): union by
@@ -1766,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_topk": _q_streaming_windowed_topk,
         "streaming_windowed_quantiles": _q_streaming_windowed_quantiles,
         "retention_daily": _q_retention_daily,
+        "transcripts_funnel": _q_transcripts_funnel,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "kll_value_quantiles": _q_kll_value_quantiles,
         "tdigest_value_quantiles": _q_tdigest_value_quantiles,
@@ -2090,6 +2112,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
             "true AS within_bound FROM events GROUP BY 1"
         ),
+        "transcripts_funnel": f"""
+            WITH convs AS (
+                SELECT DISTINCT conv_id FROM {_TX_GATE_SQL}
+            ), staged AS (
+                SELECT c.conv_id, s1.t1, s2.t2, s3.t3
+                FROM convs c
+                LEFT JOIN LATERAL (
+                    SELECT min(ts) AS t1 FROM {_TX_GATE_SQL} e
+                    WHERE e.conv_id = c.conv_id AND e.tool = 'tool_00'
+                ) s1 ON true
+                LEFT JOIN LATERAL (
+                    SELECT min(ts) AS t2 FROM {_TX_GATE_SQL} e
+                    WHERE e.conv_id = c.conv_id AND e.tool = 'tool_01'
+                      AND e.ts > s1.t1
+                ) s2 ON true
+                LEFT JOIN LATERAL (
+                    SELECT min(ts) AS t3 FROM {_TX_GATE_SQL} e
+                    WHERE e.conv_id = c.conv_id AND e.role = 'user'
+                      AND e.ts > s2.t2
+                ) s3 ON true
+            ), stages AS (
+                SELECT conv_id,
+                       CASE WHEN t3 IS NOT NULL THEN 3
+                            WHEN t2 IS NOT NULL THEN 2
+                            WHEN t1 IS NOT NULL THEN 1
+                            ELSE 0 END AS stage
+                FROM staged
+            )
+            SELECT k AS stage_at_least, count(*) AS n_keys
+            FROM stages, unnest([1, 2, 3]) AS t(k)
+            WHERE stage >= k GROUP BY k
+        """,
         "retention_daily": """
             WITH d AS (
                 SELECT DISTINCT date_trunc('day', ts) AS day, user_id

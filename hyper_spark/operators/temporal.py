@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "asof_join", "range_join"]
+__all__ = ["sessionize", "asof_join", "range_join", "funnel", "funnel_counts"]
 
 
 def sessionize(
@@ -235,3 +235,95 @@ def range_join(
         (F.col("__ts") >= F.col("__s")) & (F.col("__ts") <= F.col("__e"))
     )
     return joined.drop("__bin", "__ts", "__s", "__e")
+
+
+def funnel(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    steps: Sequence[Column],
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, how far did the event sequence
+    progress through ``steps``? A step matches only with a timestamp
+    STRICTLY after the previous step's match (same-instant events cannot
+    satisfy consecutive steps — mirrors the standard funnel definition,
+    and makes the result independent of tie order). Returns
+    [*keys, stage, step_ts array<timestamp>] where ``stage`` is the
+    number of completed steps and ``step_ts[i]`` the i-th match time.
+
+    Implementation: one groupBy collects each key's (ts, flag-vector)
+    events; ``sort_array`` orders them by time and an ``F.aggregate``
+    lambda runs the K-step state machine JVM-side — no Python, one
+    shuffle keyed by ``keys``. Per-key memory is the key's event count
+    (the same bound any per-entity sequence analysis needs); K is a
+    plan-size constant (each event evaluates a K-branch WHEN chain).
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("funnel needs at least one key")
+    k_steps = len(steps)
+    if k_steps == 0:
+        raise ValueError("funnel needs at least one step")
+    flags = F.array(*[s.cast("boolean") for s in steps])
+    seq = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), flags.alias("fl")))
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.array().cast("array<timestamp>").alias("hits"),
+    )
+
+    def advance(acc, e):
+        # event advances the funnel iff it matches the NEXT step and is
+        # strictly later than the previous match
+        later = F.when(
+            F.size(acc["hits"]) == 0, F.lit(True)
+        ).otherwise(e["ts"] > F.element_at(acc["hits"], -1))
+        matched = F.lit(False)
+        for i in range(k_steps):
+            step_match = (acc["stage"] == i) & F.coalesce(
+                e["fl"][i], F.lit(False)
+            )
+            matched = matched | step_match
+        take = matched & later & (acc["stage"] < k_steps)
+        return F.when(
+            take,
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                F.concat(acc["hits"], F.array(e["ts"])).alias("hits"),
+            ),
+        ).otherwise(acc)
+
+    state = F.aggregate(seq, init, advance)
+    return (
+        df.groupBy(*keys)
+        .agg(state.alias("__st"))
+        .select(
+            *keys,
+            F.col("__st.stage").alias("stage"),
+            F.col("__st.hits").alias("step_ts"),
+        )
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    steps: Sequence[Column],
+) -> DataFrame:
+    """Stage summary of ``funnel``: for every stage 1..K, how many keys
+    completed AT LEAST that many steps (the classic conversion table).
+    One extra tiny aggregate over the per-key funnel output."""
+    per_key = funnel(df, keys, ts_col, steps)
+    k_steps = len(steps)
+    stages = F.explode(
+        F.sequence(F.lit(1), F.lit(k_steps))
+    ).alias("stage_at_least")
+    return (
+        per_key.select("stage", stages)
+        .filter(F.col("stage") >= F.col("stage_at_least"))
+        .groupBy("stage_at_least")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("stage_at_least")
+    )

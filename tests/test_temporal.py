@@ -243,3 +243,46 @@ def test_range_join_plan_is_hash_join(spark):
     # the whole point: an equi hash join, not BroadcastNestedLoopJoin
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def test_funnel_state_machine(spark):
+    from hyper_spark.operators.temporal import funnel, funnel_counts
+
+    rows = [
+        # conv A completes a->b->c in order
+        ("A", "2026-01-01 00:00:00", "a"),
+        ("A", "2026-01-01 00:01:00", "b"),
+        ("A", "2026-01-01 00:02:00", "c"),
+        # conv B: b before a -> only reaches stage 1 (the later 'a')
+        ("B", "2026-01-01 00:00:00", "b"),
+        ("B", "2026-01-01 00:01:00", "a"),
+        # conv C: a then c (skips b) -> stage 1
+        ("C", "2026-01-01 00:00:00", "a"),
+        ("C", "2026-01-01 00:01:00", "c"),
+        # conv D: a and b at the SAME instant -> same-ts cannot satisfy
+        # consecutive steps, stage 1
+        ("D", "2026-01-01 00:00:00", "a"),
+        ("D", "2026-01-01 00:00:00", "b"),
+        # conv E: no step events
+        ("E", "2026-01-01 00:00:00", "x"),
+    ]
+    df = spark.createDataFrame(rows, "conv string, ts string, ev string").select(
+        "conv", F.col("ts").cast("timestamp").alias("ts"), "ev"
+    )
+    steps = [F.col("ev") == "a", F.col("ev") == "b", F.col("ev") == "c"]
+    got = {r["conv"]: r for r in funnel(df, ["conv"], "ts", steps).collect()}
+    assert got["A"]["stage"] == 3 and len(got["A"]["step_ts"]) == 3
+    assert got["B"]["stage"] == 1
+    assert got["C"]["stage"] == 1
+    assert got["D"]["stage"] == 1
+    assert got["E"]["stage"] == 0
+    counts = {r["stage_at_least"]: r["n_keys"]
+              for r in funnel_counts(df, ["conv"], "ts", steps).collect()}
+    assert counts == {1: 4, 2: 1, 3: 1}
+    # pure JVM: no Python eval in the plan
+    plan = funnel(df, ["conv"], "ts", steps)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
