@@ -324,15 +324,29 @@ def _q_streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
             for r in spark.table(name).collect()
             if r["window_start"].year < 2100
         }
-    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
-    rows = []
-    for ws, est in sorted(ests.items()):
-        day_vals = events.filter(day == F.lit(ws)).select("value")
-        n = day_vals.count()
-        rank = day_vals.filter(F.col("value") <= est).count() / n
-        rows.append(
-            (ws.strftime("%Y-%m-%d"), bool(abs(rank - 0.5) <= 0.02))
+    # ONE pass: join the per-day estimates back and compute each day's
+    # n plus the estimate's rank in a single grouped aggregate (the
+    # per-day filter/count loop was ~60 sequential scan jobs)
+    est_df = spark.createDataFrame(
+        [(ws, est) for ws, est in ests.items()], "day timestamp, est double"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ranks = (
+        events.select(day, "value")
+        .join(F.broadcast(est_df), on="day")
+        .groupBy("day")
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("est")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("rank")
         )
+        .collect()
+    )
+    rows = [
+        (r["day"].strftime("%Y-%m-%d"), bool(abs(r["rank"] - 0.5) <= 0.02))
+        for r in sorted(ranks, key=lambda r: r["day"])
+    ]
     return spark.createDataFrame(rows, "day string, within_bound boolean")
 
 

@@ -195,6 +195,12 @@ def retention_estimates(
     from hyper_spark.kernel.hll import HllSketch
 
     keys = list(keys)
+    if "grain" in sketch_df.columns:
+        raise ValueError(
+            "sketch table carries a 'grain' column (sketch_time_rollup "
+            "output): select ONE grain first — equal bucket timestamps "
+            "from different grains would silently cross-join"
+        )
     cur = sketch_df.select(
         *keys,
         F.col(bucket_col).alias("bucket"),
@@ -216,8 +222,11 @@ def retention_estimates(
     ) -> pd.DataFrame:
         prev, nxt_, over = [], [], []
         for pa, a, pb, b in zip(p_a, ra, p_b, rb):
-            sa = HllSketch.from_bytes(int(pa), bytes(a))
-            sb = HllSketch.from_bytes(int(pb), bytes(b))
+            # from_blob: decodes dense AND sparse register encodings —
+            # the library-wide consumer contract (encoding='auto' tables
+            # carry sparse blobs below the fill threshold)
+            sa = HllSketch.from_blob(int(pa), bytes(a))
+            sb = HllSketch.from_blob(int(pb), bytes(b))
             prev.append(sa.cardinality())
             nxt_.append(sb.cardinality())
             over.append(sa.intersect_cardinality(sb))

@@ -264,6 +264,10 @@ def funnel(
     k_steps = len(steps)
     if k_steps == 0:
         raise ValueError("funnel needs at least one step")
+    # NULL timestamps are unordered: a NULL-ts first hit would freeze the
+    # key (every later `ts > NULL` comparison is NULL) — skip such rows,
+    # the standard NULL contract
+    df = df.filter(F.col(ts_col).isNotNull())
     flags = F.array(*[s.cast("boolean") for s in steps])
     seq = F.sort_array(
         F.collect_list(F.struct(F.col(ts_col).alias("ts"), flags.alias("fl")))
@@ -314,16 +318,31 @@ def funnel_counts(
 ) -> DataFrame:
     """Stage summary of ``funnel``: for every stage 1..K, how many keys
     completed AT LEAST that many steps (the classic conversion table).
-    One extra tiny aggregate over the per-key funnel output."""
+    Unreached stages appear with ``n_keys = 0`` — the full 1..K ladder
+    is always present. One extra tiny aggregate over the per-key funnel
+    output."""
     per_key = funnel(df, keys, ts_col, steps)
     k_steps = len(steps)
-    stages = F.explode(
-        F.sequence(F.lit(1), F.lit(k_steps))
-    ).alias("stage_at_least")
-    return (
-        per_key.select("stage", stages)
+    spark = df.sparkSession
+    ladder = spark.range(1, k_steps + 1).select(
+        F.col("id").cast("int").alias("stage_at_least")
+    )
+    reached = (
+        per_key.select(
+            F.explode(F.sequence(F.lit(1), F.lit(k_steps))).alias(
+                "stage_at_least"
+            ),
+            "stage",
+        )
         .filter(F.col("stage") >= F.col("stage_at_least"))
         .groupBy("stage_at_least")
         .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+    return (
+        ladder.join(reached, on="stage_at_least", how="left")
+        .select(
+            "stage_at_least",
+            F.coalesce(F.col("n_keys"), F.lit(0)).alias("n_keys"),
+        )
         .orderBy("stage_at_least")
     )

@@ -47,6 +47,8 @@ def streaming_windowed_quantiles(
     from hyper_spark.kernel.kll import KllSketch
     from hyper_spark.kernel.tdigest import TDigest
 
+    if method not in ("kll", "tdigest"):
+        raise ValueError(f"unknown quantile method {method!r}")
     keys = list(keys)
     qs = [float(q) for q in qs]
     if param is None:

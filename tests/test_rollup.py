@@ -172,3 +172,39 @@ def test_retention_estimates_matches_exact_overlap(spark, sf_correct):
             10.0, 0.15 * exact_overlap
         )
         assert 0 <= r["retention_rate"] <= 1.2
+
+
+def test_retention_sparse_blobs_and_grain_guard(spark):
+    """Review findings: retention must decode sparse ('auto') blobs, and
+    must refuse a multi-grain rollup table outright."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hyper_spark.operators.hll_agg import sketch_by
+    from hyper_spark.operators.rollup import (
+        retention_estimates,
+        sketch_time_rollup,
+    )
+
+    base = dt.datetime(2026, 3, 1)
+    rows = []
+    for d in range(3):
+        for u in range(20 + d):
+            rows.append((base + dt.timedelta(days=d, hours=1), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    daily = sketch_by(
+        df.withColumn("bucket", F.date_trunc("day", "ts")),
+        ["bucket"], "user_id", 14, encoding="auto",  # sparse blobs
+    )
+    got = retention_estimates(daily).collect()
+    assert len(got) == 2
+    for r in got:
+        assert abs(r["prev_estimate"] - 20) < 3 or abs(r["prev_estimate"] - 21) < 3
+        assert r["overlap_estimate"] >= 0
+    rolled = sketch_time_rollup(df, "ts", "user_id", p=12,
+                                grains=["hour", "day"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grain"):
+        retention_estimates(rolled)

@@ -286,3 +286,29 @@ def test_funnel_state_machine(spark):
     plan = funnel(df, ["conv"], "ts", steps)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_funnel_null_ts_and_zero_stage_rows(spark):
+    """Review findings: NULL-ts rows must be skipped (a NULL first hit
+    froze the key), and funnel_counts emits n_keys=0 for unreached
+    stages."""
+    from hyper_spark.operators.temporal import funnel, funnel_counts
+
+    rows = [
+        ("K", None, "a"),
+        ("K", "2026-01-01 00:01:00", "a"),
+        ("K", "2026-01-01 00:02:00", "b"),
+        ("K", "2026-01-01 00:03:00", "c"),
+    ]
+    df = spark.createDataFrame(rows, "conv string, ts string, ev string").select(
+        "conv", F.col("ts").cast("timestamp").alias("ts"), "ev"
+    )
+    steps = [F.col("ev") == "a", F.col("ev") == "b", F.col("ev") == "c"]
+    got = funnel(df, ["conv"], "ts", steps).collect()[0]
+    assert got["stage"] == 3  # NULL-ts 'a' did not freeze the funnel
+    assert all(t is not None for t in got["step_ts"])
+    # nobody reaches step 'z': ladder still shows stage 3 with 0
+    steps0 = [F.col("ev") == "a", F.col("ev") == "b", F.col("ev") == "z"]
+    counts = {r["stage_at_least"]: r["n_keys"]
+              for r in funnel_counts(df, ["conv"], "ts", steps0).collect()}
+    assert counts == {1: 1, 2: 1, 3: 0}
