@@ -35,6 +35,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     or an explicit path, keeping the Iceberg profile a drop-in."""
     if "." in name and not name.endswith(".parquet"):
         return spark.read.table(name)
+    if spark.catalog.tableExists(name):
+        return spark.read.table(name)
     path = name if name.endswith(".parquet") else f"{sf_dir}/{name}.parquet"
     return spark.read.parquet(path)
 
@@ -46,3 +48,27 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         if os.path.exists(path):
             out[name] = spark.read.parquet(path)
     return out
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by ``keys``
+    into the session catalog — the co-located-join layout: two tables
+    bucketed the same way on the join key join WITHOUT any Exchange
+    (plan-asserted in tests), the "pre-shuffle once, join many times"
+    strategy a 100 TB star schema runs on. Bucketing only exists for
+    catalog tables (``saveAsTable``), not bare parquet paths; sorted
+    buckets additionally let Spark skip the sort of a sort-merge join.
+
+    Read back with ``load_table(spark, table)`` (plain table name, no
+    dot needed for the default catalog's current database)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

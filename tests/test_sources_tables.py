@@ -77,3 +77,33 @@ def test_iceberg_roundtrip(spark, tmp_path):
     assert got.count() == 100
     # partition-pruning sanity: filter pushes into the Iceberg scan
     assert got.filter("turn_idx < 10").count() == 10
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, sf_correct):
+    """Co-located join: two tables bucketed identically on the join key
+    join with NO shuffle (the pre-shuffle-once layout for repeated
+    joins at scale) — and the join result is exactly the plain join."""
+    from hyper_spark.sources.tables import load_table, save_bucketed
+
+    orders = spark.read.parquet(f"{sf_correct}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_correct}/customer.parquet")
+    save_bucketed(orders.limit(5000), "b_orders", ["o_custkey"], 8,
+                  sort_by=["o_custkey"])
+    save_bucketed(customer, "b_customer", ["c_custkey"], 8,
+                  sort_by=["c_custkey"])
+    bo = load_table(spark, "b_orders")
+    bc = load_table(spark, "b_customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    # disable broadcast so the join strategy is the bucketed SMJ
+    spark.sql("SET spark.sql.autoBroadcastJoinThreshold=-1")
+    try:
+        joined = bo.join(bc, on="o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # co-located: zero shuffles
+        expect = bo.join(bc.hint("shuffle_hash"), on="o_custkey").count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("RESET spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
