@@ -35,7 +35,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     or an explicit path, keeping the Iceberg profile a drop-in."""
     if "." in name and not name.endswith(".parquet"):
         return spark.read.table(name)
-    if spark.catalog.tableExists(name):
+    if "/" not in name and not name.endswith(".parquet") and (
+        spark.catalog.tableExists(name)
+    ):
         return spark.read.table(name)
     path = name if name.endswith(".parquet") else f"{sf_dir}/{name}.parquet"
     return spark.read.parquet(path)
