@@ -350,6 +350,35 @@ def _q_streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(rows, "day string, within_bound boolean")
 
 
+def _q_difference_card_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference estimate |A \\ B| from sketches alone
+    (operators/hll_agg.py::difference_card) vs exact EXCEPT count —
+    same inclusion–exclusion tolerance class as intersect_card_bound."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.hll_agg import difference_card as dc
+
+    orders = _read(spark, sf_dir, "orders")
+    a_rows = orders.filter("o_orderkey % 2 = 0")
+    b_rows = orders.filter("o_orderkey % 3 = 0")
+    a = sketch_by(a_rows, [], "o_custkey", 13)
+    b = sketch_by(b_rows, [], "o_custkey", 13)
+    est = dc(a, b).collect()[0]["difference_card"]
+    exact = (
+        a_rows.select("o_custkey")
+        .distinct()
+        .subtract(b_rows.select("o_custkey").distinct())
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            Row(
+                exact_difference=exact,
+                within_tol=bool(abs(est - exact) / max(exact, 1) <= 0.10),
+            )
+        ]
+    )
+
+
 def _q_transcripts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversation funnel (operators/temporal.py::funnel): how
     many conversations used tool_00, THEN tool_01, THEN had a user turn
@@ -1802,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_quantiles": _q_streaming_windowed_quantiles,
         "retention_daily": _q_retention_daily,
         "transcripts_funnel": _q_transcripts_funnel,
+        "difference_card_bound": _q_difference_card_bound,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "kll_value_quantiles": _q_kll_value_quantiles,
         "tdigest_value_quantiles": _q_tdigest_value_quantiles,
@@ -2313,6 +2343,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS exact_intersect, true AS within_tol FROM "
             "(SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0 "
             "INTERSECT SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)"
+        ),
+        "difference_card_bound": (
+            "SELECT count(*) AS exact_difference, true AS within_tol FROM "
+            "(SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0 "
+            "EXCEPT SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)"
         ),
         "pure_jvm_registers": (
             "SELECT count(DISTINCT o_custkey) AS exact_count, "

@@ -22,6 +22,7 @@ from hyper_spark.operators.cms_agg import (
 from hyper_spark.operators.hll_agg import (
     approx_distinct,
     cardinality_col,
+    difference_card,
     intersect_card,
     sketch_by,
     sketch_collect,
@@ -48,6 +49,7 @@ __all__ = [
     "approx_distinct",
     "cardinality_col",
     "intersect_card",
+    "difference_card",
     "sketch_by",
     "multi_sketch_by",
     "sketch_collect",

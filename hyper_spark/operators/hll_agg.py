@@ -66,6 +66,7 @@ __all__ = [
     "register_table",
     "collect_sketches_from_registers",
     "intersect_card",
+    "difference_card",
     "SKETCH_FIELDS",
 ]
 
@@ -452,4 +453,38 @@ def intersect_card(
     return joined.select(
         *on,
         _inter("p_l", "registers_l", "p_r", "registers_r").alias("intersect_card"),
+    )
+
+
+def difference_card(
+    left: DataFrame, right: DataFrame, on: Sequence[str] = ()
+) -> DataFrame:
+    """Set-difference estimate |A \\ B| = max(0, |A| − |A∩B|) between two
+    sketch tables — completes the sketch set algebra (union exact by
+    register max, intersection/difference by inclusion–exclusion with
+    the reference's 'no guarantees' caveat, src/hyper.erl:97-100).
+    Joined on ``on`` (cross join of singletons when empty)."""
+    on = list(on)
+    l = left.select(
+        *on, F.col("p").alias("p_l"), F.col("registers").alias("registers_l")
+    )
+    r = right.select(
+        *on, F.col("p").alias("p_r"), F.col("registers").alias("registers_r")
+    )
+    joined = l.join(r, on=on) if on else l.crossJoin(r)
+
+    @F.pandas_udf(DoubleType())
+    def _diff(
+        p_l: pd.Series, reg_l: pd.Series, p_r: pd.Series, reg_r: pd.Series
+    ) -> pd.Series:
+        out = np.empty(len(p_l))
+        for i in range(len(p_l)):
+            a = HllSketch.from_blob(int(p_l[i]), bytes(reg_l[i]))
+            b = HllSketch.from_blob(int(p_r[i]), bytes(reg_r[i]))
+            out[i] = max(0.0, a.cardinality() - a.intersect_cardinality(b))
+        return pd.Series(out)
+
+    return joined.select(
+        *on,
+        _diff("p_l", "registers_l", "p_r", "registers_r").alias("difference_card"),
     )
