@@ -1781,6 +1781,19 @@ def _q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES):
+    longer documents (weight = n_chars) sample proportionally more, yet
+    membership is a pure function of (doc_id, seed) — DuckDB reproduces
+    the u^(1/w) ranking bit-for-bit."""
+    from hyper_spark.operators.sampling import deterministic_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_sample(
+        docs, 25, on="doc_id", seed=17, weight="n_chars"
+    ).select("doc_id")
+
+
 def _q_deterministic_sample_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-n uniform sample = n smallest key hashes (min-wise, so
     per-shard samples merge losslessly); compiles to TakeOrdered."""
@@ -1884,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": _q_hash_sample_docs,
         "stratified_sample_langs": _q_stratified_sample_langs,
         "deterministic_sample_top": _q_deterministic_sample_top,
+        "weighted_sample_docs": _q_weighted_sample_docs,
         "pack_offsets_chunks": _q_pack_offsets_chunks,
         "incremental_dedup_new": _q_incremental_dedup_new,
         "sparse_dense_parity": _q_sparse_dense_parity,
@@ -2067,6 +2081,12 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample_top": (
             "SELECT doc_id FROM documents "
             f"ORDER BY {draw(3)}, doc_id::VARCHAR LIMIT 25"
+        ),
+        "weighted_sample_docs": (
+            "SELECT doc_id FROM documents WHERE n_chars > 0 "
+            "ORDER BY pow((('0x' || "
+            f"{draw(17)})::BIGINT + 1) / 4294967296.0, "
+            "1.0 / n_chars) DESC, doc_id::VARCHAR LIMIT 25"
         ),
         "pack_offsets_chunks": """
             WITH sized AS (

@@ -141,6 +141,17 @@ def hash_sample(
     return df.filter(h < F.lit(_hex_threshold(fraction)))
 
 
+def uniform_draw_col(key: str | Column, seed: str | int = 0) -> Column:
+    """Deterministic uniform draw in (0, 1]: the 32-bit hash as a
+    double, ``(h + 1) / 2^32``. DuckDB reproduces it bit-for-bit via
+    ``(('0x' || substring(md5(k||':'||seed),1,8))::BIGINT + 1) /
+    4294967296.0`` (integer add + one division — identical IEEE ops)."""
+    h = split_hash_col(key, seed)
+    return (F.conv(h, 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(_HASH_SPACE)
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     n: int,
@@ -148,6 +159,7 @@ def deterministic_sample(
     seed: str | int = 0,
     by: Sequence[str] | None = None,
     hash_col: str | None = None,
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """Exact-size uniform sample: the ``n`` rows with the smallest key
     hashes (per group when ``by`` is given) — a deterministic reservoir.
@@ -159,13 +171,30 @@ def deterministic_sample(
     exactly the sample of the union (min-wise property), so shards can be
     sampled independently and merged — the treeAggregate shape.
 
+    ``weight``: weighted-without-replacement sampling
+    (Efraimidis–Spirakis A-ES): each row draws a deterministic uniform
+    u and ranks by ``u^(1/w)`` descending — inclusion probability
+    proportional to weight, still a pure function of (key, seed).
+    Non-positive/NULL weights are excluded. Training pipelines use this
+    to over-sample high-quality or rare-domain documents while keeping
+    re-runs identical.
+
     Scale: global mode compiles to TakeOrderedAndProject (per-partition
     top-n, tiny merge at the driver-side limit — no full sort); grouped
     mode is one window shuffle keyed by ``by``.
     """
     key = F.col(on) if isinstance(on, str) else on
-    h = split_hash_col(key, seed)
-    tagged = df.withColumn("__h", h).filter(F.col("__h").isNotNull())
+    if weight is not None:
+        w = F.col(weight) if isinstance(weight, str) else weight
+        u = uniform_draw_col(key, seed)
+        # rank key: u^(1/w), LARGEST win — negate so the shared
+        # ascending top-n path below selects them
+        aes = -F.pow(u, F.lit(1.0) / w)
+        tagged = df.filter(w.isNotNull() & (w > 0)).withColumn("__h", aes)
+        tagged = tagged.filter(F.col("__h").isNotNull())
+    else:
+        h = split_hash_col(key, seed)
+        tagged = df.withColumn("__h", h).filter(F.col("__h").isNotNull())
     if by:
         from pyspark.sql.window import Window
 

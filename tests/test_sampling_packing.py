@@ -413,3 +413,43 @@ def test_hash_split_rejects_bad_weights(spark):
     with pytest.raises(ValueError):
         pack_offsets(df.withColumnRenamed("k", "doc_id")
                      .withColumn("n", F.lit(1)), "doc_id", "n", 0)
+
+
+# ------------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_matches_python_aes(spark):
+    """A-ES weighted sample replicated key-for-key in pure Python."""
+    import math
+
+    rows = [(i, float(1 + (i % 7))) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    got = sorted(
+        r["k"] for r in deterministic_sample(
+            df, 30, on="k", seed=5, weight="w").collect()
+    )
+
+    def aes_key(k, w):
+        u = (int(_draw(str(k), "5"), 16) + 1) / 2**32
+        return u ** (1.0 / w)
+
+    expect = sorted(
+        sorted(rows, key=lambda t: (-aes_key(t[0], t[1]), str(t[0])))[:30]
+    )
+    assert got == sorted(t[0] for t in expect)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    rows = [(i, 50.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    picked = [r["k"] for r in deterministic_sample(
+        df, 100, on="k", seed=3, weight="w").collect()]
+    heavy = sum(1 for k in picked if k < 50)
+    # 50 heavy rows at 50x weight dominate the sample
+    assert heavy >= 35
+    # zero/NULL weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 1.0)], "k bigint, w double"
+    )
+    assert [r["k"] for r in deterministic_sample(
+        df2, 3, on="k", weight="w").collect()] == [3]
