@@ -424,67 +424,71 @@ def sketch_collect(sketch_df: DataFrame, p: int | None = None) -> HllSketch:
     return HllSketch.merge_all(sketches)
 
 
+def _binary_sketch_op(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    pair_fn,
+    alias: str,
+) -> DataFrame:
+    """Shared shape for pairwise sketch operators: join two sketch
+    tables on ``on`` (cross join of singletons when empty) and apply
+    ``pair_fn(HllSketch, HllSketch) -> float`` per pair in one Arrow
+    batch — sketches decode via ``from_blob`` (dense + sparse)."""
+    on = list(on)
+    l = left.select(
+        *on, F.col("p").alias("p_l"), F.col("registers").alias("registers_l")
+    )
+    r = right.select(
+        *on, F.col("p").alias("p_r"), F.col("registers").alias("registers_r")
+    )
+    joined = l.join(r, on=on) if on else l.crossJoin(r)
+
+    @F.pandas_udf(DoubleType())
+    def _apply(
+        p_l: pd.Series, reg_l: pd.Series, p_r: pd.Series, reg_r: pd.Series
+    ) -> pd.Series:
+        out = np.empty(len(p_l))
+        for i in range(len(p_l)):
+            a = HllSketch.from_blob(int(p_l[i]), bytes(reg_l[i]))
+            b = HllSketch.from_blob(int(p_r[i]), bytes(reg_r[i]))
+            out[i] = pair_fn(a, b)
+        return pd.Series(out)
+
+    return joined.select(
+        *on,
+        _apply("p_l", "registers_l", "p_r", "registers_r").alias(alias),
+    )
+
+
 def intersect_card(
     left: DataFrame, right: DataFrame, on: Sequence[str] = ()
 ) -> DataFrame:
     """Inclusion–exclusion intersection estimate between two sketch tables
     (src/hyper.erl:97-100; no accuracy guarantee). Joined on ``on`` (cross
     join of singletons when empty)."""
-    on = list(on)
-    l = left.select(
-        *on, F.col("p").alias("p_l"), F.col("registers").alias("registers_l")
-    )
-    r = right.select(
-        *on, F.col("p").alias("p_r"), F.col("registers").alias("registers_r")
-    )
-    joined = l.join(r, on=on) if on else l.crossJoin(r)
-
-    @F.pandas_udf(DoubleType())
-    def _inter(
-        p_l: pd.Series, reg_l: pd.Series, p_r: pd.Series, reg_r: pd.Series
-    ) -> pd.Series:
-        out = np.empty(len(p_l))
-        for i in range(len(p_l)):
-            a = HllSketch.from_blob(int(p_l[i]), bytes(reg_l[i]))
-            b = HllSketch.from_blob(int(p_r[i]), bytes(reg_r[i]))
-            out[i] = a.intersect_cardinality(b)
-        return pd.Series(out)
-
-    return joined.select(
-        *on,
-        _inter("p_l", "registers_l", "p_r", "registers_r").alias("intersect_card"),
+    return _binary_sketch_op(
+        left, right, on,
+        lambda a, b: a.intersect_cardinality(b),
+        "intersect_card",
     )
 
 
 def difference_card(
     left: DataFrame, right: DataFrame, on: Sequence[str] = ()
 ) -> DataFrame:
-    """Set-difference estimate |A \\ B| = max(0, |A| − |A∩B|) between two
-    sketch tables — completes the sketch set algebra (union exact by
-    register max, intersection/difference by inclusion–exclusion with
-    the reference's 'no guarantees' caveat, src/hyper.erl:97-100).
-    Joined on ``on`` (cross join of singletons when empty)."""
-    on = list(on)
-    l = left.select(
-        *on, F.col("p").alias("p_l"), F.col("registers").alias("registers_l")
-    )
-    r = right.select(
-        *on, F.col("p").alias("p_r"), F.col("registers").alias("registers_r")
-    )
-    joined = l.join(r, on=on) if on else l.crossJoin(r)
+    """Set-difference estimate |A \\ B| between two sketch tables —
+    completes the sketch set algebra (union exact by register max,
+    intersection/difference by inclusion–exclusion with the reference's
+    'no guarantees' caveat, src/hyper.erl:97-100). Computed as
+    ``clamp(|A∪B| − |B|)`` into [0, |A|] — three estimates plus one
+    merge per pair (the |A| − |A∩B| form expands to the same value but
+    costs an extra estimation). Joined on ``on``."""
 
-    @F.pandas_udf(DoubleType())
-    def _diff(
-        p_l: pd.Series, reg_l: pd.Series, p_r: pd.Series, reg_r: pd.Series
-    ) -> pd.Series:
-        out = np.empty(len(p_l))
-        for i in range(len(p_l)):
-            a = HllSketch.from_blob(int(p_l[i]), bytes(reg_l[i]))
-            b = HllSketch.from_blob(int(p_r[i]), bytes(reg_r[i]))
-            out[i] = max(0.0, a.cardinality() - a.intersect_cardinality(b))
-        return pd.Series(out)
+    def diff(a, b):
+        return min(
+            a.cardinality(),
+            max(0.0, a.merge(b).cardinality() - b.cardinality()),
+        )
 
-    return joined.select(
-        *on,
-        _diff("p_l", "registers_l", "p_r", "registers_r").alias("difference_card"),
-    )
+    return _binary_sketch_op(left, right, on, diff, "difference_card")

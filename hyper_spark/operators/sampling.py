@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "split_hash_col",
+    "uniform_draw_col",
     "hash_split",
     "hash_sample",
     "deterministic_sample",
@@ -186,11 +187,16 @@ def deterministic_sample(
     key = F.col(on) if isinstance(on, str) else on
     if weight is not None:
         w = F.col(weight) if isinstance(weight, str) else weight
+        wd = w.cast("double")
         u = uniform_draw_col(key, seed)
         # rank key: u^(1/w), LARGEST win — negate so the shared
         # ascending top-n path below selects them
-        aes = -F.pow(u, F.lit(1.0) / w)
-        tagged = df.filter(w.isNotNull() & (w > 0)).withColumn("__h", aes)
+        aes = -F.pow(u, F.lit(1.0) / wd)
+        # NaN > 0 is TRUE in Spark SQL — exclude it explicitly or NaN
+        # weights leak into the sample (and DuckDB would sort them first)
+        tagged = df.filter(
+            wd.isNotNull() & ~F.isnan(wd) & (wd > 0)
+        ).withColumn("__h", aes)
         tagged = tagged.filter(F.col("__h").isNotNull())
     else:
         h = split_hash_col(key, seed)

@@ -35,11 +35,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     or an explicit path, keeping the Iceberg profile a drop-in."""
     if "." in name and not name.endswith(".parquet"):
         return spark.read.table(name)
-    if "/" not in name and not name.endswith(".parquet") and (
-        spark.catalog.tableExists(name)
-    ):
-        return spark.read.table(name)
     path = name if name.endswith(".parquet") else f"{sf_dir}/{name}.parquet"
+    # parquet-on-disk WINS over a same-named catalog table/temp view:
+    # the catalog fallback exists for save_bucketed outputs (which have
+    # no parquet path), never to shadow an explicitly requested sf_dir
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    if "/" not in name and spark.catalog.tableExists(name):
+        return spark.read.table(name)
     return spark.read.parquet(path)
 
 

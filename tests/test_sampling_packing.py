@@ -453,3 +453,29 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     )
     assert [r["k"] for r in deterministic_sample(
         df2, 3, on="k", weight="w").collect()] == [3]
+
+
+def test_weighted_sample_excludes_nan(spark):
+    """Review finding: NaN > 0 is TRUE in Spark SQL — NaN weights must
+    not leak into the sample."""
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 1.0), (3, float("nan")), (4, 2.0)],
+        "k bigint, w double",
+    )
+    got = sorted(r["k"] for r in deterministic_sample(
+        df, 4, on="k", weight="w").collect())
+    assert got == [2, 4]
+
+
+def test_load_table_parquet_wins_over_catalog(spark, sf_correct):
+    """Review finding: a same-named temp/catalog table must never shadow
+    an explicitly requested parquet sf_dir."""
+    from hyper_spark.sources.tables import load_table
+
+    fake = spark.createDataFrame([(1,)], ["only_col"])
+    fake.write.mode("overwrite").saveAsTable("events")
+    try:
+        ev = load_table(spark, "events", sf_correct)
+        assert "user_id" in ev.columns  # the parquet table, not the fake
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events")
