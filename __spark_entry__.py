@@ -350,6 +350,28 @@ def _q_streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(rows, "day string, within_bound boolean")
 
 
+def _q_transcripts_funnel_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel transition (temporal.py::
+    funnel_durations): counts, means, and exact medians of the
+    step-to-step durations — tz-shift-immune (durations are
+    differences) and order-exact (whole-second bigint sums)."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import funnel_durations
+
+    tx = _tx(spark)
+    steps = [
+        F.col("tool") == "tool_00",
+        F.col("tool") == "tool_01",
+        F.col("role") == "user",
+    ]
+    return funnel_durations(tx, ["conv_id"], "ts", steps).select(
+        F.col("transition").cast("long").alias("transition"),
+        "n",
+        "mean_s",
+        "p50_s",
+    )
+
+
 def _q_difference_card_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-difference estimate |A \\ B| from sketches alone
     (operators/hll_agg.py::difference_card) vs exact EXCEPT count —
@@ -1845,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_daily": _q_retention_daily,
         "transcripts_funnel": _q_transcripts_funnel,
         "difference_card_bound": _q_difference_card_bound,
+        "transcripts_funnel_durations": _q_transcripts_funnel_durations,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "kll_value_quantiles": _q_kll_value_quantiles,
         "tdigest_value_quantiles": _q_tdigest_value_quantiles,
@@ -2176,6 +2199,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
             "true AS within_bound FROM events GROUP BY 1"
         ),
+        "transcripts_funnel_durations": f"""
+            WITH convs AS (
+                SELECT DISTINCT conv_id FROM {_TX_GATE_SQL}
+            ), staged AS (
+                SELECT c.conv_id, s1.t1, s2.t2, s3.t3
+                FROM convs c
+                LEFT JOIN LATERAL (
+                    SELECT min(ts) AS t1 FROM {_TX_GATE_SQL} e
+                    WHERE e.conv_id = c.conv_id AND e.tool = 'tool_00'
+                ) s1 ON true
+                LEFT JOIN LATERAL (
+                    SELECT min(ts) AS t2 FROM {_TX_GATE_SQL} e
+                    WHERE e.conv_id = c.conv_id AND e.tool = 'tool_01'
+                      AND e.ts > s1.t1
+                ) s2 ON true
+                LEFT JOIN LATERAL (
+                    SELECT min(ts) AS t3 FROM {_TX_GATE_SQL} e
+                    WHERE e.conv_id = c.conv_id AND e.role = 'user'
+                      AND e.ts > s2.t2
+                ) s3 ON true
+            ), durs AS (
+                SELECT 1 AS transition, (epoch(t2) - epoch(t1))::BIGINT AS d
+                FROM staged WHERE t2 IS NOT NULL
+                UNION ALL
+                SELECT 2, (epoch(t3) - epoch(t2))::BIGINT
+                FROM staged WHERE t3 IS NOT NULL
+            )
+            SELECT transition::BIGINT AS transition, count(*) AS n,
+                   sum(d)::DOUBLE / count(*) AS mean_s,
+                   quantile_cont(d, 0.5) AS p50_s
+            FROM durs GROUP BY 1
+        """,
         "transcripts_funnel": f"""
             WITH convs AS (
                 SELECT DISTINCT conv_id FROM {_TX_GATE_SQL}

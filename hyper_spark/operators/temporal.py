@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "asof_join", "range_join", "funnel", "funnel_counts"]
+__all__ = ["sessionize", "asof_join", "range_join", "funnel", "funnel_counts", "funnel_durations"]
 
 
 def sessionize(
@@ -345,4 +345,43 @@ def funnel_counts(
             F.coalesce(F.col("n_keys"), F.lit(0)).alias("n_keys"),
         )
         .orderBy("stage_at_least")
+    )
+
+
+def funnel_durations(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    steps: Sequence[Column],
+) -> DataFrame:
+    """Time-to-convert statistics per funnel transition: for every
+    consecutive step pair (i → i+1), over the keys that completed both,
+    the count, mean, and exact median of the transition duration in
+    seconds. One tiny aggregate over the per-key ``funnel`` output
+    (durations are whole-second bigints, so sums are order-exact).
+
+    Output: [transition int (1-based, i→i+1), n bigint, mean_s double,
+    p50_s double]."""
+    per_key = funnel(df, keys, ts_col, steps)
+    k_steps = len(steps)
+    pairs = per_key.select(
+        "stage",
+        F.posexplode(
+            F.array(*[
+                (
+                    F.unix_timestamp(F.try_element_at("step_ts", F.lit(i + 2)))
+                    - F.unix_timestamp(F.try_element_at("step_ts", F.lit(i + 1)))
+                ).alias(f"d{i}")
+                for i in range(k_steps - 1)
+            ])
+        ).alias("__i", "dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        pairs.groupBy((F.col("__i") + 1).alias("transition"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dur_s") / F.count(F.lit(1))).alias("mean_s"),
+            F.expr("percentile(dur_s, 0.5)").alias("p50_s"),
+        )
+        .orderBy("transition")
     )

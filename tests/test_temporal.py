@@ -312,3 +312,25 @@ def test_funnel_null_ts_and_zero_stage_rows(spark):
     counts = {r["stage_at_least"]: r["n_keys"]
               for r in funnel_counts(df, ["conv"], "ts", steps0).collect()}
     assert counts == {1: 1, 2: 1, 3: 0}
+
+
+def test_funnel_durations(spark):
+    from hyper_spark.operators.temporal import funnel_durations
+
+    rows = [
+        ("A", "2026-01-01 00:00:00", "a"),
+        ("A", "2026-01-01 00:00:10", "b"),
+        ("A", "2026-01-01 00:01:10", "c"),
+        ("B", "2026-01-01 00:00:00", "a"),
+        ("B", "2026-01-01 00:00:30", "b"),
+        ("C", "2026-01-01 00:00:00", "a"),  # stage 1 only: no durations
+    ]
+    df = spark.createDataFrame(rows, "conv string, ts string, ev string").select(
+        "conv", F.col("ts").cast("timestamp").alias("ts"), "ev"
+    )
+    steps = [F.col("ev") == "a", F.col("ev") == "b", F.col("ev") == "c"]
+    got = {r["transition"]: r
+           for r in funnel_durations(df, ["conv"], "ts", steps).collect()}
+    assert got[1]["n"] == 2 and got[1]["mean_s"] == 20.0  # (10+30)/2
+    assert got[1]["p50_s"] == 20.0
+    assert got[2]["n"] == 1 and got[2]["mean_s"] == 60.0
