@@ -350,6 +350,52 @@ def _q_streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(rows, "day string, within_bound boolean")
 
 
+def _q_sketch_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user CUBE over (event_type, day) from ONE raw scan
+    (operators/rollup.py::sketch_cube — coarser grouping sets derived by
+    lossless sketch union, byte-identical to direct builds per the
+    pytest). Every subset's estimate asserted inside 3x the HLL bound
+    against the exact GROUPING SETS counts."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.rollup import sketch_cube
+
+    p = 13
+    events = _read(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    cube = sketch_cube(events, ["event_type", "day"], "user_id", p=p)
+    ests = {
+        (r["grouping_id"], r["event_type"], r["day"]): r["est"]
+        for r in cube.select(
+            "grouping_id", "event_type", "day",
+            cardinality_col("p", "registers").alias("est"),
+        ).collect()
+    }
+    cube.unpersist()
+    exact: dict = {}
+    for gid, sub in [(0, ["event_type", "day"]), (1, ["day"]),
+                     (2, ["event_type"]), (3, [])]:
+        agg = events.groupBy(*sub).agg(
+            F.countDistinct("user_id").alias("n")
+        )
+        for r in agg.collect():
+            key = (gid, r["event_type"] if "event_type" in sub else None,
+                   r["day"] if "day" in sub else None)
+            exact[key] = r["n"]
+    bound = 3 * error_bound(p)
+    rows = [
+        (gid, et, day, exact[(gid, et, day)],
+         bool(abs(est - exact[(gid, et, day)])
+              <= max(1.0, bound * exact[(gid, et, day)])))
+        for (gid, et, day), est in ests.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "grouping_id bigint, event_type string, day string,"
+        " exact_count bigint, within_bound boolean",
+    )
+
+
 def _q_transcripts_funnel_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert per funnel transition (temporal.py::
     funnel_durations): counts, means, and exact medians of the
@@ -1868,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_funnel": _q_transcripts_funnel,
         "difference_card_bound": _q_difference_card_bound,
         "transcripts_funnel_durations": _q_transcripts_funnel_durations,
+        "sketch_cube_events": _q_sketch_cube_events,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "kll_value_quantiles": _q_kll_value_quantiles,
         "tdigest_value_quantiles": _q_tdigest_value_quantiles,
@@ -2198,6 +2245,17 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_quantiles": (
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
             "true AS within_bound FROM events GROUP BY 1"
+        ),
+        "sketch_cube_events": (
+            "SELECT (CASE WHEN GROUPING(event_type) = 1 THEN 1 ELSE 0 END"
+            " + 2 * CASE WHEN GROUPING(day) = 1 THEN 1 ELSE 0 END)::BIGINT"
+            " AS grouping_id, event_type, day,"
+            " count(DISTINCT user_id) AS exact_count, true AS within_bound"
+            " FROM (SELECT user_id, event_type,"
+            " strftime(date_trunc('day', ts), '%Y-%m-%d') AS day"
+            " FROM events)"
+            " GROUP BY GROUPING SETS ((event_type, day), (day),"
+            " (event_type), ())"
         ),
         "transcripts_funnel_durations": f"""
             WITH convs AS (

@@ -32,7 +32,7 @@ from hyper_spark.operators.hll_agg import (
     union_sketches,
 )
 
-__all__ = ["sketch_time_rollup", "rollup_estimates", "retention_estimates"]
+__all__ = ["sketch_time_rollup", "rollup_estimates", "retention_estimates", "sketch_cube"]
 
 # Spark date_trunc fmts, fine -> coarse (all also valid DuckDB grains)
 _GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "quarter", "year")
@@ -249,4 +249,70 @@ def retention_estimates(
             / (F.col("__s.prev") + F.col("__s.nxt") - F.col("__s.overlap")),
         ).otherwise(F.lit(0.0)).alias("jaccard"),
     )
+    return out
+
+
+def sketch_cube(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    p: int = 14,
+    subsets: Sequence[Sequence[str]] | None = None,
+    hash_fn: str = "sha1",
+) -> DataFrame:
+    """Distinct-count CUBE from ONE raw scan: build sketches at the
+    finest grouping (all ``keys``) once, then derive every requested
+    grouping subset by lossless register-max union of the finest
+    sketches — the same algebra that powers time rollups, applied to an
+    arbitrary key lattice. An exact-count CUBE re-scans (or
+    re-shuffles) the raw table once per grouping set; here each coarser
+    subset unions only |finest groups| sketch blobs.
+
+    ``subsets`` defaults to all 2^k subsets. Output: [*keys (NULL for
+    keys absent from the subset), grouping_id bigint, p, registers] —
+    ``grouping_id`` is the SQL GROUPING__ID bitmask (bit i set ⇔
+    keys[i] ABSENT), disambiguating a NULL key value from an
+    aggregated-away key. Feed through ``rollup_estimates``-style
+    ``cardinality_col`` for serving.
+    """
+    from itertools import combinations
+
+    from hyper_spark.operators.hll_agg import sketch_by, union_sketches
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("sketch_cube needs at least one key")
+    if subsets is None:
+        subsets = [
+            list(c)
+            for r in range(len(keys) + 1)
+            for c in combinations(keys, r)
+        ]
+    finest = sketch_by(df, keys, col, p, hash_fn=hash_fn).persist()
+    finest.count()  # one raw scan; every subset derives from this table
+    parts = []
+    for sub in subsets:
+        sub = list(sub)
+        gid = sum(
+            1 << i for i, k in enumerate(keys) if k not in set(sub)
+        )
+        merged = union_sketches(finest, sub)
+        proj = merged.select(
+            *[
+                (F.col(k) if k in set(sub) else F.lit(None)).alias(k)
+                for k in keys
+            ],
+            F.lit(gid).cast("bigint").alias("grouping_id"),
+            "p",
+            "registers",
+        )
+        parts.append(proj)
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    # materialize before releasing the finest cache (callers get a
+    # small, self-contained result: Σ_subsets |groups(subset)| rows)
+    out = out.persist()
+    out.count()
+    finest.unpersist()
     return out

@@ -208,3 +208,33 @@ def test_retention_sparse_blobs_and_grain_guard(spark):
 
     with _pytest.raises(ValueError, match="grain"):
         retention_estimates(rolled)
+
+
+def test_sketch_cube_matches_direct_builds(spark, sf_correct):
+    """Every cube subset's sketch is BYTE-IDENTICAL to a direct
+    sketch_by at that grouping (union losslessness over the key
+    lattice), from one raw scan."""
+    from pyspark.sql import functions as F
+
+    from hyper_spark.operators.hll_agg import sketch_by
+    from hyper_spark.operators.rollup import sketch_cube
+
+    events = spark.read.parquet(f"{sf_correct}/events.parquet").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    cube = sketch_cube(events, ["event_type", "day"], "user_id", p=12)
+    got = {
+        (r["grouping_id"], r["event_type"], r["day"]): bytes(r["registers"])
+        for r in cube.collect()
+    }
+    cube.unpersist()
+    # gid 3 = both keys absent = global sketch
+    direct_global = sketch_by(events, [], "user_id", 12).collect()[0]
+    assert got[(3, None, None)] == bytes(direct_global["registers"])
+    # gid 2 = day absent = per-event_type
+    for r in sketch_by(events, ["event_type"], "user_id", 12).collect():
+        assert got[(2, r["event_type"], None)] == bytes(r["registers"])
+    # gid 1 = event_type absent = per-day (spot check)
+    per_day = sketch_by(events, ["day"], "user_id", 12).collect()
+    for r in per_day[:5]:
+        assert got[(1, None, r["day"])] == bytes(r["registers"])
