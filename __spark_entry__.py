@@ -27,7 +27,6 @@ from hyper_spark.functions.text import (
     LANG_STOPWORDS,
     fingerprint_col,
     lang_guess_col,
-    normalized_text,
     token_count_col,
 )
 from hyper_spark.kernel.hll import error_bound
