@@ -184,7 +184,10 @@ def _q_hll_custkey_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cms_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     events = _read(spark, sf_dir, "events")
-    cms = cms_collect(cms_by(events, [], "event_type", depth=5, width=8192))
+    # hash_fn='md5': cms_collect goes through the kernel, which is md5-only
+    cms = cms_collect(
+        cms_by(events, [], "event_type", depth=5, width=8192, hash_fn="md5")
+    )
     eps_n = cms.eps * cms.n
     exact = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
     rows = exact.collect()
@@ -372,8 +375,10 @@ def _q_sketch_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     cube.unpersist()
     exact: dict = {}
-    for gid, sub in [(0, ["event_type", "day"]), (1, ["day"]),
-                     (2, ["event_type"]), (3, [])]:
+    # Spark grouping_id() bit order: first key (event_type) is the
+    # most-significant bit — gid 2 means event_type absent
+    for gid, sub in [(0, ["event_type", "day"]), (2, ["day"]),
+                     (1, ["event_type"]), (3, [])]:
         agg = events.groupBy(*sub).agg(
             F.countDistinct("user_id").alias("n")
         )
@@ -2246,8 +2251,8 @@ def oracle_sql() -> dict[str, str]:
             "true AS within_bound FROM events GROUP BY 1"
         ),
         "sketch_cube_events": (
-            "SELECT (CASE WHEN GROUPING(event_type) = 1 THEN 1 ELSE 0 END"
-            " + 2 * CASE WHEN GROUPING(day) = 1 THEN 1 ELSE 0 END)::BIGINT"
+            "SELECT (2 * CASE WHEN GROUPING(event_type) = 1 THEN 1 ELSE 0 END"
+            " + CASE WHEN GROUPING(day) = 1 THEN 1 ELSE 0 END)::BIGINT"
             " AS grouping_id, event_type, day,"
             " count(DISTINCT user_id) AS exact_count, true AS within_bound"
             " FROM (SELECT user_id, event_type,"

@@ -66,7 +66,13 @@ def _head32(col: Column, hash_fn: str = "sha1") -> Column:
             F.substring(F.sha1(as_hash_bytes(col)), 1, 8), 16, 10
         ).cast("long")
     if hash_fn == "xxhash64":
-        return F.shiftrightunsigned(F.xxhash64(as_hash_bytes(col)), 32)
+        # xxhash64(NULL) returns the seed (42), not NULL — gate on the value
+        # so NULLs yield NULL idx/rho under every hash_fn (the library-wide
+        # NULL-skip contract; pre-filtered paths never take the false branch)
+        return F.when(
+            col.isNotNull(),
+            F.shiftrightunsigned(F.xxhash64(as_hash_bytes(col)), 32),
+        )
     raise ValueError(f"hash_fn must be one of {HASH_FNS}, got {hash_fn!r}")
 
 

@@ -54,14 +54,15 @@ def bloom_by(
     col: str | Column,
     m_bits: int = 1 << 16,
     k: int = 7,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """One Bloom filter per keys group. Default position hashing is
-    identical to the kernel's (md5-derived), so filters built here
-    interoperate with kernel-side ``might_contain``. ``hash_fn=
-    'xxhash64'`` is the opt-in fast path (the md5 path's conv() hex
-    parse dominates build cost): probe with the SAME hash_fn; no kernel
-    interop."""
+    """One Bloom filter per keys group. ``hash_fn='xxhash64'``
+    (default) is the fast path (the md5 path's conv() hex parse
+    dominates build cost); ``hash_fn='md5'`` reproduces the kernel's
+    position hashing, so md5-built filters interoperate with
+    kernel-side ``might_contain``/``bloom_collect``. Probe with the
+    SAME hash_fn — the recorded ``hash_fn`` column is validated at
+    probe time."""
     col = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
     positions = F.posexplode(
@@ -143,7 +144,7 @@ def bloom_might_contain(
     probe_df: DataFrame,
     col: str,
     alias: str = "might_contain",
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Adds a boolean membership column to ``probe_df``. Positions are
     computed JVM-side; the bit probe is an Arrow-batched numpy lookup over
@@ -172,7 +173,7 @@ def bloom_might_contain(
 
 
 def bloom_prune(
-    bloom_df: DataFrame, big_df: DataFrame, col: str, hash_fn: str = "md5"
+    bloom_df: DataFrame, big_df: DataFrame, col: str, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """Runtime-filter: keep only rows of ``big_df`` whose ``col`` might be
     in the filter (no false negatives ⇒ no lost rows; false positives are

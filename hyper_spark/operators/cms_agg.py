@@ -73,13 +73,17 @@ def md5_bucket_col(col: Column, row: int, modulus: int) -> Column:
 def cms_bucket_col(
     col: Column, row: int, modulus: int, hash_fn: str = "md5"
 ) -> Column:
-    """Bucket expression for sketch row ``row``. ``md5`` (default) is
+    """Bucket expression for sketch row ``row``. ``md5`` is
     byte-compatible with the pure-Python kernel; ``xxhash64`` is the
-    opt-in fast path — measured 7x cheaper at sf0.1 (the md5 path's
+    fast path — measured 7x cheaper at sf0.1 (the md5 path's
     cost is the per-window ``conv(hex,16,10)`` string parse, not the
-    digest). Same contract as the HLL ``hash_fn``: never merge or
-    estimate across sketches built with different hash_fns, and
-    xxhash64 sketches have no kernel/serde parity (Spark-side only).
+    digest). The companion OPERATORS (cms_by/cms_estimate/
+    heavy_hitters/bloom_by/...) default to xxhash64 — unlike HLL they
+    have no reference byte-parity obligation (SURVEY §2.4), so the fast
+    hash is the default and md5 is the opt-in kernel/oracle-parity
+    mode. Same contract as the HLL ``hash_fn``: never merge or
+    estimate across sketches built with different hash_fns (hash_fn is
+    recorded in sketch rows and validated at probe/merge time).
     The value is cast to string first so e.g. 5 and '5' bucket
     identically under both hash functions."""
     if hash_fn == "md5":
@@ -97,7 +101,7 @@ def cms_by(
     col: str | Column,
     depth: int = 5,
     width: int = 2048,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One count-min sketch per keys group over ``col``.
 
@@ -152,12 +156,17 @@ def cms_merge(cms_df: DataFrame, keys: Sequence[str]) -> DataFrame:
         width = int(pdf["width"].iloc[0])
         if not ((pdf["depth"] == depth) & (pdf["width"] == width)).all():
             raise ValueError("count-min dimensions must match to merge")
-        hf = str(pdf["hash_fn"].iloc[0])
-        if not (pdf["hash_fn"] == hf).all():
-            raise ValueError(
-                "count-min sketches built with different hash_fns "
-                "cannot be merged"
-            )
+        # tolerate pre-hash_fn-column sketch tables (default 'md5'),
+        # mirroring _collect_cms_rows
+        if "hash_fn" in pdf.columns:
+            hf = str(pdf["hash_fn"].iloc[0])
+            if not (pdf["hash_fn"] == hf).all():
+                raise ValueError(
+                    "count-min sketches built with different hash_fns "
+                    "cannot be merged"
+                )
+        else:
+            hf = "md5"
         acc = np.zeros((depth, width), dtype=np.int64)
         for blob in pdf["counters"]:
             acc += np.frombuffer(blob, dtype="<i8").reshape(depth, width)
@@ -213,7 +222,7 @@ def cms_estimate(
     col: str,
     alias: str = "est_count",
     max_jvm_cells: int = 1 << 17,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Estimate counts for each candidate value against a *global* (single
     row) sketch. The sketch is collected (d·w ints — small by design) and
@@ -336,7 +345,7 @@ def heavy_hitters(
     exact: bool = False,
     guarantee: bool = False,
     by: Sequence[str] = (),
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Top-k frequent values. ``exact=True`` verifies candidates with a
     broadcast semi-join rescan (exact counts); otherwise counts come from

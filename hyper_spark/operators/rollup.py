@@ -262,17 +262,22 @@ def sketch_cube(
 ) -> DataFrame:
     """Distinct-count CUBE from ONE raw scan: build sketches at the
     finest grouping (all ``keys``) once, then derive every requested
-    grouping subset by lossless register-max union of the finest
-    sketches — the same algebra that powers time rollups, applied to an
-    arbitrary key lattice. An exact-count CUBE re-scans (or
-    re-shuffles) the raw table once per grouping set; here each coarser
-    subset unions only |finest groups| sketch blobs.
+    grouping subset by lossless register-max union along the subset
+    LATTICE — each subset unions its smallest already-built strict
+    superset (max is associative, so any derivation path yields
+    byte-identical registers; the pytest asserts this). An exact-count
+    CUBE re-scans (or re-shuffles) the raw table once per grouping set;
+    here each coarser subset unions only |parent groups| sketch blobs
+    (≤ |finest groups|, and typically far fewer once one level up the
+    lattice — the win grows with k and key-domain width).
 
     ``subsets`` defaults to all 2^k subsets. Output: [*keys (NULL for
     keys absent from the subset), grouping_id bigint, p, registers] —
-    ``grouping_id`` is the SQL GROUPING__ID bitmask (bit i set ⇔
-    keys[i] ABSENT), disambiguating a NULL key value from an
-    aggregated-away key. Feed through ``rollup_estimates``-style
+    ``grouping_id`` follows Spark/Hive ``grouping_id()`` convention:
+    the FIRST grouping column occupies the MOST-significant bit
+    (bit ``len(keys)-1-i`` set ⇔ keys[i] ABSENT), disambiguating a
+    NULL key value from an aggregated-away key and joinable against
+    SQL ``GROUPING__ID``. Feed through ``rollup_estimates``-style
     ``cardinality_col`` for serving.
     """
     from itertools import combinations
@@ -289,17 +294,30 @@ def sketch_cube(
             for c in combinations(keys, r)
         ]
     finest = sketch_by(df, keys, col, p, hash_fn=hash_fn).persist()
-    finest.count()  # one raw scan; every subset derives from this table
+    finest.count()  # the ONE raw scan; everything derives from here
+    finest_key = frozenset(keys)
+    built: dict[frozenset, DataFrame] = {finest_key: finest}
+    pinned = [finest]
     parts = []
-    for sub in subsets:
-        sub = list(sub)
+    # largest subsets first so every child finds a built parent
+    for sub in sorted((list(s) for s in subsets), key=len, reverse=True):
+        sset = frozenset(sub)
+        tbl = built.get(sset)
+        if tbl is None:
+            # smallest already-built strict superset = fewest input blobs
+            parent = min((k for k in built if sset < k), key=len)
+            tbl = union_sketches(built[parent], sub).persist()
+            tbl.count()
+            pinned.append(tbl)
+            built[sset] = tbl
         gid = sum(
-            1 << i for i, k in enumerate(keys) if k not in set(sub)
+            1 << (len(keys) - 1 - i)
+            for i, k in enumerate(keys)
+            if k not in sset
         )
-        merged = union_sketches(finest, sub)
-        proj = merged.select(
+        proj = tbl.select(
             *[
-                (F.col(k) if k in set(sub) else F.lit(None)).alias(k)
+                (F.col(k) if k in sset else F.lit(None)).alias(k)
                 for k in keys
             ],
             F.lit(gid).cast("bigint").alias("grouping_id"),
@@ -310,9 +328,10 @@ def sketch_cube(
     out = parts[0]
     for q in parts[1:]:
         out = out.unionByName(q)
-    # materialize before releasing the finest cache (callers get a
+    # materialize before releasing the lattice caches (callers get a
     # small, self-contained result: Σ_subsets |groups(subset)| rows)
     out = out.persist()
     out.count()
-    finest.unpersist()
+    for t in pinned:
+        t.unpersist()
     return out

@@ -239,13 +239,14 @@ def streaming_cms_by(
     depth: int = 5,
     width: int = 2048,
     output_mode: str = "update",
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Streaming grouped count-min sketches: state is the d×w int64
     counter blob per group (addition is the merge, so late/out-of-order
     data folds in exactly like batch). Same bucket exprs as the batch
-    operator (md5 default; opt-in xxhash64 fast path — same hash_fn
-    contract: never merge across hash_fns) ⇒ batch/stream counters are
+    operator (xxhash64 default, md5 the opt-in kernel-parity mode —
+    same hash_fn contract: never merge across hash_fns) ⇒ batch/stream
+    counters are
     identical for the same rows."""
     from hyper_spark.operators.cms_agg import cms_bucket_col
 

@@ -160,7 +160,10 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     ).parquet(src)
     # parquet sinks only take append; the operator defaults to 'update'
     # (one refreshed row per key per batch) so opt in to append here
-    out = streaming_cms_by(stream, ["g"], "v", depth=3, width=256, output_mode="append")
+    out = streaming_cms_by(
+        stream, ["g"], "v", depth=3, width=256, output_mode="append",
+        hash_fn="md5",  # kernel byte-parity comparison below
+    )
     sink = str(tmp_path / "cms_sink")
     q = (
         out.writeStream.format("parquet")

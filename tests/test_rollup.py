@@ -231,10 +231,10 @@ def test_sketch_cube_matches_direct_builds(spark, sf_correct):
     # gid 3 = both keys absent = global sketch
     direct_global = sketch_by(events, [], "user_id", 12).collect()[0]
     assert got[(3, None, None)] == bytes(direct_global["registers"])
-    # gid 2 = day absent = per-event_type
+    # gid 1 = day absent = per-event_type (Spark bit order: first key MSB)
     for r in sketch_by(events, ["event_type"], "user_id", 12).collect():
-        assert got[(2, r["event_type"], None)] == bytes(r["registers"])
-    # gid 1 = event_type absent = per-day (spot check)
+        assert got[(1, r["event_type"], None)] == bytes(r["registers"])
+    # gid 2 = event_type absent = per-day (spot check)
     per_day = sketch_by(events, ["day"], "user_id", 12).collect()
     for r in per_day[:5]:
-        assert got[(1, None, r["day"])] == bytes(r["registers"])
+        assert got[(2, None, r["day"])] == bytes(r["registers"])

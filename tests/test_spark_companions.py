@@ -43,7 +43,7 @@ def zipf_rows(n: int, vocab: int = 40, seed: int = 3):
 def test_cms_spark_matches_kernel(spark):
     rows = zipf_rows(8000)
     df = spark.createDataFrame(rows).repartition(8)
-    sk = cms_collect(cms_by(df, [], "item", depth=4, width=512))
+    sk = cms_collect(cms_by(df, [], "item", depth=4, width=512, hash_fn="md5"))
     kern = CountMinSketch(4, 512).add_many(r.item for r in rows)
     assert sk == kern  # counter-exact
     assert sk.n == kern.n
@@ -52,7 +52,7 @@ def test_cms_spark_matches_kernel(spark):
 def test_cms_grouped(spark):
     rows = zipf_rows(6000)
     df = spark.createDataFrame(rows)
-    per_g = cms_by(df, ["g"], "item", depth=3, width=256).collect()
+    per_g = cms_by(df, ["g"], "item", depth=3, width=256, hash_fn="md5").collect()
     assert len(per_g) == 3
     by_g: dict[int, list] = {}
     for r in rows:
@@ -146,7 +146,7 @@ def test_kll_sketch_state_mergeable(spark):
 def test_bloom_spark_matches_kernel(spark):
     items = [f"key-{i}" for i in range(3000)]
     df = spark.createDataFrame([Row(v=v) for v in items]).repartition(8)
-    bf = bloom_collect(bloom_by(df, [], "v", m_bits=1 << 15, k=5))
+    bf = bloom_collect(bloom_by(df, [], "v", m_bits=1 << 15, k=5, hash_fn="md5"))
     kern = BloomFilter(1 << 15, 5).add_many(items)
     assert np.array_equal(bf.bits, kern.bits)  # bit-exact
     assert bf.n == 3000
@@ -372,15 +372,18 @@ def test_hash_fn_mismatch_is_an_error_not_corruption(spark):
     from hyper_spark.operators.cms_agg import cms_by, cms_collect, cms_estimate
 
     df = spark.createDataFrame([(f"v{i}",) for i in range(50)], ["v"])
-    sk_xx = cms_by(df, [], "v", depth=3, width=256, hash_fn="xxhash64")
+    # md5-built sketches probed with the (xxhash64) default must raise
+    sk_md5 = cms_by(df, [], "v", depth=3, width=256, hash_fn="md5")
     with pytest.raises(Exception, match="hash_fn"):
-        cms_estimate(sk_xx, df.select("v").distinct(), "v").collect()
+        cms_estimate(sk_md5, df.select("v").distinct(), "v").collect()
+    sk_xx = cms_by(df, [], "v", depth=3, width=256)  # default = xxhash64
     with pytest.raises(Exception, match="hash_fn"):
         cms_collect(sk_xx)  # kernel is md5-only
-    bl_xx = bloom_by(df, [], "v", m_bits=1 << 12, hash_fn="xxhash64")
+    bl_md5 = bloom_by(df, [], "v", m_bits=1 << 12, hash_fn="md5")
     with pytest.raises(Exception, match="hash_fn"):
-        bloom_might_contain(bl_xx, df, "v").collect()
+        bloom_might_contain(bl_md5, df, "v").collect()
     # matched hash fns work
     assert cms_estimate(
-        sk_xx, df.select("v").distinct(), "v", hash_fn="xxhash64"
+        sk_md5, df.select("v").distinct(), "v", hash_fn="md5"
     ).count() == 50
+    assert cms_estimate(sk_xx, df.select("v").distinct(), "v").count() == 50

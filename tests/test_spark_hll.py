@@ -215,6 +215,33 @@ def test_null_values_skipped(spark):
     assert glob == kern
 
 
+def test_null_values_skipped_xxhash64(spark):
+    """ADVICE r03 (medium): xxhash64(NULL) returns the seed, not NULL —
+    the hash expressions must gate on the value so NULLs are skipped
+    under every hash_fn. An all-NULL column estimates 0, and
+    multi_sketch_by stays byte-identical to per-column sketch_by."""
+    from hyper_spark.operators.hll_agg import (
+        cardinality_col,
+        multi_sketch_by,
+    )
+
+    rows = [Row(a=f"x{i}", b=None) for i in range(200)]
+    df = spark.createDataFrame(rows, "a string, b string").repartition(4)
+    multi = multi_sketch_by(
+        df, [], {"a": "a", "b": "b"}, 12, hash_fn="xxhash64"
+    )
+    ests = {
+        r["metric"]: r["est"]
+        for r in multi.select(
+            "metric", cardinality_col("p", "registers").alias("est")
+        ).collect()
+    }
+    assert ests.get("b", 0.0) == 0.0  # not ~1.0 from the seed register
+    direct = sketch_by(df, [], "a", 12, hash_fn="xxhash64").collect()[0]
+    got_a = {r["metric"]: bytes(r["registers"]) for r in multi.collect()}["a"]
+    assert got_a == bytes(direct["registers"])
+
+
 @pytest.mark.parametrize("strategy", ["explode", "partial"])
 def test_sparse_encoding_spark(spark, strategy):
     """sketch_by(encoding='sparse'/'auto') emits hyper_bisect pair blobs
