@@ -146,6 +146,60 @@ def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL sketch CONSTRUCTION (hyper_spark.sql::
+    register_sql_construction): hll_index/hll_rho are Spark SQL UDFs
+    whose bodies inline into whole-stage codegen, so GROUP BY
+    hll_index(v, p) builds the register table with zero Python over raw
+    rows; hll_registers_from_pairs packs the dense blob from the
+    aggregated pair arrays. Gate asserts byte-identity with the
+    DataFrame operator (sketch_by) and the HLL error bound."""
+    _ensure_pkg(spark)
+    from hyper_spark.sql import register_sql_construction
+
+    register_sql_construction(spark)
+    events = _read(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__sqlc_events")
+    p = 14
+    sql_sk = spark.sql(
+        f"""
+        SELECT event_type,
+               hll_registers_from_pairs(
+                   {p}, collect_list(idx), collect_list(rho)) AS registers
+        FROM (SELECT event_type, hll_index(user_id, {p}) AS idx,
+                     max(hll_rho(user_id, {p})) AS rho
+              FROM __sqlc_events WHERE user_id IS NOT NULL
+              GROUP BY event_type, hll_index(user_id, {p}))
+        GROUP BY event_type
+        """
+    )
+    direct = sketch_by(events, ["event_type"], "user_id", p).select(
+        "event_type", F.col("registers").alias("registers_direct")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_count")
+    )
+    return (
+        sql_sk.join(direct, on="event_type")
+        .join(exact, on="event_type")
+        .select(
+            "event_type",
+            "exact_count",
+            (F.col("registers") == F.col("registers_direct")).alias(
+                "bytes_match"
+            ),
+            (
+                F.abs(
+                    cardinality_col(F.lit(p), F.col("registers"))
+                    - F.col("exact_count")
+                )
+                / F.col("exact_count")
+                <= F.lit(error_bound(p))
+            ).alias("within_bound"),
+        )
+    )
+
+
 def _q_hll_rollup_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     events = _read(spark, sf_dir, "events")
@@ -1907,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_users": _q_exact_distinct_users,
         "hll_users_within_bound": _q_hll_users_within_bound,
         "hll_users_by_type": _q_hll_users_by_type,
+        "sql_sketch_build": _q_sql_sketch_build,
         "hll_rollup_lossless": _q_hll_rollup_lossless,
         "hll_custkey_within_bound": _q_hll_custkey_within_bound,
         "cms_event_type_bounds": _q_cms_event_type_bounds,
@@ -2227,6 +2282,11 @@ def oracle_sql() -> dict[str, str]:
                 )
             ) WHERE rn <= 2
         """,
+        "sql_sketch_build": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_count, "
+            "true AS bytes_match, true AS within_bound "
+            "FROM events GROUP BY event_type"
+        ),
         "hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_count, "
             f"{true_flags} FROM events GROUP BY event_type"

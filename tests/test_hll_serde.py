@@ -155,3 +155,77 @@ def test_register_sql_functions_end_to_end(spark, sf_correct):
         """
     ).collect()[0]
     assert row["p2"] == 12 and row["folded"] > 0
+
+
+def test_register_sql_construction_builds_sketch_by_bytes(spark, sf_correct):
+    """SQL-only sketch CONSTRUCTION (VERDICT r03 missing #2): hll_index/
+    hll_rho inline as Catalyst expressions (Spark 4 SQL UDFs), so
+    ``GROUP BY hll_index(v, p)`` builds register tables in pure SQL;
+    hll_registers_from_pairs packs the dense blob from the aggregated
+    pair arrays. Bytes must equal sketch_by's, per-row values must equal
+    the Column-expression hashes, and the raw-row path must be
+    Python-free (the only Arrow stage consumes aggregated arrays)."""
+    from pyspark.sql import functions as F
+
+    from hyper_spark.functions.hashing import hll_index_col, hll_rho_col
+    from hyper_spark.operators.hll_agg import sketch_by
+    from hyper_spark.sql import register_sql_construction
+
+    names = register_sql_construction(spark)
+    assert "hll_registers_from_pairs" in names
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    events.createOrReplaceTempView("events_sqlc")
+
+    # per-row parity vs the Column expressions, both hash paths
+    for sqlfn, hf in (("hll_index", "sha1"), ("hll_index_fast", "xxhash64")):
+        rfn = sqlfn.replace("index", "rho")
+        mism = (
+            spark.sql(
+                f"SELECT user_id, {sqlfn}(user_id, 12) AS i,"
+                f" {rfn}(user_id, 12) AS r FROM events_sqlc"
+            )
+            .join(
+                events.select(
+                    "user_id",
+                    hll_index_col(F.col("user_id"), 12, hf).alias("i2"),
+                    hll_rho_col(F.col("user_id"), 12, hf).alias("r2"),
+                ),
+                on="user_id",
+            )
+            .filter("i <> i2 OR r <> CAST(r2 AS BIGINT)")
+            .count()
+        )
+        assert mism == 0, (sqlfn, hf)
+
+    q = spark.sql(
+        """
+        SELECT event_type,
+               hll_registers_from_pairs(
+                   12, collect_list(idx), collect_list(rho)) AS registers
+        FROM (SELECT event_type, hll_index(user_id, 12) AS idx,
+                     max(hll_rho(user_id, 12)) AS rho
+              FROM events_sqlc WHERE user_id IS NOT NULL
+              GROUP BY event_type, hll_index(user_id, 12))
+        GROUP BY event_type
+        """
+    )
+    got = {r["event_type"]: bytes(r["registers"]) for r in q.collect()}
+    want = {
+        r["event_type"]: bytes(r["registers"])
+        for r in sketch_by(events, ["event_type"], "user_id", 12).collect()
+    }
+    assert got == want
+    # plan hygiene: no per-row Python; the Arrow stage (printed twice by
+    # the AQE dump) sits ABOVE the hll_index aggregate — i.e. the raw
+    # scan and both aggregations appear later in the top-down string
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert plan.index("ArrowEvalPython") < plan.index("FileScan")
+    assert plan.index("ArrowEvalPython") < plan.index("hll_index#")
+
+    # the p guard travels through SQL
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="precision"):
+        spark.sql("SELECT hll_index('x', 3) AS i").collect()
