@@ -1144,6 +1144,53 @@ def _q_tx_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path of sessionize (temporal.py, bucket_width=300s): windows
+    run per (conv_id, 5-min bucket) with a per-bucket fix-up table, so a
+    hot conversation's state is bounded per task — output must be
+    IDENTICAL to the plain single-window path, checked against the same
+    DuckDB window oracle as transcripts_sessionization."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import sessionize
+
+    tx = _tx(spark)
+    sess = sessionize(tx, "conv_id", "ts", gap=60.0, bucket_width=300.0)
+    per_conv = sess.groupBy("conv_id").agg(
+        (F.max("session_idx") + 1).alias("n_sessions")
+    )
+    return per_conv.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_convs")
+    )
+
+
+def _q_asof_bucketed_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path of asof_join (bucket_width=1h): per-(user, hour-bucket)
+    carry windows + prefix-carried bucket-boundary payloads — identical
+    matches to the plain path, checked against DuckDB's native ASOF
+    JOIN like asof_join_marks."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    marks = (
+        events.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mark_value"))
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        marks,
+        on="ts",
+        by="user_id",
+        right_cols=["mark_value"],
+        suffix="",
+        bucket_width=3600.0,
+    )
+    return joined.select(
+        "event_id", F.coalesce("mark_value", F.lit(-1.0)).alias("mark_value")
+    )
+
+
 def _q_asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (window carry-forward composition) checked
     row-for-row against DuckDB's native ASOF JOIN: every event gains the
@@ -2003,6 +2050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_text_determinism": _q_tx_text_determinism,
         "transcripts_sessionization": _q_tx_sessionization,
         "asof_join_marks": _q_asof_join_marks,
+        "sessionize_bucketed": _q_sessionize_bucketed,
+        "asof_bucketed_marks": _q_asof_bucketed_marks,
         "asof_forward_tolerance": _q_asof_forward_tolerance,
         "multimodal_metadata": _q_multimodal_metadata,
         "hll_time_rollup": _q_hll_time_rollup,
@@ -2586,6 +2635,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_sessions, count(*) AS n_convs
             FROM per_conv GROUP BY n_sessions
         """,
+        "sessionize_bucketed": f"""
+            WITH g AS (
+                SELECT conv_id,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                            WHEN epoch(ts) - epoch(lag(ts) OVER w) > 60 THEN 1
+                            ELSE 0 END AS ns
+                FROM {_TX_GATE_SQL}
+                WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+            ),
+            per_conv AS (
+                SELECT conv_id, (1 + sum(ns))::BIGINT AS n_sessions
+                FROM g GROUP BY conv_id
+            )
+            SELECT n_sessions, count(*) AS n_convs
+            FROM per_conv GROUP BY n_sessions
+        """,
         "range_join_windows": (
             "SELECT count(*) AS n_pairs, count(DISTINCT l.event_id) AS "
             "n_events_matched FROM events l JOIN "
@@ -2594,6 +2659,12 @@ def oracle_sql() -> dict[str, str]:
             "ON l.user_id = r.user_id AND l.ts BETWEEN r.s AND r.e"
         ),
         "asof_join_marks": (
+            "SELECT l.event_id, coalesce(r.mark_value, -1.0) AS mark_value FROM events l "
+            "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS mark_value "
+            "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts) r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "asof_bucketed_marks": (
             "SELECT l.event_id, coalesce(r.mark_value, -1.0) AS mark_value FROM events l "
             "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS mark_value "
             "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts) r "

@@ -259,6 +259,7 @@ def sketch_cube(
     p: int = 14,
     subsets: Sequence[Sequence[str]] | None = None,
     hash_fn: str = "sha1",
+    lattice: bool = True,
 ) -> DataFrame:
     """Distinct-count CUBE from ONE raw scan: build sketches at the
     finest grouping (all ``keys``) once, then derive every requested
@@ -305,7 +306,13 @@ def sketch_cube(
         tbl = built.get(sset)
         if tbl is None:
             # smallest already-built strict superset = fewest input blobs
-            parent = min((k for k in built if sset < k), key=len)
+            # (lattice=False always unions from the finest table — the
+            # pre-r04 behavior, kept for A/B measurement)
+            parent = (
+                min((k for k in built if sset < k), key=len)
+                if lattice
+                else finest_key
+            )
             tbl = union_sketches(built[parent], sub).persist()
             tbl.count()
             pinned.append(tbl)

@@ -238,3 +238,14 @@ def test_sketch_cube_matches_direct_builds(spark, sf_correct):
     per_day = sketch_by(events, ["day"], "user_id", 12).collect()
     for r in per_day[:5]:
         assert got[(2, None, r["day"])] == bytes(r["registers"])
+    # lattice vs always-from-finest derivation: byte-identical output
+    # (max is associative — any derivation path yields the same registers)
+    flat = sketch_cube(
+        events, ["event_type", "day"], "user_id", p=12, lattice=False
+    )
+    got_flat = {
+        (r["grouping_id"], r["event_type"], r["day"]): bytes(r["registers"])
+        for r in flat.collect()
+    }
+    flat.unpersist()
+    assert got_flat == got
