@@ -43,6 +43,10 @@ def register_sql_functions(spark: SparkSession, prefix: str = "") -> list[str]:
     - ``hll_cardinality(p, registers) -> double``
     - ``hll_union2(registers_a, registers_b) -> binary`` (same-p dense
       merge; NULL inputs pass the other side through — fold-friendly)
+    - ``hll_union_blobs(array<binary>) -> binary`` — N-way merge over
+      ``collect_list(registers)``: SQL GROUP BY rollups without the
+      DataFrame API (the array is aggregated sketch blobs, ≤ groups
+      per key, never raw rows)
     - ``hll_to_json(p, registers) -> string`` /
       ``hll_json_p(doc) -> int`` / ``hll_json_registers(doc) -> binary``
       (reference-compatible envelope)
@@ -79,6 +83,27 @@ def register_sql_functions(spark: SparkSession, prefix: str = "") -> list[str]:
                 )
         return pd.Series(out)
 
+    @F.pandas_udf(BinaryType())
+    def _union_blobs(arrs: pd.Series) -> pd.Series:
+        out = []
+        for blobs in arrs:
+            acc = None
+            for b in blobs if blobs is not None else ():
+                if b is None:
+                    continue
+                cur = np.frombuffer(b, dtype=np.uint8)
+                if acc is None:
+                    acc = cur.copy()
+                elif len(acc) != len(cur):
+                    raise ValueError(
+                        "hll_union_blobs needs same-precision dense blobs "
+                        f"(got {len(acc)} vs {len(cur)} bytes)"
+                    )
+                else:
+                    np.maximum(acc, cur, out=acc)
+            out.append(acc.tobytes() if acc is not None else None)
+        return pd.Series(out)
+
     @F.pandas_udf(DoubleType())
     def _bound(p: pd.Series) -> pd.Series:
         from hyper_spark.kernel.hll import error_bound
@@ -88,6 +113,7 @@ def register_sql_functions(spark: SparkSession, prefix: str = "") -> list[str]:
     fns = {
         "hll_cardinality": cardinality_col,
         "hll_union2": _union2,
+        "hll_union_blobs": _union_blobs,
         "hll_to_json": _to_json,
         "hll_json_p": _json_p,
         "hll_json_registers": _json_registers,

@@ -155,6 +155,16 @@ def test_register_sql_functions_end_to_end(spark, sf_correct):
         """
     ).collect()[0]
     assert row["p2"] == 12 and row["folded"] > 0
+    # N-way SQL rollup: union over collect_list == the DataFrame-side
+    # lossless union (byte parity via kernel merge of all blobs)
+    rolled = spark.sql(
+        "SELECT hll_union_blobs(collect_list(registers)) AS registers FROM sk"
+    ).collect()[0]
+    kern_all = None
+    for r in spark.table("sk").collect():
+        k = HllSketch.from_bytes(12, bytes(r["registers"]))
+        kern_all = k if kern_all is None else kern_all.merge(k)
+    assert bytes(rolled["registers"]) == kern_all.to_bytes()
 
 
 def test_register_sql_construction_builds_sketch_by_bytes(spark, sf_correct):
