@@ -146,6 +146,56 @@ def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day ROLLING distinct users served from daily sketches alone
+    (rollup.py::sliding_sketch_union — each day's sketch unions into its
+    7 following targets; shuffle is 7×|days| blobs, raw data scanned
+    once). Every day's estimate asserted inside 3x the HLL bound against
+    the exact rolling distinct."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.rollup import sliding_sketch_union
+
+    p = 13
+    events = _read(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("day", "ts")
+    )
+    daily = sketch_by(events, ["bucket"], "user_id", p)
+    rolled = sliding_sketch_union(daily, "bucket", window=7)
+    est = rolled.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        cardinality_col("p", "registers").alias("est"),
+    )
+    days = events.select(F.col("bucket").alias("day_ts")).distinct()
+    exact = (
+        events.select(
+            "user_id",
+            F.col("bucket").alias("d0"),
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("w"),
+        )
+        .withColumn(
+            "day_ts",
+            F.timestamp_seconds(
+                F.col("d0").cast("double") + F.col("w") * F.lit(86400.0)
+            ),
+        )
+        .join(F.broadcast(days), on="day_ts", how="leftsemi")
+        .groupBy("day_ts")
+        .agg(F.countDistinct("user_id").alias("exact_count"))
+        .select(
+            F.date_format("day_ts", "yyyy-MM-dd").alias("day"), "exact_count"
+        )
+    )
+    bound = 3 * error_bound(p)
+    return est.join(exact, on="day").select(
+        "day",
+        "exact_count",
+        (
+            F.abs(F.col("est") - F.col("exact_count")) / F.col("exact_count")
+            <= F.lit(bound)
+        ).alias("within_bound"),
+    )
+
+
 def _q_sql_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL sketch CONSTRUCTION (hyper_spark.sql::
     register_sql_construction): hll_index/hll_rho are Spark SQL UDFs
@@ -2009,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_within_bound": _q_hll_users_within_bound,
         "hll_users_by_type": _q_hll_users_by_type,
         "sql_sketch_build": _q_sql_sketch_build,
+        "rolling_distinct_users": _q_rolling_distinct_users,
         "hll_rollup_lossless": _q_hll_rollup_lossless,
         "hll_custkey_within_bound": _q_hll_custkey_within_bound,
         "cms_event_type_bounds": _q_cms_event_type_bounds,
@@ -2335,6 +2386,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(DISTINCT user_id) AS exact_count, "
             "true AS bytes_match, true AS within_bound "
             "FROM events GROUP BY event_type"
+        ),
+        "rolling_distinct_users": (
+            "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d"
+            " FROM events)"
+            " SELECT strftime(d.d, '%Y-%m-%d') AS day,"
+            " count(DISTINCT e.user_id)::BIGINT AS exact_count,"
+            " true AS within_bound"
+            " FROM days d JOIN events e"
+            " ON date_trunc('day', e.ts) BETWEEN d.d - INTERVAL 6 DAY"
+            " AND d.d"
+            " GROUP BY d.d"
         ),
         "hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_count, "

@@ -32,7 +32,13 @@ from hyper_spark.operators.hll_agg import (
     union_sketches,
 )
 
-__all__ = ["sketch_time_rollup", "rollup_estimates", "retention_estimates", "sketch_cube"]
+__all__ = [
+    "sketch_time_rollup",
+    "rollup_estimates",
+    "retention_estimates",
+    "sketch_cube",
+    "sliding_sketch_union",
+]
 
 # Spark date_trunc fmts, fine -> coarse (all also valid DuckDB grains)
 _GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "quarter", "year")
@@ -250,6 +256,57 @@ def retention_estimates(
         ).otherwise(F.lit(0.0)).alias("jaccard"),
     )
     return out
+
+
+def sliding_sketch_union(
+    sketch_df: DataFrame,
+    bucket_col: str = "bucket",
+    window: int = 7,
+    step_seconds: float = 86400.0,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Rolling-window distinct counts from a bucketed sketch table —
+    "7-day rolling distinct users" — WITHOUT rescanning raw data: the
+    sketch for target bucket t is the lossless register-max union of
+    the source sketches in (t − window·step, t]. Each source bucket
+    contributes to its ``window`` following targets via one explode, so
+    the whole job shuffles ``window × |buckets|`` sketch blobs —
+    independent of the raw row count (an exact rolling distinct re-scans
+    ``window`` days of raw rows per day served).
+
+    ``bucket_col`` must be a timestamp/date on a fixed ``step_seconds``
+    stride (the ``sketch_time_rollup`` output shape; select ONE grain
+    first). Targets are kept only for buckets present in the source
+    table. Returns [*keys, bucket_col (timestamp), p, registers]; feed
+    ``cardinality_col`` for serving. Mixed-p inputs fold to min-p, the
+    standard union law."""
+    keys = list(keys)
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if "grain" in sketch_df.columns:
+        raise ValueError(
+            "sketch table carries a 'grain' column (sketch_time_rollup "
+            "output): select ONE grain first — equal bucket timestamps "
+            "from different grains would silently mix"
+        )
+    src = F.col(bucket_col).cast("timestamp")
+    contrib = sketch_df.select(
+        *keys, src.alias("__src"), "p", "registers",
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__w"),
+    ).withColumn(
+        bucket_col,
+        F.timestamp_seconds(
+            F.col("__src").cast("double")
+            + F.col("__w") * F.lit(float(step_seconds))
+        ),
+    )
+    # keep only targets that exist as source buckets (no phantom
+    # trailing windows past the data's end); |buckets| rows, broadcast
+    observed = sketch_df.select(src.alias(bucket_col)).distinct()
+    contrib = contrib.join(F.broadcast(observed), on=bucket_col, how="leftsemi")
+    return union_sketches(
+        contrib.drop("__src", "__w"), keys + [bucket_col]
+    )
 
 
 def sketch_cube(

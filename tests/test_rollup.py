@@ -210,6 +210,41 @@ def test_retention_sparse_blobs_and_grain_guard(spark):
         retention_estimates(rolled)
 
 
+def test_sliding_sketch_union_matches_direct_windows(spark, sf_correct):
+    """Rolling 3-day sketches derived from daily sketches are
+    BYTE-IDENTICAL to sketches built directly from the raw rows of each
+    window (union losslessness over sliding frames), and only observed
+    buckets are served."""
+    from pyspark.sql import functions as F
+
+    from hyper_spark.operators.hll_agg import sketch_by
+    from hyper_spark.operators.rollup import sliding_sketch_union
+
+    events = spark.read.parquet(f"{sf_correct}/events.parquet").withColumn(
+        "bucket", F.date_trunc("day", "ts")
+    )
+    daily = sketch_by(events, ["bucket"], "user_id", 12)
+    rolled = sliding_sketch_union(daily, "bucket", window=3)
+    got = {r["bucket"]: bytes(r["registers"]) for r in rolled.collect()}
+    days = sorted(
+        r["bucket"] for r in events.select("bucket").distinct().collect()
+    )
+    assert set(got) == set(days)  # no phantom trailing targets
+    import datetime
+
+    for d in days:
+        lo = d - datetime.timedelta(days=2)
+        direct = sketch_by(
+            events.filter(
+                (F.col("bucket") >= F.lit(lo)) & (F.col("bucket") <= F.lit(d))
+            ),
+            [],
+            "user_id",
+            12,
+        ).collect()[0]
+        assert got[d] == bytes(direct["registers"]), d
+
+
 def test_sketch_cube_matches_direct_builds(spark, sf_correct):
     """Every cube subset's sketch is BYTE-IDENTICAL to a direct
     sketch_by at that grouping (union losslessness over the key
