@@ -52,6 +52,21 @@ def register_sql_functions(spark: SparkSession, prefix: str = "") -> list[str]:
       (reference-compatible envelope)
     - ``hll_fold(p, registers, new_p) -> binary`` (reduce_precision)
     - ``hll_error_bound(p) -> double`` (1.04/sqrt(2^p))
+
+    Companion-sketch scalars (all over reduced sketch rows):
+
+    - ``sketch_quantile(kind, state, q) -> double`` — KLL / t-digest
+      estimate from a ``quantiles_by`` state row
+    - ``sketch_merge_states(kind, array<string>) -> string`` — N-way
+      quantile-sketch merge over ``collect_list(state)`` (SQL GROUP BY
+      rollups)
+    - ``cms_lookup(depth, width, counters, hash_fn, value) -> long``
+      and ``bloom_contains(m_bits, k, bits, hash_fn, value) ->
+      boolean`` — probes via the md5 kernel hash. The sketch row's
+      recorded ``hash_fn`` column is a REQUIRED argument: xxhash64-built
+      sketches raise (the bucket hash only exists JVM-side — probe
+      those with the DataFrame operators), preserving the
+      no-silent-hash-mix contract in SQL.
     """
     from hyper_spark.operators.hll_agg import cardinality_col
     from hyper_spark.operators.hll_serde import (
@@ -110,8 +125,95 @@ def register_sql_functions(spark: SparkSession, prefix: str = "") -> list[str]:
 
         return pd.Series([error_bound(int(x)) for x in p])
 
+    import json
+
+    from pyspark.sql.types import BooleanType, LongType, StringType
+
+    from hyper_spark.kernel.bloom import BloomFilter
+    from hyper_spark.kernel.cms import CountMinSketch
+    from hyper_spark.kernel.kll import KllSketch
+    from hyper_spark.kernel.tdigest import TDigest
+
+    def _q_cls(kind: str):
+        if kind == "kll":
+            return KllSketch
+        if kind == "tdigest":
+            return TDigest
+        raise ValueError(f"unknown quantile sketch kind {kind!r}")
+
+    @F.pandas_udf(DoubleType())
+    def _sketch_quantile(
+        kind: pd.Series, state: pd.Series, q: pd.Series
+    ) -> pd.Series:
+        out = []
+        for k, s, qq in zip(kind, state, q):
+            if s is None:
+                out.append(None)
+                continue
+            out.append(_q_cls(str(k)).from_dict(json.loads(s)).quantile(float(qq)))
+        return pd.Series(out, dtype="float64")
+
+    @F.pandas_udf(StringType())
+    def _sketch_merge_states(kind: pd.Series, states: pd.Series) -> pd.Series:
+        out = []
+        for k, arr in zip(kind, states):
+            cls = _q_cls(str(k))
+            acc = None
+            for s in arr if arr is not None else ():
+                if s is None:
+                    continue
+                sk = cls.from_dict(json.loads(s))
+                acc = sk if acc is None else acc.merge(sk)
+            out.append(json.dumps(acc.to_dict()) if acc is not None else None)
+        return pd.Series(out)
+
+    def _require_md5(hash_fns, what: str) -> None:
+        bad = {str(h) for h in hash_fns if h is not None} - {"md5"}
+        if bad:
+            raise ValueError(
+                f"{what} probes via the md5 kernel hash but the sketch "
+                f"records hash_fn={bad.pop()!r} — probe with the "
+                "DataFrame operators instead (the fast bucket hash only "
+                "exists JVM-side); mixing hashes would return silently "
+                "wrong results"
+            )
+
+    @F.pandas_udf(LongType())
+    def _cms_lookup(
+        depth: pd.Series, width: pd.Series, counters: pd.Series,
+        hash_fn: pd.Series, value: pd.Series,
+    ) -> pd.Series:
+        _require_md5(hash_fn, "cms_lookup")
+        out = []
+        for d, w, c, v in zip(depth, width, counters, value):
+            if v is None or c is None:
+                out.append(0)
+                continue
+            sk = CountMinSketch.from_bytes(int(d), int(w), bytes(c), 0)
+            out.append(int(sk.estimate(str(v))))
+        return pd.Series(out, dtype="int64")
+
+    @F.pandas_udf(BooleanType())
+    def _bloom_contains(
+        m_bits: pd.Series, k: pd.Series, bits: pd.Series,
+        hash_fn: pd.Series, value: pd.Series,
+    ) -> pd.Series:
+        _require_md5(hash_fn, "bloom_contains")
+        out = []
+        for m, kk, b, v in zip(m_bits, k, bits, value):
+            if v is None or b is None:
+                out.append(False)
+                continue
+            bf = BloomFilter.from_bytes(int(m), int(kk), bytes(b), 0)
+            out.append(bool(bf.might_contain(str(v))))
+        return pd.Series(out, dtype="bool")
+
     fns = {
         "hll_cardinality": cardinality_col,
+        "sketch_quantile": _sketch_quantile,
+        "sketch_merge_states": _sketch_merge_states,
+        "cms_lookup": _cms_lookup,
+        "bloom_contains": _bloom_contains,
         "hll_union2": _union2,
         "hll_union_blobs": _union_blobs,
         "hll_to_json": _to_json,

@@ -365,6 +365,71 @@ def test_profile_table_skips_complex_and_handles_nulls(spark):
     assert prof["b"]["n_nulls"] == 1 and prof["b"]["null_frac"] == 0.5
 
 
+def test_companion_sql_scalars(spark):
+    """SQL-only consumption of COMPANION sketch tables: quantile
+    estimate + N-way merge over KLL/t-digest state rows, md5 CMS/Bloom
+    probes, and the hash-mix guard raising for xxhash64-built rows."""
+    import pytest
+
+    from hyper_spark.kernel.kll import KllSketch
+    from hyper_spark.operators.bloom_agg import bloom_by
+    from hyper_spark.operators.cms_agg import cms_by
+    from hyper_spark.operators.quantiles import kll_by
+    from hyper_spark.sql import register_sql_functions
+
+    names = register_sql_functions(spark)
+    assert {"sketch_quantile", "sketch_merge_states", "cms_lookup",
+            "bloom_contains"} <= set(names)
+    rows = [Row(g=i % 3, v=float((i * 37) % 1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows).repartition(4)
+    kll_by(df, ["g"], "v").createOrReplaceTempView("qsk")
+    # per-group median via SQL == kernel quantile of the same state
+    import json as _json
+
+    got = {r["g"]: r["m"] for r in spark.sql(
+        "SELECT g, sketch_quantile(kind, state, 0.5) AS m FROM qsk"
+    ).collect()}
+    for r in spark.table("qsk").collect():
+        kern = KllSketch.from_dict(_json.loads(r["state"]))
+        assert got[r["g"]] == kern.quantile(0.5)
+    # N-way merge over collect_list == kernel merge of all states
+    merged = spark.sql(
+        "SELECT sketch_quantile('kll', sketch_merge_states('kll', "
+        "collect_list(state)), 0.9) AS q90 FROM qsk"
+    ).collect()[0]["q90"]
+    kern_all = None
+    for r in spark.table("qsk").collect():
+        k = KllSketch.from_dict(_json.loads(r["state"]))
+        kern_all = k if kern_all is None else kern_all.merge(k)
+    assert merged == kern_all.quantile(0.9)
+
+    items = spark.createDataFrame(
+        [Row(v=f"item{i % 20}") for i in range(2000)]
+    )
+    cms_by(items, [], "v", depth=4, width=512, hash_fn="md5"
+           ).createOrReplaceTempView("csk")
+    est = spark.sql(
+        "SELECT cms_lookup(depth, width, counters, hash_fn, 'item3') AS e"
+        " FROM csk"
+    ).collect()[0]["e"]
+    assert est >= 100  # exact count of item3 is 100; CMS never under
+    bloom_by(items, [], "v", m_bits=1 << 13, hash_fn="md5"
+             ).createOrReplaceTempView("bsk")
+    hits = spark.sql(
+        "SELECT bloom_contains(m_bits, k, bits, hash_fn, 'item7') AS a,"
+        " bloom_contains(m_bits, k, bits, hash_fn, 'nope_xyz') AS b"
+        " FROM bsk"
+    ).collect()[0]
+    assert hits["a"] is True  # no false negatives
+    # xxhash64-built rows refuse SQL (md5-kernel) probes
+    cms_by(items, [], "v", depth=4, width=512).createOrReplaceTempView("cxx")
+    with pytest.raises(Exception, match="hash_fn"):
+        spark.sql(
+            "SELECT cms_lookup(depth, width, counters, hash_fn, 'item3')"
+            " FROM cxx"
+        ).collect()
+
+
 def test_hash_fn_mismatch_is_an_error_not_corruption(spark):
     """Build/probe hash mismatch must raise (it would otherwise produce
     silently-wrong CMS estimates and Bloom FALSE NEGATIVES)."""
