@@ -281,6 +281,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     threshold: float = 0.5,
     seed: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -289,6 +290,19 @@ def minhash_lsh_pairs(
     sits near s≈0.3, comfortably below the default 0.5 threshold.
     Verification computes *exact* Jaccard on distinct shingle arrays, so
     precision is 1.0 by construction; only recall depends on LSH.
+
+    ``max_bucket`` guards against LSH bucket SKEW on boilerplate-heavy
+    corpora: the band self-join emits |bucket|² candidates per bucket,
+    and templated text concentrates thousands of docs in single buckets
+    (measured on 465k synthetic transcript turns: max bucket 11,241,
+    Σ|bucket|² ≈ 1.7e9 join rows — 341 s of candidate generation for 13
+    true pairs). Buckets larger than ``max_bucket`` switch to a STAR
+    join — every member pairs only with the bucket's min-id
+    representative (linear in bucket size, still exact-verified), so
+    dense near-dup clusters surface as rep↔member pairs while the
+    member↔member closure is left to the caller's connected-components
+    pass (the standard trade in web-scale dedup). Default None keeps
+    the exhaustive behavior.
 
     CALLER CONTRACT (ADVICE r02): the returned DataFrame is eagerly
     materialized and **persisted** (so the signature lineage never
@@ -318,9 +332,16 @@ def minhash_lsh_pairs(
     # candidate stage). The entries are also cached so the join's two
     # branches share one materialization; released before return.
     prefix = min(32, num_hashes)
+    # band entries are BARE (id, band, band_hash) rows. An earlier
+    # version carried the 32-long signature prefix on every entry so the
+    # coarse Jaccard screen could run pre-distinct — fine at 5k docs,
+    # but the array fans out into all `bands` rows: at 465k docs that is
+    # 14.9M × 256 B through the cache and BOTH sides of the self-join
+    # shuffle (measured 69 s to materialize + 123 s to join). Screening
+    # AFTER distinct via est_filter joins the cached signature table
+    # once per distinct candidate instead (676k rows at the same SF).
     band_entries = sig.select(
         F.col(id_col),
-        F.slice("signature", 1, prefix).alias("pre"),
         F.posexplode(
             F.array(
                 *[
@@ -333,33 +354,50 @@ def minhash_lsh_pairs(
         ).alias("band", "band_hash"),
     ).persist()
 
-    left = band_entries.select(
-        F.col(id_col).alias("id_a"), F.col("pre").alias("p_a"), "band", "band_hash"
+    star = None
+    join_entries = band_entries
+    if max_bucket is not None:
+        sizes = band_entries.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bs")
+        )
+        small = sizes.filter(F.col("__bs") <= max_bucket).drop("__bs")
+        big = sizes.filter(F.col("__bs") > max_bucket).drop("__bs")
+        join_entries = band_entries.join(
+            small, on=["band", "band_hash"], how="leftsemi"
+        )
+        big_entries = band_entries.join(
+            big, on=["band", "band_hash"], how="leftsemi"
+        )
+        reps = big_entries.groupBy("band", "band_hash").agg(
+            F.min(id_col).alias("__rep")
+        )
+        # rep = min id ⇒ id_a < id_b holds by construction
+        star = (
+            big_entries.join(reps, on=["band", "band_hash"])
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+            .distinct()
+        )
+
+    left = join_entries.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
     )
-    right = band_entries.select(
-        F.col(id_col).alias("id_b"), F.col("pre").alias("p_b"), "band", "band_hash"
+    right = join_entries.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
     )
-    # fused coarse estimate: the 32-long signature prefix travels WITH
-    # the band entries, so the first Jaccard screen (σ ≈ 0.088 at
-    # s=0.5, margin 2.2σ) runs as a codegen filter on the join output
-    # BEFORE distinct — no extra join, and distinct sees only the
-    # survivors (measured 514k join rows → 163k at sf0.1; the old
-    # 16-prefix post-distinct stage kept 417k of 493k and needed two
-    # more shuffles)
-    coarse_margin = 2.2 * (threshold * (1 - threshold) / prefix) ** 0.5
-    est_pre = F.aggregate(
-        F.zip_with("p_a", "p_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(prefix)
-    coarse = (
+    candidates = (
         left.join(right, on=["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__est", est_pre)
-        .filter(F.col("__est") >= threshold - coarse_margin)
         .select("id_a", "id_b")
         .distinct()
     )
+    if star is not None:
+        candidates = candidates.unionByName(star).distinct()
+    # coarse screen (σ ≈ sqrt(s(1-s)/prefix) at s=threshold, margin
+    # 2.2σ): one signature-prefix join per DISTINCT candidate
+    coarse_margin = 2.2 * (threshold * (1 - threshold) / prefix) ** 0.5
 
     # stage 2 — full signature (σ = sqrt(s(1-s)/H), margin 2σ): only
     # coarse survivors join the cached signature table
@@ -387,6 +425,7 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b")
         )
 
+    coarse = est_filter(candidates, prefix, margin=coarse_margin)
     fine = est_filter(coarse, num_hashes, margin=2.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
 
     # exact verification on the hashed shingle *sets* (int arrays emitted

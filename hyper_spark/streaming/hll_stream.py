@@ -121,6 +121,7 @@ def streaming_windowed_sketch_by(
     output_mode: str = "update",
     state_encoding: str = "auto",
     hash_fn: str = "sha1",
+    slide: str | None = None,
 ) -> DataFrame:
     """Event-time tumbling-window distinct sketches with BOUNDED state —
     the "watermarks + windowed aggs for late data" shape the north star
@@ -140,12 +141,24 @@ def streaming_windowed_sketch_by(
 
     Output: [*keys, window_start, window_end, p, registers, estimate,
     final]. State per live window ≤ 2^p bytes (sparse-encoded below the
-    fill threshold with the default ``state_encoding='auto'``)."""
+    fill threshold with the default ``state_encoding='auto'``).
+
+    ``slide`` makes the windows SLIDING ("rolling 1-hour distinct,
+    updated every 10 minutes"): each event folds into its
+    window/slide overlapping windows (Spark's window() generates the
+    assignments; register max is order- and duplicate-insensitive, so
+    the overlap costs state but never correctness), live state is
+    window/slide × the tumbling case, and expiry per window is
+    unchanged."""
     keys = list(keys)
     m = 1 << p
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     idx, rho = hll_prepare(F.col(col), p, hash_fn)
-    win = F.window(F.col(ts_col), window)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     # the watermarked event-time column must survive into the stateful
     # operator's child plan (extracting window.start strips the watermark
     # metadata and Spark then rejects EventTimeTimeout), so ts rides

@@ -108,6 +108,49 @@ def test_minhash_lsh_cache_lifecycle(spark, near_dup_docs):
     assert n_persistent() == baseline
 
 
+def test_minhash_max_bucket_star_join(spark, near_dup_docs):
+    """LSH bucket-skew guard: with max_bucket set, a boilerplate
+    cluster (60 identical docs -> every band bucket holds all 60)
+    switches to the star join — its pairs surface as rep<->member
+    (linear), exact-verified, while normal-corpus results are identical
+    to the uncapped path."""
+    boiler = [
+        Row(doc_id=10_000 + i, text="the exact same boilerplate text "
+            "repeated for every single mirror page " * 3)
+        for i in range(60)
+    ]
+    df = near_dup_docs.unionByName(spark.createDataFrame(boiler))
+    capped = minhash_lsh_pairs(
+        df, num_hashes=64, bands=16, threshold=0.5, max_bucket=20
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    capped.unpersist()
+    # star pairs: every boilerplate member pairs with the min-id rep
+    for i in range(1, 60):
+        assert got.get((10_000, 10_000 + i)) == 1.0, i
+    # the normal corpus' exact-dup pairs are unaffected by the cap
+    for i in range(40):
+        assert (i * 10, i * 10 + 1) in got
+    # the cap only ever REPLACES member-member pairs with rep-member
+    # ones (capped ⊆ uncapped: precision is verification-exact in both);
+    # with a cap above every bucket size the result is identical
+    plain_tight = minhash_lsh_pairs(
+        near_dup_docs, num_hashes=64, bands=16, threshold=0.5, max_bucket=20
+    )
+    plain_loose = minhash_lsh_pairs(
+        near_dup_docs, num_hashes=64, bands=16, threshold=0.5, max_bucket=10_000
+    )
+    plain = minhash_lsh_pairs(
+        near_dup_docs, num_hashes=64, bands=16, threshold=0.5
+    )
+    a = {(r["id_a"], r["id_b"]) for r in plain_tight.collect()}
+    loose = {(r["id_a"], r["id_b"]) for r in plain_loose.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in plain.collect()}
+    plain_tight.unpersist(); plain_loose.unpersist(); plain.unpersist()
+    assert a <= b
+    assert loose == b
+
+
 def test_minhash_precision_is_exact(spark, near_dup_docs):
     """Verification computes true Jaccard: no pair below threshold."""
     pairs = minhash_lsh_pairs(near_dup_docs, num_hashes=64, bands=16, threshold=0.9)

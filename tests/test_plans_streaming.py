@@ -373,6 +373,59 @@ def test_streaming_windowed_sketch_watermark_expiry(spark, tmp_path):
     )
 
 
+def test_streaming_sliding_windows_match_batch(spark, tmp_path):
+    """slide= makes the windowed sketches SLIDING: each event folds into
+    its window/slide overlapping windows; every closed window's final
+    registers are byte-identical to a batch sketch_by over the raw rows
+    inside that window's range."""
+    import datetime as dt
+
+    from hyper_spark.operators.hll_agg import sketch_by
+    from hyper_spark.streaming.hll_stream import streaming_windowed_sketch_by
+
+    base = dt.datetime(2024, 5, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [Row(g="a", ts=t(m), v=f"u{(m * 7) % 13}") for m in range(0, 56, 1)]
+    tail = [Row(g="a", ts=t(500), v="tail")]  # advances watermark, closes all
+    src = str(tmp_path / "slide_src")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+    spark.createDataFrame(tail).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("g string, ts timestamp, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_windowed_sketch_by(
+        stream, "ts", ["g"], "v", p=12, window="30 minutes",
+        watermark="5 minutes", slide="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_gate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    finals = {
+        r["window_start"]: bytes(r["registers"])
+        for r in spark.sql("select * from slide_gate").collect()
+        if r["final"]
+    }
+    df = spark.createDataFrame(rows)
+    # sliding window starts at 10-min marks from -20 to 50
+    closed = [s for s in finals if s < t(100)]
+    assert len(closed) >= 6  # -20, -10, 0, 10, 20, 30, 40, 50 era
+    for s in closed:
+        e = s + dt.timedelta(minutes=30)
+        sub = df.filter((F.col("ts") >= F.lit(s)) & (F.col("ts") < F.lit(e)))
+        direct = sketch_by(sub, [], "v", 12).collect()
+        assert finals[s] == bytes(direct[0]["registers"]), s
+
+
 def test_streaming_packed6_state_roundtrip(spark, tmp_path):
     """Review fix: state written with state_encoding='packed6' must be
     decoded with the same hint on the next micro-batch (its length is

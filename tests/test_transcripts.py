@@ -91,3 +91,38 @@ def test_spark_submit_py_files_smoke():
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
     assert out["within_bound"] is True
+
+
+def test_normalized_text_fused_regex_identity(spark):
+    """The r04 fused one-regex normalized_text must equal the original
+    two-pass form (per-char non-alnum→space, then whitespace collapse)
+    on adversarial inputs: unicode punctuation, tabs/newlines, mixed
+    punct+space runs, leading/trailing junk, digits."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hyper_spark.functions.text import normalized_text
+
+    crafted = [
+        "", "   ", "a", "A  B\t\nC", "héllo wörld", "a--b  c!!d",
+        "1,2;3 4 五", "  .leading", "trailing.  ", "a.b,c;d:e",
+        "\t\n\r ", "ABC123xyz", "a!@#$%^&*()b", "ümlaut Ärger",
+    ]
+    rng = random.Random(3)
+    alphabet = "ab1 .,;!\t\n-_ä字"
+    crafted += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in crafted], ["t"])
+    c = F.col("t")
+    old = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    bad = df.select(old.alias("o"), normalized_text(c).alias("n")).filter(
+        ~F.col("o").eqNullSafe(F.col("n"))
+    )
+    assert bad.count() == 0, bad.collect()[:5]
