@@ -766,6 +766,46 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster closure over the exact n-gram pair graph: large-star /
+    small-star components (hyper_spark.operators.graph) vs a DuckDB
+    recursive-CTE min-reachability closure on the same edges."""
+    from hyper_spark.operators.graph import connected_components
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5, max_df=None)
+    return connected_components(pairs).select("id", "component")
+
+
+def _q_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: pair policy (exact n-gram Jaccard here,
+    so the oracle is SQL-expressible) → components → keep the min-id
+    row per cluster plus every unpaired row."""
+    from hyper_spark.operators.graph import near_dedup
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5, max_df=None)
+    return near_dedup(docs, pairs=pairs).select("doc_id")
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition metrics (Rae et al. 2021 App. A1.1
+    family), computed with a map-only plan: most-frequent n-gram =
+    longest run of the sorted per-doc gram array, one F.aggregate pass
+    per metric — no explode, no shuffle (operators/quality.py)."""
+    from hyper_spark.operators.quality import repetition_stats
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "n_lines", "n_tokens", "dup_line_frac",
+        "dup_line_char_frac", "top_2gram_char_frac",
+        "top_3gram_char_frac", "top_4gram_char_frac",
+    )
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -2080,6 +2120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_stats": _q_exact_dup_stats,
         "lang_guess_counts": _q_lang_guess_counts,
         "ngram_jaccard_pairs_05": _q_ngram_jaccard_pairs,
+        "connected_components_ngram": _q_connected_components,
+        "near_dedup_docs": _q_near_dedup_docs,
+        "repetition_stats_docs": _q_repetition_stats,
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
@@ -2189,6 +2232,135 @@ def _lang_sql() -> str:
         f"SELECT {_lang_case_sql()} AS lang_guess, count(*) AS n_docs "
         f"FROM documents GROUP BY 1"
     )
+
+
+def _ngram_edges_cte(norm: str) -> str:
+    """CTE chain computing the exact 5-gram Jaccard >= 0.5 pair set over
+    documents, ending in ``edges(id_a, id_b)`` — shared by the pair
+    gate and the component-closure gates built on the same graph."""
+    return f"""norm AS (
+                SELECT doc_id, {norm} AS t FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+                FROM norm
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(t, i::BIGINT, 5) AS s FROM pos
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
+            )"""
+
+
+def _repetition_sql(ns=(2, 3, 4)) -> str:
+    """DuckDB replica of operators/quality.py::repetition_stats — same
+    exact definitions (module docstring there): ASCII-whitespace token
+    split, full-whitespace line trim, overlapping n-grams, ties to the
+    lexicographically smallest gram."""
+
+    def gram_cte(n: int) -> str:
+        return f"""
+            g{n} AS (
+                SELECT doc_id, array_to_string(tk[i:i+{n - 1}], ' ') AS g
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, len(tk) - {n - 2})) AS i
+                      FROM arrs WHERE len(tk) >= {n})
+            ),
+            top{n} AS (
+                SELECT doc_id, c * length(g) AS chars
+                FROM (SELECT doc_id, g, count(*) AS c,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY count(*) DESC, g ASC) AS rn
+                      FROM g{n} GROUP BY doc_id, g) WHERE rn = 1
+            )"""
+
+    tops = ",".join(
+        f"""
+            CASE WHEN length(array_to_string(tk, ' ')) > 0
+                 THEN coalesce(top{n}.chars, 0)::DOUBLE
+                      / length(array_to_string(tk, ' '))::DOUBLE
+                 ELSE 0.0 END AS top_{n}gram_char_frac"""
+        for n in ns
+    )
+    joins = "\n".join(
+        f"LEFT JOIN top{n} ON top{n}.doc_id = a.doc_id" for n in ns
+    )
+    return (
+        r"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ),
+            arrs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(t, '\s+'),
+                                   x -> x <> '') AS tk,
+                       list_filter(
+                           list_transform(string_split(t, chr(10)),
+                               x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                           x -> x <> '') AS ln
+                FROM base
+            ),
+            lgrp AS (
+                SELECT doc_id, lv, count(*) AS c, length(lv) AS llen
+                FROM (SELECT doc_id, unnest(ln) AS lv FROM arrs)
+                GROUP BY 1, 2
+            ),
+            lstat AS (
+                SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                       sum(c - 1)::DOUBLE / sum(c)::DOUBLE AS dup_line_frac,
+                       CASE WHEN sum(c * llen) > 0
+                            THEN sum((c - 1) * llen)::DOUBLE
+                                 / sum(c * llen)::DOUBLE
+                            ELSE 0.0 END AS dup_line_char_frac
+                FROM lgrp GROUP BY 1
+            ),"""
+        + ",".join(gram_cte(n) for n in ns)
+        + r"""
+            SELECT a.doc_id, coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+                   len(tk)::BIGINT AS n_tokens,
+                   coalesce(l.dup_line_frac, 0.0) AS dup_line_frac,
+                   coalesce(l.dup_line_char_frac, 0.0)
+                       AS dup_line_char_frac,"""
+        + tops
+        + """
+            FROM arrs a LEFT JOIN lstat l ON l.doc_id = a.doc_id
+            """
+        + joins
+    )
+
+
+def _cc_closure_cte() -> str:
+    """Recursive min-reachable closure over ``edges`` — DuckDB's
+    set-semantics UNION terminates the recursion; comp(id, component)
+    is the same min-id-per-component contract connected_components
+    returns."""
+    return """sym AS (
+                SELECT id_a AS u, id_b AS v FROM edges
+                UNION
+                SELECT id_b, id_a FROM edges
+            ),
+            reach(id, r) AS (
+                SELECT u, u FROM sym
+                UNION
+                SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id
+            ),
+            comp AS (
+                SELECT id, min(r) AS component FROM reach GROUP BY id
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2566,31 +2738,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_guess_counts": _lang_sql(),
         "ngram_jaccard_pairs_05": f"""
-            WITH norm AS (
-                SELECT doc_id, {norm} AS t FROM documents
-            ),
-            pos AS (
-                SELECT doc_id, t,
-                       unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
-                FROM norm
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id, substr(t, i::BIGINT, 5) AS s FROM pos
-            ),
-            sizes AS (
-                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-            ),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT id_a, id_b
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
+            WITH {_ngram_edges_cte(norm)}
+            SELECT id_a, id_b FROM edges
         """,
+        "connected_components_ngram": f"""
+            WITH RECURSIVE {_ngram_edges_cte(norm)},
+            {_cc_closure_cte()}
+            SELECT id, component FROM comp
+        """,
+        "near_dedup_docs": f"""
+            WITH RECURSIVE {_ngram_edges_cte(norm)},
+            {_cc_closure_cte()}
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN comp ON comp.id = d.doc_id
+            WHERE comp.id IS NULL OR comp.component = d.doc_id
+        """,
+        "repetition_stats_docs": _repetition_sql(),
         "embedding_pairs_04": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

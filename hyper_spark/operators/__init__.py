@@ -44,6 +44,8 @@ from hyper_spark.operators.sampling import (
 )
 from hyper_spark.operators.packing import chunk_stats, pack_offsets
 from hyper_spark.operators.corpus import prepare_corpus
+from hyper_spark.operators.graph import connected_components, near_dedup
+from hyper_spark.operators.quality import repetition_stats
 
 __all__ = [
     "approx_distinct",
@@ -78,4 +80,7 @@ __all__ = [
     "pack_offsets",
     "chunk_stats",
     "prepare_corpus",
+    "connected_components",
+    "near_dedup",
+    "repetition_stats",
 ]

@@ -1,0 +1,155 @@
+"""connected_components (large-star/small-star) + near_dedup closure.
+
+Oracle: an in-Python union-find over the same edge list — independent
+of the Spark implementation and exact."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hyper_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from hyper_spark.operators.graph import connected_components, near_dedup
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Same shape as the dedup-suite corpus: 40 base docs, each with an
+    exact copy (punctuation-varied) and a near copy (one word)."""
+    rows = []
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    for i in range(40):
+        base = " ".join(words[(i + j) % 10] for j in range(30)) + f" doc{i}"
+        rows.append(Row(doc_id=i * 10, text=base))
+        rows.append(Row(doc_id=i * 10 + 1, text=base.upper() + "!!"))
+        near = base.replace(words[i % 10], "zulu", 1)
+        rows.append(Row(doc_id=i * 10 + 2, text=near))
+    return spark.createDataFrame(rows)
+
+
+def union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for n in nodes:
+        comps.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in comps.values() for n in ms}
+
+
+def _check(spark, edges, **kwargs):
+    nodes = sorted({x for e in edges for x in e})
+    want = union_find(edges, nodes)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in connected_components(df, **kwargs).collect()}
+    assert got == want
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    """A 1024-node path is the adversarial shape: naive min-label
+    propagation needs 1024 rounds; the alternating star algorithm is
+    O(log n) — max_iterations=20 both proves the bound and checks the
+    result against union-find."""
+    _check(spark, [(i, i + 1) for i in range(1024)], max_iterations=20)
+
+
+def test_cc_random_graph(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(300)]
+    _check(spark, edges)
+
+
+def test_cc_string_ids(spark):
+    _check(spark, [("a", "b"), ("b", "c"), ("x", "y"), ("q", "q2"), ("q2", "a")])
+
+
+def test_cc_messy_input(spark):
+    """Self loops, duplicates, both orientations — and a node that
+    appears ONLY as a self loop must still come back as its own
+    component."""
+    edges = [(1, 2), (2, 1), (3, 3), (2, 3), (5, 4), (4, 5), (9, 9)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 9: 9}
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=1)
+
+
+# ------------------------------------------------------------ near_dedup
+
+
+def test_near_dedup_keeps_component_min(spark, near_dup_docs):
+    """near_dedup(df) == 'keep rows whose id is the union-find min of
+    the minhash pair graph, plus rows in no pair' — computed from the
+    SAME pairs the operator uses, so the test pins the closure, not the
+    LSH recall."""
+    pairs = minhash_lsh_pairs(near_dup_docs, num_hashes=64, bands=16, threshold=0.5)
+    edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    all_ids = {r["doc_id"] for r in near_dup_docs.select("doc_id").collect()}
+    paired = {x for e in edge_list for x in e}
+    comp = union_find(edge_list, sorted(paired))
+    want = (all_ids - paired) | {n for n in paired if comp[n] == n}
+    kept = near_dedup(
+        near_dup_docs, pairs=pairs
+    )
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    pairs.unpersist()
+    assert got == want
+    # sanity: clusters actually collapsed (40 exact-dup pairs at least)
+    assert len(got) <= len(all_ids) - 40
+
+
+def test_near_dedup_closes_star_pairs(spark):
+    """The max_bucket skew guard emits rep<->member star pairs instead
+    of the quadratic member<->member set; the component closure must
+    still collapse the whole boilerplate cluster to ONE survivor."""
+    rows = [
+        Row(doc_id=i, text="identical mirror page boilerplate body " * 4)
+        for i in range(60)
+    ] + [
+        Row(doc_id=100, text="ornithology field notes on migratory raptors"),
+        Row(doc_id=101, text="sourdough hydration ratios for rye flour"),
+        Row(doc_id=102, text="tidal harmonics in shallow estuary basins"),
+        Row(doc_id=103, text="bytecode verifier passes for stack maps"),
+        Row(doc_id=104, text="volcanic ash stratigraphy dating methods"),
+    ]
+    df = spark.createDataFrame(rows)
+    kept = near_dedup(
+        df, num_hashes=64, bands=16, threshold=0.5, max_bucket=10
+    )
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [0, 100, 101, 102, 103, 104]
+
+
+def test_near_dedup_custom_pair_policy(spark, near_dup_docs):
+    """Any (id_a, id_b) DataFrame works as the pair policy — here the
+    exact n-gram Jaccard operator."""
+    pairs = ngram_jaccard_pairs(near_dup_docs, shingle_n=5, threshold=0.9)
+    edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    all_ids = {r["doc_id"] for r in near_dup_docs.select("doc_id").collect()}
+    paired = {x for e in edge_list for x in e}
+    comp = union_find(edge_list, sorted(paired))
+    want = (all_ids - paired) | {n for n in paired if comp[n] == n}
+    kept = near_dedup(near_dup_docs, pairs=pairs)
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == want
