@@ -806,6 +806,57 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher App. A1 quality gate (operators/quality.py): the
+    repetition family plus word/symbol/bullet/ellipsis/alpha/stopword
+    rules, map-only; keep = AND of every rule at the published
+    thresholds, checked against a DuckDB replica driven by the same
+    GOPHER_THRESHOLDS table."""
+    from pyspark.sql import functions as F
+
+    from hyper_spark.operators.quality import gopher_filter
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_filter(docs).select(
+        "doc_id", "n_tokens", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_required_stopwords", "n_paras", "dup_para_frac",
+        "dup_para_char_frac", "dup_5gram_char_frac",
+        "dup_10gram_char_frac", F.col("keep").cast("long").alias("keep"),
+    )
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) — line retention by
+    terminal punctuation / ≥3 words / no 'javascript', page discard by
+    sentence count, 'lorem ipsum', '{' (operators/quality.py). The gate
+    compares the cleaned TEXT itself, not just the stats.
+
+    The synthetic documents are single-line punctuation-free word
+    salads (every rule would be trivially false), so the gate first
+    derives a punctuated multi-line corpus with literal replace chains
+    (identical semantics in both engines): ' the '→'.\\n' makes real
+    .-terminated lines, ' value '→'! ' mid-line sentence marks,
+    ' row '→' javascript ' exercises the line drop, ' sort '→' { '
+    the page drop."""
+    from pyspark.sql import functions as F
+
+    from hyper_spark.operators.quality import c4_clean
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    for src, dst in ((" the ", ".\n"), (" value ", "! "),
+                     (" row ", " javascript "), (" sort ", " { ")):
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    docs = docs.withColumn("text", t)
+    return c4_clean(docs).select(
+        "doc_id", "clean_text", "n_lines_kept", "n_sentences",
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -2123,6 +2174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_ngram": _q_connected_components,
         "near_dedup_docs": _q_near_dedup_docs,
         "repetition_stats_docs": _q_repetition_stats,
+        "gopher_filter_docs": _q_gopher_filter,
+        "c4_clean_docs": _q_c4_clean,
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
@@ -2340,6 +2393,183 @@ def _repetition_sql(ns=(2, 3, 4)) -> str:
             FROM arrs a LEFT JOIN lstat l ON l.doc_id = a.doc_id
             """
         + joins
+    )
+
+
+def _gopher_sql() -> str:
+    """DuckDB replica of operators/quality.py::gopher_filter — the full
+    Gopher App. A1 rule set (repetition family + word/symbol/bullet/
+    ellipsis/alpha/stopword rules) with the keep verdict rebuilt from
+    the SAME GOPHER_THRESHOLDS mapping the Spark side reads, so a
+    threshold edit cannot silently diverge the two engines."""
+    from hyper_spark.operators.quality import (
+        GOPHER_REQUIRED_STOPWORDS,
+        GOPHER_THRESHOLDS,
+    )
+
+    def gram_cte(n: int) -> str:
+        agg = (
+            """sum((c - 1) * length(g))::BIGINT AS chars
+                FROM (SELECT doc_id, g, count(*) AS c
+                      FROM g{n} GROUP BY 1, 2) GROUP BY doc_id"""
+            if n >= 5
+            else """c * length(g) AS chars
+                FROM (SELECT doc_id, g, count(*) AS c,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY count(*) DESC, g ASC) AS rn
+                      FROM g{n} GROUP BY doc_id, g) WHERE rn = 1"""
+        ).format(n=n)
+        kind = "dup" if n >= 5 else "top"
+        return f"""
+            g{n} AS (
+                SELECT doc_id, array_to_string(tk[i:i+{n - 1}], ' ') AS g
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, len(tk) - {n - 2})) AS i
+                      FROM arrs WHERE len(tk) >= {n})
+            ),
+            {kind}{n} AS (
+                SELECT doc_id, {agg}
+            )"""
+
+    def seg_stat(seg: str, pre: str) -> str:
+        return f"""
+            {pre}grp AS (
+                SELECT doc_id, sv, count(*) AS c, length(sv) AS slen
+                FROM (SELECT doc_id, unnest({seg}) AS sv FROM arrs)
+                GROUP BY 1, 2
+            ),
+            {pre}stat AS (
+                SELECT doc_id, sum(c)::BIGINT AS n,
+                       sum(c - 1)::DOUBLE / sum(c)::DOUBLE AS dup_frac,
+                       CASE WHEN sum(c * slen) > 0
+                            THEN sum((c - 1) * slen)::DOUBLE
+                                 / sum(c * slen)::DOUBLE
+                            ELSE 0.0 END AS dup_char_frac
+                FROM {pre}grp GROUP BY 1
+            )"""
+
+    stop_hits = " + ".join(
+        f"list_contains(lt, '{w}')::INT" for w in GOPHER_REQUIRED_STOPWORDS
+    )
+    frac_cols = ",".join(
+        f"""
+            CASE WHEN length(array_to_string(tk, ' ')) > 0
+                 THEN coalesce({kind}{n}.chars, 0)::DOUBLE
+                      / length(array_to_string(tk, ' '))::DOUBLE
+                 ELSE 0.0 END AS {kind}_{n}gram_char_frac"""
+        for kind, n in [("top", 2), ("top", 3), ("top", 4)]
+        + [("dup", n) for n in range(5, 11)]
+    )
+    gram_joins = "\n".join(
+        f"LEFT JOIN {k}{n} ON {k}{n}.doc_id = a.doc_id"
+        for k, n in [("top", 2), ("top", 3), ("top", 4)]
+        + [("dup", n) for n in range(5, 11)]
+    )
+    # keep rebuilt from the library's own threshold table (single
+    # source of truth); metric column names match gopher_stats
+    metric_of = {
+        "min_words": ("n_tokens", ">="),
+        "max_words": ("n_tokens", "<="),
+        "min_mean_word_len": ("mean_word_len", ">="),
+        "max_mean_word_len": ("mean_word_len", "<="),
+        "max_symbol_word_ratio": ("symbol_word_ratio", "<="),
+        "max_bullet_line_frac": ("bullet_line_frac", "<="),
+        "max_ellipsis_line_frac": ("ellipsis_line_frac", "<="),
+        "min_alpha_word_frac": ("alpha_word_frac", ">="),
+        "min_required_stopwords": ("n_required_stopwords", ">="),
+        "max_dup_line_frac": ("dup_line_frac", "<="),
+        "max_dup_para_frac": ("dup_para_frac", "<="),
+        "max_dup_line_char_frac": ("dup_line_char_frac", "<="),
+        "max_dup_para_char_frac": ("dup_para_char_frac", "<="),
+        **{
+            f"max_top_{n}gram_char_frac": (f"top_{n}gram_char_frac", "<=")
+            for n in (2, 3, 4)
+        },
+        **{
+            f"max_dup_{n}gram_char_frac": (f"dup_{n}gram_char_frac", "<=")
+            for n in range(5, 11)
+        },
+    }
+    keep = " AND ".join(
+        f"{col} {op} {GOPHER_THRESHOLDS[rule]}"
+        for rule, (col, op) in metric_of.items()
+    )
+    return (
+        r"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ),
+            arrs AS (
+                SELECT doc_id, t,
+                       list_filter(string_split_regex(t, '\s+'),
+                                   x -> x <> '') AS tk,
+                       list_filter(
+                           list_transform(string_split(t, chr(10)),
+                               x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                           x -> x <> '') AS ln,
+                       list_filter(
+                           list_transform(string_split_regex(t, '\n{2,}'),
+                               x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                           x -> x <> '') AS pa,
+                       list_transform(
+                           list_filter(string_split_regex(t, '\s+'),
+                                       x -> x <> ''),
+                           x -> lower(x)) AS lt
+                FROM base
+            ),"""
+        + seg_stat("ln", "l")
+        + ","
+        + seg_stat("pa", "p")
+        + ","
+        + ",".join(gram_cte(n) for n in range(2, 11))
+        + f"""
+            , m AS (
+            SELECT a.doc_id,
+                   len(tk)::BIGINT AS n_tokens,
+                   CASE WHEN len(tk) > 0
+                        THEN list_aggregate(
+                                 list_transform(tk, x -> length(x)),
+                                 'sum')::DOUBLE / len(tk)
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN len(tk) > 0 THEN
+                       ((length(t) - length(replace(t, '#', '')))
+                        + (length(t) - length(replace(t, '...', ''))) / 3.0
+                        + (length(t) - length(replace(t, '…', ''))))::DOUBLE
+                       / len(tk) ELSE 0.0 END AS symbol_word_ratio,
+                   CASE WHEN len(ln) > 0
+                        THEN len(list_filter(ln, x ->
+                                 list_contains(['-','*','•','‣','▪'],
+                                               substr(x, 1, 1))))::DOUBLE
+                             / len(ln) ELSE 0.0 END AS bullet_line_frac,
+                   CASE WHEN len(ln) > 0
+                        THEN len(list_filter(ln, x ->
+                                 ends_with(x, '...') OR
+                                 ends_with(x, '…')))::DOUBLE
+                             / len(ln) ELSE 0.0 END AS ellipsis_line_frac,
+                   CASE WHEN len(tk) > 0
+                        THEN len(list_filter(tk, x ->
+                                 regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                             / len(tk) ELSE 0.0 END AS alpha_word_frac,
+                   ({stop_hits})::BIGINT AS n_required_stopwords,
+                   coalesce(p.n, 0)::BIGINT AS n_paras,
+                   coalesce(l.dup_frac, 0.0) AS dup_line_frac,
+                   coalesce(l.dup_char_frac, 0.0) AS dup_line_char_frac,
+                   coalesce(p.dup_frac, 0.0) AS dup_para_frac,
+                   coalesce(p.dup_char_frac, 0.0) AS dup_para_char_frac,
+                   {frac_cols}
+            FROM arrs a
+            LEFT JOIN lstat l ON l.doc_id = a.doc_id
+            LEFT JOIN pstat p ON p.doc_id = a.doc_id
+            {gram_joins}
+            )
+            SELECT doc_id, n_tokens, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+                   n_required_stopwords, n_paras, dup_para_frac,
+                   dup_para_char_frac, dup_5gram_char_frac,
+                   dup_10gram_char_frac,
+                   ({keep})::BIGINT AS keep
+            FROM m
+        """
     )
 
 
@@ -2754,6 +2984,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE comp.id IS NULL OR comp.component = d.doc_id
         """,
         "repetition_stats_docs": _repetition_sql(),
+        "gopher_filter_docs": _gopher_sql(),
+        "c4_clean_docs": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(
+                           coalesce(text, ''),
+                           ' the ', '.' || chr(10)),
+                           ' value ', '! '),
+                           ' row ', ' javascript '),
+                           ' sort ', ' { ') AS t
+                FROM documents
+            ),
+            arrs AS (
+                SELECT doc_id, t,
+                       list_filter(
+                           list_transform(string_split(t, chr(10)),
+                               x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                           x -> x <> '') AS ln
+                FROM base
+            ),
+            kept AS (
+                SELECT doc_id, t,
+                       list_filter(ln, x ->
+                           (ends_with(x, '.') OR ends_with(x, '!') OR
+                            ends_with(x, '?') OR ends_with(x, '"'))
+                           AND len(list_filter(
+                                   string_split_regex(x, '\s+'),
+                                   y -> y <> '')) >= 3
+                           AND NOT contains(lower(x), 'javascript')) AS kl
+                FROM arrs
+            ),
+            cl AS (
+                SELECT doc_id, t,
+                       -- array_to_string([]) is NULL in DuckDB
+                       coalesce(array_to_string(kl, chr(10)), '')
+                           AS clean_text,
+                       len(kl)::BIGINT AS n_lines_kept
+                FROM kept
+            )
+            SELECT doc_id, clean_text, n_lines_kept,
+                   (length(clean_text) - length(
+                        regexp_replace(clean_text, '[.!?]', '', 'g')
+                    ))::BIGINT AS n_sentences,
+                   ((length(clean_text) - length(
+                        regexp_replace(clean_text, '[.!?]', '', 'g'))) >= 5
+                    AND NOT contains(lower(t), 'lorem ipsum')
+                    AND NOT contains(t, '{'))::BIGINT AS keep
+            FROM cl
+        """,
         "embedding_pairs_04": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

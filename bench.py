@@ -170,6 +170,16 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             docs, splits={"train": 0.98, "val": 0.01, "test": 0.01}, seed=1
         )
 
+    def q_near_dedup():
+        from hyper_spark.operators.graph import near_dedup
+
+        return near_dedup(docs).select("doc_id")
+
+    def q_gopher_filter():
+        from hyper_spark.operators.quality import gopher_filter
+
+        return gopher_filter(docs).select("doc_id", "keep")
+
     def q_pack_offsets():
         from hyper_spark.functions.text import token_count_col
         from hyper_spark.operators.packing import pack_offsets
@@ -198,6 +208,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "knn_join_64q": q_knn_join,
         "corpus_prepare": q_corpus_prepare,
         "pack_offsets": q_pack_offsets,
+        "near_dedup_docs": q_near_dedup,
+        "gopher_filter_docs": q_gopher_filter,
     }
 
 

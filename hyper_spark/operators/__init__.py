@@ -45,7 +45,12 @@ from hyper_spark.operators.sampling import (
 from hyper_spark.operators.packing import chunk_stats, pack_offsets
 from hyper_spark.operators.corpus import prepare_corpus
 from hyper_spark.operators.graph import connected_components, near_dedup
-from hyper_spark.operators.quality import repetition_stats
+from hyper_spark.operators.quality import (
+    c4_clean,
+    gopher_filter,
+    gopher_stats,
+    repetition_stats,
+)
 
 __all__ = [
     "approx_distinct",
@@ -83,4 +88,7 @@ __all__ = [
     "connected_components",
     "near_dedup",
     "repetition_stats",
+    "gopher_stats",
+    "gopher_filter",
+    "c4_clean",
 ]

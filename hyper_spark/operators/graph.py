@@ -66,19 +66,24 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """small-star: orient every edge toward the smaller endpoint, then
-    for each node u attach u and all its smaller neighbors to the
-    minimum neighbor."""
-    o = _star_edges(edges)  # (u, v) with v < u
-    mins = o.groupBy("u").agg(F.min("v").alias("m"))
-    withm = o.join(mins, on="u")
-    self_edges = withm.select(F.col("u"), F.col("m").alias("v")).distinct()
-    nbr_edges = (
-        withm.filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
+    """small-star: for each node u attach u and all its smaller
+    neighbors to the minimum neighbor.
+
+    Input contract: ``edges`` is already canonically oriented
+    (u > v) and distinct — true of ``_star_edges`` output and of
+    ``_large_star`` output (which emits (v, least(u, m)) with
+    v > both) — so no re-orientation/distinct pass here. Outputs are
+    canonical too ((u, m) and (v, m) both have left > m = the group
+    min), deduped with ONE distinct after the union instead of one
+    per branch: every shuffle in this loop body is paid O(log n)
+    times."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    withm = edges.join(mins, on="u")
+    self_edges = withm.select(F.col("u"), F.col("m").alias("v"))
+    nbr_edges = withm.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
     )
-    return self_edges.unionByName(nbr_edges)
+    return self_edges.unionByName(nbr_edges).distinct()
 
 
 def _signature(edges: DataFrame) -> tuple:

@@ -27,6 +27,24 @@ Exact definitions (deterministic, DuckDB-reproducible — gated):
     len(that n-gram) / len(single-spaced token text); ties broken
     toward the lexicographically smallest gram. 0.0 when the doc has
     fewer than n tokens.
+- ``dup_{n}gram_char_frac`` (the Gopher rule for n=5..10) =
+    Σ over grams occurring c>1 times of (c−1)×len(gram) /
+    len(single-spaced token text) — chars in occurrences after the
+    first, the same accounting the dup-line metric uses. (The paper
+    says "characters contained within duplicated n-grams" without an
+    overlap rule; this occurrence-based form is deterministic and is
+    what the dup-line/paragraph metrics already mean here.)
+- paragraphs = non-empty trimmed segments split on a blank line
+  (``\\n\\n``); ``dup_para_frac`` / ``dup_para_char_frac`` mirror the
+  line metrics.
+
+``gopher_filter`` composes these with the non-repetition Gopher rules
+(word count, mean word length, symbol/bullet/ellipsis ratios,
+alphabetic-word fraction, required stopwords) into per-rule booleans
+and one ``keep`` verdict — the standard pre-training quality gate,
+still a single map-only stage. ``c4_clean`` is the other canonical
+web-corpus cleaner (Raffel et al. 2020): line-level retention plus
+page-level discard flags, same map-only shape.
 """
 
 from __future__ import annotations
@@ -36,7 +54,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["repetition_stats"]
+__all__ = [
+    "repetition_stats",
+    "gopher_stats",
+    "gopher_filter",
+    "GOPHER_THRESHOLDS",
+    "c4_clean",
+]
 
 
 def _run_stats(sorted_arr: Column) -> Column:
@@ -78,59 +102,87 @@ def _safe_div(num: Column, den: Column) -> Column:
     )
 
 
+def _segments(txt: Column, sep_regex: str) -> Column:
+    """Non-empty fully-whitespace-trimmed segments of ``txt`` split on
+    ``sep_regex``. F.trim strips ONLY the space character; strip the
+    full whitespace class so '\\t'/'\\r'-padded segments behave like
+    Python's str.strip(). split keeps leading/trailing empty fields
+    (limit -1) — filter them rather than trusting trim."""
+    strip_ws = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
+    return F.filter(
+        F.transform(F.split(txt, sep_regex), strip_ws), lambda x: x != ""
+    )
+
+
+def _seg_metrics(out: DataFrame, arr_col: str, prefix: str) -> DataFrame:
+    """n_{prefix}s, dup_{prefix}_frac, dup_{prefix}_char_frac from a
+    staged segment-array column. Every aggregate struct is STAGED as a
+    column before its fields are read: higher-order functions are
+    CodegenFallback and excluded from runtime subexpression
+    elimination, so referencing two fields of an un-staged struct
+    evaluates the whole O(doc) aggregate twice."""
+    st_c, ch_c = f"__{prefix}st", f"__{prefix}ch"
+    out = (
+        out.withColumn(st_c, _run_stats(F.array_sort(F.col(arr_col))))
+        .withColumn(
+            ch_c,
+            F.aggregate(
+                F.col(arr_col),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.length(x),
+            ),
+        )
+        .withColumn(f"n_{prefix}s", F.size(arr_col).cast("long"))
+        .withColumn(
+            f"dup_{prefix}_frac",
+            _safe_div(F.col(st_c)["dup_n"], F.col(f"n_{prefix}s")),
+        )
+        .withColumn(
+            f"dup_{prefix}_char_frac",
+            _safe_div(F.col(st_c)["dup_chars"], F.col(ch_c)),
+        )
+    )
+    return out.drop(st_c, ch_c)
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram_ns: Sequence[int] = (2, 3, 4),
+    dup_ngram_ns: Sequence[int] = (),
+    include_paragraphs: bool = False,
 ) -> DataFrame:
     """[id_col, n_lines, n_tokens, dup_line_frac, dup_line_char_frac,
-    top_{n}gram_char_frac ...] — see module docstring for the exact
-    definitions. Pure per-row JVM expressions; the plan is map-only."""
+    top_{n}gram_char_frac ..., dup_{n}gram_char_frac ...,
+    (n_paras, dup_para_frac, dup_para_char_frac)] — see module
+    docstring for the exact definitions. Pure per-row JVM expressions;
+    the plan is map-only."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    # F.trim strips ONLY the space character; strip the full whitespace
-    # class so '\t'/'\r'-padded lines and token streams behave like
-    # Python's str.strip()/str.split()
-    strip_ws = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
-    lines = F.filter(
-        F.transform(F.split(txt, r"\n"), strip_ws), lambda x: x != ""
-    )
-    # split keeps leading/trailing empty fields (limit -1) — filter
-    # them rather than trusting trim
     tokens = F.filter(F.split(txt, r"\s+"), lambda x: x != "")
     # staged columns: each array is referenced several times below, and
     # CollapseProject keeps multi-referenced non-cheap expressions in
     # their own projection (no re-inline)
-    out = df.withColumn("__lines", lines).withColumn("__tokens", tokens)
-    line_stats = _run_stats(F.array_sort(F.col("__lines")))
-    line_chars = F.aggregate(
-        F.col("__lines"),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.length(x),
-    )
-    # every aggregate struct is STAGED as a column before its fields are
-    # read: higher-order functions are CodegenFallback and excluded from
-    # runtime subexpression elimination, so referencing two fields of an
-    # un-staged struct evaluates the whole O(doc) aggregate twice
     out = (
-        out.withColumn("__ls", line_stats)
-        .withColumn("__lc", line_chars)
-        .withColumn("n_lines", F.size("__lines").cast("long"))
+        df.withColumn("__lines", _segments(txt, r"\n"))
+        .withColumn("__tokens", tokens)
         .withColumn("n_tokens", F.size("__tokens").cast("long"))
-        .withColumn(
-            "dup_line_frac",
-            _safe_div(F.col("__ls")["dup_n"], F.col("n_lines")),
-        )
-        .withColumn(
-            "dup_line_char_frac",
-            _safe_div(F.col("__ls")["dup_chars"], F.col("__lc")),
-        )
     )
+    out = _seg_metrics(out, "__lines", "line")
+    drop = ["__lines", "__tokens", "__ttl"]
+    if include_paragraphs:
+        out = _seg_metrics(
+            out.withColumn("__paras", _segments(txt, r"\n{2,}")),
+            "__paras",
+            "para",
+        )
+        drop.append("__paras")
     token_text_len = F.when(
         F.col("n_tokens") > 0,
         F.length(F.concat_ws(" ", F.col("__tokens"))),
     ).otherwise(F.lit(0)).cast("long")
     out = out.withColumn("__ttl", token_text_len)
+
     def _gram_lambda(n: int):
         # a closure, NOT a default-arg lambda: PySpark dispatches on the
         # lambda's arity, and a second parameter (even defaulted) turns
@@ -138,7 +190,7 @@ def repetition_stats(
         # silently receive the array index
         return lambda i: F.concat_ws(" ", F.slice(F.col("__tokens"), i, n))
 
-    for n in ngram_ns:
+    for n in sorted(set(ngram_ns) | set(dup_ngram_ns)):
         grams = F.when(
             F.size("__tokens") >= n,
             F.transform(
@@ -149,8 +201,275 @@ def repetition_stats(
         st_col = f"__st{n}"
         out = out.withColumn(st_col, _run_stats(F.array_sort(grams)))
         st = F.col(st_col)
-        out = out.withColumn(
-            f"top_{n}gram_char_frac",
-            _safe_div(st["best_run"] * F.length(st["best"]), F.col("__ttl")),
-        ).drop(st_col)
-    return out.drop("__lines", "__tokens", "__ls", "__lc", "__ttl")
+        if n in ngram_ns:
+            out = out.withColumn(
+                f"top_{n}gram_char_frac",
+                _safe_div(
+                    st["best_run"] * F.length(st["best"]), F.col("__ttl")
+                ),
+            )
+        if n in dup_ngram_ns:
+            out = out.withColumn(
+                f"dup_{n}gram_char_frac",
+                _safe_div(st["dup_chars"], F.col("__ttl")),
+            )
+        out = out.drop(st_col)
+    return out.drop(*drop)
+
+
+# Gopher App. A1 thresholds (Rae et al. 2021), the published defaults.
+# Keys are also the rule-column names gopher_filter emits.
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_required_stopwords": 2,
+    "max_dup_line_frac": 0.30,
+    "max_dup_para_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_dup_para_char_frac": 0.20,
+    "max_top_2gram_char_frac": 0.20,
+    "max_top_3gram_char_frac": 0.18,
+    "max_top_4gram_char_frac": 0.16,
+    "max_dup_5gram_char_frac": 0.15,
+    "max_dup_6gram_char_frac": 0.14,
+    "max_dup_7gram_char_frac": 0.13,
+    "max_dup_8gram_char_frac": 0.12,
+    "max_dup_9gram_char_frac": 0.11,
+    "max_dup_10gram_char_frac": 0.10,
+}
+
+# the paper's rule: a document must contain >= 2 of these words
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_BULLETS = ("-", "*", "•", "‣", "▪")  # - * • ‣ ▪
+_ELLIPSES = ("...", "…")  # ... …
+
+
+def gopher_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All per-document signals the Gopher quality rules read, in one
+    map-only pass: the repetition family (lines, paragraphs, top 2-4
+    grams, dup 5-10 grams) plus
+
+    - ``mean_word_len``      — Σ len(word) / n_tokens (whitespace words)
+    - ``symbol_word_ratio``  — (# count + non-overlapping '...' count +
+                               '…' count) / n_tokens
+    - ``bullet_line_frac``   — non-empty lines starting with -, *, •,
+                               ‣ or ▪ / n_lines
+    - ``ellipsis_line_frac`` — non-empty lines ending with '...' or
+                               '…' / n_lines
+    - ``alpha_word_frac``    — words containing ≥1 [a-zA-Z] / n_tokens
+    - ``n_required_stopwords`` — distinct hits among
+                               GOPHER_REQUIRED_STOPWORDS over
+                               lowercased words
+
+    Everything is JVM expressions over staged arrays; no shuffle."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    out = repetition_stats(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        ngram_ns=(2, 3, 4),
+        dup_ngram_ns=(5, 6, 7, 8, 9, 10),
+        include_paragraphs=True,
+    )
+    # repetition_stats dropped its staged arrays (they are internal to
+    # its contract); re-stage the two this function reads. Catalyst
+    # collapses the duplicate split into one projection per branch.
+    out = (
+        out.withColumn(
+            "__tokens", F.filter(F.split(txt, r"\s+"), lambda x: x != "")
+        )
+        .withColumn("__lines", _segments(txt, r"\n"))
+    )
+    sum_word_len = F.aggregate(
+        F.col("__tokens"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    hash_count = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    # replace() consumes non-overlapping occurrences left-to-right —
+    # the deterministic '...' count ('....' counts once)
+    dots_count = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3
+    uni_ellipsis = F.length(txt) - F.length(
+        F.replace(txt, F.lit("…"), F.lit(""))
+    )
+    bullet_lines = F.filter(
+        F.col("__lines"),
+        lambda x: F.array_contains(
+            F.array(*[F.lit(b) for b in _BULLETS]), F.substring(x, 1, 1)
+        ),
+    )
+    ellipsis_lines = F.filter(
+        F.col("__lines"),
+        lambda x: x.endswith(_ELLIPSES[0]) | x.endswith(_ELLIPSES[1]),
+    )
+    alpha_words = F.filter(F.col("__tokens"), lambda x: x.rlike("[a-zA-Z]"))
+    lower_toks = F.transform(F.col("__tokens"), F.lower)
+    out = out.withColumn("__lt", lower_toks)
+    n_req = sum(
+        F.array_contains(F.col("__lt"), w).cast("int")
+        for w in GOPHER_REQUIRED_STOPWORDS
+    )
+    out = (
+        out.withColumn(
+            "mean_word_len", _safe_div(sum_word_len, F.col("n_tokens"))
+        )
+        .withColumn(
+            "symbol_word_ratio",
+            _safe_div(hash_count + dots_count + uni_ellipsis, F.col("n_tokens")),
+        )
+        .withColumn(
+            "bullet_line_frac",
+            _safe_div(F.size(bullet_lines), F.col("n_lines")),
+        )
+        .withColumn(
+            "ellipsis_line_frac",
+            _safe_div(F.size(ellipsis_lines), F.col("n_lines")),
+        )
+        .withColumn(
+            "alpha_word_frac",
+            _safe_div(F.size(alpha_words), F.col("n_tokens")),
+        )
+        .withColumn("n_required_stopwords", n_req.cast("long"))
+    )
+    return out.drop("__tokens", "__lines", "__lt")
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Gopher quality gate: every input column plus one boolean per
+    rule (named after its GOPHER_THRESHOLDS key, True = rule SATISFIED)
+    and ``keep`` = AND of all rules. ``thresholds`` overrides
+    individual defaults (a key mapped to None disables that rule).
+
+    Still one map-only stage — filtering 100 TB of documents is a scan,
+    a projection, and a write. Compose with ``near_dedup`` (dedup
+    first: quality metrics are per-row, dedup is the only shuffle)."""
+    th = dict(GOPHER_THRESHOLDS)
+    th.update(thresholds or {})
+    stats = gopher_stats(df, text_col=text_col, id_col=id_col)
+    metric_of = {
+        "min_words": ("n_tokens", "min"),
+        "max_words": ("n_tokens", "max"),
+        "min_mean_word_len": ("mean_word_len", "min"),
+        "max_mean_word_len": ("mean_word_len", "max"),
+        "max_symbol_word_ratio": ("symbol_word_ratio", "max"),
+        "max_bullet_line_frac": ("bullet_line_frac", "max"),
+        "max_ellipsis_line_frac": ("ellipsis_line_frac", "max"),
+        "min_alpha_word_frac": ("alpha_word_frac", "min"),
+        "min_required_stopwords": ("n_required_stopwords", "min"),
+        "max_dup_line_frac": ("dup_line_frac", "max"),
+        "max_dup_para_frac": ("dup_para_frac", "max"),
+        "max_dup_line_char_frac": ("dup_line_char_frac", "max"),
+        "max_dup_para_char_frac": ("dup_para_char_frac", "max"),
+        **{
+            f"max_top_{n}gram_char_frac": (f"top_{n}gram_char_frac", "max")
+            for n in (2, 3, 4)
+        },
+        **{
+            f"max_dup_{n}gram_char_frac": (f"dup_{n}gram_char_frac", "max")
+            for n in (5, 6, 7, 8, 9, 10)
+        },
+    }
+    rule_cols = []
+    for rule, (metric, kind) in metric_of.items():
+        if th.get(rule) is None:
+            continue
+        lim = F.lit(th[rule])
+        cond = F.col(metric) >= lim if kind == "min" else F.col(metric) <= lim
+        stats = stats.withColumn(rule, cond)
+        rule_cols.append(rule)
+    keep = F.lit(True)
+    for rule in rule_cols:
+        keep = keep & F.col(rule)
+    return stats.withColumn("keep", keep)
+
+
+# C4 (Raffel et al. 2020, §2.2): a line survives if it ends in terminal
+# punctuation. "End quotation mark" is included per the paper.
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    badwords: Sequence[str] = (),
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) as one map-only
+    stage: line-level retention + page-level discard flags.
+
+    Line rules (a line = non-empty fully-trimmed ``\\n`` segment):
+    ends with terminal punctuation (``C4_TERMINAL_PUNCT``), has ≥
+    ``min_words_per_line`` whitespace words, and does not contain the
+    word "javascript" (case-insensitive).
+
+    Page rules: ≥ ``min_sentences`` sentences in the CLEANED text
+    (sentence count = occurrences of ``.``/``!``/``?`` — a
+    deterministic stand-in for the paper's sentence splitter), the RAW
+    page contains neither "lorem ipsum" (case-insensitive) nor "{",
+    and no lowercased whitespace word of the raw page is in
+    ``badwords`` (the paper screens against a public blocklist; pass
+    your own — the default is empty, which disables the rule).
+
+    Output: every input column plus ``clean_text`` (kept lines joined
+    with ``\\n``), ``n_lines_kept``, ``n_sentences``, ``keep``.
+    Filtering 100 TB is scan → project → write; no shuffle."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.withColumn("__lines", _segments(txt, r"\n"))
+
+    def line_ok(ln: Column) -> Column:
+        ends = F.lit(False)
+        for p in C4_TERMINAL_PUNCT:
+            ends = ends | ln.endswith(p)
+        enough_words = (
+            F.size(F.filter(F.split(ln, r"\s+"), lambda x: x != ""))
+            >= min_words_per_line
+        )
+        no_js = ~F.lower(ln).contains("javascript")
+        return ends & enough_words & no_js
+
+    out = out.withColumn("__kept", F.filter(F.col("__lines"), line_ok))
+    clean = F.array_join(F.col("__kept"), "\n")
+    out = out.withColumn("clean_text", clean)
+    n_sent = F.length("clean_text") - F.length(
+        F.regexp_replace(F.col("clean_text"), r"[.!?]", "")
+    )
+    page_ok = (
+        ~F.lower(txt).contains("lorem ipsum") & ~txt.contains("{")
+    )
+    if badwords:
+        lower_words = F.transform(
+            F.filter(F.split(txt, r"\s+"), lambda x: x != ""), F.lower
+        )
+        out = out.withColumn("__lw", lower_words)
+        hit = F.lit(False)
+        for w in badwords:
+            hit = hit | F.array_contains(F.col("__lw"), w)
+        page_ok = page_ok & ~hit
+    out = (
+        out.withColumn("n_lines_kept", F.size("__kept").cast("long"))
+        .withColumn("n_sentences", n_sent.cast("long"))
+        .withColumn(
+            "keep", (F.col("n_sentences") >= min_sentences) & page_ok
+        )
+    )
+    return out.drop("__lines", "__kept", "__lw") if badwords else out.drop(
+        "__lines", "__kept"
+    )
