@@ -790,6 +790,29 @@ def _q_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup(docs, pairs=pairs).select("doc_id")
 
 
+def _q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster size histogram over the exact n-gram pair graph
+    (operators/graph.py::cluster_stats) vs the DuckDB recursive closure
+    grouped twice."""
+    from hyper_spark.operators.graph import cluster_stats
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5, max_df=None)
+    return cluster_stats(pairs).select("cluster_size", "n_clusters")
+
+
+def _q_near_dedup_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near_dedup keep='longest': survivor = longest text per cluster,
+    ties to the smaller id, unpaired rows unconditionally kept."""
+    from hyper_spark.operators.graph import near_dedup
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5, max_df=None)
+    return near_dedup(docs, pairs=pairs, keep="longest").select("doc_id")
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule repetition metrics (Rae et al. 2021 App. A1.1
     family), computed with a map-only plan: most-frequent n-gram =
@@ -2173,6 +2196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs_05": _q_ngram_jaccard_pairs,
         "connected_components_ngram": _q_connected_components,
         "near_dedup_docs": _q_near_dedup_docs,
+        "near_dedup_longest": _q_near_dedup_longest,
+        "cluster_stats_ngram": _q_cluster_stats,
         "repetition_stats_docs": _q_repetition_stats,
         "gopher_filter_docs": _q_gopher_filter,
         "c4_clean_docs": _q_c4_clean,
@@ -2982,6 +3007,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             LEFT JOIN comp ON comp.id = d.doc_id
             WHERE comp.id IS NULL OR comp.component = d.doc_id
+        """,
+        "near_dedup_longest": f"""
+            WITH RECURSIVE {_ngram_edges_cte(norm)},
+            {_cc_closure_cte()}
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN comp ON comp.id = d.doc_id
+            WHERE comp.id IS NULL OR d.doc_id IN (
+                SELECT doc_id FROM (
+                    SELECT d2.doc_id,
+                           row_number() OVER (
+                               PARTITION BY c2.component
+                               ORDER BY length(coalesce(d2.text, '')) DESC,
+                                        d2.doc_id ASC) AS rn
+                    FROM documents d2 JOIN comp c2 ON c2.id = d2.doc_id
+                ) WHERE rn = 1
+            )
+        """,
+        "cluster_stats_ngram": f"""
+            WITH RECURSIVE {_ngram_edges_cte(norm)},
+            {_cc_closure_cte()}
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters
+            FROM (
+                SELECT component, count(*)::BIGINT AS cluster_size
+                FROM comp GROUP BY component
+            ) GROUP BY cluster_size
         """,
         "repetition_stats_docs": _repetition_sql(),
         "gopher_filter_docs": _gopher_sql(),

@@ -44,7 +44,11 @@ from hyper_spark.operators.sampling import (
 )
 from hyper_spark.operators.packing import chunk_stats, pack_offsets
 from hyper_spark.operators.corpus import prepare_corpus
-from hyper_spark.operators.graph import connected_components, near_dedup
+from hyper_spark.operators.graph import (
+    cluster_stats,
+    connected_components,
+    near_dedup,
+)
 from hyper_spark.operators.quality import (
     c4_clean,
     gopher_filter,
@@ -87,6 +91,7 @@ __all__ = [
     "prepare_corpus",
     "connected_components",
     "near_dedup",
+    "cluster_stats",
     "repetition_stats",
     "gopher_stats",
     "gopher_filter",

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dedup"]
+__all__ = ["connected_components", "near_dedup", "cluster_stats"]
 
 
 def _star_edges(df: DataFrame) -> DataFrame:
@@ -173,15 +173,42 @@ def connected_components(
     return assign
 
 
+def cluster_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Duplicate-cluster size histogram from a pair DataFrame:
+    [cluster_size, n_clusters], cluster_size ≥ 2 (every node in
+    ``pairs`` belongs to some ≥2-cluster unless it only self-loops).
+    The one-number diagnostics every dedup run wants before committing
+    to a policy: how much of the corpus is duplicated, and whether one
+    giant boilerplate cluster dominates (→ raise ``max_bucket`` /
+    thresholds). Cost: components on the pair graph + two tiny
+    groupBys."""
+    assign = connected_components(pairs, src=src, dst=dst)
+    sizes = assign.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     pairs: DataFrame | None = None,
+    keep: str = "min_id",
     **minhash_kwargs,
 ) -> DataFrame:
-    """End-to-end fuzzy dedup: keep ONE canonical row (min id) per
+    """End-to-end fuzzy dedup: keep ONE canonical row per
     near-duplicate cluster.
+
+    ``keep`` picks the survivor: ``'min_id'`` (default — deterministic
+    from ids alone, no extra shuffle input) or ``'longest'`` (the row
+    with the longest ``text_col``, ties to the smaller id — the common
+    web-pipeline policy: boilerplate-trimmed fragments lose to the
+    fullest copy).
 
     ``pairs`` defaults to ``minhash_lsh_pairs(df, **minhash_kwargs)``
     (pass ``max_bucket=`` there for boilerplate-heavy corpora — the
@@ -192,30 +219,46 @@ def near_dedup(
 
     Scale shape: the pair graph is tiny next to the corpus (only
     near-dups appear), components run on pairs alone, and the final
-    filter is one left join keyed by id. Rows never touched by a pair
+    filter is one left join keyed by id (plus, for 'longest', one
+    window over the PAIRED rows only). Rows never touched by a pair
     survive unconditionally.
     """
+    from pyspark.sql import Window
+
     from hyper_spark.operators.dedup import minhash_lsh_pairs
 
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"unknown keep policy {keep!r}")
     own_pairs = pairs is None
     if own_pairs:
         pairs = minhash_lsh_pairs(
             df, id_col=id_col, text_col=text_col, **minhash_kwargs
         )
     assign = connected_components(pairs, src="id_a", dst="id_b")
-    out = (
-        df.join(
-            assign.select(
-                F.col("id").alias(id_col), F.col("component")
-            ),
-            on=id_col,
-            how="left",
-        )
-        .filter(
-            F.col("component").isNull() | (F.col("component") == F.col(id_col))
-        )
-        .drop("component")
+    joined = df.join(
+        assign.select(F.col("id").alias(id_col), F.col("component")),
+        on=id_col,
+        how="left",
     )
+    if keep == "min_id":
+        out = joined.filter(
+            F.col("component").isNull() | (F.col("component") == F.col(id_col))
+        ).drop("component")
+    else:
+        w = Window.partitionBy("component").orderBy(
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).desc(),
+            F.col(id_col).asc(),
+        )
+        # the window only ever sees paired rows (components are tiny
+        # next to the corpus); unpaired rows bypass it entirely
+        unpaired = joined.filter(F.col("component").isNull()).drop("component")
+        winners = (
+            joined.filter(F.col("component").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "component")
+        )
+        out = unpaired.unionByName(winners)
     if own_pairs:
         # minhash_lsh_pairs returns a persisted result (caller
         # contract); the assignment above has been checkpointed, so the

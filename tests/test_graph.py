@@ -12,7 +12,11 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from hyper_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
-from hyper_spark.operators.graph import connected_components, near_dedup
+from hyper_spark.operators.graph import (
+    cluster_stats,
+    connected_components,
+    near_dedup,
+)
 
 
 @pytest.fixture(scope="module")
@@ -140,6 +144,49 @@ def test_near_dedup_closes_star_pairs(spark):
     )
     got = sorted(r["doc_id"] for r in kept.collect())
     assert got == [0, 100, 101, 102, 103, 104]
+
+
+def test_near_dedup_keep_longest(spark):
+    """keep='longest' keeps the longest text per cluster (ties to the
+    smaller id); unpaired rows always survive."""
+    rows = [
+        Row(doc_id=1, text="short copy"),
+        Row(doc_id=2, text="the much longer fuller copy of it"),
+        Row(doc_id=3, text="mid copy here"),
+        Row(doc_id=7, text="same len a"),   # tie cluster: equal lengths
+        Row(doc_id=8, text="same len b"),
+        Row(doc_id=50, text="unpaired loner"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in near_dedup(df, pairs=pairs, keep="longest").collect()
+    )
+    assert got == [2, 7, 50]
+    # min_id on the same pairs keeps 1 instead of 2
+    got_min = sorted(
+        r["doc_id"] for r in near_dedup(df, pairs=pairs).collect()
+    )
+    assert got_min == [1, 7, 50]
+    with pytest.raises(ValueError, match="keep policy"):
+        near_dedup(df, pairs=pairs, keep="noisiest")
+
+
+def test_cluster_stats_histogram(spark):
+    """[cluster_size, n_clusters] histogram vs union-find: a 4-cluster,
+    two 2-clusters, a 3-cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (30, 31), (31, 32)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in cluster_stats(pairs).collect()
+    }
+    assert got == {2: 2, 3: 1, 4: 1}
 
 
 def test_near_dedup_custom_pair_policy(spark, near_dup_docs):

@@ -309,6 +309,43 @@ def test_c4_clean_plan_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_quality_gates_run_on_streams(spark, tmp_path):
+    """gopher_filter and c4_clean are stateless map-only transforms, so
+    they apply unchanged to a Structured Streaming DataFrame (the
+    ingest-time quality-gate deployment): per-row output must equal the
+    batch run on the same rows."""
+    from hyper_spark.operators.quality import c4_clean, gopher_filter
+
+    docs = [
+        (i, f"Line number {i} is fine.\nno punct\nAnother {i} here!")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "qsrc")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = gopher_filter(c4_clean(stream), text_col="clean_text")
+    sink = str(tmp_path / "qsink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    want = gopher_filter(c4_clean(df), text_col="clean_text")
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(got.columns)
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
 def test_repetition_stats_flags_boilerplate(spark):
     """The operator's purpose: templated/boilerplate docs score high,
     natural-ish text scores low — the Gopher-rule discrimination."""
