@@ -813,6 +813,38 @@ def _q_near_dedup_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup(docs, pairs=pairs, keep="longest").select("doc_id")
 
 
+def _q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup against a signature store: docs < 400
+    become the history store (written to a temp dir), docs ≥ 400 the
+    ingest batch. Batch rows near-dup (jaccard ≥ 0.5) of history drop;
+    the rest near-dedup among themselves (min-id closure). Oracle:
+    exact n-gram Jaccard edges + recursive closure partitioned the same
+    way — relies on minhash having full recall on this corpus, like the
+    decontaminate gate."""
+    import shutil
+    import tempfile
+
+    from hyper_spark.operators.dedup import (
+        incremental_near_dedup,
+        write_signature_store,
+    )
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    store = tempfile.mkdtemp(prefix="mh_store_")
+    try:
+        write_signature_store(hist, store)
+        out = incremental_near_dedup(batch, store, update_store=False)
+        return spark.createDataFrame(
+            [(r["doc_id"],) for r in out.select("doc_id").collect()],
+            "doc_id bigint",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule repetition metrics (Rae et al. 2021 App. A1.1
     family), computed with a map-only plan: most-frequent n-gram =
@@ -2198,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_docs": _q_near_dedup_docs,
         "near_dedup_longest": _q_near_dedup_longest,
         "cluster_stats_ngram": _q_cluster_stats,
+        "incremental_near_dedup_docs": _q_incremental_near_dedup,
         "repetition_stats_docs": _q_repetition_stats,
         "gopher_filter_docs": _q_gopher_filter,
         "c4_clean_docs": _q_c4_clean,
@@ -2598,15 +2631,15 @@ def _gopher_sql() -> str:
     )
 
 
-def _cc_closure_cte() -> str:
-    """Recursive min-reachable closure over ``edges`` — DuckDB's
+def _cc_closure_cte(edge_table: str = "edges") -> str:
+    """Recursive min-reachable closure over ``edge_table`` — DuckDB's
     set-semantics UNION terminates the recursion; comp(id, component)
     is the same min-id-per-component contract connected_components
     returns."""
-    return """sym AS (
-                SELECT id_a AS u, id_b AS v FROM edges
+    return f"""sym AS (
+                SELECT id_a AS u, id_b AS v FROM {edge_table}
                 UNION
-                SELECT id_b, id_a FROM edges
+                SELECT id_b, id_a FROM {edge_table}
             ),
             reach(id, r) AS (
                 SELECT u, u FROM sym
@@ -3032,6 +3065,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT component, count(*)::BIGINT AS cluster_size
                 FROM comp GROUP BY component
             ) GROUP BY cluster_size
+        """,
+        "incremental_near_dedup_docs": f"""
+            WITH RECURSIVE {_ngram_edges_cte(norm)},
+            contaminated AS (
+                SELECT DISTINCT CASE WHEN id_a >= 400 THEN id_a
+                                     ELSE id_b END AS id
+                FROM edges WHERE (id_a < 400) <> (id_b < 400)
+            ),
+            fresh_edges AS (
+                SELECT id_a, id_b FROM edges
+                WHERE id_a >= 400 AND id_b >= 400
+                  AND id_a NOT IN (SELECT id FROM contaminated)
+                  AND id_b NOT IN (SELECT id FROM contaminated)
+            ),
+            {_cc_closure_cte("fresh_edges")}
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN comp ON comp.id = d.doc_id
+            WHERE d.doc_id >= 400
+              AND d.doc_id NOT IN (SELECT id FROM contaminated)
+              AND (comp.id IS NULL OR comp.component = d.doc_id)
         """,
         "repetition_stats_docs": _repetition_sql(),
         "gopher_filter_docs": _gopher_sql(),

@@ -42,6 +42,11 @@ from hyper_spark.operators.sampling import (
     hash_sample,
     hash_split,
 )
+from hyper_spark.operators.dedup import (
+    incremental_near_dedup,
+    read_signature_store,
+    write_signature_store,
+)
 from hyper_spark.operators.packing import chunk_stats, pack_offsets
 from hyper_spark.operators.corpus import prepare_corpus
 from hyper_spark.operators.graph import (
@@ -92,6 +97,9 @@ __all__ = [
     "connected_components",
     "near_dedup",
     "cluster_stats",
+    "incremental_near_dedup",
+    "write_signature_store",
+    "read_signature_store",
     "repetition_stats",
     "gopher_stats",
     "gopher_filter",

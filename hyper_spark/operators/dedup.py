@@ -58,6 +58,9 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "incremental_dedup",
+    "incremental_near_dedup",
+    "write_signature_store",
+    "read_signature_store",
     "minhash_join_pairs",
     "decontaminate",
     "simhash_col_agg",
@@ -159,6 +162,125 @@ def incremental_dedup(
             .drop("__rn")
         )
     return fresh.drop("__fp")
+
+
+# ------------------------------------------------- signature store
+
+_STORE_PARAM_KEYS = (
+    "id_col", "text_col", "num_hashes", "bands", "shingle_n",
+    "threshold", "seed",
+)
+
+
+def write_signature_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 7,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's minhash signatures (+ hashed shingle sets)
+    so future ingests never re-scan its text: ``{path}/signatures``
+    (parquet) plus ``{path}/params`` (one row pinning every parameter
+    that makes signatures comparable — ``incremental_near_dedup`` reads
+    THESE for the new batch, so two stores built with different seeds
+    cannot be silently mixed).
+
+    At 100-TB scale this is the difference between an increment costing
+    O(|batch|) and O(|history|): the store is the only artifact of the
+    history the fuzzy-dedup path needs."""
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, seed,
+        include_shingle_hashes=True,
+    )
+    sig.write.mode(mode).parquet(f"{path}/signatures")
+    params = dict(
+        id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n, threshold=float(threshold),
+        seed=seed,
+    )
+    df.sparkSession.createDataFrame([params]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def read_signature_store(spark, path: str) -> tuple[DataFrame, dict]:
+    """(signatures DataFrame, params dict) from a
+    ``write_signature_store`` layout."""
+    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    missing = [k for k in _STORE_PARAM_KEYS if k not in params]
+    if missing:
+        raise ValueError(f"signature store {path} missing params {missing}")
+    return spark.read.parquet(f"{path}/signatures"), params
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    store_path: str,
+    keep: str = "min_id",
+    max_bucket: int | None = None,
+    update_store: bool = True,
+) -> DataFrame:
+    """Fuzzy-dedup an ingest batch against a growing corpus WITHOUT
+    re-scanning the corpus: rows of ``new_df`` that are near-dups
+    (jaccard ≥ the store's threshold) of any historical doc are
+    dropped, the remainder is near-deduped against itself
+    (``near_dedup`` semantics, ``keep`` policy), and with
+    ``update_store`` the survivors' signatures are appended so the next
+    batch sees them.
+
+    All comparison parameters come from the store's params row — a
+    batch cannot be hashed incompatibly with the history it joins.
+
+    Scale shape: the history contributes only its signature table
+    (O(|history|) longs, not text) to one banded join whose output is
+    bounded by true near-dups; everything else is O(|batch|).
+    """
+    from hyper_spark.operators.graph import near_dedup
+
+    spark = new_df.sparkSession
+    store_sig, p = read_signature_store(spark, store_path)
+    id_col, text_col = p["id_col"], p["text_col"]
+    new_sig = minhash_signatures(
+        new_df, id_col, text_col, p["num_hashes"], p["shingle_n"],
+        p["seed"], include_shingle_hashes=True,
+    ).persist()
+    cross = minhash_join_pairs(
+        None, None, id_col=id_col, text_col=text_col,
+        num_hashes=p["num_hashes"], bands=p["bands"],
+        shingle_n=p["shingle_n"], threshold=p["threshold"],
+        seed=p["seed"], left_sig=new_sig, right_sig=store_sig,
+    )
+    contaminated = (
+        cross.select(F.col("id_l").alias(id_col)).distinct().persist()
+    )
+    contaminated.count()
+    cross.unpersist()
+    fresh = new_df.join(contaminated, on=id_col, how="left_anti")
+    fresh_sig = new_sig.join(contaminated, on=id_col, how="left_anti")
+    pairs_self = minhash_lsh_pairs(
+        fresh, id_col=id_col, text_col=text_col,
+        num_hashes=p["num_hashes"], bands=p["bands"],
+        shingle_n=p["shingle_n"], threshold=p["threshold"],
+        seed=p["seed"], max_bucket=max_bucket, sig=fresh_sig,
+    )
+    out = near_dedup(
+        fresh, id_col=id_col, text_col=text_col, pairs=pairs_self,
+        keep=keep,
+    ).localCheckpoint(eager=True)
+    pairs_self.unpersist()
+    contaminated.unpersist()
+    if update_store:
+        new_sig.join(
+            out.select(id_col), on=id_col, how="leftsemi"
+        ).write.mode("append").parquet(f"{store_path}/signatures")
+    new_sig.unpersist()
+    return out
 
 
 # --------------------------------------------------------------- minhash
@@ -282,8 +404,17 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 7,
     max_bucket: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    ``sig`` injects a precomputed signature table (``minhash_signatures
+    (..., include_shingle_hashes=True)`` output, or a signature-store
+    read — same id_col/num_hashes/shingle_n/seed or the results are
+    garbage): the raw text is then never scanned here. Pass a
+    parquet-backed or persisted frame — it is read several times and,
+    unlike the self-computed path, is NOT cached or unpersisted by this
+    function (your persist stays yours).
 
     LSH recall: a pair with Jaccard s collides in ≥1 band with prob
     1-(1-s^r)^b, r = num_hashes/bands — with 128/32 the S-curve midpoint
@@ -319,10 +450,12 @@ def minhash_lsh_pairs(
     # Released before return (VERDICT r01 wrong #5: the old version
     # leaked the cache across the session); the small verified pair set
     # is persisted + materialized so the sig lineage never re-runs.
-    sig = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n, seed,
-        include_shingle_hashes=True,
-    ).cache()
+    own_sig = sig is None
+    if own_sig:
+        sig = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_n, seed,
+            include_shingle_hashes=True,
+        ).cache()
 
     # band hash = xxhash64 over the band's r signature longs DIRECTLY
     # (multi-arg xxhash64). The earlier concat_ws-of-string-casts
@@ -452,7 +585,8 @@ def minhash_lsh_pairs(
     )
     verified = verified.persist()
     verified.count()  # materialize, then drop the big upstream caches
-    sig.unpersist()
+    if own_sig:
+        sig.unpersist()
     band_entries.unpersist()
     return verified
 
@@ -467,10 +601,19 @@ def minhash_join_pairs(
     shingle_n: int = 5,
     threshold: float = 0.5,
     seed: int = 7,
+    left_sig: DataFrame | None = None,
+    right_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs ACROSS two corpora: (id_l, id_r, jaccard ≥
     threshold) — the contamination-detection join (which training docs
     are near-copies of an eval/benchmark set?).
+
+    ``left_sig`` / ``right_sig`` inject precomputed signature tables
+    (same contract as ``minhash_lsh_pairs(sig=)``): the incremental-
+    ingest path, where the historical corpus's signatures live in a
+    store and its text is never re-scanned. Injected frames are not
+    cached or unpersisted here; the corresponding ``*_df`` argument is
+    ignored (pass None).
 
     Same three-stage shape as ``minhash_lsh_pairs`` (banded LSH join →
     fused signature-prefix screen pre-distinct → full-signature screen →
@@ -494,8 +637,9 @@ def minhash_join_pairs(
             include_shingle_hashes=True,
         )
 
-    sig_l = sig_of(left_df).cache()
-    sig_r = sig_of(right_df).cache()
+    own_l, own_r = left_sig is None, right_sig is None
+    sig_l = sig_of(left_df).cache() if own_l else left_sig
+    sig_r = sig_of(right_df).cache() if own_r else right_sig
 
     def bands_of(sig: DataFrame, side: str) -> DataFrame:
         return sig.select(
@@ -577,8 +721,10 @@ def minhash_join_pairs(
     )
     verified = verified.persist()
     verified.count()
-    sig_l.unpersist()
-    sig_r.unpersist()
+    if own_l:
+        sig_l.unpersist()
+    if own_r:
+        sig_r.unpersist()
     return verified
 
 

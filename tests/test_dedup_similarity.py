@@ -151,6 +151,68 @@ def test_minhash_max_bucket_star_join(spark, near_dup_docs):
     assert loose == b
 
 
+def test_minhash_sig_injection_equivalent(spark, near_dup_docs):
+    """minhash_lsh_pairs(sig=precomputed) returns the same pair set as
+    the self-computing path, and leaves the injected frame's persist
+    alone (the store contract)."""
+    from hyper_spark.operators.dedup import minhash_signatures
+
+    base = minhash_lsh_pairs(near_dup_docs, num_hashes=64, bands=16)
+    want = {(r["id_a"], r["id_b"]) for r in base.collect()}
+    base.unpersist()
+    sig = minhash_signatures(
+        near_dup_docs, "doc_id", "text", 64, 5, 7,
+        include_shingle_hashes=True,
+    ).persist()
+    injected = minhash_lsh_pairs(
+        near_dup_docs, num_hashes=64, bands=16, sig=sig
+    )
+    got = {(r["id_a"], r["id_b"]) for r in injected.collect()}
+    injected.unpersist()
+    assert got == want
+    assert sig.storageLevel.useMemory  # still persisted — ours to drop
+    sig.unpersist()
+
+
+def test_incremental_near_dedup_store_roundtrip(spark, near_dup_docs, tmp_path):
+    """Build a store from the corpus, then ingest a batch of (near-dups
+    of history + an internal dup cluster + fresh docs): history dups
+    drop, the internal cluster collapses to one, fresh docs survive,
+    and after the store update a re-ingest of the survivors drops
+    everything."""
+    from hyper_spark.operators.dedup import (
+        incremental_near_dedup,
+        read_signature_store,
+        write_signature_store,
+    )
+
+    store = str(tmp_path / "mh_store")
+    write_signature_store(
+        near_dup_docs, store, num_hashes=64, bands=16, threshold=0.5
+    )
+    _, params = read_signature_store(spark, store)
+    assert params["num_hashes"] == 64 and params["seed"] == 7
+
+    hist = {r["doc_id"]: r["text"] for r in near_dup_docs.collect()}
+    batch = [
+        Row(doc_id=9001, text=hist[0]),                   # exact copy of history
+        Row(doc_id=9002, text=hist[100].replace("doc10", "docX")),  # near-dup of history
+        Row(doc_id=9101, text="entirely novel content about lighthouse engineering and tides " * 3),
+        Row(doc_id=9102, text="entirely novel content about lighthouse engineering and tides " * 3 + "extra"),  # near-dup of 9101
+        Row(doc_id=9201, text="unrelated treatise on alpine lichen growth rates and substrates"),
+    ]
+    new_df = spark.createDataFrame(batch)
+    out = incremental_near_dedup(new_df, store, max_bucket=None)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [9101, 9201]
+    # survivors' signatures were appended: re-ingesting them drops all
+    again = incremental_near_dedup(
+        spark.createDataFrame([batch[2], batch[4]]), store,
+        update_store=False,
+    )
+    assert again.count() == 0
+
+
 def test_minhash_precision_is_exact(spark, near_dup_docs):
     """Verification computes true Jaccard: no pair below threshold."""
     pairs = minhash_lsh_pairs(near_dup_docs, num_hashes=64, bands=16, threshold=0.9)
