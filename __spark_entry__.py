@@ -836,7 +836,12 @@ def _q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="mh_store_")
     try:
         write_signature_store(hist, store)
-        out = incremental_near_dedup(batch, store, update_store=False)
+        # cross_cap=None: the gate checks EXACT semantics against the
+        # exhaustive oracle; the default capped path is the documented
+        # heuristic for templated corpora, pytest-covered
+        out = incremental_near_dedup(
+            batch, store, cross_cap=None, update_store=False
+        )
         return spark.createDataFrame(
             [(r["doc_id"],) for r in out.select("doc_id").collect()],
             "doc_id bigint",

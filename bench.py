@@ -180,6 +180,27 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return gopher_filter(docs).select("doc_id", "keep")
 
+    def q_incremental_near_dedup():
+        # store build + one batch ingest per rep (the store is the
+        # point: history text is scanned once, here, never per-batch)
+        import shutil
+        import tempfile
+
+        from hyper_spark.operators.dedup import (
+            incremental_near_dedup,
+            write_signature_store,
+        )
+
+        h = F.abs(F.xxhash64("doc_id")) % 10
+        store = tempfile.mkdtemp(prefix="bench_mh_store_")
+        try:
+            write_signature_store(docs.filter(h != 0), store)
+            return incremental_near_dedup(
+                docs.filter(h == 0), store, update_store=False
+            ).select("doc_id")
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
     def q_pack_offsets():
         from hyper_spark.functions.text import token_count_col
         from hyper_spark.operators.packing import pack_offsets
@@ -210,6 +231,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "pack_offsets": q_pack_offsets,
         "near_dedup_docs": q_near_dedup,
         "gopher_filter_docs": q_gopher_filter,
+        "incremental_near_dedup_docs": q_incremental_near_dedup,
     }
 
 

@@ -9,7 +9,10 @@ Streaming state) can distribute them. Layers:
 
 * ``kernel``    — pure numpy sketch algebra, no Spark imports
 * ``functions`` — native Column expressions (JVM-side hashing, text stats)
-* ``operators`` — DataFrame-level sketch aggregation / dedup / similarity
+* ``operators`` — DataFrame-level sketch aggregation / dedup (exact,
+  LSH, incremental signature-store, connected-components closure) /
+  similarity / quality gates (Gopher, C4) / temporal / sampling /
+  packing / corpus prep
 * ``sources``   — table loading + deterministic transcripts generator
 * ``plans``     — multi-level merge with checkpoint/resume + lineage
 * ``streaming`` — Structured Streaming sketch state

@@ -224,6 +224,7 @@ def incremental_near_dedup(
     store_path: str,
     keep: str = "min_id",
     max_bucket: int | None = None,
+    cross_cap: int | None = None,
     update_store: bool = True,
 ) -> DataFrame:
     """Fuzzy-dedup an ingest batch against a growing corpus WITHOUT
@@ -236,6 +237,16 @@ def incremental_near_dedup(
 
     All comparison parameters come from the store's params row — a
     batch cannot be hashed incompatibly with the history it joins.
+    ``max_bucket`` is passed to BOTH joins (the history-side cap on the
+    cross join and the star-join cap on the within-batch self join) —
+    set it for templated/boilerplate corpora, where it is the
+    difference between O(|L_b|·|R_b|) and O(|L_b|) per band bucket.
+    ``cross_cap`` bounds screened candidates per batch doc on the
+    history join (``minhash_join_pairs(per_left_cap=)``) — existence
+    semantics, opt-in: measured on the templated transcript corpus it
+    trades ~4% missed contamination for ~1.4× speed (the band-count
+    rank cannot separate one-band true matches from one-band noise),
+    so the exact default is None.
 
     Scale shape: the history contributes only its signature table
     (O(|history|) longs, not text) to one banded join whose output is
@@ -255,6 +266,7 @@ def incremental_near_dedup(
         num_hashes=p["num_hashes"], bands=p["bands"],
         shingle_n=p["shingle_n"], threshold=p["threshold"],
         seed=p["seed"], left_sig=new_sig, right_sig=store_sig,
+        max_bucket=max_bucket, per_left_cap=cross_cap,
     )
     contaminated = (
         cross.select(F.col("id_l").alias(id_col)).distinct().persist()
@@ -262,7 +274,12 @@ def incremental_near_dedup(
     contaminated.count()
     cross.unpersist()
     fresh = new_df.join(contaminated, on=id_col, how="left_anti")
-    fresh_sig = new_sig.join(contaminated, on=id_col, how="left_anti")
+    # persisted: the self-join reads the injected signature table ~6
+    # times (band entries, two screens × two sides, verification) and
+    # an un-persisted anti-join lineage would re-run for each
+    fresh_sig = new_sig.join(
+        contaminated, on=id_col, how="left_anti"
+    ).persist()
     pairs_self = minhash_lsh_pairs(
         fresh, id_col=id_col, text_col=text_col,
         num_hashes=p["num_hashes"], bands=p["bands"],
@@ -274,6 +291,7 @@ def incremental_near_dedup(
         keep=keep,
     ).localCheckpoint(eager=True)
     pairs_self.unpersist()
+    fresh_sig.unpersist()
     contaminated.unpersist()
     if update_store:
         new_sig.join(
@@ -603,6 +621,8 @@ def minhash_join_pairs(
     seed: int = 7,
     left_sig: DataFrame | None = None,
     right_sig: DataFrame | None = None,
+    max_bucket: int | None = None,
+    per_left_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs ACROSS two corpora: (id_l, id_r, jaccard ≥
     threshold) — the contamination-detection join (which training docs
@@ -615,13 +635,36 @@ def minhash_join_pairs(
     cached or unpersisted here; the corresponding ``*_df`` argument is
     ignored (pass None).
 
-    Same three-stage shape as ``minhash_lsh_pairs`` (banded LSH join →
-    fused signature-prefix screen pre-distinct → full-signature screen →
-    exact Jaccard on hashed shingle sets), but the band join pairs left
-    against right instead of self-joining — both sides hash with the
-    SAME seed so signatures are comparable. The right side (typically
-    the small eval set) broadcast-joins when small; only signatures and
-    band keys shuffle, never text.
+    Two skew/volume guards for boilerplate-heavy corpora (both None =
+    exhaustive; precision is always 1.0 — exact verification — only
+    recall through the capped paths is heuristic):
+
+    - ``max_bucket`` caps RIGHT-side band buckets: a (band, hash)
+      bucket with more than ``max_bucket`` right members contributes
+      only its min-id representative, dropping per-bucket join cost
+      from |L|·|R| to |L|. A left doc truly similar to SOME member of
+      an oversized templated bucket almost always matches the
+      representative too (the bucket exists because its members are
+      near-identical).
+    - ``per_left_cap`` keeps only the smallest-id ``per_left_cap``
+      candidate rights PER LEFT DOC before the screens — the
+      EXISTENCE-semantics cap: when the question is "does this doc
+      match ANY right doc" (decontamination, incremental ingest), a
+      doc inside a near-dup family collides with every family mate
+      (measured: 46k-batch ingest vs 419k templated store produced
+      16.4M distinct candidates for 3.8k contaminated docs — the
+      screens were 40× oversubscribed), and verifying a handful is
+      enough. Candidates are ranked per left doc by colliding-band
+      count (true near-dups hit several bands, chance collisions one)
+      before the cap.
+
+    Same three-stage shape as ``minhash_lsh_pairs`` (banded LSH join
+    on bare (id, band, hash) entries → signature-prefix screen per
+    DISTINCT candidate → full-signature screen → exact Jaccard on
+    hashed shingle sets), but the band join pairs left against right
+    instead of self-joining — both sides hash with the SAME seed so
+    signatures are comparable. Only signatures and band keys shuffle,
+    never text.
 
     CALLER CONTRACT: the returned pair DataFrame is materialized +
     persisted (the signature lineage never re-runs); call
@@ -642,9 +685,12 @@ def minhash_join_pairs(
     sig_r = sig_of(right_df).cache() if own_r else right_sig
 
     def bands_of(sig: DataFrame, side: str) -> DataFrame:
+        # bare (id, band, hash) entries — the signature prefix is NOT
+        # carried (same lesson as the self-join: the prefix fans out
+        # into every band row and through the join shuffle; screening
+        # happens per DISTINCT candidate below instead)
         return sig.select(
             F.col(id_col).alias(f"id_{side}"),
-            F.slice("signature", 1, prefix).alias(f"p_{side}"),
             F.posexplode(
                 F.array(
                     *[
@@ -660,19 +706,82 @@ def minhash_join_pairs(
             ).alias("band", "band_hash"),
         )
 
+    bl = bands_of(sig_l, "l")
+    br = bands_of(sig_r, "r").persist()
+    if max_bucket is not None:
+        rsizes = br.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bs")
+        )
+        small = rsizes.filter(F.col("__bs") <= max_bucket).drop("__bs")
+        big = rsizes.filter(F.col("__bs") > max_bucket).drop("__bs")
+        reps = (
+            br.join(big, on=["band", "band_hash"], how="leftsemi")
+            .groupBy("band", "band_hash")
+            .agg(F.min("id_r").alias("id_r"))
+        )
+        join_r = br.join(
+            small, on=["band", "band_hash"], how="leftsemi"
+        ).unionByName(reps)
+    else:
+        join_r = br
+    collisions = bl.join(join_r, on=["band", "band_hash"]).select(
+        "id_l", "id_r"
+    )
+    if per_left_cap is not None:
+        from pyspark.sql.window import Window
+
+        # rank candidates by how many bands they collided in (a true
+        # near-dup hits multiple bands; a chance collision hits one),
+        # then id_r for determinism. The groupBy doubles as the
+        # candidate distinct, so the cap costs one extra window pass
+        # over the already-distinct set.
+        w = Window.partitionBy("id_l").orderBy(
+            F.col("__nb").desc(), F.col("id_r")
+        )
+        candidates = (
+            collisions.groupBy("id_l", "id_r")
+            .agg(F.count(F.lit(1)).alias("__nb"))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= per_left_cap)
+            .select("id_l", "id_r")
+        )
+    else:
+        # NO distinct here: on dense corpora the collision set is
+        # within a few % of its distinct form (measured 16.8M → 16.36M)
+        # yet the distinct costs a full extra shuffle of the widest
+        # intermediate; the few duplicate candidates ride through the
+        # screens and are deduped with the post-fine distinct below,
+        # where the set is small.
+        candidates = collisions
+
+    # coarse screen per candidate: one prefix join each side
     coarse_margin = 2.2 * (threshold * (1 - threshold) / prefix) ** 0.5
-    est_pre = F.aggregate(
-        F.zip_with("p_l", "p_r", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(prefix)
     coarse = (
-        bands_of(sig_l, "l")
-        .join(bands_of(sig_r, "r"), on=["band", "band_hash"])
-        .withColumn("__est", est_pre)
+        candidates.join(
+            sig_l.select(
+                F.col(id_col).alias("id_l"),
+                F.slice("signature", 1, prefix).alias("p_l"),
+            ),
+            on="id_l",
+        )
+        .join(
+            sig_r.select(
+                F.col(id_col).alias("id_r"),
+                F.slice("signature", 1, prefix).alias("p_r"),
+            ),
+            on="id_r",
+        )
+        .withColumn(
+            "__est",
+            F.aggregate(
+                F.zip_with("p_l", "p_r", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(prefix),
+        )
         .filter(F.col("__est") >= threshold - coarse_margin)
         .select("id_l", "id_r")
-        .distinct()
     )
 
     fine_margin = 2.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5
@@ -696,6 +805,7 @@ def minhash_join_pairs(
         )
         .filter(F.col("__est") >= threshold - fine_margin)
         .select("id_l", "id_r")
+        .distinct()
     )
 
     verified = (
@@ -721,6 +831,7 @@ def minhash_join_pairs(
     )
     verified = verified.persist()
     verified.count()
+    br.unpersist()
     if own_l:
         sig_l.unpersist()
     if own_r:

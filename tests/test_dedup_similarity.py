@@ -213,6 +213,26 @@ def test_incremental_near_dedup_store_roundtrip(spark, near_dup_docs, tmp_path):
     assert again.count() == 0
 
 
+def test_minhash_join_per_left_cap(spark, near_dup_docs):
+    """per_left_cap (existence-semantics screen bound) returns a
+    subset of the exhaustive cross pairs and, on a corpus with sparse
+    candidates, the same matched-left set."""
+    from hyper_spark.operators.dedup import minhash_join_pairs
+
+    left = near_dup_docs.filter(F.col("doc_id") % 10 == 2)
+    right = near_dup_docs.filter(F.col("doc_id") % 10 == 0)
+    full = minhash_join_pairs(left, right, num_hashes=64, bands=16)
+    want_pairs = {(r["id_l"], r["id_r"]) for r in full.collect()}
+    full.unpersist()
+    capped = minhash_join_pairs(
+        left, right, num_hashes=64, bands=16, per_left_cap=4
+    )
+    got_pairs = {(r["id_l"], r["id_r"]) for r in capped.collect()}
+    capped.unpersist()
+    assert got_pairs <= want_pairs
+    assert {l for l, _ in got_pairs} == {l for l, _ in want_pairs}
+
+
 def test_minhash_precision_is_exact(spark, near_dup_docs):
     """Verification computes true Jaccard: no pair below threshold."""
     pairs = minhash_lsh_pairs(near_dup_docs, num_hashes=64, bands=16, threshold=0.9)
