@@ -790,6 +790,32 @@ def _q_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup(docs, pairs=pairs).select("doc_id")
 
 
+def _q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exact-substring duplication spans (Lee et al. 2021
+    semantics, operators/dedup.py::substring_dup_spans). Gate pins
+    ``by='content'`` (collision-free exact mode); the xxhash64 scale
+    mode is asserted identical in pytest."""
+    from hyper_spark.operators.dedup import substring_dup_spans
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, window=8, by="content").select(
+        "doc_id", "n_tokens", "n_spans", "dup_tokens", "dup_frac"
+    )
+
+
+def _q_strip_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: duplicated >=8-token spans removed from
+    every doc, surviving normalized tokens re-joined."""
+    from hyper_spark.operators.dedup import strip_dup_spans
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return strip_dup_spans(docs, window=8, by="content").select(
+        "doc_id", "clean_text"
+    )
+
+
 def _q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster size histogram over the exact n-gram pair graph
     (operators/graph.py::cluster_stats) vs the DuckDB recursive closure
@@ -2233,6 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs_05": _q_ngram_jaccard_pairs,
         "connected_components_ngram": _q_connected_components,
         "near_dedup_docs": _q_near_dedup_docs,
+        "substring_dup_docs": _q_substring_dup,
+        "strip_dup_docs": _q_strip_dup,
         "near_dedup_longest": _q_near_dedup_longest,
         "cluster_stats_ngram": _q_cluster_stats,
         "incremental_near_dedup_docs": _q_incremental_near_dedup,
@@ -2348,6 +2376,53 @@ def _lang_sql() -> str:
         f"SELECT {_lang_case_sql()} AS lang_guess, count(*) AS n_docs "
         f"FROM documents GROUP BY 1"
     )
+
+
+def _substring_cte(norm: str, w: int = 8, min_count: int = 2) -> str:
+    """CTE chain for windowed exact-substring duplication (Lee et al.
+    2021 semantics): token windows of ``w``, windows whose content
+    occurs >= ``min_count`` times corpus-wide, per-doc duplicated
+    starts merged into maximal half-open spans via gaps-and-islands —
+    ends in ``sstats(doc_id, n_spans, dup_tokens)`` plus ``stoks`` /
+    ``sspans`` for the strip gate."""
+    return f"""stoks AS (
+                SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+            ),
+            swins AS (
+                SELECT doc_id, i AS s,
+                       array_to_string(t[i + 1:i + {w}], chr(31)) AS wstr
+                FROM stoks, LATERAL (
+                    SELECT unnest(range(0, greatest(len(t) - {w} + 1, 0))) AS i
+                ) g
+            ),
+            sdup AS (
+                SELECT wstr FROM swins GROUP BY wstr
+                HAVING count(*) >= {min_count}
+            ),
+            sdwins AS (SELECT doc_id, s FROM swins SEMI JOIN sdup USING (wstr)),
+            smarked AS (
+                SELECT doc_id, s,
+                       CASE WHEN s <= max(s + {w}) OVER (
+                                PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+                            THEN 0 ELSE 1 END AS brk
+                FROM sdwins
+            ),
+            sgrp AS (
+                SELECT doc_id, s,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+                FROM smarked
+            ),
+            sspans AS (
+                SELECT doc_id, grp, min(s) AS st, max(s) + {w} AS en
+                FROM sgrp GROUP BY doc_id, grp
+            ),
+            sstats AS (
+                SELECT doc_id, count(*)::BIGINT AS n_spans,
+                       sum(en - st)::BIGINT AS dup_tokens
+                FROM sspans GROUP BY doc_id
+            )"""
 
 
 def _ngram_edges_cte(norm: str) -> str:
@@ -3090,6 +3165,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id >= 400
               AND d.doc_id NOT IN (SELECT id FROM contaminated)
               AND (comp.id IS NULL OR comp.component = d.doc_id)
+        """,
+        "substring_dup_docs": f"""
+            WITH {_substring_cte(norm)}
+            SELECT d.doc_id,
+                   len(string_split({norm}, ' '))::BIGINT AS n_tokens,
+                   coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   (coalesce(st.dup_tokens, 0)
+                    / len(string_split({norm}, ' ')))::DOUBLE AS dup_frac
+            FROM documents d LEFT JOIN sstats st USING (doc_id)
+        """,
+        "strip_dup_docs": f"""
+            WITH {_substring_cte(norm)},
+            spos AS (
+                SELECT doc_id, i AS p, t[i + 1] AS tok
+                FROM stoks, LATERAL (
+                    SELECT unnest(range(0, len(t))) AS i
+                ) g
+            ),
+            scovered AS (
+                SELECT DISTINCT doc_id, j AS p
+                FROM sspans, LATERAL (SELECT unnest(range(st, en)) AS j) g2
+            ),
+            skept AS (
+                SELECT doc_id, p, tok
+                FROM spos ANTI JOIN scovered USING (doc_id, p)
+            ),
+            sclean AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+                FROM skept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN sclean c USING (doc_id)
         """,
         "repetition_stats_docs": _repetition_sql(),
         "gopher_filter_docs": _gopher_sql(),

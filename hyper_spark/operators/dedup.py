@@ -68,6 +68,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_pairs",
     "cosine_col",
+    "substring_dup_spans",
+    "strip_dup_spans",
 ]
 
 _MERSENNE31 = (1 << 31) - 1
@@ -1136,4 +1138,240 @@ def embedding_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ------------------------------------------------- substring duplication
+#
+# Windowed exact-substring duplication (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"): any run of >= `window`
+# consecutive tokens whose exact content appears more than once in the
+# corpus is a duplicated span. The published implementation builds a
+# corpus-wide suffix array on one machine; the Spark-first equivalent is
+# the windowed form — every doc emits its (n_tokens - window + 1)
+# token-window hashes, duplicated windows are found by one groupBy on
+# the 64-bit window hash (map-side partial counts make the shuffle
+# |distinct windows|, not |windows|), and per-doc overlapping windows
+# are merged into maximal spans with a single JVM `aggregate` lambda
+# over the sorted start offsets. Recovers exactly the >=window-token
+# duplicated spans a suffix array would report (any duplicated run of
+# length L >= window is covered by its L - window + 1 duplicated
+# windows; shorter runs produce no duplicated window), while every
+# stage is a shuffle Spark already does well at 100 TB.
+#
+# Reference parity note: the reference repo (GameAnalytics/hyper) has
+# no text-dedup surface; this operator is part of the training-data
+# pipeline family (SURVEY §2.4 extension), semantics from the public
+# paper.
+
+
+def _merge_starts_to_spans(starts: Column, window: int) -> Column:
+    """Merge a SORTED array of window-start offsets into maximal
+    half-open token spans [start, end): one JVM `aggregate` pass, no
+    Python. Overlapping or adjacent windows (next start <= current
+    span end) extend the span; a gap opens a new one."""
+    init = F.struct(
+        F.lit([]).cast("array<array<bigint>>").alias("spans"),
+        F.lit(-1).cast("bigint").alias("cs"),
+        F.lit(-1).cast("bigint").alias("ce"),
+    )
+
+    def step(acc, s):
+        first = acc["ce"] < F.lit(0)
+        extends = s <= acc["ce"]
+        return (
+            F.when(
+                first,
+                F.struct(
+                    acc["spans"].alias("spans"),
+                    s.cast("bigint").alias("cs"),
+                    (s + window).cast("bigint").alias("ce"),
+                ),
+            )
+            .when(
+                extends,
+                F.struct(
+                    acc["spans"].alias("spans"),
+                    acc["cs"].alias("cs"),
+                    F.greatest(acc["ce"], (s + window).cast("bigint")).alias("ce"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(
+                        acc["spans"], F.array(F.array(acc["cs"], acc["ce"]))
+                    ).alias("spans"),
+                    s.cast("bigint").alias("cs"),
+                    (s + window).cast("bigint").alias("ce"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["ce"] < F.lit(0), acc["spans"]).otherwise(
+            F.concat(acc["spans"], F.array(F.array(acc["cs"], acc["ce"])))
+        )
+
+    return F.aggregate(starts, init, step, finish)
+
+
+def _window_table(
+    df: DataFrame, id_col: str, text_col: str, window: int, by: str
+) -> DataFrame:
+    """(id, start, win) — one row per token window. The token array is
+    materialized as a real column BEFORE the transform lambda (Catalyst
+    re-evaluates expressions referenced inside higher-order lambdas per
+    element — a column reference is free, an inline regex split is
+    O(n) per element)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), word_tokens_col(F.col(text_col)).alias("__toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("__toks") - F.lit(window)
+    )  # only when n >= window
+    win_of = lambda i: F.concat_ws(
+        "\x1f", F.slice(F.col("__toks"), i + 1, window)
+    )
+    if by == "hash":
+        wins = F.transform(starts, lambda i: F.xxhash64(win_of(i)))
+    elif by == "content":
+        wins = F.transform(starts, win_of)
+    else:
+        raise ValueError(f"unknown by mode {by!r}")
+    return (
+        toks.filter(F.size("__toks") >= window)
+        .select("id", F.posexplode(wins).alias("start", "win"))
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+    by: str = "hash",
+) -> DataFrame:
+    """Per-doc duplicated-substring spans: every maximal run of tokens
+    covered by a >=``window``-token window whose content occurs at
+    least ``min_count`` times corpus-wide (within-doc repeats count,
+    matching the suffix-array semantics of the published method).
+
+    Returns one row per input doc: ``(id_col, n_tokens, spans
+    array<array<bigint>> of half-open [start, end) token offsets,
+    n_spans, dup_tokens, dup_frac)``. Tokens are whitespace tokens of
+    the NORMALIZED text (`normalized_text`), so span offsets index that
+    token stream — `strip_dup_spans` consumes them consistently.
+
+    ``by='hash'`` (default, the scale path) compares 64-bit xxhash64
+    window hashes — a corpus would need ~2^32 distinct windows before a
+    collision is likely; ``by='content'`` compares the window strings
+    themselves (collision-free, more shuffle bytes).
+
+    Scale shape: |windows| ~= |tokens| rows carrying (id, start, 8-byte
+    hash); the dup-window groupBy partial-aggregates map-side so the
+    shuffle is |distinct windows| counts; the per-doc merge works on
+    dup starts only (bounded by tokens-per-doc, never corpus-wide).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    wins = _window_table(df, id_col, text_col, window, by)
+    dup = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("win")
+    )
+    dup_starts = (
+        wins.join(dup, on="win", how="leftsemi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("start")).alias("__starts"))
+        .select(
+            "id", _merge_starts_to_spans(F.col("__starts"), window).alias("spans")
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(word_tokens_col(F.col(text_col))).alias("n_tokens"),
+    )
+    empty = F.lit([]).cast("array<array<bigint>>")
+    out = base.join(
+        dup_starts.withColumnRenamed("id", id_col), on=id_col, how="left"
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("spans", empty).alias("spans"),
+    )
+    dup_tokens = F.aggregate(
+        "spans",
+        F.lit(0).cast("bigint"),
+        lambda acc, sp: acc + sp[1] - sp[0],
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "spans",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        dup_tokens.alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0, dup_tokens / F.col("n_tokens")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+    by: str = "hash",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Remove corpus-duplicated substrings from every document (the
+    'dedup the spans, keep the docs' policy of the published method —
+    both copies lose the run; pass ``min_count=3`` to keep one copy's
+    worth of tolerance).
+
+    ``spans`` defaults to ``substring_dup_spans(df, ...)`` with the
+    same parameters; pass a precomputed one to reuse it across
+    policies. Output: ``(id_col, clean_text, n_tokens, dup_tokens,
+    dup_frac)`` where ``clean_text`` is the surviving NORMALIZED tokens
+    re-joined with single spaces (span offsets index the normalized
+    token stream, so reconstruction is exact over it).
+
+    The strip is one JVM two-arg ``filter`` lambda over the token
+    array (position not covered by any span — O(tokens x spans), spans
+    per doc are few) plus one join keyed by id; nothing touches
+    per-row Python.
+    """
+    if spans is None:
+        spans = substring_dup_spans(
+            df, id_col=id_col, text_col=text_col, window=window,
+            min_count=min_count, by=by,
+        )
+    toks = df.select(
+        F.col(id_col), word_tokens_col(F.col(text_col)).alias("__toks")
+    )
+    joined = toks.join(
+        spans.select(id_col, "spans", "n_tokens", "dup_tokens", "dup_frac"),
+        on=id_col,
+        how="inner",
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("spans"), lambda sp: (i >= sp[0]) & (i < sp[1])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        "n_tokens",
+        "dup_tokens",
+        "dup_frac",
     )

@@ -589,3 +589,124 @@ def test_decontaminate_removes_exact_and_near(spark):
     ids = sorted(r["doc_id"] for r in kept.collect())
     kept.unpersist()
     assert ids == [3]  # 1 exact copy, 2 near-dup, 3 unrelated survives
+
+
+# ------------------------------------------------- substring duplication
+
+
+def _substr_oracle(docs, w, mc):
+    """Python oracle for windowed exact-substring duplication: window
+    counts over normalized tokens, per-doc interval merge."""
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+
+    cnt = Counter()
+    per_doc = {}
+    for i, t in docs:
+        tk = toks(t)
+        ws = (
+            [tuple(tk[s : s + w]) for s in range(len(tk) - w + 1)]
+            if len(tk) >= w
+            else []
+        )
+        per_doc[i] = (tk, ws)
+        cnt.update(ws)
+    out = {}
+    for i, (tk, ws) in per_doc.items():
+        spans = []
+        for s, win in enumerate(ws):
+            if cnt[win] < mc:
+                continue
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], s + w)
+            else:
+                spans.append([s, s + w])
+        covered = set()
+        for st, en in spans:
+            covered.update(range(st, en))
+        clean = " ".join(t for j, t in enumerate(tk) if j not in covered)
+        out[i] = (len(tk), [tuple(x) for x in spans], sum(e - s for s, e in spans), clean)
+    return out
+
+
+@pytest.fixture(scope="module")
+def substr_docs(spark):
+    """Corpus with cross-doc shared runs, a within-doc repeat, a
+    no-dup doc, a doc shorter than the window, and fuzzed docs that
+    share random slices of a common pool (overlap/adjacency cases)."""
+    rng = np.random.default_rng(7)
+    pool = [f"w{k}" for k in rng.integers(0, 40, size=400)]
+    boiler = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, "alpha beta gamma " + boiler + " delta epsilon zeta eta theta"),
+        (1, "one two, three four " + boiler + " five six seven eight nine"),
+        (2, "totally unique text with no duplication at all whatsoever here"),
+        (3, " ".join(["rep"] * 16)),
+        (4, "short doc"),
+    ]
+    for i in range(5, 45):
+        a = int(rng.integers(0, 350))
+        ln = int(rng.integers(3, 30))
+        rows.append((i, " ".join(pool[a : a + ln])))
+    return rows, spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.mark.parametrize("w,mc", [(6, 2), (4, 3)])
+def test_substring_dup_spans_oracle(spark, substr_docs, w, mc):
+    from hyper_spark.operators.dedup import strip_dup_spans, substring_dup_spans
+
+    rows, df = substr_docs
+    exp = _substr_oracle(rows, w, mc)
+    got = {
+        r["doc_id"]: r
+        for r in substring_dup_spans(df, window=w, min_count=mc).collect()
+    }
+    assert set(got) == set(exp)
+    for i, (nt, spans, dup, _clean) in exp.items():
+        r = got[i]
+        assert r["n_tokens"] == nt, i
+        assert [tuple(x) for x in r["spans"]] == spans, i
+        assert r["dup_tokens"] == dup, i
+        assert r["n_spans"] == len(spans), i
+        assert r["dup_frac"] == pytest.approx(dup / nt if nt else 0.0), i
+
+    stripped = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_dup_spans(df, window=w, min_count=mc).collect()
+    }
+    for i, (_nt, _spans, _dup, clean) in exp.items():
+        assert stripped[i] == clean, i
+
+
+def test_substring_dup_hash_matches_content(spark, substr_docs):
+    """by='hash' (xxhash64 scale path) produces the identical span set
+    as the collision-free by='content' mode on a real corpus."""
+    from hyper_spark.operators.dedup import substring_dup_spans
+
+    _rows, df = substr_docs
+    cols = ["doc_id", "n_tokens", "spans", "n_spans", "dup_tokens"]
+    h = sorted(
+        map(tuple, substring_dup_spans(df, window=6, by="hash").select(*cols).collect())
+    )
+    c = sorted(
+        map(
+            tuple,
+            substring_dup_spans(df, window=6, by="content").select(*cols).collect(),
+        )
+    )
+    assert h == c
+
+
+def test_substring_dup_validations(spark, substr_docs):
+    from hyper_spark.operators.dedup import substring_dup_spans
+
+    _rows, df = substr_docs
+    with pytest.raises(ValueError):
+        substring_dup_spans(df, window=1)
+    with pytest.raises(ValueError):
+        substring_dup_spans(df, min_count=1)
+    with pytest.raises(ValueError):
+        substring_dup_spans(df, by="nope")
