@@ -943,6 +943,30 @@ def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/quality.py::scrub_text): URL / email /
+    IPv4 redaction with per-rule counts. The synthetic documents carry
+    none of these, so the gate injects them deterministically with
+    literal replaces (identical in both engines) before scrubbing."""
+    from pyspark.sql import functions as F
+
+    from hyper_spark.operators.quality import scrub_text
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    for src, dst in (
+        (" the ", " user.name+tag@example-site.org "),
+        (" value ", " https://example.com/a?b=1&c=2 "),
+        (" row ", " 10.20.30.40 "),
+    ):
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    docs = docs.withColumn("text", t)
+    return scrub_text(docs).select(
+        "doc_id", "scrubbed_text", "n_url", "n_email", "n_ipv4"
+    )
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -2267,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_docs": _q_repetition_stats,
         "gopher_filter_docs": _q_gopher_filter,
         "c4_clean_docs": _q_c4_clean,
+        "scrub_text_docs": _q_scrub_text,
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
@@ -3249,6 +3274,38 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(t, '{'))::BIGINT AS keep
             FROM cl
         """,
+        "scrub_text_docs": (
+            "WITH injected AS ("
+            "  SELECT doc_id,"
+            "    replace(replace(replace(coalesce(text, ''),"
+            "      ' the ', ' user.name+tag@example-site.org '),"
+            "      ' value ', ' https://example.com/a?b=1&c=2 '),"
+            "      ' row ', ' 10.20.30.40 ') AS t"
+            "  FROM documents"
+            "), s1 AS ("
+            "  SELECT doc_id,"
+            "    len(regexp_extract_all(t, 'https?://[^\\s]+'))::BIGINT AS n_url,"
+            "    regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS t1"
+            "  FROM injected"
+            "), s2 AS ("
+            "  SELECT doc_id, n_url,"
+            "    len(regexp_extract_all(t1,"
+            "      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
+            "    ))::BIGINT AS n_email,"
+            "    regexp_replace(t1,"
+            "      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',"
+            "      '<EMAIL>', 'g') AS t2"
+            "  FROM s1"
+            ") SELECT doc_id,"
+            "    regexp_replace(t2,"
+            "      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',"
+            "      '<IP>', 'g') AS scrubbed_text,"
+            "    n_url, n_email,"
+            "    len(regexp_extract_all(t2,"
+            "      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'"
+            "    ))::BIGINT AS n_ipv4"
+            "  FROM s2"
+        ),
         "embedding_pairs_04": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

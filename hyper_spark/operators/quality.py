@@ -60,6 +60,8 @@ __all__ = [
     "gopher_filter",
     "GOPHER_THRESHOLDS",
     "c4_clean",
+    "scrub_text",
+    "SCRUB_RULES",
 ]
 
 
@@ -473,3 +475,59 @@ def c4_clean(
     return out.drop("__lines", "__kept", "__lw") if badwords else out.drop(
         "__lines", "__kept"
     )
+
+
+# ----------------------------------------------------------- scrubbing
+
+#: Default redaction rules, applied IN ORDER (URLs first so an email or
+#: IP inside a URL is counted once, as a URL). Patterns deliberately use
+#: the regex subset Java and RE2 agree on (no lookaround, no
+#: backreferences) so the DuckDB oracle runs the same expressions.
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_text(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: Sequence[tuple[str, str, str]] | None = None,
+    out_col: str = "scrubbed_text",
+) -> DataFrame:
+    """Redact PII-shaped substrings (URLs, emails, IPv4 by default)
+    with typed placeholders, counting what each rule replaced — the
+    standard pre-training scrub stage (see e.g. the public C4/Dolma
+    pipeline write-ups; the exact rule list is deployment policy, so
+    it is injectable: ``rules`` = ordered ``(name, pattern,
+    replacement)`` triples).
+
+    Appends ``out_col`` plus one ``n_<name>`` count per rule. Each
+    rule counts matches in the text AS THE PREVIOUS RULES LEFT IT
+    (order = precedence: with the defaults, an email inside a URL is
+    one URL, not a URL and an email).
+
+    Scale shape: pure JVM ``regexp_count``/``regexp_replace`` chained
+    in one projection — map-only, no shuffle, no Python; at 100 TB
+    this fuses into the scan's whole-stage codegen like `c4_clean`.
+    NULL text scrubs to NULL with zero counts.
+    """
+    if rules is None:
+        rules = SCRUB_RULES
+    names = [n for n, _, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    cur = F.col(text_col)
+    out = df
+    count_cols: list[tuple[str, Column]] = []
+    for name, pat, repl in rules:
+        count_cols.append(
+            (f"n_{name}", F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)))
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    # counts first, scrubbed text last: if out_col == text_col the
+    # counts must still see the ORIGINAL column, not the overwrite
+    for cname, c in count_cols:
+        out = out.withColumn(cname, c.cast("bigint"))
+    return out.withColumn(out_col, cur)

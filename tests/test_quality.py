@@ -6,6 +6,8 @@ from __future__ import annotations
 import random
 from collections import Counter
 
+import pytest
+
 from hyper_spark.operators.quality import repetition_stats
 
 
@@ -359,3 +361,65 @@ def test_repetition_stats_flags_boilerplate(spark):
     r = {x["doc_id"]: x for x in repetition_stats(df).collect()}
     assert r[1]["top_4gram_char_frac"] > 0.5
     assert r[2]["top_4gram_char_frac"] < 0.3
+
+
+# ------------------------------------------------------------- scrubbing
+
+
+def test_scrub_text_oracle(spark):
+    """Python re oracle over crafted docs: overlapping entities, emails
+    inside URLs (counted once as URL), NULLs, custom rules, in-place
+    overwrite."""
+    import re
+
+    from hyper_spark.operators.quality import SCRUB_RULES, scrub_text
+
+    docs = [
+        (0, "mail me at a.b+c@foo.co or visit https://x.io/p?a=1 now"),
+        (1, "server 192.168.0.1 and http://u:p@host.com/a#f plus end."),
+        (2, "no entities at all here"),
+        (3, None),
+        (4, "double x@y.io z@w.org and 1.2.3.4 5.6.7.8 https://a.b https://c.d"),
+        (5, "edge 999.999.999.999 and user@@nope and a@b.c"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scrub_text(df).collect()}
+    for i, t in docs:
+        cur = t
+        counts = {}
+        for name, pat, repl in SCRUB_RULES:
+            if cur is None:
+                counts[name] = 0
+                continue
+            counts[name] = len(re.findall(pat, cur))
+            cur = re.sub(pat, repl, cur)
+        r = got[i]
+        assert r["scrubbed_text"] == cur, i
+        for name in counts:
+            assert r[f"n_{name}"] == counts[name], (i, name)
+
+    # in-place overwrite still counts against the original text
+    over = {
+        r["doc_id"]: r
+        for r in scrub_text(df, out_col="text").collect()
+    }
+    assert over[0]["n_email"] == 1 and over[0]["n_url"] == 1
+    assert "<EMAIL>" in over[0]["text"] and "<URL>" in over[0]["text"]
+
+    # custom rules, order honored
+    custom = [("word", r"edge", "<W>")]
+    c = {r["doc_id"]: r for r in scrub_text(df, rules=custom).collect()}
+    assert c[5]["n_word"] == 1 and c[5]["scrubbed_text"].startswith("<W> ")
+    with pytest.raises(ValueError):
+        scrub_text(df, rules=[("a", "x", "y"), ("a", "z", "w")])
+
+
+def test_scrub_text_plan_map_only(spark):
+    """scrub_text must stay a single map-only projection (no Exchange,
+    no Python) — the 100-TB shape."""
+    from hyper_spark.operators.quality import scrub_text
+
+    df = spark.createDataFrame([(0, "a@b.co")], ["doc_id", "text"])
+    plan = scrub_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
