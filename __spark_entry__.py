@@ -967,6 +967,19 @@ def _q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup (SemDeDup policy,
+    operators/graph.py::semantic_dedup): cosine >= 0.4 pairs →
+    component closure → min-id survivor per cluster. Gate pins
+    ``method='brute'`` (exact pair recall); the LSH path is covered in
+    pytest."""
+    from hyper_spark.operators.graph import semantic_dedup
+
+    _ensure_pkg(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, method="brute").select("vec_id")
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -2292,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter_docs": _q_gopher_filter,
         "c4_clean_docs": _q_c4_clean,
         "scrub_text_docs": _q_scrub_text,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
@@ -3311,6 +3325,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
+        "semantic_dedup_embeddings": f"""
+            WITH RECURSIVE edges AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ),
+            {_cc_closure_cte()}
+            SELECT e.vec_id FROM embeddings e
+            LEFT JOIN comp ON comp.id = e.vec_id
+            WHERE comp.id IS NULL OR comp.component = e.vec_id
+        """,
         "knn_top5": (
             "SELECT b.vec_id, row_number() OVER (ORDER BY "
             "list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) "

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dedup", "cluster_stats"]
+__all__ = [
+    "connected_components",
+    "near_dedup",
+    "cluster_stats",
+    "semantic_dedup",
+]
 
 
 def _star_edges(df: DataFrame) -> DataFrame:
@@ -266,3 +271,59 @@ def near_dedup(
         out = out.localCheckpoint(eager=True)
         pairs.unpersist()
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    keep: str = "min_id",
+    text_col: str | None = None,
+    method: str = "lsh",
+    **embedding_kwargs,
+) -> DataFrame:
+    """Embedding-space near-dedup (the SemDeDup policy, Abbas et al.
+    2023: drop all but one of every cosine-similar cluster): pairs by
+    cosine >= ``threshold`` via `embedding_pairs` (hyperplane-LSH
+    bucketed by default — ``method='brute'`` is the exact/audit mode),
+    cluster closure via `connected_components`, one survivor per
+    cluster via `near_dedup`'s keep policy.
+
+    ``keep='longest'`` needs ``text_col`` (the policy reads document
+    length); ``'min_id'`` (default) works on embedding-only tables.
+
+    Scale shape: inherits its stages' — bucketed quadratic work only
+    inside LSH buckets, component closure on the pair graph alone
+    (O(log n) rounds), one final join keyed by id.
+    """
+    from hyper_spark.operators.dedup import embedding_pairs
+
+    if keep == "longest" and text_col is None:
+        raise ValueError("keep='longest' requires text_col")
+    # injected pairs are the CALLER's to persist (near_dedup only
+    # manages the lifetime of pair frames it builds itself), and the
+    # component closure evaluates its edge input twice (nodes + first
+    # star round) — without this the LSH matmul and bucket join run
+    # twice
+    pairs = embedding_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        method=method,
+        **embedding_kwargs,
+    ).persist()
+    try:
+        # near_dedup's component closure checkpoints eagerly, so by
+        # return time nothing downstream references the pair lineage —
+        # the unpersist cannot trigger a recompute
+        return near_dedup(
+            df,
+            id_col=id_col,
+            text_col=text_col if text_col is not None else id_col,
+            pairs=pairs,
+            keep=keep,
+        )
+    finally:
+        pairs.unpersist()

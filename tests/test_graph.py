@@ -200,3 +200,100 @@ def test_near_dedup_custom_pair_policy(spark, near_dup_docs):
     want = (all_ids - paired) | {n for n in paired if comp[n] == n}
     kept = near_dedup(near_dup_docs, pairs=pairs)
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} == want
+
+
+# --------------------------------------------------------- semantic dedup
+
+
+def _semantic_corpus(spark, n_clusters=8, per_cluster=4, n_noise=30, dim=16):
+    """Deterministic embeddings: tight cosine clusters (same direction,
+    small jitter) + isotropic noise vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for _c in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + rng.standard_normal(dim) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(n_noise):
+        v = rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_brute_oracle(spark):
+    """Exact mode: one survivor (min id) per tight cluster, all noise
+    survives — verified against a numpy union-find oracle."""
+    import numpy as np
+
+    from hyper_spark.operators.graph import semantic_dedup
+
+    df = _semantic_corpus(spark)
+    rows = df.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    ids = sorted(vecs)
+    edges = []
+    for i in ids:
+        for j in ids:
+            if i < j:
+                a, b = vecs[i], vecs[j]
+                cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+                if cos >= 0.9:
+                    edges.append((i, j))
+    expected = set(ids) - {
+        max(i, j) for i, j in edges
+    }  # min-id survivor: drop any node reachable from a smaller one
+    # transitive: iterate to fixpoint (tiny graph)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in edges:
+        parent[find(i)] = find(j)
+    comp = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    expected = {min(members) for members in comp.values()}
+
+    got = {
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.9, method="brute").collect()
+    }
+    assert got == expected
+
+
+def test_semantic_dedup_lsh_recall(spark):
+    """LSH mode with enough tables finds the same tight clusters as
+    brute (cosine ~0.999 pairs collide in some table w.h.p.)."""
+    from hyper_spark.operators.graph import semantic_dedup
+
+    df = _semantic_corpus(spark)
+    brute = {
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.9, method="brute").collect()
+    }
+    lsh = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, threshold=0.9, method="lsh", n_planes=6, n_tables=8
+        ).collect()
+    }
+    assert lsh == brute
+
+
+def test_semantic_dedup_longest_requires_text(spark):
+    from hyper_spark.operators.graph import semantic_dedup
+
+    df = _semantic_corpus(spark)
+    with pytest.raises(ValueError):
+        semantic_dedup(df, keep="longest")
