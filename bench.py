@@ -201,6 +201,23 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         finally:
             shutil.rmtree(store, ignore_errors=True)
 
+    def q_strip_dup():
+        from hyper_spark.operators.dedup import strip_dup_spans
+
+        return strip_dup_spans(docs, window=8)
+
+    def q_scrub_text():
+        from hyper_spark.operators.quality import scrub_text
+
+        return scrub_text(docs).select("doc_id", "n_url", "n_email", "n_ipv4")
+
+    def q_semantic_dedup():
+        from hyper_spark.operators.graph import semantic_dedup
+
+        return semantic_dedup(
+            emb, threshold=0.9, method="lsh", n_planes=6, n_tables=8
+        ).select("vec_id")
+
     def q_pack_offsets():
         from hyper_spark.functions.text import token_count_col
         from hyper_spark.operators.packing import pack_offsets
@@ -232,6 +249,9 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "near_dedup_docs": q_near_dedup,
         "gopher_filter_docs": q_gopher_filter,
         "incremental_near_dedup_docs": q_incremental_near_dedup,
+        "strip_dup_docs": q_strip_dup,
+        "scrub_text_docs": q_scrub_text,
+        "semantic_dedup_embeddings": q_semantic_dedup,
     }
 
 

@@ -133,3 +133,19 @@ def test_heavy_hitters_rescan_is_broadcast(spark, sf_correct):
     events = spark.read.parquet(f"{sf_correct}/events.parquet")
     plan = _executed_plan(heavy_hitters(events, "event_type", k=3, exact=True))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_substring_dup_jvm_with_partial_agg(spark, sf_correct):
+    """Windowed substring dedup must stay JVM end-to-end (window
+    hashing is xxhash64 inside a transform, never Python) and the
+    dup-window count must partial-aggregate map-side so the shuffle is
+    |distinct windows| counts, not |windows| rows. The scan reads only
+    the id + text columns."""
+    from hyper_spark.operators.dedup import substring_dup_spans
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    plan = _executed_plan(substring_dup_spans(docs, window=8))
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "partial_count" in plan, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "lang" not in read_schema[0], plan
