@@ -45,6 +45,8 @@ from hyper_spark.operators.sampling import (
 from hyper_spark.operators.dedup import (
     incremental_near_dedup,
     read_signature_store,
+    strip_dup_spans,
+    substring_dup_spans,
     write_signature_store,
 )
 from hyper_spark.operators.packing import chunk_stats, pack_offsets
@@ -53,12 +55,14 @@ from hyper_spark.operators.graph import (
     cluster_stats,
     connected_components,
     near_dedup,
+    semantic_dedup,
 )
 from hyper_spark.operators.quality import (
     c4_clean,
     gopher_filter,
     gopher_stats,
     repetition_stats,
+    scrub_text,
 )
 
 __all__ = [
@@ -96,6 +100,10 @@ __all__ = [
     "prepare_corpus",
     "connected_components",
     "near_dedup",
+    "semantic_dedup",
+    "substring_dup_spans",
+    "strip_dup_spans",
+    "scrub_text",
     "cluster_stats",
     "incremental_near_dedup",
     "write_signature_store",
