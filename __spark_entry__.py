@@ -943,6 +943,16 @@ def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus token-frequency top-50 with coverage
+    (operators/profile.py::vocab_stats)."""
+    from hyper_spark.operators.profile import vocab_stats
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_stats(docs, top_k=50)
+
+
 def _q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (operators/quality.py::scrub_text): URL / email /
     IPv4 redaction with per-rule counts. The synthetic documents carry
@@ -2306,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_docs": _q_c4_clean,
         "scrub_text_docs": _q_scrub_text,
         "semantic_dedup_embeddings": _q_semantic_dedup,
+        "vocab_top_tokens": _q_vocab_stats,
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
@@ -3287,6 +3298,27 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(t), 'lorem ipsum')
                     AND NOT contains(t, '{'))::BIGINT AS keep
             FROM cl
+        """,
+        "vocab_top_tokens": f"""
+            WITH tk AS (
+                SELECT unnest(string_split({norm}, ' ')) AS token
+                FROM documents
+            ),
+            c AS (SELECT token, count(*)::BIGINT AS count FROM tk GROUP BY token),
+            t AS (SELECT sum(count) AS tt FROM c),
+            top AS (
+                SELECT token, count FROM c
+                ORDER BY count DESC, token ASC LIMIT 50
+            )
+            SELECT row_number() OVER (ORDER BY count DESC, token ASC)::BIGINT
+                       AS rank,
+                   token, count,
+                   (count / tt)::DOUBLE AS frac,
+                   (sum(count) OVER (
+                        ORDER BY count DESC, token ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) / tt)::DOUBLE AS cum_frac
+            FROM top, t
         """,
         "scrub_text_docs": (
             "WITH injected AS ("

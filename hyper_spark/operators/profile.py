@@ -26,7 +26,7 @@ from pyspark.sql.types import AtomicType
 
 from hyper_spark.operators.hll_agg import cardinality_col, multi_sketch_by
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "vocab_stats"]
 
 
 def profile_table(
@@ -87,4 +87,69 @@ def profile_table(
         rows,
         "column string, n_rows bigint, n_nulls bigint, null_frac double, "
         "approx_distinct double, min_value string, max_value string",
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    normalized: bool = True,
+) -> DataFrame:
+    """Exact corpus token-frequency table: the top-``top_k`` tokens by
+    count with corpus coverage — what tokenizer training and corpus
+    drift checks read first.
+
+    Returns DataFrame[rank, token, count, frac, cum_frac] ordered by
+    (count desc, token asc); ``frac`` = count / total token
+    occurrences, ``cum_frac`` the running coverage of the top-rank
+    prefix. ``normalized=True`` tokenizes `normalized_text` (the
+    dedup-consistent stream); ``False`` splits the raw text on
+    whitespace runs.
+
+    Scale shape: explode tokens → ONE partial-aggregated groupBy
+    (shuffle = |vocab| partial counts, not |tokens| rows) → global
+    top-k via a single ordered limit (Spark's TakeOrderedAndProject —
+    no full sort materialization); the total-occurrence count is a
+    second aggregate over the SAME shuffled vocab exchange — AQE's
+    runtime ReusedExchange serves it from the existing shuffle files
+    (test-asserted), so the corpus is scanned and exploded once. The
+    final window for cum_frac runs over top_k rows only.
+    """
+    from pyspark.sql import Window
+
+    from hyper_spark.functions.text import word_tokens_col
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    toks = (
+        word_tokens_col(F.col(text_col))
+        if normalized
+        else F.split(F.trim(F.col(text_col)), r"\s+")
+    )
+    exploded = df.select(F.explode(toks).alias("token"))
+    counts = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    # one tiny second aggregate over |vocab| rows (already shuffled
+    # data, no second scan of the corpus)
+    total = counts.agg(F.sum("count").alias("__t"))
+    top = (
+        counts.orderBy(F.col("count").desc(), F.col("token").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.col("count").desc(), F.col("token").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("count").desc(), F.col("token").asc()))
+        .cast("bigint")
+        .alias("rank"),
+        "token",
+        F.col("count").cast("bigint").alias("count"),
+        (F.col("count") / F.col("__t")).alias("frac"),
+        (F.sum("count").over(w) / F.col("__t")).alias("cum_frac"),
     )

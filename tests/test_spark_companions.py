@@ -452,3 +452,53 @@ def test_hash_fn_mismatch_is_an_error_not_corruption(spark):
         sk_md5, df.select("v").distinct(), "v", hash_fn="md5"
     ).count() == 50
     assert cms_estimate(sk_xx, df.select("v").distinct(), "v").count() == 50
+
+
+def test_vocab_stats_oracle(spark):
+    """vocab_stats vs a Python Counter oracle: exact counts, tie order
+    (count desc, token asc), frac/cum_frac arithmetic, top_k cut."""
+    import re
+    from collections import Counter
+
+    from hyper_spark.operators.profile import vocab_stats
+
+    docs = [
+        (0, "b b b a a c"),
+        (1, "a a d! e, c c"),
+        (2, "E e e a"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cnt = Counter()
+    for _i, t in docs:
+        if t is None:
+            continue
+        cnt.update(re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" "))
+    total = sum(cnt.values())
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+
+    rows = vocab_stats(df, top_k=3).collect()
+    assert [(r["token"], r["count"]) for r in rows] == expected
+    cum = 0
+    for i, r in enumerate(rows):
+        cum += r["count"]
+        assert r["rank"] == i + 1
+        assert r["frac"] == pytest.approx(r["count"] / total)
+        assert r["cum_frac"] == pytest.approx(cum / total)
+
+    with pytest.raises(ValueError):
+        vocab_stats(df, top_k=0)
+
+
+def test_vocab_stats_single_scan(spark, sf_correct):
+    """The total-occurrences aggregate must reuse the vocab shuffle
+    (AQE ReusedExchange), not rescan+re-explode the corpus. Exchange
+    reuse fires at runtime under AQE, so execute first, then inspect
+    the final plan."""
+    from hyper_spark.operators.profile import vocab_stats
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    df = vocab_stats(docs, top_k=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
