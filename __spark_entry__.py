@@ -953,6 +953,19 @@ def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, top_k=50)
 
 
+def _q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm.py): train the
+    bigram stupid-backoff model on the corpus, score every document
+    (self-scoring exercises the kept-bigram and backoff paths; pruned
+    rare bigrams exercise the unigram backoff)."""
+    from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    model = ngram_lm_train(docs, min_count=2)
+    return ngram_lm_score(docs, model, alpha=0.4)
+
+
 def _q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (operators/quality.py::scrub_text): URL / email /
     IPv4 redaction with per-rule counts. The synthetic documents carry
@@ -2317,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text_docs": _q_scrub_text,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "vocab_top_tokens": _q_vocab_stats,
+        "ngram_lm_score_docs": _q_ngram_lm_score,
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
@@ -3319,6 +3333,49 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                     ) / tt)::DOUBLE AS cum_frac
             FROM top, t
+        """,
+        "ngram_lm_score_docs": f"""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split({norm}, ' '),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            uni AS (
+                SELECT w, count(*)::BIGINT AS c
+                FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+            ),
+            tot AS (SELECT sum(c)::BIGINT AS t FROM uni),
+            prs AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS pr
+                FROM tk WHERE len(toks) >= 2
+            ),
+            occ AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM prs),
+            bg AS (
+                SELECT w1, w2, count(*)::BIGINT AS c_bi
+                FROM occ GROUP BY w1, w2 HAVING count(*) >= 2
+            ),
+            sc AS (
+                SELECT o.doc_id, count(*)::BIGINT AS n_scored,
+                       avg(CASE WHEN b.c_bi IS NOT NULL
+                                THEN log10(b.c_bi::DOUBLE / u1.c)
+                                ELSE log10(0.4) + coalesce(
+                                         log10(u2.c::DOUBLE / tot.t),
+                                         log10(1.0 / tot.t)) END) AS avg_logp
+                FROM occ o
+                LEFT JOIN bg b ON o.w1 = b.w1 AND o.w2 = b.w2
+                LEFT JOIN uni u1 ON o.w1 = u1.w
+                LEFT JOIN uni u2 ON o.w2 = u2.w, tot
+                GROUP BY o.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(sc.n_scored, 0)::BIGINT AS n_scored,
+                   sc.avg_logp::DOUBLE AS avg_logp,
+                   pow(10, -sc.avg_logp)::DOUBLE AS ppl
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         """,
         "scrub_text_docs": (
             "WITH injected AS ("

@@ -218,6 +218,17 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             emb, threshold=0.9, method="lsh", n_planes=6, n_tables=8
         ).select("vec_id")
 
+    def q_ngram_lm():
+        from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train
+
+        model = ngram_lm_train(docs, min_count=2)
+        return ngram_lm_score(docs, model).select("doc_id", "n_scored")
+
+    def q_vocab_stats():
+        from hyper_spark.operators.profile import vocab_stats
+
+        return vocab_stats(docs, top_k=100)
+
     def q_pack_offsets():
         from hyper_spark.functions.text import token_count_col
         from hyper_spark.operators.packing import pack_offsets
@@ -251,6 +262,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "incremental_near_dedup_docs": q_incremental_near_dedup,
         "strip_dup_docs": q_strip_dup,
         "scrub_text_docs": q_scrub_text,
+        "vocab_top_tokens": q_vocab_stats,
+        "ngram_lm_score_docs": q_ngram_lm,
         "semantic_dedup_embeddings": q_semantic_dedup,
     }
 

@@ -57,6 +57,7 @@ from hyper_spark.operators.graph import (
     near_dedup,
     semantic_dedup,
 )
+from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.quality import (
     c4_clean,
     gopher_filter,
@@ -66,6 +67,9 @@ from hyper_spark.operators.quality import (
 )
 
 __all__ = [
+    "ngram_lm_train",
+    "ngram_lm_score",
+    "ppl_buckets",
     "approx_distinct",
     "cardinality_col",
     "intersect_card",
