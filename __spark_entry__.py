@@ -953,6 +953,25 @@ def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, top_k=50)
 
 
+def _q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding (operators/export.py): per-shard
+    doc count and order-key range under the md5 mod-8 assignment —
+    the pure-function contract the sharded writer builds on."""
+    from hyper_spark.operators.export import shard_assignment
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        shard_assignment(docs, 8, id_col="doc_id", seed=0)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("order_key").alias("min_key"),
+            F.max("order_key").alias("max_key"),
+        )
+    )
+
+
 def _q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/lm.py): train the
     bigram stupid-backoff model on the corpus, score every document
@@ -2331,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "vocab_top_tokens": _q_vocab_stats,
         "ngram_lm_score_docs": _q_ngram_lm_score,
+        "shard_assignment_docs": _q_shard_assignment,
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
@@ -3333,6 +3353,18 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                     ) / tt)::DOUBLE AS cum_frac
             FROM top, t
+        """,
+        "shard_assignment_docs": """
+            WITH h AS (
+                SELECT substring(md5(doc_id::VARCHAR || ':0'), 1, 8)
+                           AS order_key
+                FROM documents WHERE doc_id IS NOT NULL
+            )
+            SELECT (('0x' || order_key)::BIGINT % 8)::BIGINT AS shard,
+                   count(*)::BIGINT AS n_docs,
+                   min(order_key) AS min_key,
+                   max(order_key) AS max_key
+            FROM h GROUP BY 1
         """,
         "ngram_lm_score_docs": f"""
             WITH tk AS (

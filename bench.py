@@ -218,6 +218,28 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             emb, threshold=0.9, method="lsh", n_planes=6, n_tables=8
         ).select("vec_id")
 
+    def q_export_shards():
+        # timed end-to-end: assign + shuffle + sorted parquet write +
+        # read-back manifest (fresh dir per rep; mode('error') forbids
+        # reusing one)
+        import shutil
+        import tempfile
+
+        from hyper_spark.operators.export import export_shards
+
+        d = tempfile.mkdtemp(prefix="bench_shards_")
+
+        class _Export:
+            def count(self_inner):
+                try:
+                    return export_shards(
+                        docs, os.path.join(d, "out"), n_shards=16
+                    ).count()
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+
+        return _Export()
+
     def q_ngram_lm():
         from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train
 
@@ -264,6 +286,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "scrub_text_docs": q_scrub_text,
         "vocab_top_tokens": q_vocab_stats,
         "ngram_lm_score_docs": q_ngram_lm,
+        "export_shards_docs": q_export_shards,
         "semantic_dedup_embeddings": q_semantic_dedup,
     }
 

@@ -57,6 +57,7 @@ from hyper_spark.operators.graph import (
     near_dedup,
     semantic_dedup,
 )
+from hyper_spark.operators.export import export_shards, shard_assignment, shard_manifest
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.quality import (
     c4_clean,
@@ -67,6 +68,9 @@ from hyper_spark.operators.quality import (
 )
 
 __all__ = [
+    "export_shards",
+    "shard_assignment",
+    "shard_manifest",
     "ngram_lm_train",
     "ngram_lm_score",
     "ppl_buckets",
