@@ -953,6 +953,33 @@ def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, top_k=50)
 
 
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution movers between two deterministic halves of
+    the corpus (operators/profile.py::vocab_drift)."""
+    from hyper_spark.operators.profile import vocab_drift
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=40,
+    )
+
+
+def _q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift summary between the same two halves
+    (operators/profile.py::vocab_divergence)."""
+    from hyper_spark.operators.profile import vocab_divergence
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic export sharding (operators/export.py): per-shard
     doc count and order-key range under the md5 mod-8 assignment —
@@ -2351,6 +2378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _q_vocab_stats,
         "ngram_lm_score_docs": _q_ngram_lm_score,
         "shard_assignment_docs": _q_shard_assignment,
+        "vocab_drift_docs": _q_vocab_drift,
+        "vocab_divergence_docs": _q_vocab_divergence,
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
@@ -3365,6 +3394,78 @@ def oracle_sql() -> dict[str, str]:
                    min(order_key) AS min_key,
                    max(order_key) AS max_key
             FROM h GROUP BY 1
+        """,
+        "vocab_drift_docs": f"""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split({norm}, ' '),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            ca AS (
+                SELECT w AS token, count(*)::BIGINT AS c
+                FROM (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 0)
+                GROUP BY w
+            ),
+            cb AS (
+                SELECT w AS token, count(*)::BIGINT AS c
+                FROM (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 1)
+                GROUP BY w
+            ),
+            ta AS (SELECT sum(c)::BIGINT AS t FROM ca),
+            tb AS (SELECT sum(c)::BIGINT AS t FROM cb),
+            j AS (
+                SELECT coalesce(ca.token, cb.token) AS token,
+                       coalesce(ca.c, 0)::BIGINT AS c_a,
+                       coalesce(cb.c, 0)::BIGINT AS c_b,
+                       (coalesce(ca.c, 0) / ta.t)::DOUBLE AS frac_a,
+                       (coalesce(cb.c, 0) / tb.t)::DOUBLE AS frac_b
+                FROM ca FULL OUTER JOIN cb ON ca.token = cb.token, ta, tb
+            )
+            SELECT token, c_a, c_b, frac_a, frac_b,
+                   (frac_b - frac_a)::DOUBLE AS delta
+            FROM j
+            ORDER BY abs(frac_b - frac_a) DESC, token ASC LIMIT 40
+        """,
+        "vocab_divergence_docs": f"""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split({norm}, ' '),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            ca AS (
+                SELECT w AS token, count(*)::BIGINT AS c
+                FROM (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 0)
+                GROUP BY w
+            ),
+            cb AS (
+                SELECT w AS token, count(*)::BIGINT AS c
+                FROM (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 1)
+                GROUP BY w
+            ),
+            ta AS (SELECT sum(c)::BIGINT AS t FROM ca),
+            tb AS (SELECT sum(c)::BIGINT AS t FROM cb),
+            j AS (
+                SELECT coalesce(ca.c, 0)::BIGINT AS c_a,
+                       coalesce(cb.c, 0)::BIGINT AS c_b,
+                       (coalesce(ca.c, 0) / ta.t)::DOUBLE AS frac_a,
+                       (coalesce(cb.c, 0) / tb.t)::DOUBLE AS frac_b
+                FROM ca FULL OUTER JOIN cb ON ca.token = cb.token, ta, tb
+            )
+            SELECT (sum(
+                        CASE WHEN frac_a > 0 THEN
+                            frac_a * log2(frac_a / ((frac_a + frac_b) / 2))
+                        ELSE 0 END
+                      + CASE WHEN frac_b > 0 THEN
+                            frac_b * log2(frac_b / ((frac_a + frac_b) / 2))
+                        ELSE 0 END) / 2)::DOUBLE AS jsd_bits,
+                   sum((c_a > 0)::BIGINT)::BIGINT AS vocab_a,
+                   sum((c_b > 0)::BIGINT)::BIGINT AS vocab_b,
+                   sum((c_a > 0 AND c_b > 0)::BIGINT)::BIGINT AS shared_vocab,
+                   sum(c_a)::BIGINT AS total_a,
+                   sum(c_b)::BIGINT AS total_b
+            FROM j
         """,
         "ngram_lm_score_docs": f"""
             WITH tk AS (

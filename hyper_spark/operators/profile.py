@@ -26,7 +26,7 @@ from pyspark.sql.types import AtomicType
 
 from hyper_spark.operators.hll_agg import cardinality_col, multi_sketch_by
 
-__all__ = ["profile_table", "vocab_stats"]
+__all__ = ["profile_table", "vocab_stats", "vocab_drift", "vocab_divergence"]
 
 
 def profile_table(
@@ -152,4 +152,95 @@ def vocab_stats(
         F.col("count").cast("bigint").alias("count"),
         (F.col("count") / F.col("__t")).alias("frac"),
         (F.sum("count").over(w) / F.col("__t")).alias("cum_frac"),
+    )
+
+
+def _token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(token, c) exact counts over the normalized token stream —
+    shuffle = |vocab| partial counts (shared by the drift ops)."""
+    from hyper_spark.functions.text import word_tokens_col
+
+    toks = F.filter(word_tokens_col(F.col(text_col)), lambda t: t != F.lit(""))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _joined_fracs(a: DataFrame, b: DataFrame, text_col: str) -> DataFrame:
+    """Full-outer join of the two corpora's token tables with
+    per-corpus fractions: (token, c_a, c_b, frac_a, frac_b). Each
+    grand total rides its own vocab exchange (AQE ReusedExchange);
+    the join shuffles |vocab| rows, never raw tokens."""
+    ca, cb = _token_counts(a, text_col), _token_counts(b, text_col)
+    ta = ca.agg(F.sum("c").alias("__ta"))
+    tb = cb.agg(F.sum("c").alias("__tb"))
+    return (
+        ca.withColumnRenamed("c", "c_a")
+        .join(cb.withColumnRenamed("c", "c_b"), ["token"], "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "token",
+            F.coalesce("c_a", F.lit(0)).cast("bigint").alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).cast("bigint").alias("c_b"),
+            (F.coalesce("c_a", F.lit(0)) / F.col("__ta")).alias("frac_a"),
+            (F.coalesce("c_b", F.lit(0)) / F.col("__tb")).alias("frac_b"),
+        )
+    )
+
+
+def vocab_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` token movers between two corpus snapshots:
+    DataFrame[token, c_a, c_b, frac_a, frac_b, delta] ordered by
+    |frac_b - frac_a| descending (ties to the token) — the
+    "what changed in my crawl this week" report. Plan: two vocab
+    aggregates + one |vocab|-row full-outer join + an ordered limit;
+    raw tokens never shuffle."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    j = _joined_fracs(a, b, text_col)
+    delta = (F.col("frac_b") - F.col("frac_a")).alias("delta")
+    return (
+        j.select("token", "c_a", "c_b", "frac_a", "frac_b", delta)
+        .orderBy(F.abs(F.col("delta")).desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
+def vocab_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row corpus drift summary:
+    DataFrame[jsd_bits, vocab_a, vocab_b, shared_vocab, total_a,
+    total_b]. ``jsd_bits`` is the Jensen-Shannon divergence (log2;
+    0 = identical distributions, 1 = disjoint) between the two token
+    distributions over the union vocabulary — JSD needs no smoothing:
+    a token absent from one side contributes only the other side's
+    term, and the mixture M is positive everywhere on the union.
+    If either corpus has NO tokens the distributions are undefined and
+    ``jsd_bits`` is NULL (the SQL oracle agrees: division by a NULL
+    total propagates). Same bounded plan shape as ``vocab_drift``."""
+    j = _joined_fracs(a, b, text_col)
+    m = (F.col("frac_a") + F.col("frac_b")) / 2
+    term = lambda f: F.when(  # noqa: E731 — local expression builder
+        F.col(f) > 0, F.col(f) * F.log2(F.col(f) / m)
+    ).otherwise(F.lit(0.0))
+    return j.agg(
+        (F.sum(term("frac_a") + term("frac_b")) / 2).alias("jsd_bits"),
+        F.sum((F.col("c_a") > 0).cast("bigint")).alias("vocab_a"),
+        F.sum((F.col("c_b") > 0).cast("bigint")).alias("vocab_b"),
+        F.sum(((F.col("c_a") > 0) & (F.col("c_b") > 0)).cast("bigint")).alias(
+            "shared_vocab"
+        ),
+        F.sum("c_a").alias("total_a"),
+        F.sum("c_b").alias("total_b"),
     )

@@ -502,3 +502,74 @@ def test_vocab_stats_single_scan(spark, sf_correct):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_vocab_drift_and_divergence_oracle(spark):
+    """vocab_drift / vocab_divergence vs a Python oracle: exact
+    counts, JSD arithmetic (log2), union-vocab handling of one-sided
+    tokens, identical corpora -> jsd 0."""
+    import math
+    import re
+    from collections import Counter
+
+    from hyper_spark.operators.profile import vocab_divergence, vocab_drift
+
+    a_docs = [(0, "a a b c"), (1, "a d! d")]
+    b_docs = [(0, "a b b e"), (1, None), (2, "e e")]
+    a = spark.createDataFrame(a_docs, ["doc_id", "text"])
+    b = spark.createDataFrame(b_docs, ["doc_id", "text"])
+
+    def counts(docs):
+        c = Counter()
+        for _, t in docs:
+            if t:
+                c.update(
+                    x
+                    for x in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+                    if x
+                )
+        return c
+
+    ca, cb = counts(a_docs), counts(b_docs)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    union = sorted(set(ca) | set(cb))
+    jsd = 0.0
+    for w in union:
+        fa, fb = ca[w] / ta, cb[w] / tb
+        m = (fa + fb) / 2
+        if fa > 0:
+            jsd += fa * math.log2(fa / m) / 2
+        if fb > 0:
+            jsd += fb * math.log2(fb / m) / 2
+
+    row = vocab_divergence(a, b).collect()[0]
+    assert row["jsd_bits"] == pytest.approx(jsd, abs=1e-12)
+    assert row["vocab_a"] == len(ca) and row["vocab_b"] == len(cb)
+    assert row["shared_vocab"] == len(set(ca) & set(cb))
+    assert row["total_a"] == ta and row["total_b"] == tb
+
+    movers = vocab_drift(a, b, top_k=3).collect()
+    exp = sorted(
+        ((w, ca[w], cb[w], ca[w] / ta, cb[w] / tb) for w in union),
+        key=lambda r: (-abs(r[4] - r[3]), r[0]),
+    )[:3]
+    assert [(r["token"], r["c_a"], r["c_b"]) for r in movers] == [
+        (w, x, y) for w, x, y, *_ in exp
+    ]
+    for r, (_, _, _, fa, fb) in zip(movers, exp):
+        assert r["delta"] == pytest.approx(fb - fa, abs=1e-12)
+
+    # identical corpora: zero divergence
+    same = vocab_divergence(a, a).collect()[0]
+    assert same["jsd_bits"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_vocab_divergence_empty_side_is_null(spark):
+    """An empty corpus has no token distribution: jsd_bits must be
+    NULL (not 0, not an error) and the counts still report."""
+    from hyper_spark.operators.profile import vocab_divergence
+
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    r = vocab_divergence(docs.filter("1=0"), docs).collect()[0]
+    assert r["jsd_bits"] is None
+    assert r["total_a"] == 0 and r["total_b"] == 3
