@@ -953,6 +953,32 @@ def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, top_k=50)
 
 
+_MIX_WEIGHTS = {"src0": 2, "src1": 1, "src2": 1}
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing plan (operators/mixing.py::mixture_plan): rows
+    unit, feasible-budget arithmetic, normalized weights 0.5/0.25/0.25."""
+    from hyper_spark.operators.mixing import mixture_plan
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_plan(docs, _MIX_WEIGHTS, by="source")
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture draw (operators/mixing.py::apply_mixture):
+    md5 threshold per domain, exact membership."""
+    from hyper_spark.operators.mixing import apply_mixture, mixture_plan
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, _MIX_WEIGHTS, by="source")
+    return apply_mixture(docs, plan, by="source", on="doc_id", seed=0).select(
+        "doc_id", "source"
+    )
+
+
 def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution movers between two deterministic halves of
     the corpus (operators/profile.py::vocab_drift)."""
@@ -2378,6 +2404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _q_vocab_stats,
         "ngram_lm_score_docs": _q_ngram_lm_score,
         "shard_assignment_docs": _q_shard_assignment,
+        "mixture_plan_docs": _q_mixture_plan,
+        "mixture_sample_docs": _q_mixture_sample,
         "vocab_drift_docs": _q_vocab_drift,
         "vocab_divergence_docs": _q_vocab_divergence,
         "embedding_pairs_04": _q_embedding_pairs,
@@ -3394,6 +3422,52 @@ def oracle_sql() -> dict[str, str]:
                    min(order_key) AS min_key,
                    max(order_key) AS max_key
             FROM h GROUP BY 1
+        """,
+        "mixture_plan_docs": """
+            WITH avail AS (
+                SELECT source, count(*)::BIGINT AS available
+                FROM documents WHERE source IN ('src0', 'src1', 'src2')
+                GROUP BY source
+            ),
+            w AS (
+                SELECT * FROM (VALUES ('src0', 0.5::DOUBLE),
+                                      ('src1', 0.25::DOUBLE),
+                                      ('src2', 0.25::DOUBLE)) t(source, wt)
+            ),
+            b AS (
+                SELECT min(available / wt) AS budget
+                FROM avail JOIN w USING (source)
+            )
+            SELECT avail.source AS source, wt AS weight, available,
+                   (wt * budget)::DOUBLE AS target,
+                   least(1.0, (wt * budget) / available)::DOUBLE AS fraction
+            FROM avail JOIN w USING (source), b
+        """,
+        "mixture_sample_docs": """
+            WITH avail AS (
+                SELECT source, count(*)::BIGINT AS available
+                FROM documents WHERE source IN ('src0', 'src1', 'src2')
+                GROUP BY source
+            ),
+            w AS (
+                SELECT * FROM (VALUES ('src0', 0.5::DOUBLE),
+                                      ('src1', 0.25::DOUBLE),
+                                      ('src2', 0.25::DOUBLE)) t(source, wt)
+            ),
+            b AS (
+                SELECT min(available / wt) AS budget
+                FROM avail JOIN w USING (source)
+            ),
+            plan AS (
+                SELECT avail.source AS source,
+                       least(1.0, (wt * budget) / available) AS fraction
+                FROM avail JOIN w USING (source), b
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN plan p ON d.source = p.source
+            WHERE p.fraction >= 1.0
+               OR ('0x' || substring(md5(d.doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+                  < floor(p.fraction * 4294967296.0)
         """,
         "vocab_drift_docs": f"""
             WITH tk AS (

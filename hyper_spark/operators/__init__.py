@@ -59,6 +59,7 @@ from hyper_spark.operators.graph import (
 )
 from hyper_spark.operators.export import export_shards, shard_assignment, shard_manifest
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
+from hyper_spark.operators.mixing import apply_mixture, mixture_plan
 from hyper_spark.operators.quality import (
     c4_clean,
     gopher_filter,
@@ -71,6 +72,8 @@ __all__ = [
     "export_shards",
     "shard_assignment",
     "shard_manifest",
+    "mixture_plan",
+    "apply_mixture",
     "ngram_lm_train",
     "ngram_lm_score",
     "ppl_buckets",
