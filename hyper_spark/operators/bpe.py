@@ -9,11 +9,13 @@ The key scale observation is Sennrich's own: BPE trains on the WORD
 FREQUENCY TABLE, not the corpus. So the distributed part is exactly
 one partial-aggregated groupBy (shuffle = |vocab| partial counts —
 the same shape as ``vocab_stats``), capped at the ``max_words`` most
-frequent words (coverage of the cap is reported via ``log``-friendly
-return metadata; at web scale 100k words cover ~99% of occurrences).
-The merge loop then runs driver-side over that bounded table —
-O(n_merges × |words|) dict arithmetic on counts, never touching raw
-text again. 100 TB of corpus = one aggregate + a bounded local loop.
+frequent words (at web scale 100k words cover ~99% of occurrences).
+The merge loop then runs driver-side over that bounded table with the
+production-trainer incremental shape — a pair→word-set index plus a
+lazily-invalidated heap, so each merge touches only the words that
+contain the chosen pair (differential-tested against the textbook
+recount loop). Raw text is never touched again: 100 TB of corpus =
+one aggregate + a bounded local loop.
 
 Encoding (``bpe_encode``) applies the learned merges per word. This
 is genuinely sequential per-word work with data-dependent control
@@ -59,13 +61,12 @@ def _word_counts(df: DataFrame, text_col: str, max_words: int) -> list[tuple[str
     return [(r["w"], r["c"]) for r in rows]
 
 
-def _train_merges(
+def _train_merges_naive(
     words: list[tuple[str, int]], n_merges: int
 ) -> list[tuple[str, str]]:
-    """Sennrich's merge loop over a word-frequency dict. Each word is
-    a symbol tuple (chars + end-of-word marker); repeatedly merge the
-    highest-count adjacent pair, ties to the lexicographically
-    smallest pair."""
+    """Sennrich's merge loop, textbook form: full pair recount per
+    merge, O(n_merges × Σ|word|). Kept as the differential oracle for
+    ``_train_merges`` (tests assert identical merge lists)."""
     seqs: list[list[str]] = [list(w) + [_EOW] for w, _ in words]
     counts = [c for _, c in words]
     merges: list[tuple[str, str]] = []
@@ -87,6 +88,84 @@ def _train_merges(
                     seq[i : i + 2] = [ab]
                 else:
                     i += 1
+    return merges
+
+
+def _merge_seq(seq: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right single-pass merge of (a, b) -> a+b in a symbol
+    sequence (the same greedy order the naive loop and the encoder
+    use)."""
+    out: list[str] = []
+    i = 0
+    while i < len(seq):
+        if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def _train_merges(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Indexed incremental merge loop: per merge, only the words that
+    CONTAIN the chosen pair are touched (pair → word-set index), and
+    the arg-max is a lazily-invalidated heap instead of a full scan.
+    Cost per merge is O(words containing the pair × their length +
+    log |pairs|) — the production-trainer shape; a 32k-merge vocab
+    over a 100k-word table is seconds, where the naive recount is
+    minutes. Byte-identical merge lists to ``_train_merges_naive``
+    (differential-tested), including the (count desc, pair asc)
+    tie-break: the heap orders by (-count, pair)."""
+    import heapq
+    from collections import defaultdict
+
+    seqs: list[list[str]] = [list(w) + [_EOW] for w, _ in words]
+    counts = [c for _, c in words]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (seq, c) in enumerate(zip(seqs, counts)):
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] += c
+            where[p].add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, pair = heapq.heappop(heap)
+        cur = pair_counts.get(pair, 0)
+        if cur <= 0 or -negc != cur:
+            continue  # stale heap entry
+        merges.append(pair)
+        a, b = pair
+        touched: set[tuple[str, str]] = set()
+        for wi in list(where.get(pair, ())):
+            seq, c = seqs[wi], counts[wi]
+            new = _merge_seq(seq, a, b)
+            old_pairs = list(zip(seq, seq[1:]))
+            new_pairs = list(zip(new, new[1:]))
+            for p in old_pairs:
+                pair_counts[p] -= c
+                touched.add(p)
+            for p in new_pairs:
+                pair_counts[p] += c
+                touched.add(p)
+            old_set, new_set = set(old_pairs), set(new_pairs)
+            for p in old_set - new_set:
+                where[p].discard(wi)
+            for p in new_set - old_set:
+                where[p].add(wi)
+            seqs[wi] = new
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+                where.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 

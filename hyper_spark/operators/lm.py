@@ -133,6 +133,7 @@ def ngram_lm_score(
     text_col: str = "text",
     alpha: float = 0.4,
     broadcast_model: bool = True,
+    cache_model: bool = True,
 ) -> DataFrame:
     """Score documents against a trained model. Returns
     DataFrame[id_col, n_scored, avg_logp, ppl].
@@ -140,9 +141,20 @@ def ngram_lm_score(
     ``broadcast_model=True`` (default) broadcasts both model slices so
     scoring is a map-only stage over the corpus — the right call
     whenever the model fits an executor (CCNet's pruned LMs do); set
-    False to let AQE choose a shuffle join for an oversized model."""
+    False to let AQE choose a shuffle join for an oversized model.
+
+    Scoring reads the model THREE times (the one-row meta collect
+    below, then the bi and uni branches), so an unmaterialized model
+    would re-run its training lineage — two corpus aggregates — three
+    times. ``cache_model=True`` (default) persists the model first
+    (the eager meta collect warms the cache); the entry stays cached
+    for the caller to ``model.unpersist()`` after the scoring job, the
+    same injected-frame contract the dedup signature paths use. Pass
+    False when the model is already materialized (a parquet read)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
+    if cache_model and not model.is_cached:
+        model.persist()
     bi = model.filter(F.col("kind") == "bi").select("w1", "w2", F.col("logp").alias("lp_bi"))
     uni = model.filter(F.col("kind") == "uni").select(
         F.col("w1").alias("w2"), F.col("logp").alias("lp_uni")
@@ -188,15 +200,23 @@ def ppl_buckets(
     scores: DataFrame,
     cuts: tuple[float, float] = (1 / 3, 2 / 3),
     ppl_col: str = "ppl",
+    cache_scores: bool = True,
 ) -> DataFrame:
     """CCNet's head/middle/tail split: bucket by perplexity quantiles
     (lower ppl = the model finds the text more natural = head).
     Unscored docs (NULL ppl) land in ``tail``. The two cut points are
     a bounded ``approxQuantile`` driver pull; the labeling itself is a
-    map-only projection."""
+    map-only projection.
+
+    ``scores`` is evaluated twice (the quantile job now, the labeled
+    frame when consumed); ``cache_scores=True`` (default) persists it
+    so the scoring pass over the corpus runs once — caller unpersists
+    when done. Pass False for an already-materialized frame."""
     lo, hi = sorted(cuts)
     if not 0.0 < lo < hi < 1.0:
         raise ValueError("cuts must satisfy 0 < lo < hi < 1")
+    if cache_scores and not scores.is_cached:
+        scores.persist()
     q = scores.filter(F.col(ppl_col).isNotNull()).approxQuantile(
         ppl_col, [lo, hi], 1e-4
     )

@@ -125,3 +125,34 @@ def test_bpe_max_words_cap(spark):
         spark.createDataFrame([(0, "cold")], ["doc_id", "text"]), model
     ).collect()[0]["bpe_tokens"]
     assert toks == ["c", "o", "l", "d", EOW]  # no applicable merges
+
+
+def test_indexed_trainer_matches_naive_oracle():
+    """The incremental (heap + pair->word index) merge loop must
+    produce byte-identical merge lists to the textbook recount loop,
+    including tie-breaks — fuzzed over random word tables."""
+    import random
+
+    from hyper_spark.operators.bpe import _train_merges, _train_merges_naive
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        alphabet = "abcde"
+        words = []
+        for _ in range(rng.randint(1, 40)):
+            w = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 8))
+            )
+            words.append((w, rng.randint(1, 9)))
+        # dedupe words keeping the first count (the real word table
+        # is grouped, so keys are unique)
+        seen = {}
+        for w, c in words:
+            seen.setdefault(w, c)
+        table = sorted(seen.items())
+        n = rng.randint(1, 60)
+        assert _train_merges(table, n) == _train_merges_naive(table, n), (
+            seed,
+            n,
+            table,
+        )
