@@ -64,6 +64,23 @@ def shard_assignment(
     )
 
 
+def _present_shards(spark: SparkSession, path: str) -> list[int]:
+    """Shard indices already committed under ``path`` (directory
+    listing through Hadoop FS — works on any supported filesystem)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("shard="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
 def export_shards(
     df: DataFrame,
     path: str,
@@ -71,6 +88,7 @@ def export_shards(
     id_col: str = "doc_id",
     seed: str | int = 0,
     columns: list[str] | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Write ``df`` as ``n_shards`` parquet shards under
     ``path/shard=K/`` — one file per shard, rows in deterministic
@@ -81,13 +99,35 @@ def export_shards(
     are always kept; ``order_key`` lets any consumer re-verify the
     order without recomputing md5).
 
+    ``resume=True`` is the checkpoint-restart contract: shard
+    directories already present under ``path`` are trusted and
+    skipped; only the missing shards are computed and appended.
+    Because assignment and in-shard order are pure functions of
+    (id, seed), a resumed run writes byte-for-byte the shards the
+    interrupted run would have — so a killed export costs only the
+    un-committed shards. (A shard directory torn mid-write should be
+    deleted before resuming; task-commit makes this the rare crash
+    window, and the manifest's n_files/n_rows flags it.)
+
     Why mod-hash shards and not exactly-equal shards: exact equality
     needs a global row_number, i.e. a total sort of the corpus through
     one ordering — the repartition+sortWithinPartitions here keeps
     every stage per-task. At 100 TB / 10k shards the multinomial
     imbalance is ~0.1%, noise next to parquet block rounding.
     """
+    spark = df.sparkSession
     assigned = shard_assignment(df, n_shards, id_col, seed)
+    mode = "error"
+    if resume:
+        present = set(_present_shards(spark, path))
+        if present:
+            missing = [s for s in range(n_shards) if s not in present]
+            if not missing:
+                return shard_manifest(spark, path)
+            # partition pruning on the missing set keeps the scan +
+            # shuffle bounded by the un-exported remainder
+            assigned = assigned.filter(F.col("shard").isin(missing))
+            mode = "append"
     payload = (
         [id_col, "order_key"]
         + [c for c in (columns or df.columns) if c not in (id_col, "order_key")]
@@ -97,8 +137,8 @@ def export_shards(
         .sortWithinPartitions("shard", "order_key", id_col)
         .select(*payload, "shard")
     )
-    out.write.partitionBy("shard").mode("error").parquet(path)
-    return shard_manifest(df.sparkSession, path)
+    out.write.partitionBy("shard").mode(mode).parquet(path)
+    return shard_manifest(spark, path)
 
 
 def shard_manifest(spark: SparkSession, path: str) -> DataFrame:

@@ -86,3 +86,47 @@ def test_export_columns_subset_and_manifest(spark, tmp_path):
     assert sum(r["n_rows"] for r in m) == 100
     for r in m:
         assert r["min_key"] <= r["max_key"]
+
+
+def test_export_resume_backfills_missing_shards(spark, tmp_path):
+    """Kill-and-resume: delete two committed shard dirs, resume, and
+    the backfilled shards are byte-identical content to the original
+    export; untouched shards are not rewritten."""
+    import os
+    import shutil
+
+    df = _docs(spark)
+    path = str(tmp_path / "resume")
+    export_shards(df, path, n_shards=5, seed=3)
+    orig = {}
+    for d in glob.glob(f"{path}/shard=*"):
+        shard = d.rsplit("=", 1)[1]
+        orig[shard] = pq.read_table(glob.glob(f"{d}/*.parquet")[0]).to_pylist()
+
+    victims = sorted(orig)[:2]
+    survivors = {s: os.path.getmtime(glob.glob(f"{path}/shard={s}/*.parquet")[0])
+                 for s in orig if s not in victims}
+    for s in victims:
+        shutil.rmtree(f"{path}/shard={s}")
+
+    m = export_shards(df, path, n_shards=5, seed=3, resume=True).collect()
+    assert sum(r["n_rows"] for r in m) == 100
+    for s, rows in orig.items():
+        got = pq.read_table(glob.glob(f"{path}/shard={s}/*.parquet")[0]).to_pylist()
+        assert got == rows
+    # survivors were trusted, not rewritten
+    for s, mtime in survivors.items():
+        assert os.path.getmtime(glob.glob(f"{path}/shard={s}/*.parquet")[0]) == mtime
+
+    # fully-present resume is a no-op returning the manifest
+    m2 = export_shards(df, path, n_shards=5, seed=3, resume=True).collect()
+    assert sorted((r["shard"], r["n_rows"]) for r in m2) == sorted(
+        (r["shard"], r["n_rows"]) for r in m
+    )
+
+
+def test_export_resume_on_fresh_path(spark, tmp_path):
+    df = _docs(spark)
+    path = str(tmp_path / "fresh")
+    m = export_shards(df, path, n_shards=3, resume=True).collect()
+    assert sum(r["n_rows"] for r in m) == 100
