@@ -953,6 +953,74 @@ def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, top_k=50)
 
 
+def _q_theta_users_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV distinct estimate (operators/theta_agg.py) within the
+    published 3/sqrt(k-2) bound."""
+    from hyper_spark.operators.theta_agg import theta_by, theta_collect, theta_rse
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    k = 4096
+    est = theta_collect(theta_by(events, [], "user_id", k=k)).estimate()
+    return events.select(F.countDistinct("user_id").alias("exact_count")).select(
+        "exact_count",
+        (
+            F.abs(F.lit(est) - F.col("exact_count")) / F.col("exact_count")
+            <= F.lit(3 * theta_rse(k))
+        ).alias("within_bound"),
+    )
+
+
+def _q_theta_rollup_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type theta sketches re-merged == direct global build
+    (byte-exact mergeability), and the merged estimate within bound."""
+    from hyper_spark.operators.theta_agg import (
+        theta_by,
+        theta_collect,
+        theta_rse,
+        theta_union,
+    )
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    k = 512
+    direct = theta_collect(theta_by(events, [], "user_id", k=k))
+    rolled = theta_collect(theta_union(theta_by(events, ["event_type"], "user_id", k=k)))
+    return events.select(F.countDistinct("user_id").alias("exact_count")).select(
+        "exact_count",
+        F.lit(direct == rolled).alias("lossless"),
+        (
+            F.abs(F.lit(rolled.estimate()) - F.col("exact_count"))
+            / F.col("exact_count")
+            <= F.lit(3 * theta_rse(k))
+        ).alias("within_bound"),
+    )
+
+
+def _q_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct theta intersection / difference on custkeys — EXACT
+    below saturation (the capability HLL inclusion-exclusion lacks):
+    integer-equal to the SQL set operations."""
+    from hyper_spark.operators.theta_agg import (
+        theta_a_not_b_card,
+        theta_by,
+        theta_intersect_card,
+    )
+
+    _ensure_pkg(spark)
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    k = 1 << 17
+    a = theta_by(customer, [], F.col("c_custkey").alias("ck"), k=k)
+    b = theta_by(orders, [], F.col("o_custkey").alias("ck"), k=k)
+    inter = theta_intersect_card(a, b).collect()[0]["intersect_card"]
+    diff = theta_a_not_b_card(a, b).collect()[0]["a_not_b_card"]
+    return spark.createDataFrame(
+        [(int(inter), int(diff))],
+        "customers_with_orders bigint, customers_without_orders bigint",
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py::bpe_train): the
     learned merge table over the corpus. Deterministic (count ties
@@ -2419,6 +2487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _q_vocab_stats,
         "ngram_lm_score_docs": _q_ngram_lm_score,
         "shard_assignment_docs": _q_shard_assignment,
+        "theta_users_within_bound": _q_theta_users_within_bound,
+        "theta_rollup_lossless": _q_theta_rollup_lossless,
+        "theta_set_algebra_exact": _q_theta_set_algebra,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3057,6 +3128,23 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_within_bound": (
             f"SELECT count(DISTINCT user_id) AS exact_count, {true_flags} FROM events"
         ),
+        "theta_users_within_bound": (
+            f"SELECT count(DISTINCT user_id) AS exact_count, {true_flags} FROM events"
+        ),
+        "theta_rollup_lossless": (
+            "SELECT count(DISTINCT user_id) AS exact_count, "
+            "true AS lossless, true AS within_bound FROM events"
+        ),
+        "theta_set_algebra_exact": """
+            SELECT (SELECT count(*) FROM (
+                        SELECT c_custkey FROM customer
+                        INTERSECT SELECT o_custkey FROM orders))::BIGINT
+                       AS customers_with_orders,
+                   (SELECT count(*) FROM (
+                        SELECT c_custkey FROM customer
+                        EXCEPT SELECT o_custkey FROM orders))::BIGINT
+                       AS customers_without_orders
+        """,
         "hll_fast_hash_bound": (
             f"SELECT count(DISTINCT user_id) AS exact_count, {true_flags} FROM events"
         ),

@@ -246,6 +246,11 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         model = ngram_lm_train(docs, min_count=2)
         return ngram_lm_score(docs, model).select("doc_id", "n_scored")
 
+    def q_theta_users():
+        from hyper_spark.operators.theta_agg import theta_by, theta_estimate
+
+        return theta_estimate(theta_by(events, [], "user_id", k=4096))
+
     def q_vocab_stats():
         from hyper_spark.operators.profile import vocab_stats
 
@@ -285,6 +290,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "strip_dup_docs": q_strip_dup,
         "scrub_text_docs": q_scrub_text,
         "vocab_top_tokens": q_vocab_stats,
+        "theta_users": q_theta_users,
         "ngram_lm_score_docs": q_ngram_lm,
         "export_shards_docs": q_export_shards,
         "semantic_dedup_embeddings": q_semantic_dedup,

@@ -61,6 +61,14 @@ from hyper_spark.operators.bpe import bpe_encode, bpe_merge_list, bpe_train
 from hyper_spark.operators.export import export_shards, shard_assignment, shard_manifest
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
+from hyper_spark.operators.theta_agg import (
+    theta_a_not_b_card,
+    theta_by,
+    theta_collect,
+    theta_estimate,
+    theta_intersect_card,
+    theta_union,
+)
 from hyper_spark.operators.quality import (
     c4_clean,
     gopher_filter,
@@ -76,6 +84,12 @@ __all__ = [
     "export_shards",
     "shard_assignment",
     "shard_manifest",
+    "theta_by",
+    "theta_union",
+    "theta_estimate",
+    "theta_collect",
+    "theta_intersect_card",
+    "theta_a_not_b_card",
     "mixture_plan",
     "apply_mixture",
     "ngram_lm_train",

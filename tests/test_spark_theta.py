@@ -1,0 +1,96 @@
+"""Spark theta sketches vs the kernel (byte-exact differential) and
+vs exact counts (published bounds)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hyper_spark.kernel.theta import ThetaSketch, theta_rse
+from hyper_spark.operators.theta_agg import (
+    theta_a_not_b_card,
+    theta_by,
+    theta_collect,
+    theta_estimate,
+    theta_intersect_card,
+    theta_union,
+)
+
+
+def test_theta_spark_matches_kernel(spark):
+    """Spark build == kernel build from the same xxhash64 stream,
+    byte-exact, regardless of partitioning."""
+    df = spark.createDataFrame(
+        [Row(v=f"item-{i % 700}") for i in range(5000)]
+    ).repartition(8)
+    sk = theta_collect(theta_by(df, [], "v", k=256))
+    hashes = [
+        r["h"] for r in df.select(F.xxhash64("v").alias("h")).collect()
+    ]
+    kern = ThetaSketch.from_signed_hashes(256, np.array(hashes, dtype=np.int64))
+    assert sk == kern
+    # 700 distinct > k=256: saturated estimate within 3 RSE
+    assert abs(sk.estimate() - 700) / 700 <= 3 * theta_rse(256)
+
+
+def test_theta_exact_below_k_and_null_skip(spark):
+    rows = [Row(g="a", v=str(i)) for i in range(150)] + [Row(g="a", v=None)]
+    df = spark.createDataFrame(rows).repartition(5)
+    est = theta_estimate(theta_by(df, ["g"], "v", k=1024), ["g"]).collect()
+    assert est[0]["estimate"] == 150.0  # exact, NULL skipped
+
+
+def test_theta_grouped_and_union_lossless(spark, sf_correct):
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    per_type = theta_by(events, ["event_type"], "user_id", k=512)
+    direct = theta_collect(theta_by(events, [], "user_id", k=512))
+    rolled = theta_collect(theta_union(per_type))
+    assert rolled == direct  # lossless re-merge, byte-exact
+    exact = events.select("user_id").distinct().count()
+    assert abs(rolled.estimate() - exact) / exact <= 3 * theta_rse(512)
+
+
+def test_theta_intersection_exact_when_unsaturated(spark, sf_correct):
+    """customers-with-orders: below saturation the direct estimate is
+    EXACT — the capability inclusion-exclusion HLL cannot offer."""
+    orders = spark.read.parquet(f"{sf_correct}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_correct}/customer.parquet")
+    k = 1 << 17  # larger than both distinct counts at sf0.01
+    a = theta_by(customer, [], "c_custkey", k=k)
+    b = theta_by(orders, [], F.col("o_custkey").alias("ck"), k=k)
+    got = theta_intersect_card(a, b).collect()[0]["intersect_card"]
+    exact = (
+        customer.select(F.col("c_custkey").alias("ck"))
+        .intersect(orders.select(F.col("o_custkey").alias("ck")))
+        .count()
+    )
+    assert got == float(exact)
+    diff = theta_a_not_b_card(a, b).collect()[0]["a_not_b_card"]
+    assert diff == float(customer.select("c_custkey").distinct().count() - exact)
+
+
+def test_theta_small_overlap_of_large_sets(spark):
+    """The motivating case: 2% overlap of two 50k sets. Direct theta
+    estimate stays within its sample bound."""
+    n, overlap = 50_000, 1000
+    left = spark.range(0, n).select(F.col("id").cast("string").alias("v"))
+    right = spark.range(n - overlap, 2 * n - overlap).select(
+        F.col("id").cast("string").alias("v")
+    )
+    k = 8192
+    a, b = theta_by(left, [], "v", k=k), theta_by(right, [], "v", k=k)
+    est = theta_intersect_card(a, b).collect()[0]["intersect_card"]
+    rse = 1.0 / np.sqrt(k * overlap / n)  # expected intersection sample
+    assert abs(est - overlap) / overlap <= 3 * rse
+
+
+def test_theta_merge_guards(spark):
+    df = spark.createDataFrame([Row(v="x"), Row(v="y")])
+    a = theta_by(df, [], "v", k=64)
+    b = theta_by(df, [], "v", k=128)
+    with pytest.raises(Exception, match="different k"):
+        theta_union(a.unionByName(b)).collect()
+    with pytest.raises(ValueError, match="xxhash64"):
+        theta_by(df, [], "v", hash_fn="md5")
