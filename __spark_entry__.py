@@ -1021,6 +1021,70 @@ def _q_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_theta_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming theta sketch over a multi-micro-batch replay of
+    events equals the batch build byte-for-byte (union is order- and
+    duplicate-insensitive), and its estimate is exact below
+    saturation — so the gate returns the exact per-type distinct
+    counts, SQL-oracled."""
+    _ensure_pkg(spark)
+    import tempfile
+
+    from hyper_spark.streaming.hll_stream import streaming_theta_by
+
+    events = _read(spark, sf_dir, "events")
+    k = 1 << 16  # above per-type distincts at sf0.01: estimates exact
+    with tempfile.TemporaryDirectory(prefix="gate_stheta_") as td:
+        src, sink, ckpt = f"{td}/src", f"{td}/sink", f"{td}/ckpt"
+        events.select("event_type", "user_id").repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, user_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_theta_by(stream, ["event_type"], "user_id", k=k,
+                               output_mode="append")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from hyper_spark.operators.theta_agg import theta_union
+
+        final = theta_union(spark.read.parquet(sink), ["event_type"])
+        rows = [
+            (r["event_type"], int(r["n_entries"]))
+            for r in final.collect()
+        ]
+    return spark.createDataFrame(rows, "event_type string, n_users bigint")
+
+
+def _q_theta_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-level Jaccard from theta sketches — exact below
+    saturation, so double-equal to the SQL intersect/union ratio."""
+    from hyper_spark.operators.theta_agg import theta_by, theta_jaccard
+
+    _ensure_pkg(spark)
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    k = 1 << 17
+    # nation-filtered subset vs order custkeys: strictly partial
+    # overlap, so a saturated-or-degenerate implementation that
+    # always answers 1.0 cannot pass.
+    a = theta_by(
+        customer.filter(F.col("c_nationkey") < 10),
+        [],
+        F.col("c_custkey").alias("ck"),
+        k=k,
+    )
+    b = theta_by(orders, [], F.col("o_custkey").alias("ck"), k=k)
+    return theta_jaccard(a, b)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py::bpe_train): the
     learned merge table over the corpus. Deterministic (count ties
@@ -2490,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_users_within_bound": _q_theta_users_within_bound,
         "theta_rollup_lossless": _q_theta_rollup_lossless,
         "theta_set_algebra_exact": _q_theta_set_algebra,
+        "theta_jaccard_exact": _q_theta_jaccard,
+        "streaming_theta_parity": _q_streaming_theta_parity,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3135,6 +3201,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(DISTINCT user_id) AS exact_count, "
             "true AS lossless, true AS within_bound FROM events"
         ),
+        "streaming_theta_parity": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "theta_jaccard_exact": """
+            SELECT ((SELECT count(*) FROM (
+                         SELECT c_custkey FROM customer WHERE c_nationkey < 10
+                         INTERSECT SELECT o_custkey FROM orders))::DOUBLE
+                    /
+                    (SELECT count(*) FROM (
+                         SELECT c_custkey FROM customer WHERE c_nationkey < 10
+                         UNION SELECT o_custkey FROM orders)))::DOUBLE
+                       AS jaccard
+        """,
         "theta_set_algebra_exact": """
             SELECT (SELECT count(*) FROM (
                         SELECT c_custkey FROM customer

@@ -67,6 +67,7 @@ from hyper_spark.operators.theta_agg import (
     theta_collect,
     theta_estimate,
     theta_intersect_card,
+    theta_jaccard,
     theta_union,
 )
 from hyper_spark.operators.quality import (
@@ -90,6 +91,7 @@ __all__ = [
     "theta_collect",
     "theta_intersect_card",
     "theta_a_not_b_card",
+    "theta_jaccard",
     "mixture_plan",
     "apply_mixture",
     "ngram_lm_train",

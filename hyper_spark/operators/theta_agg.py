@@ -54,6 +54,7 @@ __all__ = [
     "theta_collect",
     "theta_intersect_card",
     "theta_a_not_b_card",
+    "theta_jaccard",
     "theta_rse",
 ]
 
@@ -271,3 +272,20 @@ def theta_a_not_b_card(
     return _binary_theta_op(
         left, right, on, lambda a, b: a.a_not_b_card(b), "a_not_b_card"
     )
+
+
+def theta_jaccard(
+    left: DataFrame, right: DataFrame, on: Sequence[str] = ()
+) -> DataFrame:
+    """Jaccard similarity |A∩B| / |A∪B| per joined pair, both terms
+    from the same min-theta sample (exact below saturation) — the
+    set-level counterpart to the per-document minhash Jaccard the
+    dedup family estimates."""
+
+    def jac(a: ThetaSketch, b: ThetaSketch) -> float:
+        u = a.union(b).estimate()
+        if u == 0.0:
+            return 0.0
+        return a.intersect_card(b) / u
+
+    return _binary_theta_op(left, right, on, jac, "jaccard")

@@ -6,11 +6,13 @@ from hyper_spark.streaming.hll_stream import (
     streaming_cms_by,
     streaming_quantiles_by,
     streaming_sketch_by,
+    streaming_theta_by,
     streaming_windowed_sketch_by,
 )
 
 __all__ = [
     "streaming_sketch_by",
+    "streaming_theta_by",
     "streaming_cms_by",
     "streaming_quantiles_by",
     "streaming_windowed_sketch_by",

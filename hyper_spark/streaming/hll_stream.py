@@ -35,6 +35,7 @@ from hyper_spark.kernel.hll import (
 __all__ = [
     "streaming_sketch_by",
     "streaming_cms_by",
+    "streaming_theta_by",
     "streaming_quantiles_by",
     "streaming_windowed_sketch_by",
 ]
@@ -242,6 +243,71 @@ def streaming_windowed_sketch_by(
         stateStructType=state_schema,
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_theta_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    k: int = 4096,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming grouped Theta/KMV sketches: state per group is the
+    k-smallest-hashes entry blob (≤ 8k bytes, independent of stream
+    length). Union is order- and duplicate-insensitive, so late data
+    folds in exactly like batch and batch/stream sketches over the
+    same rows are byte-identical (tested). Output per micro-batch:
+    [keys..., k, n_entries, entries, estimate] — rows persist as the
+    same sketch-table schema ``operators/theta_agg.py`` reads, so a
+    stream's final state joins the batch set algebra directly
+    (theta_union / theta_intersect_card)."""
+    from hyper_spark.kernel.theta import ThetaSketch
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("streaming sketches need at least one group key")
+    prepared = df.filter(F.col(col).isNotNull()).select(
+        *keys, F.xxhash64(F.col(col)).alias("__h")
+    )
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in [df.schema[kk] for kk in keys]
+    )
+    output_schema = (
+        f"{out_fields}, k int, n_entries int, entries binary,"
+        " hash_fn string, estimate double"
+    )
+    state_schema = "entries binary"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            sk = ThetaSketch.from_bytes(k, bytes(blob))
+        else:
+            sk = ThetaSketch.empty(k)
+        for pdf in pdfs:
+            if len(pdf):
+                sk = sk.union(
+                    ThetaSketch.from_signed_hashes(
+                        k, pdf["__h"].to_numpy(dtype=np.int64)
+                    )
+                )
+        state.update((sk.to_bytes(),))
+        out = {kk: [key[i]] for i, kk in enumerate(keys)}
+        out["k"] = [k]
+        out["n_entries"] = [len(sk.entries)]
+        out["entries"] = [sk.to_bytes()]
+        out["hash_fn"] = ["xxhash64"]
+        out["estimate"] = [sk.estimate()]
+        yield pd.DataFrame(out)
+
+    return prepared.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -885,3 +885,54 @@ def test_streaming_windowed_quantiles_final_per_window(spark, tmp_path):
             est = r[f"q_{int(q_*1000):04d}"]
             rank = np.searchsorted(s, est, side="right") / len(s)
             assert abs(rank - q_) <= 0.03, (h, q_, rank)
+
+
+def test_streaming_theta_matches_batch(spark, tmp_path):
+    """Same rows through streaming_theta_by (several micro-batches)
+    and batch theta_by: the union of emitted states equals the batch
+    sketch byte-for-byte (each emitted row is a prefix union, so the
+    order-free union is the final state)."""
+    from hyper_spark.kernel.theta import ThetaSketch
+    from hyper_spark.operators.theta_agg import theta_by, theta_collect
+    from hyper_spark.streaming.hll_stream import streaming_theta_by
+
+    rows = [Row(g=f"g{i % 2}", v=f"u{i % 900}") for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    src = str(tmp_path / "theta_src")
+    for part in range(4):
+        df.filter(F.crc32(F.col("v")) % 4 == part).write.mode(
+            "overwrite" if part == 0 else "append"
+        ).parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src)
+    out = streaming_theta_by(stream, ["g"], "v", k=256, output_mode="append")
+    sink = str(tmp_path / "theta_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "theta_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    pdf = spark.read.parquet(sink).toPandas()
+    for g in ("g0", "g1"):
+        sub = pdf[pdf["g"] == g]
+        assert len(sub) >= 2  # several micro-batches actually emitted
+        acc = ThetaSketch.empty(256)
+        for blob in sub["entries"]:
+            acc = acc.union(ThetaSketch.from_bytes(256, bytes(blob)))
+        batch = theta_collect(
+            theta_by(df.filter(F.col("g") == g), [], "v", k=256)
+        )
+        assert acc == batch
+    # and the emitted rows are a valid sketch table for the batch
+    # set-algebra operators
+    from hyper_spark.operators.theta_agg import theta_union
+
+    merged = theta_union(spark.read.parquet(sink), ["g"]).collect()
+    assert len(merged) == 2

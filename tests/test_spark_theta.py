@@ -94,3 +94,21 @@ def test_theta_merge_guards(spark):
         theta_union(a.unionByName(b)).collect()
     with pytest.raises(ValueError, match="xxhash64"):
         theta_by(df, [], "v", hash_fn="md5")
+
+
+def test_theta_jaccard_exact_when_unsaturated(spark):
+    """Known-overlap sets below saturation: jaccard is exact."""
+    from hyper_spark.operators.theta_agg import theta_jaccard
+
+    left = spark.range(0, 600).select(F.col("id").cast("string").alias("v"))
+    right = spark.range(300, 900).select(F.col("id").cast("string").alias("v"))
+    a = theta_by(left, [], "v", k=2048)
+    b = theta_by(right, [], "v", k=2048)
+    got = theta_jaccard(a, b).collect()[0]["jaccard"]
+    assert got == pytest.approx(300 / 900, abs=1e-12)
+    # disjoint -> 0
+    c = theta_by(
+        spark.range(5000, 5100).select(F.col("id").cast("string").alias("v")),
+        [], "v", k=2048,
+    )
+    assert theta_jaccard(a, c).collect()[0]["jaccard"] == 0.0
