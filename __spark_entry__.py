@@ -1085,6 +1085,58 @@ def _q_theta_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_jaccard(a, b)
 
 
+def _q_theta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set containment |A∩B|/|A| from theta sketches
+    (operators/theta_agg.py::theta_containment) — exact below
+    saturation, so double-equal to the SQL ratio."""
+    from hyper_spark.operators.theta_agg import theta_by, theta_containment
+
+    _ensure_pkg(spark)
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    k = 1 << 17
+    # A = order custkeys, B = a nation-filtered customer subset:
+    # containment is strictly inside (0, 1), so a degenerate
+    # always-1.0 implementation cannot pass.
+    a = theta_by(orders, [], F.col("o_custkey").alias("ck"), k=k)
+    b = theta_by(
+        customer.filter(F.col("c_nationkey") < 10),
+        [],
+        F.col("c_custkey").alias("ck"),
+        k=k,
+    )
+    return theta_containment(a, b)
+
+
+def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from count-min inner product
+    (operators/cms_agg.py::cms_inner_product, CM05 §4.2): the
+    self-equijoin size of events on user_id — Σ f(v)², the skew
+    diagnostic. The estimate is an overcount within eps·n²; the gate
+    returns the EXACT pair count plus both bound checks."""
+    from hyper_spark.operators.cms_agg import cms_by, cms_inner_product
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    width = 8192
+    sk = cms_by(events, [], "user_id", depth=5, width=width)
+    got = cms_inner_product(sk, sk).collect()[0]
+    est, n = int(got["inner_product"]), int(got["n_l"])
+    exact = int(
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("p"))
+        .collect()[0]["p"]
+    )
+    import math
+
+    upper = exact + math.e / width * n * n
+    return spark.createDataFrame(
+        [(exact, bool(est >= exact), bool(est <= upper))],
+        "exact_pairs bigint, lower_ok boolean, upper_ok boolean",
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py::bpe_train): the
     learned merge table over the corpus. Deterministic (count ties
@@ -2555,7 +2607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_rollup_lossless": _q_theta_rollup_lossless,
         "theta_set_algebra_exact": _q_theta_set_algebra,
         "theta_jaccard_exact": _q_theta_jaccard,
+        "theta_containment_exact": _q_theta_containment,
         "streaming_theta_parity": _q_streaming_theta_parity,
+        "cms_join_size_bounds": _q_cms_join_size,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3204,6 +3258,20 @@ def oracle_sql() -> dict[str, str]:
         "streaming_theta_parity": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type
+        """,
+        "theta_containment_exact": """
+            SELECT ((SELECT count(*) FROM (
+                         SELECT c_custkey FROM customer WHERE c_nationkey < 10
+                         INTERSECT SELECT o_custkey FROM orders))::DOUBLE
+                    /
+                    (SELECT count(DISTINCT o_custkey) FROM orders))::DOUBLE
+                       AS containment
+        """,
+        "cms_join_size_bounds": """
+            SELECT (SELECT sum(cnt * cnt) FROM (
+                        SELECT count(*) AS cnt FROM events GROUP BY user_id
+                    ))::BIGINT AS exact_pairs,
+                   true AS lower_ok, true AS upper_ok
         """,
         "theta_jaccard_exact": """
             SELECT ((SELECT count(*) FROM (

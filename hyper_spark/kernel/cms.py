@@ -86,6 +86,22 @@ class CountMinSketch:
             self.depth, self.width, self.counters + other.counters, self.n + other.n
         )
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Estimate of a⊙b = Σ_v f_a(v)·f_b(v) (CM05 §4.2): min over
+        rows of the counter dot product. Always an overcount; est ≤
+        a⊙b + eps·n_a·n_b with prob ≥ 1-delta. a⊙b on a shared join
+        key IS the equijoin output size, so this estimates |A ⋈ B|
+        from two sketches without touching either table."""
+        if (self.depth, self.width) != (other.depth, other.width):
+            raise ValueError("count-min dimensions must match to inner-product")
+        # arbitrary-precision dot: Σ_i a_i·b_i can exceed int64 at
+        # petabyte-scale counts (n_a·n_b up to ~10^24); d×w ≈ 10k terms
+        # per pair keeps the Python-int path cheap
+        return min(
+            sum(int(x) * int(y) for x, y in zip(ra, rb) if x and y)
+            for ra, rb in zip(self.counters.tolist(), other.counters.tolist())
+        )
+
     # -- serialization (row-major int64 little-endian) -----------------
     def to_bytes(self) -> bytes:
         return self.counters.astype("<i8").tobytes()

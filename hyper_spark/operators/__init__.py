@@ -16,6 +16,7 @@ from hyper_spark.operators.cms_agg import (
     cms_by,
     cms_collect,
     cms_estimate,
+    cms_inner_product,
     cms_merge,
     heavy_hitters,
 )
@@ -63,6 +64,7 @@ from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
 from hyper_spark.operators.theta_agg import (
     theta_a_not_b_card,
+    theta_containment,
     theta_by,
     theta_collect,
     theta_estimate,
@@ -91,6 +93,7 @@ __all__ = [
     "theta_collect",
     "theta_intersect_card",
     "theta_a_not_b_card",
+    "theta_containment",
     "theta_jaccard",
     "mixture_plan",
     "apply_mixture",
@@ -108,6 +111,7 @@ __all__ = [
     "cms_by",
     "cms_collect",
     "cms_estimate",
+    "cms_inner_product",
     "cms_merge",
     "heavy_hitters",
     "bloom_by",

@@ -55,6 +55,7 @@ __all__ = [
     "theta_intersect_card",
     "theta_a_not_b_card",
     "theta_jaccard",
+    "theta_containment",
     "theta_rse",
 ]
 
@@ -289,3 +290,21 @@ def theta_jaccard(
         return a.intersect_card(b) / u
 
     return _binary_theta_op(left, right, on, jac, "jaccard")
+
+
+def theta_containment(
+    left: DataFrame, right: DataFrame, on: Sequence[str] = ()
+) -> DataFrame:
+    """Containment |A∩B| / |A| per joined pair — "what fraction of A
+    is already in B", the leakage/coverage question (e.g. how much of
+    an eval set appears in the training corpus, set-level rather than
+    the per-document `decontaminate` answer). Exact below saturation;
+    1.0 for A ⊆ B, 0.0 for an empty A."""
+
+    def cont(a: ThetaSketch, b: ThetaSketch) -> float:
+        card_a = a.estimate()
+        if card_a == 0.0:
+            return 0.0
+        return a.intersect_card(b) / card_a
+
+    return _binary_theta_op(left, right, on, cont, "containment")

@@ -573,3 +573,76 @@ def test_vocab_divergence_empty_side_is_null(spark):
     r = vocab_divergence(docs.filter("1=0"), docs).collect()[0]
     assert r["jsd_bits"] is None
     assert r["total_a"] == 0 and r["total_b"] == 3
+
+
+# --------------------------------------------------- cms inner product
+def test_cms_inner_product_exact_and_bound(spark):
+    """Inner product vs the exact Σ f_L(v)·f_R(v): always an
+    overcount, within eps·n_l·n_r. With width >> vocab, collisions
+    are rare enough that the estimate is exact."""
+    import math
+
+    from hyper_spark.operators.cms_agg import cms_inner_product
+
+    left_rows = zipf_rows(4000, vocab=30, seed=7)
+    right_rows = zipf_rows(3000, vocab=30, seed=11)
+    ldf, rdf = spark.createDataFrame(left_rows), spark.createDataFrame(right_rows)
+    a = cms_by(ldf, [], "item", depth=5, width=4096)
+    b = cms_by(rdf, [], "item", depth=5, width=4096)
+    got = cms_inner_product(a, b).collect()[0]
+    ca, cb = Counter(r.item for r in left_rows), Counter(r.item for r in right_rows)
+    exact = sum(ca[v] * cb[v] for v in ca)
+    eps = math.e / 4096
+    assert got["inner_product"] >= exact
+    assert got["inner_product"] <= exact + eps * got["n_l"] * got["n_r"]
+    assert (got["n_l"], got["n_r"]) == (4000, 3000)
+    # wide sketch, 30-value vocab: exact
+    assert got["inner_product"] == exact
+
+
+def test_cms_inner_product_is_join_size(spark):
+    """Self inner product == Σ f(v)² == the self-equijoin row count."""
+    from hyper_spark.operators.cms_agg import cms_inner_product
+
+    df = spark.createDataFrame(zipf_rows(2000, vocab=20, seed=5))
+    sk = cms_by(df, [], "item", depth=5, width=4096)
+    est = cms_inner_product(sk, sk).collect()[0]["inner_product"]
+    exact = (
+        df.alias("a").join(df.alias("b"), on="item").count()
+    )
+    assert est == exact
+
+
+def test_cms_inner_product_grouped_and_guards(spark):
+    from hyper_spark.operators.cms_agg import cms_inner_product
+
+    df = spark.createDataFrame(zipf_rows(3000, vocab=25, seed=9))
+    a = cms_by(df, ["g"], "item", depth=5, width=4096)
+    b = cms_by(df.filter("g != 2"), ["g"], "item", depth=5, width=4096)
+    got = {r["g"]: r["inner_product"] for r in cms_inner_product(a, b, on=["g"]).collect()}
+    assert set(got) == {0, 1}  # inner join on g
+    by_g = {}
+    for r in zipf_rows(3000, vocab=25, seed=9):
+        by_g.setdefault(r.g, Counter())[r.item] += 1
+    for g in (0, 1):
+        assert got[g] == sum(c * c for c in by_g[g].values())
+    # dimension mismatch refuses
+    narrow = cms_by(df, [], "item", depth=5, width=2048)
+    wide = cms_by(df, [], "item", depth=5, width=4096)
+    with pytest.raises(Exception, match="dimensions"):
+        cms_inner_product(narrow, wide).collect()
+    # hash_fn mismatch refuses
+    md5_sk = cms_by(df, [], "item", depth=5, width=4096, hash_fn="md5")
+    with pytest.raises(Exception, match="hash_fn"):
+        cms_inner_product(md5_sk, wide).collect()
+
+
+def test_kernel_inner_product_overflow_safe():
+    """Counts whose dot product exceeds int64 still compute exactly
+    (the 100-TB case: n_l·n_b ~ 10^24)."""
+    a = CountMinSketch(2, 8)
+    b = CountMinSketch(2, 8)
+    big = 3_000_000_000_000  # 3e12; squared = 9e24 >> int64 max
+    a.add("k", big)
+    b.add("k", big)
+    assert a.inner_product(b) == big * big

@@ -112,3 +112,24 @@ def test_theta_jaccard_exact_when_unsaturated(spark):
         [], "v", k=2048,
     )
     assert theta_jaccard(a, c).collect()[0]["jaccard"] == 0.0
+
+
+def test_theta_containment_exact_when_unsaturated(spark):
+    from hyper_spark.operators.theta_agg import theta_containment
+
+    left = spark.range(0, 400).select(F.col("id").cast("string").alias("v"))
+    right = spark.range(300, 1300).select(F.col("id").cast("string").alias("v"))
+    a = theta_by(left, [], "v", k=2048)
+    b = theta_by(right, [], "v", k=2048)
+    # 100 of A's 400 land in B
+    got = theta_containment(a, b).collect()[0]["containment"]
+    assert got == pytest.approx(100 / 400, abs=1e-12)
+    # A ⊆ B -> 1.0; empty A -> 0.0
+    sub = theta_by(
+        spark.range(300, 400).select(F.col("id").cast("string").alias("v")),
+        [], "v", k=2048,
+    )
+    assert theta_containment(sub, b).collect()[0]["containment"] == 1.0
+    empty = theta_by(left.filter("1=0"), [], "v", k=2048)
+    # empty sketch frame has zero rows -> no joined pair rows
+    assert theta_containment(empty, b).count() == 0
