@@ -1137,6 +1137,52 @@ def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only equijoin planning
+    (operators/join_profile.py::join_profile): profile orders ⋈
+    customer on custkey from two per-table sketch rows. Below theta
+    saturation the cardinalities and containments are EXACT; the
+    count-min join-size estimate is an overcount within
+    e/width·n_l·n_r, gated as bound booleans against the exact join
+    run for the oracle. TPC-H referential integrity makes
+    containment_l_in_r exactly 1.0 while containment_r_in_l (the
+    fraction of customers with orders) is strictly interior, so a
+    degenerate always-1.0 implementation cannot pass."""
+    from hyper_spark.operators.join_profile import join_key_profile, join_profile
+
+    _ensure_pkg(spark)
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    width = 1 << 14
+    lp = join_key_profile(orders, "o_custkey", k=1 << 17, width=width)
+    rp = join_key_profile(customer, "c_custkey", k=1 << 17, width=width)
+    got = join_profile(lp, rp).collect()[0]
+    exact_join = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).count()
+    upper = exact_join + got["err_bound"]
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_l"]),
+                int(got["n_r"]),
+                int(got["distinct_l"]),
+                int(got["distinct_r"]),
+                int(exact_join),
+                bool(got["est_join_rows"] >= exact_join),
+                bool(got["est_join_rows"] <= upper),
+                float(got["containment_l_in_r"]),
+                float(got["containment_r_in_l"]),
+                got["recommendation"],
+            )
+        ],
+        "n_l bigint, n_r bigint, distinct_l bigint, distinct_r bigint, "
+        "exact_join_rows bigint, join_lower_ok boolean, join_upper_ok "
+        "boolean, containment_l_in_r double, containment_r_in_l double, "
+        "recommendation string",
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py::bpe_train): the
     learned merge table over the corpus. Deterministic (count ties
@@ -2610,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_containment_exact": _q_theta_containment,
         "streaming_theta_parity": _q_streaming_theta_parity,
         "cms_join_size_bounds": _q_cms_join_size,
+        "join_profile_plan": _q_join_profile,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3272,6 +3319,32 @@ def oracle_sql() -> dict[str, str]:
                         SELECT count(*) AS cnt FROM events GROUP BY user_id
                     ))::BIGINT AS exact_pairs,
                    true AS lower_ok, true AS upper_ok
+        """,
+        "join_profile_plan": """
+            SELECT
+              (SELECT count(o_custkey) FROM orders)::BIGINT AS n_l,
+              (SELECT count(c_custkey) FROM customer)::BIGINT AS n_r,
+              (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT
+                 AS distinct_l,
+              (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT
+                 AS distinct_r,
+              (SELECT count(*) FROM orders
+                 JOIN customer ON o_custkey = c_custkey)::BIGINT
+                 AS exact_join_rows,
+              true AS join_lower_ok,
+              true AS join_upper_ok,
+              ((SELECT count(*) FROM (SELECT o_custkey FROM orders
+                    INTERSECT SELECT c_custkey FROM customer))::DOUBLE
+               / (SELECT count(DISTINCT o_custkey) FROM orders))::DOUBLE
+                 AS containment_l_in_r,
+              ((SELECT count(*) FROM (SELECT o_custkey FROM orders
+                    INTERSECT SELECT c_custkey FROM customer))::DOUBLE
+               / (SELECT count(DISTINCT c_custkey) FROM customer))::DOUBLE
+                 AS containment_r_in_l,
+              CASE WHEN (SELECT count(o_custkey) FROM orders)
+                        <= (SELECT count(c_custkey) FROM customer)
+                   THEN 'broadcast_left' ELSE 'broadcast_right' END
+                 AS recommendation
         """,
         "theta_jaccard_exact": """
             SELECT ((SELECT count(*) FROM (

@@ -62,6 +62,7 @@ from hyper_spark.operators.bpe import bpe_encode, bpe_merge_list, bpe_train
 from hyper_spark.operators.export import export_shards, shard_assignment, shard_manifest
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
+from hyper_spark.operators.join_profile import join_key_profile, join_profile
 from hyper_spark.operators.theta_agg import (
     theta_a_not_b_card,
     theta_containment,
@@ -112,6 +113,8 @@ __all__ = [
     "cms_collect",
     "cms_estimate",
     "cms_inner_product",
+    "join_key_profile",
+    "join_profile",
     "cms_merge",
     "heavy_hitters",
     "bloom_by",
