@@ -1183,6 +1183,39 @@ def _q_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_file_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping point lookup
+    (operators/skipping.py::build_file_index/point_lookup): rewrite
+    events as 8 hash-partitioned files, index user_id (per-file Bloom
+    + zone map), then look up the 3 smallest user_ids reading only
+    candidate files. The index has no false negatives and the exact
+    filter still runs, so the result is row-identical to the full-scan
+    ``WHERE user_id IN (...)`` the oracle computes."""
+    import os
+    import tempfile
+
+    from hyper_spark.operators.skipping import build_file_index, point_lookup
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "hyper_spark_gate_skip", tag)
+    events.repartition(8, "user_id").write.mode("overwrite").parquet(path)
+    idx = build_file_index(spark.read.parquet(path), "user_id", m_bits=1 << 18)
+    probes = [
+        r["user_id"]
+        for r in events.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(3)
+        .collect()
+    ]
+    return point_lookup(spark, path, idx, "user_id", probes).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py::bpe_train): the
     learned merge table over the corpus. Deterministic (count ties
@@ -2657,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_theta_parity": _q_streaming_theta_parity,
         "cms_join_size_bounds": _q_cms_join_size,
         "join_profile_plan": _q_join_profile,
+        "file_skip_lookup": _q_file_skip_lookup,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3345,6 +3379,12 @@ def oracle_sql() -> dict[str, str]:
                         <= (SELECT count(c_custkey) FROM customer)
                    THEN 'broadcast_left' ELSE 'broadcast_right' END
                  AS recommendation
+        """,
+        "file_skip_lookup": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE user_id IN (
+                SELECT DISTINCT user_id FROM events
+                WHERE user_id IS NOT NULL ORDER BY user_id LIMIT 3)
         """,
         "theta_jaccard_exact": """
             SELECT ((SELECT count(*) FROM (

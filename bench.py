@@ -265,6 +265,36 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         )
         return pack_offsets(sized, "doc_id", "n", chunk_size=2048)
 
+    def q_join_profile():
+        from hyper_spark.operators.join_profile import (
+            join_key_profile,
+            join_profile,
+        )
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        lp = join_key_profile(orders, "o_custkey", k=1 << 14, width=8192)
+        rp = join_key_profile(customer, "c_custkey", k=1 << 14, width=8192)
+        return join_profile(lp, rp)
+
+    # file-skipping point lookup: the table rewrite + index build are
+    # one-time setup (an index is built once, probed many times) —
+    # only the lookup itself is the timed query
+    import tempfile
+
+    from hyper_spark.operators.skipping import build_file_index, point_lookup
+
+    skip_path = os.path.join(tempfile.gettempdir(), "hyper_spark_bench_skip")
+    skip_idx = skip_path + "_idx"
+    events.repartition(32, "user_id").write.mode("overwrite").parquet(skip_path)
+    build_file_index(
+        spark.read.parquet(skip_path), "user_id", m_bits=1 << 18
+    ).write.mode("overwrite").parquet(skip_idx)
+
+    def q_file_skip():
+        idx = spark.read.parquet(skip_idx)
+        return point_lookup(spark, skip_path, idx, "user_id", [11, 503, 9041])
+
     return {
         "hll_orderkey": q_hll_orderkey,
         "hll_rollup_hour_day_week": q_hll_rollup,
@@ -284,6 +314,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "knn_join_64q": q_knn_join,
         "corpus_prepare": q_corpus_prepare,
         "pack_offsets": q_pack_offsets,
+        "join_profile_custkey": q_join_profile,
+        "file_skip_lookup": q_file_skip,
         "near_dedup_docs": q_near_dedup,
         "gopher_filter_docs": q_gopher_filter,
         "incremental_near_dedup_docs": q_incremental_near_dedup,

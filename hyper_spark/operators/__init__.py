@@ -63,6 +63,11 @@ from hyper_spark.operators.export import export_shards, shard_assignment, shard_
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
 from hyper_spark.operators.join_profile import join_key_profile, join_profile
+from hyper_spark.operators.skipping import (
+    build_file_index,
+    file_candidates,
+    point_lookup,
+)
 from hyper_spark.operators.theta_agg import (
     theta_a_not_b_card,
     theta_containment,
@@ -115,6 +120,9 @@ __all__ = [
     "cms_inner_product",
     "join_key_profile",
     "join_profile",
+    "build_file_index",
+    "file_candidates",
+    "point_lookup",
     "cms_merge",
     "heavy_hitters",
     "bloom_by",
