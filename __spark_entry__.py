@@ -1216,6 +1216,38 @@ def _q_file_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout + zone-map range scan
+    (operators/skipping.py::save_zordered/build_zone_maps/range_scan):
+    rewrite events along a Morton curve over (user_id, value), then
+    answer a 2-dim BETWEEN box reading only zone-overlapping files.
+    Candidates are a superset (zone overlap is exact interval logic on
+    true per-file extrema) and the exact filter still runs, so the
+    result is row-identical to the oracle's full-scan conjunction —
+    layout-independent correctness, layout-dependent IO."""
+    import os
+    import tempfile
+
+    from hyper_spark.operators.skipping import (
+        build_zone_maps,
+        range_scan,
+        save_zordered,
+    )
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "hyper_spark_gate_zorder", tag)
+    save_zordered(
+        events, path, ["user_id", "value"], n_files=16, mode="overwrite"
+    )
+    zm = build_zone_maps(spark.read.parquet(path), ["user_id", "value"])
+    out = range_scan(
+        spark, path, zm, {"user_id": (10, 80), "value": (5.0, 100.0)}
+    )
+    return out.select("event_id", "user_id", "value")
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py::bpe_train): the
     learned merge table over the corpus. Deterministic (count ties
@@ -2691,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size_bounds": _q_cms_join_size,
         "join_profile_plan": _q_join_profile,
         "file_skip_lookup": _q_file_skip_lookup,
+        "zorder_range_scan": _q_zorder_range_scan,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3385,6 +3418,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (
                 SELECT DISTINCT user_id FROM events
                 WHERE user_id IS NOT NULL ORDER BY user_id LIMIT 3)
+        """,
+        "zorder_range_scan": """
+            SELECT event_id, user_id, value FROM events
+            WHERE user_id BETWEEN 10 AND 80
+              AND value BETWEEN 5.0 AND 100.0
         """,
         "theta_jaccard_exact": """
             SELECT ((SELECT count(*) FROM (

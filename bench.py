@@ -295,6 +295,27 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         idx = spark.read.parquet(skip_idx)
         return point_lookup(spark, skip_path, idx, "user_id", [11, 503, 9041])
 
+    from hyper_spark.operators.skipping import (
+        build_zone_maps,
+        range_scan,
+        save_zordered,
+    )
+
+    z_path = os.path.join(tempfile.gettempdir(), "hyper_spark_bench_zorder")
+    z_zm = z_path + "_zm"
+    save_zordered(
+        events, z_path, ["user_id", "value"], n_files=32, mode="overwrite"
+    )
+    build_zone_maps(spark.read.parquet(z_path), ["user_id", "value"]).write.mode(
+        "overwrite"
+    ).parquet(z_zm)
+
+    def q_zorder_scan():
+        zm = spark.read.parquet(z_zm)
+        return range_scan(
+            spark, z_path, zm, {"user_id": (100, 300), "value": (10.0, 60.0)}
+        )
+
     return {
         "hll_orderkey": q_hll_orderkey,
         "hll_rollup_hour_day_week": q_hll_rollup,
@@ -316,6 +337,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "pack_offsets": q_pack_offsets,
         "join_profile_custkey": q_join_profile,
         "file_skip_lookup": q_file_skip,
+        "zorder_range_scan": q_zorder_scan,
         "near_dedup_docs": q_near_dedup,
         "gopher_filter_docs": q_gopher_filter,
         "incremental_near_dedup_docs": q_incremental_near_dedup,

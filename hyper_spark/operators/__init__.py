@@ -65,8 +65,12 @@ from hyper_spark.operators.mixing import apply_mixture, mixture_plan
 from hyper_spark.operators.join_profile import join_key_profile, join_profile
 from hyper_spark.operators.skipping import (
     build_file_index,
+    build_zone_maps,
     file_candidates,
     point_lookup,
+    range_scan,
+    save_zordered,
+    zone_candidates,
 )
 from hyper_spark.operators.theta_agg import (
     theta_a_not_b_card,
@@ -121,8 +125,12 @@ __all__ = [
     "join_key_profile",
     "join_profile",
     "build_file_index",
+    "build_zone_maps",
     "file_candidates",
     "point_lookup",
+    "range_scan",
+    "save_zordered",
+    "zone_candidates",
     "cms_merge",
     "heavy_hitters",
     "bloom_by",

@@ -45,7 +45,15 @@ from pyspark.sql.types import ArrayType, BooleanType
 from hyper_spark.operators.bloom_agg import bloom_by
 from hyper_spark.operators.cms_agg import cms_bucket_col
 
-__all__ = ["build_file_index", "file_candidates", "point_lookup"]
+__all__ = [
+    "build_file_index",
+    "file_candidates",
+    "point_lookup",
+    "save_zordered",
+    "build_zone_maps",
+    "zone_candidates",
+    "range_scan",
+]
 
 
 def build_file_index(
@@ -185,3 +193,156 @@ def point_lookup(
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*files).filter(F.col(col).isin(values))
+
+
+# ---------------------------------------------------------------- z-order
+
+
+def _zvalue_col(df: DataFrame, cols: Sequence[str], bits: int) -> "F.Column":
+    """Morton z-value as a pure-codegen column: each dim is equi-width
+    bucketed into 2^bits cells via ``width_bucket`` over its global
+    [min, max] (one tiny agg collect), then the cells' bits are
+    interleaved with shift/OR expressions — no Python in the row path.
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    n_cells = 1 << bits
+    d = len(cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo, hi = stats[f"__lo_{j}"], stats[f"__hi_{j}"]
+        if lo is None or hi is None or lo == hi:
+            continue  # constant/all-NULL dim carries no information
+        # width_bucket returns 1..n_cells (n_cells+1 for v == hi); clamp
+        # to 0..n_cells-1
+        cell = F.least(
+            F.lit(n_cells - 1),
+            (F.width_bucket(F.col(c).cast("double"), F.lit(float(lo)),
+                            F.lit(float(hi)), F.lit(n_cells)) - F.lit(1)),
+        ).cast("long")
+        for i in range(bits):
+            # bit i of this dim lands at position i*d + j of z
+            z = z.bitwiseOR(
+                F.shiftleft(cell.bitwiseAND(F.lit(1 << i)), i * (d - 1) + j)
+            )
+    return z
+
+
+def save_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 64,
+    bits: int = 8,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` as parquet laid out along a Morton (z-order) curve
+    over ``cols`` — the layout that makes MULTI-dimensional zone-map
+    pruning effective. A single-column sort prunes range predicates on
+    that column only; the z-curve keeps every dimension's values
+    locally clustered, so a file's [min, max] box is tight in ALL
+    ``cols`` at once and ``range_scan`` touches ~n_files^(1-1/d) files
+    for a selective d-dim box instead of all of them.
+
+    ``cols`` must be numeric/timestamp (equi-width cells need an
+    order-preserving metric; hashing a string would destroy the
+    locality that is the whole point). Rows with NULL in a dim sort
+    into the curve's origin cells for that dim — correctness is
+    layout-independent, NULLs just cluster less helpfully.
+
+    Scale: bucket boundaries are one tiny agg collect; the z-value is
+    whole-stage-codegen bit arithmetic; the write is one range
+    repartition on z (the same shuffle any explicit sort-write pays).
+    """
+    cols = list(cols)
+    if not (1 <= len(cols) <= 8):
+        raise ValueError("z-order wants 1..8 columns")
+    for c in cols:
+        t = df.schema[c].dataType.simpleString()
+        if not (
+            t in ("tinyint", "smallint", "int", "bigint", "float", "double",
+                  "date", "timestamp")
+            or t.startswith("decimal")
+        ):
+            raise ValueError(
+                f"z-order column {c!r} has non-numeric type {t}; hash "
+                "layouts destroy locality — pick numeric/timestamp dims"
+            )
+    tagged = df.withColumn(
+        "__z",
+        _zvalue_col(
+            df.select(*[F.col(c).cast("double").alias(c) for c in cols]),
+            cols,
+            bits,
+        ),
+    )
+    (
+        tagged.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def build_zone_maps(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Multi-column zone maps: one row per data file with
+    ``n_rows`` and typed ``min_<col>``/``max_<col>`` for every
+    ``cols`` entry. One distributed pass; persist next to the data and
+    rebuild only when files change."""
+    cols = list(cols)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(F.col(c)).alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"max_{c}"))
+    return (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(*aggs)
+        .withColumnRenamed("__file", "file")
+    )
+
+
+def zone_candidates(
+    zone_df: DataFrame, predicates: dict
+) -> DataFrame:
+    """Filter zone maps to files whose [min, max] box overlaps EVERY
+    ``{col: (lo, hi)}`` range (either bound may be None for
+    open-ended). Pure Catalyst, typed in each column's own type; no
+    false negatives — interval overlap is exact logic on true
+    per-file extrema."""
+    out = zone_df
+    for c, (lo, hi) in predicates.items():
+        if lo is not None:
+            out = out.filter(F.col(f"max_{c}") >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(f"min_{c}") <= F.lit(hi))
+    return out
+
+
+def range_scan(
+    spark: SparkSession,
+    path: str,
+    zone_df: DataFrame,
+    predicates: dict,
+) -> DataFrame:
+    """Exact multi-dimensional range query over the parquet at
+    ``path``, reading only zone-map candidate files. Result-identical
+    to the full-scan conjunction of BETWEENs (candidates are a
+    superset; the exact filter still runs)."""
+    schema = spark.read.parquet(path).schema
+    files = [
+        r["file"]
+        for r in zone_candidates(zone_df, predicates).select("file").collect()
+    ]
+    if not files:
+        return spark.createDataFrame([], schema)
+    out = spark.read.parquet(*files)
+    for c, (lo, hi) in predicates.items():
+        if lo is not None:
+            out = out.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(c) <= F.lit(hi))
+    return out

@@ -117,3 +117,99 @@ def test_index_persists(spark, table, tmp_path):
         for r in spark.read.parquet(table).filter(F.col("key").isin(probes)).collect()
     )
     assert a == b
+
+
+# ------------------------------------------------------------- z-order
+
+
+from hyper_spark.operators.skipping import (  # noqa: E402
+    build_zone_maps,
+    range_scan,
+    save_zordered,
+    zone_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    # 100x100 uniform grid, shuffled-ish ordering via a hash sort so
+    # the input has no accidental locality
+    return (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("rid"),
+            (F.col("id") % 100).cast("double").alias("x"),
+            (F.col("id") / 100).cast("long").cast("double").alias("y"),
+        )
+        .orderBy(F.xxhash64("id"))
+    )
+
+
+def test_zorder_range_scan_exact(spark, grid, tmp_path):
+    path = str(tmp_path / "z")
+    save_zordered(grid, path, ["x", "y"], n_files=16)
+    zm = build_zone_maps(spark.read.parquet(path), ["x", "y"])
+    preds = {"x": (10.0, 19.0), "y": (30.0, 39.0)}
+    got = sorted(
+        r["rid"] for r in range_scan(spark, path, zm, preds).collect()
+    )
+    want = sorted(
+        r["rid"]
+        for r in grid.filter(
+            F.col("x").between(10.0, 19.0) & F.col("y").between(30.0, 39.0)
+        ).collect()
+    )
+    assert got == want and len(got) == 100
+
+
+def test_zorder_prunes_both_dims(spark, grid, tmp_path):
+    zpath = str(tmp_path / "zz")
+    lpath = str(tmp_path / "lin")
+    save_zordered(grid, zpath, ["x", "y"], n_files=16)
+    # linear layout: range-partitioned on x only
+    grid.repartitionByRange(16, "x").write.parquet(lpath)
+    zzm = build_zone_maps(spark.read.parquet(zpath), ["x", "y"])
+    lzm = build_zone_maps(spark.read.parquet(lpath), ["x", "y"])
+    n_z_files = zzm.count()
+    # predicate on y ONLY: the x-sorted layout can't prune at all; the
+    # z-curve keeps y clustered too and must drop at least half
+    preds = {"y": (0.0, 9.0)}
+    assert zone_candidates(lzm, preds).count() == lzm.count()
+    assert zone_candidates(zzm, preds).count() <= n_z_files // 2
+    # and the scan is still exact
+    got = range_scan(spark, zpath, zzm, preds).count()
+    assert got == grid.filter(F.col("y").between(0.0, 9.0)).count() == 1000
+
+
+def test_zorder_open_bounds_and_nulls(spark, tmp_path):
+    path = str(tmp_path / "zn")
+    df = spark.range(1000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise((F.col("id") % 50).cast("double"))
+        .alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    save_zordered(df, path, ["x", "y"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000  # NULL-dim rows are written, not lost
+    zm = build_zone_maps(back, ["x", "y"])
+    got = range_scan(spark, path, zm, {"x": (40.0, None)}).count()
+    assert got == df.filter(F.col("x") >= 40.0).count()
+    got2 = range_scan(spark, path, zm, {"x": (None, 5.0), "y": (2.0, 2.0)}).count()
+    assert got2 == df.filter((F.col("x") <= 5.0) & (F.col("y") == 2.0)).count()
+
+
+def test_zorder_rejects_strings_and_constant_dim(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id").alias("rid"),
+        F.lit("s").alias("s"),
+        F.lit(1.0).alias("c"),
+        (F.col("id") % 10).cast("double").alias("x"),
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        save_zordered(df, str(tmp_path / "bad"), ["s", "x"])
+    # constant dim contributes nothing but must not break the write
+    path = str(tmp_path / "const")
+    save_zordered(df, path, ["c", "x"], n_files=4)
+    assert spark.read.parquet(path).count() == 100
