@@ -1248,6 +1248,49 @@ def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value")
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (operators/snapshot.py::merge_upsert): apply a
+    deterministic change set to orders — every 10th key updates
+    (price doubles), every 100th deletes — and return the new
+    snapshot. MERGE semantics are exactly the oracle's
+    changes-UNION-untouched-target query."""
+    from hyper_spark.operators.snapshot import merge_upsert
+
+    _ensure_pkg(spark)
+    orders = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    changes = (
+        orders.filter(k % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("is_del", k % 100 == 0)
+    )
+    merged = merge_upsert(orders, changes, ["o_orderkey"], delete_col="is_del")
+    return merged.select("o_orderkey", "o_totalprice")
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/snapshot.py::snapshot_diff): mutate
+    orders deterministically (every 97th key removed, every 13th
+    price +1, every 11th re-inserted under a shifted key) and report
+    row-level added/removed/changed — identical to the oracle's
+    full-outer-join CASE."""
+    from hyper_spark.operators.snapshot import snapshot_diff
+
+    _ensure_pkg(spark)
+    base = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k, v = F.col("o_orderkey"), F.col("o_totalprice")
+    new = (
+        base.filter(k % 97 != 0)
+        .withColumn("o_totalprice", F.when(k % 13 == 0, v + 1).otherwise(v))
+        .unionByName(
+            base.filter(k % 11 == 0).select(
+                (k + 10_000_000).alias("o_orderkey"), v.alias("o_totalprice")
+            )
+        )
+    )
+    return snapshot_diff(base, new, ["o_orderkey"], compare_cols=["o_totalprice"])
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py::bpe_train): the
     learned merge table over the corpus. Deterministic (count ties
@@ -2724,6 +2767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_profile_plan": _q_join_profile,
         "file_skip_lookup": _q_file_skip_lookup,
         "zorder_range_scan": _q_zorder_range_scan,
+        "merge_upsert_orders": _q_merge_upsert,
+        "snapshot_diff_orders": _q_snapshot_diff,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3423,6 +3468,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value FROM events
             WHERE user_id BETWEEN 10 AND 80
               AND value BETWEEN 5.0 AND 100.0
+        """,
+        "merge_upsert_orders": """
+            WITH changes AS (
+                SELECT o_orderkey,
+                       (o_totalprice * 2)::DOUBLE AS o_totalprice,
+                       (o_orderkey % 100 = 0) AS is_del
+                FROM orders WHERE o_orderkey % 10 = 0
+            )
+            SELECT o_orderkey, o_totalprice FROM changes WHERE NOT is_del
+            UNION ALL
+            SELECT o_orderkey, o_totalprice::DOUBLE FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        """,
+        "snapshot_diff_orders": """
+            WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
+            new AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 13 = 0
+                            THEN o_totalprice + 1
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_totalprice
+                FROM orders WHERE o_orderkey % 11 = 0
+            )
+            SELECT o_orderkey, change FROM (
+                SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                            WHEN n.o_orderkey IS NULL THEN 'removed'
+                            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                                 THEN 'changed' END AS change
+                FROM old o FULL OUTER JOIN new n
+                  ON o.o_orderkey = n.o_orderkey
+            ) WHERE change IS NOT NULL
         """,
         "theta_jaccard_exact": """
             SELECT ((SELECT count(*) FROM (

@@ -63,6 +63,11 @@ from hyper_spark.operators.export import export_shards, shard_assignment, shard_
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
 from hyper_spark.operators.join_profile import join_key_profile, join_profile
+from hyper_spark.operators.snapshot import (
+    diff_summary,
+    merge_upsert,
+    snapshot_diff,
+)
 from hyper_spark.operators.skipping import (
     build_file_index,
     build_zone_maps,
@@ -131,6 +136,9 @@ __all__ = [
     "range_scan",
     "save_zordered",
     "zone_candidates",
+    "diff_summary",
+    "merge_upsert",
+    "snapshot_diff",
     "cms_merge",
     "heavy_hitters",
     "bloom_by",
