@@ -1216,6 +1216,41 @@ def _q_file_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental skipping-index maintenance
+    (operators/skipping.py::update_file_index): index an 8-file events
+    copy, append shifted-user rows as NEW files, update the index
+    (only the new files are scanned — surviving rows are reused
+    verbatim), then point-lookup one old and one appended key. The
+    result is row-identical to the oracle's WHERE IN over the
+    equivalent UNION ALL."""
+    import os
+    import tempfile
+
+    from hyper_spark.operators.skipping import (
+        build_file_index,
+        point_lookup,
+        update_file_index,
+    )
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "hyper_spark_gate_incidx", tag)
+    events.repartition(8, "user_id").write.mode("overwrite").parquet(path)
+    idx = build_file_index(spark.read.parquet(path), "user_id", m_bits=1 << 18)
+    appended = events.filter(F.col("user_id") < 5).select(
+        "event_id", "ts",
+        (F.col("user_id") + 1_000_000).alias("user_id"),
+        "event_type", "value", "props",
+    )
+    appended.repartition(2).write.mode("append").parquet(path)
+    idx2 = update_file_index(idx, spark.read.parquet(path))
+    return point_lookup(
+        spark, path, idx2, "user_id", [2, 1_000_002]
+    ).select("event_id", "user_id")
+
+
 def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout + zone-map range scan
     (operators/skipping.py::save_zordered/build_zone_maps/range_scan):
@@ -2767,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_profile_plan": _q_join_profile,
         "file_skip_lookup": _q_file_skip_lookup,
         "zorder_range_scan": _q_zorder_range_scan,
+        "incremental_index_lookup": _q_incremental_index_lookup,
         "merge_upsert_orders": _q_merge_upsert,
         "snapshot_diff_orders": _q_snapshot_diff,
         "bpe_merges_docs": _q_bpe_merges,
@@ -3468,6 +3504,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value FROM events
             WHERE user_id BETWEEN 10 AND 80
               AND value BETWEEN 5.0 AND 100.0
+        """,
+        "incremental_index_lookup": """
+            SELECT event_id, user_id FROM (
+                SELECT event_id, user_id FROM events
+                UNION ALL
+                SELECT event_id, user_id + 1000000 AS user_id
+                FROM events WHERE user_id < 5
+            ) WHERE user_id IN (2, 1000002)
         """,
         "merge_upsert_orders": """
             WITH changes AS (

@@ -75,6 +75,7 @@ from hyper_spark.operators.skipping import (
     point_lookup,
     range_scan,
     save_zordered,
+    update_file_index,
     zone_candidates,
 )
 from hyper_spark.operators.theta_agg import (
@@ -135,6 +136,7 @@ __all__ = [
     "point_lookup",
     "range_scan",
     "save_zordered",
+    "update_file_index",
     "zone_candidates",
     "diff_summary",
     "merge_upsert",

@@ -47,6 +47,7 @@ from hyper_spark.operators.cms_agg import cms_bucket_col
 
 __all__ = [
     "build_file_index",
+    "update_file_index",
     "file_candidates",
     "point_lookup",
     "save_zordered",
@@ -96,10 +97,59 @@ def build_file_index(
         zones.join(blooms, on="__file", how="left")
         .withColumnRenamed("__file", "file")
         .select(
-            "file", "n_rows", "min_value", "max_value",
+            "file", F.lit(col).alias("column"), "n_rows",
+            "min_value", "max_value",
             "m_bits", "k", "n", "bits", "hash_fn",
         )
     )
+
+
+def update_file_index(
+    index_df: DataFrame, df: DataFrame
+) -> DataFrame:
+    """Incrementally maintain a skipping index against the CURRENT
+    file set of ``df`` (the same table the index was built on, after
+    appends/compactions/deletes): rows for vanished files are dropped,
+    rows for surviving files are kept AS IS (immutable files never
+    change content — the parquet contract this index relies on), and
+    only genuinely NEW files are scanned and indexed. The incremental
+    cost is proportional to the appended data, not the table — the
+    property that makes a 100-TB index maintainable per batch.
+
+    Uses ``df.inputFiles()`` (driver-side file listing, no data scan)
+    to compute the set difference; build parameters (column, m_bits,
+    k, hash_fn) are read from the existing index rows, so the merged
+    index stays self-consistent by construction.
+    """
+    spark = df.sparkSession
+    current = set(df.inputFiles())
+    meta = (
+        index_df.select("column", "m_bits", "k", "hash_fn").distinct().collect()
+    )
+    if len(meta) != 1:
+        raise ValueError(
+            "index mixes build parameters "
+            f"({[tuple(r) for r in meta]}) — cannot extend it consistently"
+        )
+    col, m_bits, k, hash_fn = (
+        meta[0]["column"], meta[0]["m_bits"], meta[0]["k"], meta[0]["hash_fn"]
+    )
+    known = {r["file"] for r in index_df.select("file").collect()}
+    new_files = sorted(current - known)
+    files_df = spark.createDataFrame(
+        [(f,) for f in sorted(current)], ["file"]
+    )
+    kept = index_df.join(files_df, on="file", how="left_semi")
+    if not new_files:
+        return kept
+    fresh = build_file_index(
+        spark.read.parquet(*new_files),
+        col,
+        m_bits=m_bits,
+        k=k,
+        hash_fn=hash_fn,
+    )
+    return kept.unionByName(fresh)
 
 
 def _probe_positions(

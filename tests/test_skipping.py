@@ -213,3 +213,69 @@ def test_zorder_rejects_strings_and_constant_dim(spark, tmp_path):
     path = str(tmp_path / "const")
     save_zordered(df, path, ["c", "x"], n_files=4)
     assert spark.read.parquet(path).count() == 100
+
+
+# ------------------------------------------------- incremental index
+
+
+from hyper_spark.operators.skipping import update_file_index  # noqa: E402
+
+
+def test_update_file_index_incremental(spark, tmp_path):
+    path = str(tmp_path / "inc")
+    spark.range(1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 100).alias("key")
+    ).repartition(4, "key").write.parquet(path)
+    idx0 = build_file_index(spark.read.parquet(path), "key", m_bits=1 << 16)
+    rows0 = {r["file"]: bytes(r["bits"]) for r in idx0.collect()}
+    assert all(r["column"] == "key" for r in idx0.collect())
+
+    # append new keys in new files
+    spark.range(1000, 1500).select(
+        F.col("id").alias("rid"), (F.col("id") % 100 + 1000).alias("key")
+    ).repartition(2, "key").write.mode("append").parquet(path)
+    idx1 = update_file_index(idx0, spark.read.parquet(path))
+    rows1 = {r["file"]: bytes(r["bits"]) for r in idx1.collect()}
+    assert len(rows1) == len(spark.read.parquet(path).inputFiles())
+    # surviving files keep their EXACT old rows (no rescan, no drift)
+    for f, b in rows0.items():
+        assert rows1[f] == b
+    # lookups stay exact across old and new keys
+    for probe in [7, 1042]:
+        got = sorted(
+            r["rid"]
+            for r in point_lookup(spark, path, idx1, "key", [probe]).collect()
+        )
+        want = sorted(
+            r["rid"]
+            for r in spark.read.parquet(path)
+            .filter(F.col("key") == probe)
+            .collect()
+        )
+        assert got == want and got
+    # idempotent when nothing changed
+    idx2 = update_file_index(idx1, spark.read.parquet(path))
+    assert idx2.count() == idx1.count()
+
+
+def test_update_file_index_drops_vanished(spark, tmp_path):
+    import os
+    import glob
+
+    path = str(tmp_path / "van")
+    spark.range(400).select(
+        F.col("id").alias("rid"), (F.col("id") % 20).alias("key")
+    ).repartition(4, "key").write.parquet(path)
+    # persist the index (real usage) so it outlives the deleted file
+    idx_path = str(tmp_path / "van_idx")
+    build_file_index(
+        spark.read.parquet(path), "key", m_bits=1 << 16
+    ).write.parquet(idx_path)
+    idx0 = spark.read.parquet(idx_path)
+    n0 = idx0.count()
+    victim = sorted(glob.glob(os.path.join(path, "part-*.parquet")))[0]
+    os.remove(victim)
+    idx1 = update_file_index(idx0, spark.read.parquet(path))
+    assert idx1.count() == n0 - 1
+    assert victim not in {r["file"].replace("file://", "").replace("file:", "")
+                          for r in idx1.select("file").collect()}
