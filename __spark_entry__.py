@@ -1283,6 +1283,39 @@ def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value")
 
 
+def _q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations
+    (operators/expectations.py::expect): 7 rules over events — a mix
+    of passing (not_null, unique event_id, matches, the
+    referential-integrity foreign key) and failing (unique user_id,
+    accepted_values, in_range) — with exact violation counts. All
+    row-level rules fold into ONE aggregate over ONE scan."""
+    from hyper_spark.operators.expectations import expect
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    customer = _read(spark, sf_dir, "customer")
+    rules = [
+        {"rule": "not_null", "column": "user_id"},
+        {"rule": "unique", "columns": ["event_id"]},
+        {"rule": "unique", "columns": ["user_id"]},
+        {
+            "rule": "accepted_values",
+            "column": "event_type",
+            "values": ["click", "view", "purchase"],
+        },
+        {"rule": "in_range", "column": "value", "lo": 0.0, "hi": 100.0},
+        {"rule": "matches", "column": "event_type", "pattern": "^[a-z]+$"},
+        {
+            "rule": "foreign_key",
+            "column": "user_id",
+            "ref": customer,
+            "ref_column": "c_custkey",
+        },
+    ]
+    return expect(events, rules, max_frac=0.5)
+
+
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge (operators/snapshot.py::merge_upsert): apply a
     deterministic change set to orders — every 10th key updates
@@ -2805,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_index_lookup": _q_incremental_index_lookup,
         "merge_upsert_orders": _q_merge_upsert,
         "snapshot_diff_orders": _q_snapshot_diff,
+        "expectations_report": _q_expectations_report,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3512,6 +3546,54 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, user_id + 1000000 AS user_id
                 FROM events WHERE user_id < 5
             ) WHERE user_id IN (2, 1000002)
+        """,
+        "expectations_report": """
+            WITH t AS (SELECT count(*) AS n FROM events),
+            v AS (
+                SELECT 'not_null' AS rule, 'user_id' AS target,
+                       (SELECT count(*) FROM events
+                        WHERE user_id IS NULL)::BIGINT AS n_violations
+                UNION ALL
+                SELECT 'unique', 'event_id',
+                       (SELECT count(*) - count(DISTINCT event_id)
+                        FROM events)::BIGINT
+                UNION ALL
+                SELECT 'unique', 'user_id',
+                       (SELECT count(*) - count(DISTINCT user_id)
+                        FROM events)::BIGINT
+                UNION ALL
+                SELECT 'accepted_values', 'event_type',
+                       (SELECT count(*) FROM events
+                        WHERE event_type IS NOT NULL
+                          AND event_type NOT IN
+                              ('click', 'view', 'purchase'))::BIGINT
+                UNION ALL
+                SELECT 'in_range', 'value',
+                       (SELECT count(*) FROM events
+                        WHERE value IS NOT NULL
+                          AND (value < 0.0 OR value > 100.0))::BIGINT
+                UNION ALL
+                SELECT 'matches', 'event_type',
+                       (SELECT count(*) FROM events
+                        WHERE event_type IS NOT NULL
+                          AND NOT regexp_matches(event_type,
+                                                 '^[a-z]+$'))::BIGINT
+                UNION ALL
+                SELECT 'foreign_key', 'user_id',
+                       (SELECT count(*) FROM events
+                        WHERE user_id IS NOT NULL
+                          AND user_id NOT IN (
+                              SELECT c_custkey FROM customer
+                              WHERE c_custkey IS NOT NULL))::BIGINT
+            )
+            SELECT rule, target,
+                   (SELECT n FROM t)::BIGINT AS n_rows,
+                   n_violations,
+                   (n_violations::DOUBLE
+                    / (SELECT n FROM t)::DOUBLE)::DOUBLE AS violation_frac,
+                   (n_violations::DOUBLE / (SELECT n FROM t)::DOUBLE)
+                       <= 0.5 AS passed
+            FROM v
         """,
         "merge_upsert_orders": """
             WITH changes AS (

@@ -63,6 +63,7 @@ from hyper_spark.operators.export import export_shards, shard_assignment, shard_
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
 from hyper_spark.operators.join_profile import join_key_profile, join_profile
+from hyper_spark.operators.expectations import expect, violations
 from hyper_spark.operators.snapshot import (
     diff_summary,
     merge_upsert,
@@ -141,6 +142,8 @@ __all__ = [
     "diff_summary",
     "merge_upsert",
     "snapshot_diff",
+    "expect",
+    "violations",
     "cms_merge",
     "heavy_hitters",
     "bloom_by",
