@@ -1283,6 +1283,43 @@ def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value")
 
 
+def _q_plan_report_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan introspection as a public API
+    (plans/report.py::plan_report): report the flagship sketch-build
+    plan's scale-critical shape — one column-pruned scan, the filter
+    pushed to parquet, zero Python stages before the aggregation
+    boundary, exactly one shuffle (the partial-agg exchange). These
+    booleans are what tests/test_plan_hygiene.py asserts in CI,
+    surfaced as data."""
+    from hyper_spark.operators.hll_agg import register_table
+    from hyper_spark.plans.report import plan_report
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    df = register_table(
+        events.filter(F.col("user_id") > 100), ["event_type"], "user_id", 12
+    )
+    rep = plan_report(df)
+    return spark.createDataFrame(
+        [
+            (
+                bool(len(rep["scans"]) == 1),
+                bool(
+                    sorted(rep["scans"][0]["columns"])
+                    == ["event_type", "user_id"]
+                ),
+                bool(
+                    "GreaterThan(user_id,100" in rep["scans"][0]["pushed_filters"]
+                ),
+                bool(rep["python_stages"] == []),
+                int(rep["n_exchanges"]),
+            )
+        ],
+        "one_scan boolean, pruned boolean, pushed boolean, "
+        "jvm_only boolean, n_exchanges bigint",
+    )
+
+
 def _q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations
     (operators/expectations.py::expect): 7 rules over events — a mix
@@ -2839,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders": _q_merge_upsert,
         "snapshot_diff_orders": _q_snapshot_diff,
         "expectations_report": _q_expectations_report,
+        "plan_report_hygiene": _q_plan_report_hygiene,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3546,6 +3584,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, user_id + 1000000 AS user_id
                 FROM events WHERE user_id < 5
             ) WHERE user_id IN (2, 1000002)
+        """,
+        "plan_report_hygiene": """
+            SELECT true AS one_scan, true AS pruned, true AS pushed,
+                   true AS jvm_only, 1::BIGINT AS n_exchanges
         """,
         "expectations_report": """
             WITH t AS (SELECT count(*) AS n FROM events),
