@@ -1283,6 +1283,47 @@ def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value")
 
 
+def _q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate anomaly detection (operators/anomaly.py::rate_spikes):
+    hourly event counts per type scored against the trailing-24-bucket
+    mean/std; z-scores and spike booleans double-equal to the oracle's
+    window SQL (frames are ≤24 rows, so float drift is far below the
+    checker's rounding)."""
+    from hyper_spark.operators.anomaly import rate_spikes
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    out = rate_spikes(events, "ts", by=["event_type"], trailing=24)
+    # gate on SCORED buckets only: a NULL double round-trips as NaN
+    # through the oracle's pandas bridge, so the unscored warmup rows
+    # can't hash-compare (the NULL-z behavior itself is pytest-covered)
+    return out.filter(F.col("z_score").isNotNull()).select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_events",
+        "z_score",
+        "is_spike",
+    )
+
+
+def _q_rate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence detection (operators/anomaly.py::rate_gaps): punch a
+    recurring hole in events (drop hour 3 of every day) and report
+    every silent period per type — gap endpoints and missed-bucket
+    counts identical to the oracle's lag-window SQL."""
+    from hyper_spark.operators.anomaly import rate_gaps
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events").filter(F.hour("ts") != 3)
+    out = rate_gaps(events, "ts", by=["event_type"])
+    return out.select(
+        "event_type",
+        F.date_format("gap_start", "yyyy-MM-dd HH:mm:ss").alias("gap_start"),
+        F.date_format("gap_end", "yyyy-MM-dd HH:mm:ss").alias("gap_end"),
+        "missed_buckets",
+    )
+
+
 def _q_plan_report_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan introspection as a public API
     (plans/report.py::plan_report): report the flagship sketch-build
@@ -2877,6 +2918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": _q_snapshot_diff,
         "expectations_report": _q_expectations_report,
         "plan_report_hygiene": _q_plan_report_hygiene,
+        "rate_spikes_hourly": _q_rate_spikes,
+        "rate_gaps_hourly": _q_rate_gaps,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3588,6 +3631,50 @@ def oracle_sql() -> dict[str, str]:
         "plan_report_hygiene": """
             SELECT true AS one_scan, true AS pruned, true AS pushed,
                    true AS jvm_only, 1::BIGINT AS n_exchanges
+        """,
+        "rate_spikes_hourly": """
+            WITH c AS (
+                SELECT event_type, date_trunc('hour', ts) AS b,
+                       count(*)::BIGINT AS n_events
+                FROM events WHERE ts IS NOT NULL
+                GROUP BY 1, 2
+            ), scored AS (
+                SELECT event_type, b, n_events,
+                       avg(n_events) OVER w AS m,
+                       stddev_samp(n_events) OVER w AS s
+                FROM c
+                WINDOW w AS (PARTITION BY event_type ORDER BY b
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type,
+                   strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   n_events,
+                   ((n_events - m) / s)::DOUBLE AS z_score,
+                   (CASE WHEN (n_events - m) / s >= 3.0
+                              AND n_events >= 10
+                         THEN true ELSE false END) AS is_spike
+            FROM scored WHERE s > 0
+        """,
+        "rate_gaps_hourly": """
+            WITH b AS (
+                SELECT DISTINCT event_type, date_trunc('hour', ts) AS bucket
+                FROM events
+                WHERE ts IS NOT NULL AND hour(ts) <> 3
+            ), lagged AS (
+                SELECT event_type,
+                       lag(bucket) OVER (PARTITION BY event_type
+                                         ORDER BY bucket) AS gap_start,
+                       bucket AS gap_end
+                FROM b
+            )
+            SELECT event_type,
+                   strftime(gap_start, '%Y-%m-%d %H:%M:%S') AS gap_start,
+                   strftime(gap_end, '%Y-%m-%d %H:%M:%S') AS gap_end,
+                   ((epoch(gap_end) - epoch(gap_start)) // 3600 - 1)::BIGINT
+                       AS missed_buckets
+            FROM lagged
+            WHERE gap_start IS NOT NULL
+              AND epoch(gap_end) - epoch(gap_start) > 3600
         """,
         "expectations_report": """
             WITH t AS (SELECT count(*) AS n FROM events),

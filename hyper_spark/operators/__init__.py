@@ -63,6 +63,7 @@ from hyper_spark.operators.export import export_shards, shard_assignment, shard_
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
 from hyper_spark.operators.join_profile import join_key_profile, join_profile
+from hyper_spark.operators.anomaly import rate_gaps, rate_spikes
 from hyper_spark.operators.expectations import expect, violations
 from hyper_spark.operators.snapshot import (
     diff_summary,
@@ -144,6 +145,8 @@ __all__ = [
     "snapshot_diff",
     "expect",
     "violations",
+    "rate_gaps",
+    "rate_spikes",
     "cms_merge",
     "heavy_hitters",
     "bloom_by",

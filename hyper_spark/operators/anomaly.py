@@ -1,0 +1,127 @@
+"""Rate anomaly detection over event streams: per-bucket event counts
+scored against a trailing baseline — the monitoring primitive that
+watches a 100-TB ingest for broken producers (silent drops) and
+runaway emitters (spikes) without any model state.
+
+``rate_spikes`` is deliberately pure Catalyst: one time-bucketed
+aggregate (map-side partial, shuffle bounded by |groups × buckets|)
+followed by one window pass per group ordered by bucket. The baseline
+is the trailing-N-bucket mean/std (ROWS frame over OBSERVED buckets —
+an entirely-silent period contributes no buckets, which is itself the
+'gap' signal the companion ``rate_gaps`` reports). The z-score is the
+classic (x − μ)/σ; σ = 0 (a perfectly constant series) yields a NULL
+z and never flags, avoiding the divide-by-zero spike storm on
+heartbeat-regular series.
+
+Reference parity note: the reference (src/hyper.erl) has no
+monitoring surface; this is engine surface (SURVEY.md §2.4), the
+batch sibling of the streaming windowed aggregates in
+``hyper_spark/streaming``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rate_spikes", "rate_gaps"]
+
+_BUCKETS = {"minute", "hour", "day", "week", "month"}
+
+
+def rate_spikes(
+    df: DataFrame,
+    time_col: str,
+    by: Sequence[str] = (),
+    bucket: str = "hour",
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+    min_events: int = 10,
+) -> DataFrame:
+    """Per (group, bucket) event counts with trailing-baseline
+    z-scores: DataFrame[*by, bucket, n_events, baseline_mean,
+    baseline_std, z_score, is_spike].
+
+    The baseline frame is the ``trailing`` OBSERVED buckets strictly
+    before the current one (``ROWS BETWEEN trailing PRECEDING AND 1
+    PRECEDING``); the first bucket of a group has no baseline and
+    never flags. ``is_spike`` additionally requires ``n_events >=
+    min_events`` so near-empty groups can't flag on noise.
+    """
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
+    if trailing < 2:
+        raise ValueError("trailing must be >= 2 (std of one point is undefined)")
+    by = list(by)
+    counts = (
+        df.filter(F.col(time_col).isNotNull())
+        .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(-trailing, -1)
+    )
+    mean = F.avg("n_events").over(w)
+    std = F.stddev_samp("n_events").over(w)
+    z = F.when(std > 0, (F.col("n_events") - mean) / std)
+    return counts.select(
+        *by,
+        "bucket",
+        "n_events",
+        mean.alias("baseline_mean"),
+        std.alias("baseline_std"),
+        z.alias("z_score"),
+        (
+            z.isNotNull()
+            & (z >= F.lit(float(z_threshold)))
+            & (F.col("n_events") >= F.lit(int(min_events)))
+        ).alias("is_spike"),
+    )
+
+
+def rate_gaps(
+    df: DataFrame,
+    time_col: str,
+    by: Sequence[str] = (),
+    bucket: str = "hour",
+) -> DataFrame:
+    """Silent periods per group: consecutive observed buckets whose
+    distance exceeds one bucket — DataFrame[*by, gap_start (last bucket
+    WITH data), gap_end (next bucket with data), missed_buckets].
+
+    The complement of ``rate_spikes``: a producer that stops emitting
+    produces NO buckets, so no z-score can fire — the gap list is how
+    silence becomes visible. Same two-shuffle shape (bucketed count +
+    per-group lag window).
+    """
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
+    by = list(by)
+    buckets = (
+        df.filter(F.col(time_col).isNotNull())
+        .select(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
+        .distinct()
+    )
+    w = Window.partitionBy(*by).orderBy("bucket")
+    prev = F.lag("bucket").over(w)
+    step = {"minute": 60, "hour": 3600, "day": 86400,
+            "week": 604800, "month": None}[bucket]
+    if step is None:
+        raise ValueError("rate_gaps does not support month buckets "
+                         "(variable length); use day")
+    missed = (
+        (F.unix_timestamp("bucket") - F.unix_timestamp(prev)) / step - 1
+    ).cast("long")
+    return (
+        buckets.select(
+            *by,
+            prev.alias("gap_start"),
+            F.col("bucket").alias("gap_end"),
+            missed.alias("missed_buckets"),
+        )
+        .filter(F.col("missed_buckets") > 0)
+    )
