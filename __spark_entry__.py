@@ -727,6 +727,43 @@ def _q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_bound_df(spark, events, "value", "tdigest")
 
 
+def _q_kll_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped CDF evaluation (operators/quantiles.py::ranks_by — the
+    inverse of the quantile gates): estimated fraction of events with
+    value ≤ {50, 100, 250} per type, within the KLL normalized-rank
+    bound of the exact fraction the oracle computes."""
+    from hyper_spark.operators.quantiles import ranks_by
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    probes = [50.0, 100.0, 250.0]
+    est = {
+        (r["event_type"], r["value"]): r["rank"]
+        for r in ranks_by(events, ["event_type"], "value", probes).collect()
+    }
+    exact_aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum((F.col("value") <= v).cast("long")).alias(f"__le_{i}")
+        for i, v in enumerate(probes)
+    ]
+    rows = []
+    for g in events.groupBy("event_type").agg(*exact_aggs).collect():
+        for i, v in enumerate(probes):
+            exact = int(g[f"__le_{i}"]) / int(g["__n"])
+            rows.append(
+                (
+                    g["event_type"],
+                    v,
+                    float(exact),
+                    bool(abs(est[(g["event_type"], v)] - exact) <= 0.02),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "event_type string, value double, exact_rank double, "
+        "within_eps boolean",
+    )
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -2882,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cube_events": _q_sketch_cube_events,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "kll_value_quantiles": _q_kll_value_quantiles,
+        "kll_value_ranks": _q_kll_value_ranks,
         "tdigest_value_quantiles": _q_tdigest_value_quantiles,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_token_counts": _q_doc_token_counts,
@@ -3971,6 +4009,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES (0.1::DOUBLE, true), (0.5::DOUBLE, true), "
             "(0.9::DOUBLE, true), (0.99::DOUBLE, true)) AS t(q, within_eps)"
         ),
+        "kll_value_ranks": """
+            SELECT event_type, v.value,
+                   (sum(CASE WHEN events.value <= v.value
+                             THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*)::DOUBLE)::DOUBLE AS exact_rank,
+                   true AS within_eps
+            FROM events
+            CROSS JOIN (VALUES (50.0::DOUBLE), (100.0::DOUBLE),
+                               (250.0::DOUBLE)) AS v(value)
+            GROUP BY event_type, v.value
+        """,
         "doc_fingerprints": (
             f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents"
         ),

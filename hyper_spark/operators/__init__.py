@@ -32,7 +32,9 @@ from hyper_spark.operators.hll_agg import (
 from hyper_spark.operators.quantiles import (
     kll_by,
     quantiles_by,
+    ranks_by,
     sketch_quantiles,
+    sketch_ranks,
     tdigest_by,
 )
 from hyper_spark.operators.hll_agg import multi_sketch_by
@@ -155,7 +157,9 @@ __all__ = [
     "bloom_prune",
     "kll_by",
     "quantiles_by",
+    "ranks_by",
     "sketch_quantiles",
+    "sketch_ranks",
     "tdigest_by",
     "sketch_time_rollup",
     "rollup_estimates",

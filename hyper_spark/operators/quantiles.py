@@ -33,7 +33,14 @@ from pyspark.sql.types import (
 from hyper_spark.kernel.kll import KllSketch
 from hyper_spark.kernel.tdigest import TDigest
 
-__all__ = ["kll_by", "tdigest_by", "quantiles_by", "sketch_quantiles"]
+__all__ = [
+    "kll_by",
+    "tdigest_by",
+    "quantiles_by",
+    "sketch_quantiles",
+    "sketch_ranks",
+    "ranks_by",
+]
 
 _GROUP_COL = "__q_group"
 
@@ -148,6 +155,65 @@ def sketch_quantiles(
         return sketch_df.groupBy(*keys).applyInPandas(evaluate, schema)
     grouped = sketch_df.withColumn(_GROUP_COL, F.lit(0))
     return grouped.groupBy(_GROUP_COL).applyInPandas(evaluate, schema)
+
+
+def sketch_ranks(
+    sketch_df: DataFrame, values: Sequence[float], keys: Sequence[str] = ()
+) -> DataFrame:
+    """The inverse of ``sketch_quantiles``: the CDF at each probe
+    value — DataFrame[*keys, value, rank] (long format, one row per
+    (group, value)), where ``rank`` is the estimated fraction of items
+    ≤ value. KLL states only: its rank estimator carries the same
+    ±O(1/k) normalized-rank guarantee as its quantiles; t-digest is a
+    quantile-domain structure and would silently degrade near the
+    median, so it is refused rather than mis-served.
+
+    Same merge shape as ``sketch_quantiles``: states fold per group,
+    the raw column never re-scans — asking "what fraction of documents
+    are under 512 tokens, per source" costs one pass over sketch rows.
+    """
+    keys = list(keys)
+    values = [float(v) for v in values]
+    if not values:
+        raise ValueError("no probe values")
+    schema = StructType(
+        ([sketch_df.schema[k] for k in keys] if keys else [])
+        + [
+            StructField("value", DoubleType(), False),
+            StructField("rank", DoubleType(), False),
+        ]
+    )
+
+    def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
+        kind = pdf["kind"].iloc[0]
+        if kind != "kll":
+            raise ValueError(
+                f"sketch_ranks needs KLL states (got {kind!r}); t-digest "
+                "does not expose a bounded-error rank"
+            )
+        sk = KllSketch.from_dict(json.loads(pdf["state"].iloc[0]))
+        for s in pdf["state"].iloc[1:]:
+            sk = sk.merge(KllSketch.from_dict(json.loads(s)))
+        out = {k: [pdf[k].iloc[0]] * len(values) for k in keys}
+        out["value"] = values
+        out["rank"] = [float(sk.rank(v)) for v in values]
+        return pd.DataFrame(out)
+
+    if keys:
+        return sketch_df.groupBy(*keys).applyInPandas(evaluate, schema)
+    grouped = sketch_df.withColumn(_GROUP_COL, F.lit(0))
+    return grouped.groupBy(_GROUP_COL).applyInPandas(evaluate, schema)
+
+
+def ranks_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    values: Sequence[float],
+    k: int = 200,
+) -> DataFrame:
+    """End-to-end grouped CDF evaluation via a KLL sketch."""
+    return sketch_ranks(kll_by(df, keys, col, k), values, keys)
 
 
 def quantiles_by(

@@ -193,3 +193,16 @@ def test_tdigest_weighted_updates():
     assert td.quantile(0.3) == pytest.approx(1.0, abs=1e-6)
     assert 1.0 <= td.quantile(0.5) <= 3.0
     assert td.quantile(0.9999) == pytest.approx(100.0, rel=0.05)
+
+
+def test_kll_rank_exact_below_compaction():
+    from hyper_spark.kernel.kll import KllSketch
+
+    sk = KllSketch(200)
+    vals = list(range(100))
+    for v in vals:
+        sk.update(float(v))
+    # no compaction at n=100 < k: rank is the exact empirical CDF
+    assert sk.rank(49.0) == 50 / 100
+    assert sk.rank(-1.0) == 0.0
+    assert sk.rank(99.0) == 1.0

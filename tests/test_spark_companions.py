@@ -646,3 +646,37 @@ def test_kernel_inner_product_overflow_safe():
     a.add("k", big)
     b.add("k", big)
     assert a.inner_product(b) == big * big
+
+
+def test_sketch_ranks_grouped_bounds(spark, sf_correct):
+    """ranks_by: estimated CDF within the KLL normalized-rank bound of
+    the exact per-group fraction; t-digest states refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hyper_spark.operators.quantiles import ranks_by, sketch_ranks, tdigest_by
+
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    probes = [50.0, 100.0, 250.0]
+    got = ranks_by(events, ["event_type"], "value", probes).collect()
+    assert len(got) == 5 * len(probes)
+    for r in got:
+        exact = (
+            events.filter(F.col("event_type") == r["event_type"])
+            .select(
+                F.avg((F.col("value") <= r["value"]).cast("double")).alias("f")
+            )
+            .collect()[0]["f"]
+        )
+        assert abs(r["rank"] - exact) <= 0.02, (r, exact)
+    # monotone CDF per group
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["event_type"], []).append((r["value"], r["rank"]))
+    for pairs in by_g.values():
+        ranks = [rk for _, rk in sorted(pairs)]
+        assert ranks == sorted(ranks)
+    with _pytest.raises(Exception, match="needs KLL"):
+        sketch_ranks(
+            tdigest_by(events, [], "value"), [50.0]
+        ).collect()
