@@ -1320,6 +1320,27 @@ def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value")
 
 
+def _q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric distribution drift
+    (operators/profile.py::numeric_drift): PSI per bin between events
+    value and a deterministically stretched copy (even users × 1.2),
+    over pinned [0, 500) equi-width bins with add-half smoothing —
+    counts integer-equal and psi terms double-equal to the oracle's
+    arithmetic."""
+    from hyper_spark.operators.profile import numeric_drift
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    a = events.select("value")
+    b = events.select(
+        (
+            F.col("value")
+            * F.when(F.col("user_id") % 2 == 0, 1.2).otherwise(1.0)
+        ).alias("value")
+    )
+    return numeric_drift(a, b, "value", bins=8, lo=0.0, hi=500.0)
+
+
 def _q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate anomaly detection (operators/anomaly.py::rate_spikes):
     hourly event counts per type scored against the trailing-24-bucket
@@ -2958,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plan_report_hygiene": _q_plan_report_hygiene,
         "rate_spikes_hourly": _q_rate_spikes,
         "rate_gaps_hourly": _q_rate_gaps,
+        "numeric_drift_value": _q_numeric_drift,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3692,6 +3714,37 @@ def oracle_sql() -> dict[str, str]:
                               AND n_events >= 10
                          THEN true ELSE false END) AS is_spike
             FROM scored WHERE s > 0
+        """,
+        "numeric_drift_value": """
+            WITH a AS (SELECT value FROM events WHERE value IS NOT NULL),
+            b AS (SELECT value * (CASE WHEN user_id % 2 = 0
+                                       THEN 1.2 ELSE 1.0 END) AS value
+                  FROM events WHERE value IS NOT NULL),
+            grid AS (SELECT i::INT AS bin FROM generate_series(0, 7) t(i)),
+            ha AS (SELECT (CASE WHEN value <= 0.0 THEN 0
+                                WHEN value >= 500.0 THEN 7
+                                ELSE floor(value / 62.5) END)::INT AS bin,
+                          count(*) AS n FROM a GROUP BY 1),
+            hb AS (SELECT (CASE WHEN value <= 0.0 THEN 0
+                                WHEN value >= 500.0 THEN 7
+                                ELSE floor(value / 62.5) END)::INT AS bin,
+                          count(*) AS n FROM b GROUP BY 1),
+            j AS (SELECT grid.bin,
+                         coalesce(ha.n, 0) AS n_a,
+                         coalesce(hb.n, 0) AS n_b
+                  FROM grid LEFT JOIN ha ON grid.bin = ha.bin
+                            LEFT JOIN hb ON grid.bin = hb.bin),
+            t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+            SELECT bin,
+                   (0.0 + bin * 62.5)::DOUBLE AS bin_lo,
+                   (0.0 + (bin + 1) * 62.5)::DOUBLE AS bin_hi,
+                   n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                   ((n_a + 0.5) / (ta + 4.0))::DOUBLE AS frac_a,
+                   ((n_b + 0.5) / (tb + 4.0))::DOUBLE AS frac_b,
+                   (((n_b + 0.5) / (tb + 4.0) - (n_a + 0.5) / (ta + 4.0))
+                    * ln(((n_b + 0.5) / (tb + 4.0))
+                         / ((n_a + 0.5) / (ta + 4.0))))::DOUBLE AS psi_term
+            FROM j, t
         """,
         "rate_gaps_hourly": """
             WITH b AS (

@@ -65,6 +65,13 @@ from hyper_spark.operators.export import export_shards, shard_assignment, shard_
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
 from hyper_spark.operators.join_profile import join_key_profile, join_profile
+from hyper_spark.operators.profile import (
+    numeric_drift,
+    profile_table,
+    vocab_divergence,
+    vocab_drift,
+    vocab_stats,
+)
 from hyper_spark.operators.anomaly import rate_gaps, rate_spikes
 from hyper_spark.operators.expectations import expect, violations
 from hyper_spark.operators.snapshot import (
@@ -134,6 +141,11 @@ __all__ = [
     "cms_inner_product",
     "join_key_profile",
     "join_profile",
+    "numeric_drift",
+    "profile_table",
+    "vocab_divergence",
+    "vocab_drift",
+    "vocab_stats",
     "build_file_index",
     "build_zone_maps",
     "file_candidates",
