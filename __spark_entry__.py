@@ -1320,6 +1320,44 @@ def _q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value")
 
 
+def _q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction
+    (operators/skipping.py::plan_compaction/compact_files): fragment
+    events into 12 small files, bin-pack them into ~3 rewrite groups,
+    execute the rewrite, then read compacted output plus untouched
+    files — the union is row-identical to the original table (the
+    row-preservation contract every table-format rewrite action
+    carries)."""
+    import os
+    import tempfile
+
+    from hyper_spark.operators.skipping import (
+        build_zone_maps,
+        compact_files,
+        plan_compaction,
+    )
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), "hyper_spark_gate_compact", tag)
+    src, dest = base + "/src", base + "/out"
+    events.repartition(12).write.mode("overwrite").parquet(src)
+    frag = spark.read.parquet(src)
+    zm = build_zone_maps(frag, ["event_id"])
+    n = frag.count()
+    plan = plan_compaction(zm, target_rows=max(1, n // 3))
+    manifest = compact_files(spark, plan, dest)
+    packed = {r["file_in"] for r in manifest.collect()}
+    remaining = [f for f in frag.inputFiles() if f not in packed]
+    compacted = spark.read.parquet(dest).select("event_id", "user_id")
+    if remaining:
+        compacted = compacted.unionByName(
+            spark.read.parquet(*remaining).select("event_id", "user_id")
+        )
+    return compacted
+
+
 def _q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric distribution drift
     (operators/profile.py::numeric_drift): PSI per bin between events
@@ -2980,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_spikes_hourly": _q_rate_spikes,
         "rate_gaps_hourly": _q_rate_gaps,
         "numeric_drift_value": _q_numeric_drift,
+        "compaction_roundtrip": _q_compaction_roundtrip,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
         "mixture_sample_docs": _q_mixture_sample,
@@ -3714,6 +3753,9 @@ def oracle_sql() -> dict[str, str]:
                               AND n_events >= 10
                          THEN true ELSE false END) AS is_spike
             FROM scored WHERE s > 0
+        """,
+        "compaction_roundtrip": """
+            SELECT event_id, user_id FROM events
         """,
         "numeric_drift_value": """
             WITH a AS (SELECT value FROM events WHERE value IS NOT NULL),

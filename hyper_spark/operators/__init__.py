@@ -82,7 +82,9 @@ from hyper_spark.operators.snapshot import (
 from hyper_spark.operators.skipping import (
     build_file_index,
     build_zone_maps,
+    compact_files,
     file_candidates,
+    plan_compaction,
     point_lookup,
     range_scan,
     save_zordered,
@@ -148,7 +150,9 @@ __all__ = [
     "vocab_stats",
     "build_file_index",
     "build_zone_maps",
+    "compact_files",
     "file_candidates",
+    "plan_compaction",
     "point_lookup",
     "range_scan",
     "save_zordered",

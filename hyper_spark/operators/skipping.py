@@ -54,6 +54,8 @@ __all__ = [
     "build_zone_maps",
     "zone_candidates",
     "range_scan",
+    "plan_compaction",
+    "compact_files",
 ]
 
 
@@ -396,3 +398,74 @@ def range_scan(
         if hi is not None:
             out = out.filter(F.col(c) <= F.lit(hi))
     return out
+
+
+# ------------------------------------------------------------ compaction
+
+
+def plan_compaction(
+    zone_df: DataFrame, target_rows: int, small_frac: float = 0.5
+) -> list[list[str]]:
+    """Bin-pack SMALL files into rewrite groups: files with fewer than
+    ``small_frac * target_rows`` rows are first-fit-decreasing packed
+    into groups of ~``target_rows`` total. Returns a list of file
+    groups (each ≥ 2 files — rewriting a lone small file buys
+    nothing); files at or above the threshold are left alone.
+
+    Input is a zone-map/index DataFrame carrying ``file`` and
+    ``n_rows`` (build_zone_maps / build_file_index both qualify).
+    Driver-side over one row per file — bounded by file count, the
+    same budget every table-format compactor spends.
+    """
+    if target_rows < 1:
+        raise ValueError("target_rows must be >= 1")
+    rows = [
+        (r["file"], int(r["n_rows"]))
+        for r in zone_df.select("file", "n_rows").collect()
+    ]
+    small = sorted(
+        (fn for fn in rows if fn[1] < small_frac * target_rows),
+        key=lambda fn: (-fn[1], fn[0]),
+    )
+    groups: list[tuple[list[str], int]] = []
+    for f, n in small:
+        placed = False
+        for g in groups:
+            if g[1] + n <= target_rows:
+                g[0].append(f)
+                groups[groups.index(g)] = (g[0], g[1] + n)
+                placed = True
+                break
+        if not placed:
+            groups.append(([f], n))
+    return [g[0] for g in groups if len(g[0]) >= 2]
+
+
+def compact_files(
+    spark: SparkSession, plan: list[list[str]], dest: str
+) -> DataFrame:
+    """Execute a compaction plan: each group's files are read together
+    and rewritten as ONE file under ``dest``. Returns the manifest
+    DataFrame[group_id, n_files_in, file_in] describing what was
+    rewritten; the caller swaps old files for new ones (this operator
+    does NOT delete inputs — parquet directories have no atomic
+    manifest, so the swap belongs to the caller's commit protocol,
+    exactly like every table format's rewrite action).
+
+    Row preservation is structural: each output file is a plain
+    re-write of its inputs' rows (no filter, no projection).
+    """
+    if not plan:
+        raise ValueError("empty compaction plan")
+    rows = []
+    for gid, group in enumerate(plan):
+        (
+            spark.read.parquet(*group)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{dest.rstrip('/')}/group={gid}")
+        )
+        rows.extend((gid, len(group), f) for f in group)
+    return spark.createDataFrame(
+        rows, "group_id int, n_files_in int, file_in string"
+    )

@@ -279,3 +279,63 @@ def test_update_file_index_drops_vanished(spark, tmp_path):
     assert idx1.count() == n0 - 1
     assert victim not in {r["file"].replace("file://", "").replace("file:", "")
                           for r in idx1.select("file").collect()}
+
+
+# ------------------------------------------------------------ compaction
+
+
+from hyper_spark.operators.skipping import (  # noqa: E402
+    compact_files,
+    plan_compaction,
+)
+
+
+def test_plan_compaction_bin_packs_small_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    # 10 tiny files of 100 rows each + 1 big file of 5000
+    for i in range(10):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("rid"), F.lit(i).alias("b")
+        ).coalesce(1).write.mode("append").parquet(path)
+    spark.range(1000, 6000).select(
+        F.col("id").alias("rid"), F.lit(99).alias("b")
+    ).coalesce(1).write.mode("append").parquet(path)
+    zm = build_zone_maps(spark.read.parquet(path), ["rid"])
+    plan = plan_compaction(zm, target_rows=500)
+    # 10 small files of ~100 rows -> groups of <=5 files each; the big
+    # file must appear in no group
+    packed = [f for g in plan for f in g]
+    assert len(packed) == len(set(packed)) == 10
+    assert all(2 <= len(g) <= 5 for g in plan)
+    big = zm.orderBy(F.desc("n_rows")).first()["file"]
+    assert big not in packed
+    # deterministic: same input -> same plan
+    assert plan == plan_compaction(zm, target_rows=500)
+
+
+def test_compact_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "frag2")
+    for i in range(8):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("rid"), F.lit(i).alias("b")
+        ).coalesce(1).write.mode("append").parquet(path)
+    zm = build_zone_maps(spark.read.parquet(path), ["rid"])
+    plan = plan_compaction(zm, target_rows=400)
+    dest = str(tmp_path / "compacted")
+    manifest = compact_files(spark, plan, dest)
+    assert manifest.count() == sum(len(g) for g in plan)
+    # rows of the rewritten groups survive exactly
+    got = sorted(r["rid"] for r in spark.read.parquet(dest).collect())
+    want = sorted(
+        r["rid"] for r in spark.read.parquet(*[f for g in plan for f in g]).collect()
+    )
+    assert got == want
+    # each group produced exactly one data file
+    import glob
+    import os
+
+    for gid in range(len(plan)):
+        files = glob.glob(os.path.join(dest, f"group={gid}", "part-*.parquet"))
+        assert len(files) == 1
+    with pytest.raises(ValueError, match="empty compaction plan"):
+        compact_files(spark, [], dest)
