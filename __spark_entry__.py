@@ -1684,6 +1684,57 @@ def _q_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_fd_covariance_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-Directions matrix sketch over the embeddings table: the
+    published per-direction certificate, checked end-to-end.
+
+    Spark side: distributed FD build (mapInPandas partials + sketch-blob
+    merge), then the exact diag(A'A) computed JVM-side (posexplode +
+    sum of squares) and compared against the sketch's diag(B'B) —
+    every dimension must deviate by [0, delta_total], delta_total must
+    sit within the published |A|_F^2/ell bound, and the tracked
+    Frobenius mass must equal the exact one.  FD bytes are
+    merge-order-dependent, so the gate checks the certificate (which
+    holds for every order), never bytes."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.matrix_sketch import (
+        fd_covariance_diag,
+        fd_sketch_by,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    ell, dim = 16, 64
+    row = fd_sketch_by(emb, [], "embedding", ell=ell, dim=dim).collect()[0]
+    diag = fd_covariance_diag(row["state"])
+    delta, fnorm2 = float(row["delta"]), float(row["fnorm2"])
+    eps = 1e-6 * fnorm2
+    exact = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("v").cast("double") * F.col("v")).alias("exact"))
+    )
+    sk_diag = spark.createDataFrame(
+        [(int(i), float(diag[i])) for i in range(dim)], "pos int, sk double"
+    )
+    dev = F.col("exact") - F.col("sk")
+    return (
+        exact.join(F.broadcast(sk_diag), "pos")
+        .agg(
+            F.count("*").alias("dims"),
+            F.sum(
+                F.when((dev >= -eps) & (dev <= delta + eps), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("dims_ok"),
+            F.lit(delta <= fnorm2 / ell + 1e-9).alias("delta_within_bound"),
+            (F.abs(F.sum("exact") - F.lit(fnorm2)) <= F.lit(eps)).alias(
+                "fnorm2_matches_exact"
+            ),
+            F.lit(int(row["n"])).cast("long").alias("n_rows"),
+        )
+    )
+
+
 def _q_bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     customer = _read(spark, sf_dir, "customer").filter("c_custkey % 10 = 0")
@@ -3026,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_divergence_docs": _q_vocab_divergence,
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
+        "fd_covariance_bound": _q_fd_covariance_bound,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
         "hll_precision_sweep": _q_hll_precision_sweep,
         "window_first_event": _q_window_first_event,
@@ -4518,6 +4570,12 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) "
             "AS rank FROM embeddings a JOIN embeddings b ON a.vec_id = 0 "
             "ORDER BY rank LIMIT 5"
+        ),
+        "fd_covariance_bound": (
+            "SELECT 64::BIGINT AS dims, 64::BIGINT AS dims_ok, "
+            "TRUE AS delta_within_bound, TRUE AS fnorm2_matches_exact, "
+            "(SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL "
+            "AND len(embedding) = 64)::BIGINT AS n_rows"
         ),
         "bloom_no_false_negatives": (
             "SELECT count(*) AS n_matching, 0::BIGINT AS false_negatives "

@@ -1,0 +1,159 @@
+"""Frequent Directions: a mergeable matrix sketch (kernel, pure numpy).
+
+Maintains a small matrix B (at most ``ell - 1`` non-zero rows, ``dim``
+columns) such that for the n x dim input matrix A streamed through it:
+
+    0  <=  x' (A'A - B'B) x  <=  delta_total * |x|^2      for all x,
+    delta_total <= |A|_F^2 / ell
+
+(Liberty, "Simple and deterministic matrix sketching", KDD 2013;
+mergeability per Ghashami et al., "Frequent Directions: Simple and
+Deterministic Matrix Sketching", SIAM J. Comput. 2016.)  The sketch is
+a *matrix* analogue of the register/centroid sketches elsewhere in this
+package: fixed size, one-pass, and merge = stack-rows + shrink, so it
+fits the same two-level partial-aggregate shape (per-partition build,
+per-group merge) with only ``2*ell*dim`` floats crossing the shuffle.
+
+The reference library (GameAnalytics/hyper) has no matrix sketch; this
+extends the same mergeable-sketch algebra (cf. src/hyper.erl:1-30's
+union contract) to covariance/PCA workloads over embedding columns.
+
+Shrink step: SVD of the 2*ell-row buffer, subtract the ell-th largest
+squared singular value ``d`` from every squared singular value and
+clamp at zero.  The top ell rows each lose exactly ``d`` of squared
+mass, so every shrink removes >= ell * d of Frobenius mass, giving the
+delta_total <= |A|_F^2 / ell certificate tracked explicitly below.
+
+delta_total is order-dependent (so are B's bytes): merging partials in
+a different order gives a different-but-still-certified sketch.  All
+downstream gates therefore check the *certificate* (deviation within
+delta_total, delta_total within the published bound), never bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["FrequentDirections"]
+
+
+class FrequentDirections:
+    def __init__(self, ell: int, dim: int):
+        if ell < 2:
+            raise ValueError(f"ell must be >= 2, got {ell}")
+        if dim < 1:
+            raise ValueError(f"dim must be >= 1, got {dim}")
+        self.ell = int(ell)
+        self.dim = int(dim)
+        self.buf = np.zeros((2 * self.ell, self.dim), dtype=np.float64)
+        self.filled = 0  # rows of buf in use
+        self.n = 0  # input rows consumed
+        self.fnorm2 = 0.0  # exact |A|_F^2 (tracked, not sketched)
+        self.delta = 0.0  # accumulated shrinkage (error certificate)
+
+    # -- build ---------------------------------------------------------
+    def update_batch(self, rows: np.ndarray) -> None:
+        """Consume a batch of input rows (m x dim), vectorized."""
+        rows = np.asarray(rows, dtype=np.float64)
+        if rows.ndim != 2 or rows.shape[1] != self.dim:
+            raise ValueError(f"expected (m, {self.dim}) batch, got {rows.shape}")
+        self.n += rows.shape[0]
+        self.fnorm2 += float(np.einsum("ij,ij->", rows, rows))
+        pos = 0
+        cap = self.buf.shape[0]
+        while pos < rows.shape[0]:
+            take = min(cap - self.filled, rows.shape[0] - pos)
+            self.buf[self.filled : self.filled + take] = rows[pos : pos + take]
+            self.filled += take
+            pos += take
+            if self.filled == cap:
+                self._shrink()
+
+    def _shrink(self) -> None:
+        """SVD-shrink the buffer down to < ell non-zero rows."""
+        if self.filled <= self.ell - 1:
+            return
+        s, vt = np.linalg.svd(self.buf[: self.filled], full_matrices=False)[1:]
+        s2 = s * s
+        if s2.shape[0] >= self.ell:
+            d = float(s2[self.ell - 1])
+        else:
+            d = 0.0
+        if d > 0.0:
+            self.delta += d
+        s2 = np.maximum(s2 - d, 0.0)
+        keep = int(np.count_nonzero(s2 > 0.0))
+        keep = min(keep, self.ell - 1)
+        self.buf[:] = 0.0
+        if keep:
+            self.buf[:keep] = np.sqrt(s2[:keep, None]) * vt[:keep]
+        self.filled = keep
+
+    # -- algebra -------------------------------------------------------
+    def merge(self, other: "FrequentDirections") -> "FrequentDirections":
+        """Mergeable-sketch union: stack the other's rows, shrink as
+        needed.  Certificates add; the global delta bound still holds."""
+        if (other.ell, other.dim) != (self.ell, self.dim):
+            raise ValueError(
+                f"cannot merge FD sketches of shape (ell={other.ell}, "
+                f"dim={other.dim}) into (ell={self.ell}, dim={self.dim})"
+            )
+        rows = other.buf[: other.filled]
+        n_before, f_before = self.n, self.fnorm2
+        if rows.shape[0]:
+            self.update_batch(rows)
+        # update_batch counted sketch rows as input; restore exact stats
+        self.n = n_before + other.n
+        self.fnorm2 = f_before + other.fnorm2
+        self.delta += other.delta
+        return self
+
+    # -- results -------------------------------------------------------
+    def sketch_rows(self) -> np.ndarray:
+        """The non-zero rows of B (k x dim, k < ell), shrunk first."""
+        self._shrink()
+        return self.buf[: self.filled].copy()
+
+    def covariance(self) -> np.ndarray:
+        """B'B — the sketched (uncentered) second-moment matrix."""
+        b = self.sketch_rows()
+        return b.T @ b
+
+    def components(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k right singular vectors (k x dim) and singular values
+        of B — the sketched principal directions."""
+        b = self.sketch_rows()
+        if b.shape[0] == 0:
+            return np.zeros((0, self.dim)), np.zeros(0)
+        s, vt = np.linalg.svd(b, full_matrices=False)[1:]
+        k = min(k, vt.shape[0])
+        return vt[:k].copy(), s[:k].copy()
+
+    def delta_bound(self) -> float:
+        """The published worst-case certificate |A|_F^2 / ell."""
+        return self.fnorm2 / self.ell
+
+    # -- serde ---------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        rows = self.sketch_rows()
+        head = np.array(
+            [self.ell, self.dim, rows.shape[0], self.n], dtype=np.int64
+        )
+        stats = np.array([self.fnorm2, self.delta], dtype=np.float64)
+        return head.tobytes() + stats.tobytes() + rows.astype(np.float64).tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "FrequentDirections":
+        head = np.frombuffer(blob[:32], dtype=np.int64)
+        ell, dim, k, n = (int(x) for x in head)
+        stats = np.frombuffer(blob[32:48], dtype=np.float64)
+        sk = cls(ell, dim)
+        sk.n = n
+        sk.fnorm2 = float(stats[0])
+        sk.delta = float(stats[1])
+        if k:
+            sk.buf[:k] = np.frombuffer(
+                blob[48 : 48 + 8 * k * dim], dtype=np.float64
+            ).reshape(k, dim)
+            sk.filled = k
+        return sk

@@ -101,6 +101,13 @@ from hyper_spark.operators.theta_agg import (
     theta_jaccard,
     theta_union,
 )
+from hyper_spark.operators.matrix_sketch import (
+    fd_components,
+    fd_covariance_diag,
+    fd_merge,
+    fd_project,
+    fd_sketch_by,
+)
 from hyper_spark.operators.quality import (
     c4_clean,
     gopher_filter,
@@ -110,6 +117,11 @@ from hyper_spark.operators.quality import (
 )
 
 __all__ = [
+    "fd_sketch_by",
+    "fd_merge",
+    "fd_components",
+    "fd_project",
+    "fd_covariance_diag",
     "bpe_train",
     "bpe_encode",
     "bpe_merge_list",
