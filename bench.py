@@ -134,6 +134,12 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         ).astype(np.float64)
         return knn_with_index(spark, ivf_path, qs, k=10, n_probe=4)
 
+    def q_fd_sketch():
+        from hyper_spark.operators.matrix_sketch import fd_merge, fd_sketch_by
+
+        per = fd_sketch_by(emb, ["label"], "embedding", ell=16, dim=64)
+        return fd_merge(per, [])
+
     def q_hll_rollup():
         # hour->day->week rollup via the checkpointed single-scan path
         # (fresh dir per rep: resume would serve rep 2 from disk and lie)
@@ -348,6 +354,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "ngram_lm_score_docs": q_ngram_lm,
         "export_shards_docs": q_export_shards,
         "semantic_dedup_embeddings": q_semantic_dedup,
+        "fd_covariance_sketch": q_fd_sketch,
     }
 
 

@@ -1,0 +1,120 @@
+"""Scale demonstration for the Frequent-Directions matrix sketch:
+NxD synthetic embeddings (deterministic sin features, no external
+data), one global FD build at two parallelism levels.
+
+What the numbers mean at 100 TB: the map side streams Arrow batches of
+the embedding column into per-partition sketches (matmul-bound after
+the Gram/eigh shrink + adaptive buffer), and the reduce side merges
+one (ell-1) x dim float64 blob per partition — cross-node traffic is
+independent of row count, the same property as the HLL flagship.  The
+certificate (delta_total <= |A|_F^2/ell) is asserted on every run, so
+the scale rows are *verified* builds, not just timed ones.
+
+A generation-only pass (same synthetic scan, F.sum of one feature) is
+timed alongside to separate synthesis cost from sketch cost.
+
+Run: python tools/bench_fd_scale.py  (env: FD_BENCH_ROWS, FD_BENCH_DIM)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+N_ROWS = int(os.environ.get("FD_BENCH_ROWS", str(32_000_000)))
+DIM = int(os.environ.get("FD_BENCH_DIM", "64"))
+ELL = int(os.environ.get("FD_BENCH_ELL", "16"))
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"bench-fd-scale-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:-UseTransparentHugePages"
+        )
+        .getOrCreate()
+    )
+
+
+def synth(spark: SparkSession, cpus: int):
+    """Deterministic N x DIM float matrix: row i, feature j =
+    sin(i * (j+1) * 1e-4 + j).  Pure codegen, no data movement."""
+    return spark.range(0, N_ROWS, 1, numPartitions=cpus * 4).select(
+        F.array(
+            *[
+                F.sin(F.col("id") * F.lit((j + 1) * 1e-4) + F.lit(float(j)))
+                .cast("float")
+                for j in range(DIM)
+            ]
+        ).alias("embedding")
+    )
+
+
+def run(cpus: int) -> dict:
+    from hyper_spark.operators.matrix_sketch import fd_sketch_by
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # generation-only baseline: same scan, trivial JVM aggregate
+        t0 = time.perf_counter()
+        synth(spark, cpus).select(
+            F.sum(F.element_at("embedding", 1))
+        ).collect()
+        gen_secs = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        row = fd_sketch_by(
+            synth(spark, cpus), [], "embedding", ell=ELL, dim=DIM
+        ).collect()[0]
+        fd_secs = time.perf_counter() - t0
+
+        assert row["n"] == N_ROWS, (row["n"], N_ROWS)
+        assert row["delta"] <= row["fnorm2"] / ELL + 1e-6, "certificate violated"
+        return {
+            "cpus": cpus,
+            "rows": N_ROWS,
+            "dim": DIM,
+            "ell": ELL,
+            "gen_secs": round(gen_secs, 2),
+            "fd_secs": round(fd_secs, 2),
+            "fd_rows_per_sec": round(N_ROWS / fd_secs),
+            "delta": round(float(row["delta"]), 2),
+            "delta_bound": round(float(row["fnorm2"]) / ELL, 2),
+            "sketch_bytes": len(row["state"]),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    out = {"reps": []}
+    for cpus in (8, 32, 8, 32):  # interleaved reps, best-of-2 each
+        out["reps"].append(run(cpus))
+        print(json.dumps(out["reps"][-1]), flush=True)
+    best = {}
+    for rep in out["reps"]:
+        c = rep["cpus"]
+        if c not in best or rep["fd_secs"] < best[c]["fd_secs"]:
+            best[c] = rep
+    speedup = best[8]["fd_secs"] / best[32]["fd_secs"]
+    out["speedup_8_to_32"] = round(speedup, 2)
+    out["efficiency"] = round(speedup / 4.0, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
