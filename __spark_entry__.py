@@ -3008,6 +3008,34 @@ def _q_incremental_dedup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(new, seen, bloom_bits=1 << 14).select("doc_id")
 
 
+def _q_tx_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-flow Markov table over the transcripts fixture: for every
+    consecutive pair of tool calls within a conversation (ordered by
+    turn_idx, NULL = non-tool turns skipped), the transition count and
+    P(next tool | tool), with virtual __START__/__END__ bounds so
+    entry/exit mass is visible (operators/temporal.py::transitions)."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import transitions
+
+    tx = _tx(spark)
+    return transitions(
+        tx, "conv_id", "turn_idx", "tool", include_bounds=True
+    )
+
+
+def _q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day categorical diversity of event_type: exact entropy /
+    Gini impurity / majority share from one bounded two-stage
+    aggregate (operators/profile.py::category_stats)."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.profile import category_stats
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return category_stats(events, ["day"], "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_distinct_users": _q_exact_distinct_users,
@@ -3096,6 +3124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_latency_quantiles": _q_tx_latency_quantiles,
         "transcripts_text_determinism": _q_tx_text_determinism,
         "transcripts_sessionization": _q_tx_sessionization,
+        "transcripts_tool_transitions": _q_tx_tool_transitions,
+        "event_type_entropy": _q_event_type_entropy,
         "asof_join_marks": _q_asof_join_marks,
         "sessionize_bucketed": _q_sessionize_bucketed,
         "asof_bucketed_marks": _q_asof_bucketed_marks,
@@ -4671,6 +4701,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_sessions, count(*) AS n_convs
             FROM per_conv GROUP BY n_sessions
+        """,
+        "transcripts_tool_transitions": f"""
+            WITH seq AS (
+                SELECT tool,
+                       lead(tool) OVER w AS nxt,
+                       row_number() OVER w AS rn
+                FROM {_TX_GATE_SQL}
+                WHERE tool IS NOT NULL
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            pairs AS (
+                SELECT '__START__' AS from_state, tool AS to_state
+                FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT tool, coalesce(nxt, '__END__') FROM seq
+            ),
+            counts AS (
+                SELECT from_state, to_state, count(*)::BIGINT AS n
+                FROM pairs GROUP BY from_state, to_state
+            )
+            SELECT from_state, to_state, n,
+                   n::DOUBLE / sum(n) OVER (PARTITION BY from_state) AS prob
+            FROM counts
+        """,
+        "event_type_entropy": """
+            WITH counts AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       count(*)::BIGINT AS c
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY day, event_type
+            )
+            SELECT day,
+                   sum(c)::BIGINT AS n,
+                   count(*)::BIGINT AS n_distinct,
+                   log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy_bits,
+                   1.0 - sum(c::DOUBLE * c::DOUBLE)
+                       / (sum(c)::DOUBLE * sum(c)::DOUBLE) AS gini_impurity,
+                   max(c)::DOUBLE / sum(c) AS top_share
+            FROM counts GROUP BY day
         """,
         "sessionize_bucketed": f"""
             WITH g AS (

@@ -39,7 +39,12 @@ from hyper_spark.operators.quantiles import (
 )
 from hyper_spark.operators.hll_agg import multi_sketch_by
 from hyper_spark.operators.rollup import rollup_estimates, sketch_time_rollup
-from hyper_spark.operators.temporal import asof_join, range_join, sessionize
+from hyper_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    sessionize,
+    transitions,
+)
 from hyper_spark.operators.sampling import (
     deterministic_sample,
     hash_sample,
@@ -66,6 +71,7 @@ from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
 from hyper_spark.operators.join_profile import join_key_profile, join_profile
 from hyper_spark.operators.profile import (
+    category_stats,
     numeric_drift,
     profile_table,
     vocab_divergence,
@@ -156,6 +162,7 @@ __all__ = [
     "join_key_profile",
     "join_profile",
     "numeric_drift",
+    "category_stats",
     "profile_table",
     "vocab_divergence",
     "vocab_drift",
@@ -192,6 +199,7 @@ __all__ = [
     "sketch_time_rollup",
     "rollup_estimates",
     "sessionize",
+    "transitions",
     "asof_join",
     "range_join",
     "hash_split",

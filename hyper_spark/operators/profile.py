@@ -28,6 +28,7 @@ from hyper_spark.operators.hll_agg import cardinality_col, multi_sketch_by
 
 __all__ = [
     "profile_table",
+    "category_stats",
     "vocab_stats",
     "vocab_drift",
     "vocab_divergence",
@@ -93,6 +94,57 @@ def profile_table(
         rows,
         "column string, n_rows bigint, n_nulls bigint, null_frac double, "
         "approx_distinct double, min_value string, max_value string",
+    )
+
+
+def category_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+) -> DataFrame:
+    """Exact categorical-distribution summary per group: how
+    concentrated / diverse a category column is — the balance check a
+    corpus pipeline runs on domains, languages, tool usage, or label
+    columns before training.
+
+    Output: DataFrame[*keys, n bigint, n_distinct bigint,
+    entropy_bits double, gini_impurity double, top_share double] where
+    over each group's non-NULL values with per-value counts c_i and
+    total N:
+
+    - ``entropy_bits`` = −Σ (c_i/N)·log2(c_i/N), computed as
+      log2(N) − (Σ c_i·log2(c_i))/N (one aggregate, no per-row p);
+      0 for a single-valued group, log2(n_distinct) when uniform.
+    - ``gini_impurity`` = 1 − Σ (c_i/N)² — 0 pure, →1 diverse.
+    - ``top_share`` = max(c_i)/N, the majority-class share.
+
+    NULL values are excluded (profile NULL mass with
+    ``profile_table``); groups with no non-NULL values don't appear
+    (with ``keys=[]`` an empty input yields Spark's usual one-row
+    global aggregate: n NULL, n_distinct 0).
+
+    Scale shape: groupBy(keys, value) with map-side partial counts
+    (shuffle = |keys × vocabulary| partial rows, never raw rows), then
+    a second aggregate over those counts keyed by ``keys`` alone —
+    both stages whole-stage-codegen, no windows, no Python. Counts are
+    squared as doubles so a 10^10-row hot value cannot overflow the
+    Σ c_i² term (the ~1e-16 relative error is invisible in a ratio).
+    """
+    keys = list(keys)
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, F.col(col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    c = F.col("__c").cast("double")
+    n = F.sum("__c")
+    nd = n.cast("double")  # n*n as bigint would overflow past ~3e9 rows
+    return counts.groupBy(*keys).agg(
+        n.cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.log2(n) - F.sum(c * F.log2(c)) / n).alias("entropy_bits"),
+        (F.lit(1.0) - F.sum(c * c) / (nd * nd)).alias("gini_impurity"),
+        (F.max("__c") / n).alias("top_share"),
     )
 
 

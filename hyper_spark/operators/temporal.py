@@ -30,7 +30,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "asof_join", "range_join", "funnel", "funnel_counts", "funnel_durations"]
+__all__ = [
+    "sessionize",
+    "asof_join",
+    "range_join",
+    "funnel",
+    "funnel_counts",
+    "funnel_durations",
+    "transitions",
+]
 
 
 def sessionize(
@@ -527,4 +535,96 @@ def funnel_durations(
             F.expr("percentile(dur_s, 0.5)").alias("p50_s"),
         )
         .orderBy("transition")
+    )
+
+
+def transitions(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order_col: str,
+    state_col: str,
+    include_bounds: bool = False,
+    start_state: str = "__START__",
+    end_state: str = "__END__",
+) -> DataFrame:
+    """First-order state-transition (Markov) table over per-key ordered
+    sequences: for every consecutive pair of states within a key (a
+    conversation's tool calls ordered by turn, a user's event types
+    ordered by time), the transition count and the conditional
+    probability P(to | from).
+
+    The reference has no sequence surface (it is a cardinality sketch
+    library); this is the flow-analytics companion to ``funnel`` —
+    funnel answers "how many keys completed S1→S2→S3", transitions
+    answers "where do keys actually go next from each state".
+
+    Rows with a NULL state are dropped BEFORE sequencing, so
+    "consecutive" means consecutive *observed* states (for a transcript
+    tool column that is: the next tool call of the conversation,
+    however many non-tool turns sit between). ``include_bounds=True``
+    adds a virtual ``start_state`` → first and last → ``end_state``
+    transition per key, so entry/exit mass is visible and every key's
+    probabilities account for termination.
+
+    Output: DataFrame[from_state, to_state, n bigint, prob double]
+    with prob = n / Σ n over from_state (Σ prob per from_state = 1).
+
+    Determinism: ``order_col`` must totally order each key's rows
+    (turn_idx does); ties would make the pair set engine-dependent.
+
+    Scale shape: ONE window shuffle keyed by ``key`` (lead/row_number
+    over codegen'd columns — same shape as ``sessionize``; a
+    conversation's rows bound per-task state), then a groupBy whose
+    shuffle is |observed state vocabulary|² partial counts, and a
+    window over that tiny table for the denominators. Raw rows cross
+    the network once.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    state = F.col(state_col).cast("string")
+    src = df.filter(state.isNotNull()).select(
+        *keys, F.col(order_col).alias("__o"), state.alias("__s")
+    )
+    w = Window.partitionBy(*keys).orderBy("__o")
+    nxt = F.lead("__s").over(w)
+    if include_bounds:
+        # one pass builds both real and virtual pairs: explode a 2-slot
+        # array instead of unioning branches (a self-union would re-run
+        # the window's source per branch). Window outputs must be
+        # materialized as plain columns before they can feed a
+        # generator (Catalyst rejects window exprs inside explode).
+        seq = src.select(
+            "__s",
+            (F.row_number().over(w) == 1).alias("__first"),
+            nxt.alias("__n"),
+        )
+        pair_arr = F.array(
+            F.when(
+                F.col("__first"),
+                F.struct(
+                    F.lit(start_state).alias("f"), F.col("__s").alias("t")
+                ),
+            ),
+            F.struct(
+                F.col("__s").alias("f"),
+                F.coalesce(F.col("__n"), F.lit(end_state)).alias("t"),
+            ),
+        )
+        pairs = (
+            seq.select(F.explode(pair_arr).alias("__p"))
+            .filter(F.col("__p").isNotNull())
+            .select(F.col("__p.f").alias("from_state"), F.col("__p.t").alias("to_state"))
+        )
+    else:
+        pairs = src.select(
+            F.col("__s").alias("from_state"), nxt.alias("to_state")
+        ).filter(F.col("to_state").isNotNull())
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    denom = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(denom)).alias("prob"),
     )

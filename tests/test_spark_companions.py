@@ -680,3 +680,58 @@ def test_sketch_ranks_grouped_bounds(spark, sf_correct):
         sketch_ranks(
             tdigest_by(events, [], "value"), [50.0]
         ).collect()
+
+
+def test_category_stats_hand_case(spark):
+    import math
+
+    from hyper_spark.operators.profile import category_stats
+
+    rows = [("g", "a"), ("g", "a"), ("g", "b"), ("g", "c"), ("g", None)]
+    df = spark.createDataFrame(rows, "k string, v string").repartition(3)
+    r = category_stats(df, ["k"], "v").collect()[0]
+    # counts a:2 b:1 c:1 (NULL excluded): N=4
+    assert r["n"] == 4 and r["n_distinct"] == 3
+    assert abs(r["entropy_bits"] - 1.5) < 1e-12
+    assert abs(r["gini_impurity"] - (1 - (4 + 1 + 1) / 16)) < 1e-12
+    assert abs(r["top_share"] - 0.5) < 1e-12
+    # uniform group hits log2(k); single-valued group hits 0
+    uni = spark.createDataFrame(
+        [("u", str(i % 8)) for i in range(64)], "k string, v string"
+    )
+    r = category_stats(uni, [], "v").collect()[0]
+    assert abs(r["entropy_bits"] - 3.0) < 1e-12
+    assert abs(r["gini_impurity"] - (1 - 8 / 64)) < 1e-12
+    solo = spark.createDataFrame([("s", "x")] * 9, "k string, v string")
+    r = category_stats(solo, ["k"], "v").collect()[0]
+    assert r["entropy_bits"] == 0.0 and r["top_share"] == 1.0
+    assert math.isclose(r["gini_impurity"], 0.0, abs_tol=1e-12)
+
+
+def test_category_stats_matches_python(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from hyper_spark.operators.profile import category_stats
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 4}", rng.choice("abcdefgh"[: 2 + i % 4]))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v string").repartition(7)
+    got = {r["k"]: r for r in category_stats(df, ["k"], "v").collect()}
+    by_k: dict[str, Counter] = {}
+    for k, v in rows:
+        by_k.setdefault(k, Counter())[v] += 1
+    assert set(got) == set(by_k)
+    for k, cnt in by_k.items():
+        n = sum(cnt.values())
+        ent = -sum(c / n * math.log2(c / n) for c in cnt.values())
+        gini = 1 - sum((c / n) ** 2 for c in cnt.values())
+        r = got[k]
+        assert r["n"] == n and r["n_distinct"] == len(cnt)
+        assert abs(r["entropy_bits"] - ent) < 1e-9
+        assert abs(r["gini_impurity"] - gini) < 1e-9
+        assert abs(r["top_share"] - max(cnt.values()) / n) < 1e-12

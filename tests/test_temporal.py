@@ -434,3 +434,83 @@ def test_funnel_durations(spark):
     assert got[1]["n"] == 2 and got[1]["mean_s"] == 20.0  # (10+30)/2
     assert got[1]["p50_s"] == 20.0
     assert got[2]["n"] == 1 and got[2]["mean_s"] == 60.0
+
+
+def test_transitions_hand_case(spark):
+    from hyper_spark.operators.temporal import transitions
+
+    rows = [
+        ("a", 0, "x"), ("a", 1, "y"), ("a", 2, "x"),
+        ("b", 0, "y"), ("b", 1, "y"),
+        ("c", 0, "x"), ("c", 1, None), ("c", 2, "y"),  # NULL skipped
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, s string").repartition(3)
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["prob"])
+        for r in transitions(df, "k", "i", "s").collect()
+    }
+    # a: (x,y),(y,x); b: (y,y); c skips the NULL turn: (x,y)
+    assert got == {
+        ("x", "y"): (2, 1.0),
+        ("y", "x"): (1, 0.5),
+        ("y", "y"): (1, 0.5),
+    }
+
+
+def test_transitions_bounds_and_prob_sums(spark):
+    from hyper_spark.operators.temporal import transitions
+
+    rows = [("a", 0, "x"), ("a", 1, "y"), ("b", 0, "y")]
+    df = spark.createDataFrame(rows, "k string, i int, s string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["prob"])
+        for r in transitions(df, "k", "i", "s", include_bounds=True).collect()
+    }
+    assert got == {
+        ("__START__", "x"): (1, 0.5),
+        ("__START__", "y"): (1, 0.5),
+        ("x", "y"): (1, 1.0),
+        ("y", "__END__"): (2, 1.0),
+    }
+    # Σ prob per from_state == 1 exactly for every state
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _t), (_n, p) in got.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-12 for s in sums.values()), sums
+
+
+def test_transitions_matches_python_oracle(spark):
+    import random
+    from collections import Counter
+
+    from hyper_spark.operators.temporal import transitions
+
+    rng = random.Random(7)
+    states = ["s0", "s1", "s2", "s3", None]
+    rows = []
+    seqs = {}
+    for k in range(40):
+        n = rng.randint(1, 12)
+        seq = [rng.choice(states) for _ in range(n)]
+        seqs[f"k{k}"] = [s for s in seq if s is not None]
+        rows += [(f"k{k}", i, s) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "k string, i int, s string").repartition(5)
+
+    expect = Counter()
+    for seq in seqs.values():
+        if not seq:
+            continue
+        expect[("__START__", seq[0])] += 1
+        for a, b in zip(seq, seq[1:]):
+            expect[(a, b)] += 1
+        expect[(seq[-1], "__END__")] += 1
+    out = transitions(df, "k", "i", "s", include_bounds=True).collect()
+    got = {(r["from_state"], r["to_state"]): r["n"] for r in out}
+    assert got == dict(expect)
+    froms = Counter()
+    for (f, _t), n in expect.items():
+        froms[f] += n
+    for r in out:
+        assert abs(r["prob"] - got[(r["from_state"], r["to_state"])] / froms[r["from_state"]]) < 1e-12

@@ -32,6 +32,25 @@ N_ROWS = int(os.environ.get("FD_BENCH_ROWS", str(32_000_000)))
 DIM = int(os.environ.get("FD_BENCH_DIM", "64"))
 ELL = int(os.environ.get("FD_BENCH_ELL", "16"))
 
+# one BLAS thread per Python worker: 32 workers each spinning OpenBLAS
+# threads oversubscribe the box; the FD matmuls are 4096 x 64 — far too
+# small for intra-op parallelism to pay (env must be set before the
+# workers fork, and numpy reads it at import)
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+
+def _wait_quiet(threshold: float = 6.0, max_wait: float = 300.0) -> None:
+    """Shared host: start each timed rep in a quiet window (same gate
+    as tools/bench_scaling_executors.py — external loadavg waves of
+    10+ poison 32-core reps; the first ungated run of this tool
+    measured a 58 s outlier against a 22 s quiet rep)."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        if os.getloadavg()[0] < threshold:
+            return
+        time.sleep(5.0)
+
 
 def build_session(cpus: int) -> SparkSession:
     return (
@@ -102,7 +121,8 @@ def run(cpus: int) -> dict:
 
 def main() -> None:
     out = {"reps": []}
-    for cpus in (8, 32, 8, 32):  # interleaved reps, best-of-2 each
+    for cpus in (8, 32, 8, 32, 8, 32):  # interleaved reps, best-of-3 each
+        _wait_quiet()
         out["reps"].append(run(cpus))
         print(json.dumps(out["reps"][-1]), flush=True)
     best = {}
