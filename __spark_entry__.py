@@ -3008,6 +3008,25 @@ def _q_incremental_dedup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(new, seen, bloom_bits=1 << 14).select("doc_id")
 
 
+def _q_gram_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Gram (A'A) over the embeddings table
+    (operators/matrix_sketch.py::gram_by — per-partition dgemm, blob
+    addition merge), probed at five (i, j) cells against the oracle's
+    per-pair SUM(e[i]*e[j]). Exactness up to float64 summation order
+    (~1e-13 relative) — no sketch bound involved."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.matrix_sketch import gram_by, gram_matrix
+
+    emb = _read(spark, sf_dir, "embeddings")
+    row = gram_by(emb, [], "embedding").collect()[0]
+    g = gram_matrix(row)
+    pairs = [(0, 0), (0, 1), (1, 1), (2, 5), (7, 7)]
+    return spark.createDataFrame(
+        [(i, j, float(g[i, j])) for i, j in pairs],
+        "i int, j int, sum_prod double",
+    )
+
+
 def _q_tx_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-flow Markov table over the transcripts fixture: for every
     consecutive pair of tool calls within a conversation (ordered by
@@ -3126,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_sessionization": _q_tx_sessionization,
         "transcripts_tool_transitions": _q_tx_tool_transitions,
         "event_type_entropy": _q_event_type_entropy,
+        "gram_covariance_pairs": _q_gram_covariance_pairs,
         "asof_join_marks": _q_asof_join_marks,
         "sessionize_bucketed": _q_sessionize_bucketed,
         "asof_bucketed_marks": _q_asof_bucketed_marks,
@@ -4701,6 +4721,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_sessions, count(*) AS n_convs
             FROM per_conv GROUP BY n_sessions
+        """,
+        "gram_covariance_pairs": """
+            SELECT 0 AS i, 0 AS j,
+                   sum(embedding[1]::DOUBLE * embedding[1]::DOUBLE) AS sum_prod
+            FROM embeddings
+            UNION ALL
+            SELECT 0, 1, sum(embedding[1]::DOUBLE * embedding[2]::DOUBLE)
+            FROM embeddings
+            UNION ALL
+            SELECT 1, 1, sum(embedding[2]::DOUBLE * embedding[2]::DOUBLE)
+            FROM embeddings
+            UNION ALL
+            SELECT 2, 5, sum(embedding[3]::DOUBLE * embedding[6]::DOUBLE)
+            FROM embeddings
+            UNION ALL
+            SELECT 7, 7, sum(embedding[8]::DOUBLE * embedding[8]::DOUBLE)
+            FROM embeddings
         """,
         "transcripts_tool_transitions": f"""
             WITH seq AS (

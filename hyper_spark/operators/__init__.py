@@ -113,6 +113,11 @@ from hyper_spark.operators.matrix_sketch import (
     fd_merge,
     fd_project,
     fd_sketch_by,
+    gram_by,
+    gram_components,
+    gram_covariance,
+    gram_matrix,
+    gram_merge,
 )
 from hyper_spark.operators.quality import (
     c4_clean,
@@ -124,6 +129,11 @@ from hyper_spark.operators.quality import (
 
 __all__ = [
     "fd_sketch_by",
+    "gram_by",
+    "gram_components",
+    "gram_covariance",
+    "gram_matrix",
+    "gram_merge",
     "fd_merge",
     "fd_components",
     "fd_project",

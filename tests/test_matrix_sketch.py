@@ -150,3 +150,59 @@ def test_diag_helper_within_delta(spark):
     dev = exact - diag
     assert (dev >= -1e-6 * row["fnorm2"]).all()
     assert (dev <= row["delta"] + 1e-6 * row["fnorm2"]).all()
+
+
+def test_gram_exact_global_and_grouped(spark):
+    from hyper_spark.operators.matrix_sketch import (
+        gram_by,
+        gram_components,
+        gram_covariance,
+        gram_matrix,
+        gram_merge,
+    )
+
+    a = _rand(1500, 12, seed=29)
+    labels = np.arange(1500) % 4
+    df = _to_df(spark, a, labels)
+
+    row = gram_by(df, [], "embedding", dim=12).collect()[0]
+    np.testing.assert_allclose(gram_matrix(row), a.T @ a, rtol=1e-12)
+    assert row["n"] == 1500
+    np.testing.assert_allclose(gram_covariance(row), np.cov(a.T), rtol=1e-10)
+
+    per = gram_by(df, ["label"], "embedding", dim=12)
+    rows = {r["label"]: r for r in per.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for lab, r in rows.items():
+        sub = a[labels == lab]
+        np.testing.assert_allclose(gram_matrix(r), sub.T @ sub, rtol=1e-12)
+        assert r["n"] == sub.shape[0]
+
+    # rollup by blob addition == global build, exactly
+    glob = gram_merge(per, []).collect()[0]
+    np.testing.assert_allclose(gram_matrix(glob), a.T @ a, rtol=1e-12)
+    assert glob["n"] == 1500
+
+    # principal directions of the exact Gram == numpy SVD of A
+    comp, sv = gram_components(row, 3)
+    _, s_exact, vt = np.linalg.svd(a, full_matrices=False)
+    np.testing.assert_allclose(sv, s_exact[:3], rtol=1e-9)
+    # direction equality up to sign
+    for i in range(3):
+        assert abs(float(np.dot(comp[i], vt[i]))) > 1 - 1e-9
+
+
+def test_gram_null_skip_and_guards(spark):
+    from hyper_spark.operators.matrix_sketch import gram_by, gram_covariance, gram_matrix
+
+    a = _rand(200, 6, seed=31)
+    rows = [(i, [float(x) for x in a[i]], 0) for i in range(200)]
+    rows += [(900, None, 0), (901, [1.0], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    ).repartition(4)
+    r = gram_by(df, [], "embedding", dim=6).collect()[0]
+    assert r["n"] == 200
+    np.testing.assert_allclose(gram_matrix(r), a.T @ a, rtol=1e-12)
+    with pytest.raises(ValueError):
+        gram_covariance({"n": 1, "dim": 6, "s": r["s"], "gram": r["gram"]})
