@@ -3042,6 +3042,18 @@ def _q_tx_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tx_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered tool co-occurrence within conversations over the
+    transcripts fixture: which tools coexist in the same conversation
+    at all, with lift/PMI vs independence
+    (operators/profile.py::cooccurrence)."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.profile import cooccurrence
+
+    tx = _tx(spark)
+    return cooccurrence(tx, "conv_id", "tool")
+
+
 def _q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day categorical diversity of event_type: exact entropy /
     Gini impurity / majority share from one bounded two-stage
@@ -3145,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_sessionization": _q_tx_sessionization,
         "transcripts_tool_transitions": _q_tx_tool_transitions,
         "event_type_entropy": _q_event_type_entropy,
+        "transcripts_tool_cooccurrence": _q_tx_tool_cooccurrence,
         "gram_covariance_pairs": _q_gram_covariance_pairs,
         "asof_join_marks": _q_asof_join_marks,
         "sessionize_bucketed": _q_sessionize_bucketed,
@@ -4761,6 +4774,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_state, to_state, n,
                    n::DOUBLE / sum(n) OVER (PARTITION BY from_state) AS prob
             FROM counts
+        """,
+        "transcripts_tool_cooccurrence": f"""
+            WITH kv AS (
+                SELECT DISTINCT conv_id AS k, tool AS v
+                FROM {_TX_GATE_SQL} WHERE tool IS NOT NULL
+            ),
+            nk AS (SELECT count(DISTINCT k) AS n_keys FROM kv),
+            vc AS (SELECT v, count(*)::BIGINT AS nv FROM kv GROUP BY v),
+            pairs AS (
+                SELECT a.v AS v1, b.v AS v2, count(*)::BIGINT AS n_pair
+                FROM kv a JOIN kv b ON a.k = b.k AND a.v < b.v
+                GROUP BY a.v, b.v
+            )
+            SELECT v1, v2, n_pair, c1.nv AS n_v1, c2.nv AS n_v2,
+                   n_pair::DOUBLE * nk.n_keys
+                       / (c1.nv::DOUBLE * c2.nv::DOUBLE) AS lift,
+                   log2(n_pair::DOUBLE * nk.n_keys
+                       / (c1.nv::DOUBLE * c2.nv::DOUBLE)) AS pmi_bits
+            FROM pairs
+            JOIN vc c1 ON pairs.v1 = c1.v
+            JOIN vc c2 ON pairs.v2 = c2.v, nk
         """,
         "event_type_entropy": """
             WITH counts AS (

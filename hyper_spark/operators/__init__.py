@@ -72,6 +72,7 @@ from hyper_spark.operators.mixing import apply_mixture, mixture_plan
 from hyper_spark.operators.join_profile import join_key_profile, join_profile
 from hyper_spark.operators.profile import (
     category_stats,
+    cooccurrence,
     numeric_drift,
     profile_table,
     vocab_divergence,
@@ -173,6 +174,7 @@ __all__ = [
     "join_profile",
     "numeric_drift",
     "category_stats",
+    "cooccurrence",
     "profile_table",
     "vocab_divergence",
     "vocab_drift",

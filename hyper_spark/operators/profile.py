@@ -29,6 +29,7 @@ from hyper_spark.operators.hll_agg import cardinality_col, multi_sketch_by
 __all__ = [
     "profile_table",
     "category_stats",
+    "cooccurrence",
     "vocab_stats",
     "vocab_drift",
     "vocab_divergence",
@@ -145,6 +146,96 @@ def category_stats(
         (F.log2(n) - F.sum(c * F.log2(c)) / n).alias("entropy_bits"),
         (F.lit(1.0) - F.sum(c * c) / (nd * nd)).alias("gini_impurity"),
         (F.max("__c") / n).alias("top_share"),
+    )
+
+
+def cooccurrence(
+    df: DataFrame,
+    key: str,
+    value: str,
+    min_count: int = 1,
+    max_per_key: int | None = None,
+) -> DataFrame:
+    """Which categories appear TOGETHER: for every unordered pair of
+    distinct ``value``s sharing a ``key`` (tools used in the same
+    conversation, domains in the same crawl batch), the key count and
+    association strength.
+
+    Output: DataFrame[v1, v2, n_pair bigint, n_v1 bigint, n_v2 bigint,
+    lift double, pmi_bits double] with v1 < v2 (string order),
+    ``n_pair`` = keys containing both, ``n_vX`` = keys containing that
+    value at all, lift = n_pair·n_keys/(n_v1·n_v2) (1 = independent),
+    pmi_bits = log2(lift). Pairs below ``min_count`` are dropped.
+    NULL keys/values are excluded.
+
+    ``transitions`` (temporal.py) answers "what comes NEXT from each
+    state"; this answers "what coexists at all" — order-free, so it
+    catches associations sequencing hides (two tools always used in
+    the same conversations but never adjacently).
+
+    Skew control — the 100 TB hazard is quadratic per-key blowup: a
+    key with d distinct values contributes d·(d−1)/2 pairs, so one
+    megakey (a crawl batch touching every domain) floods the pair
+    shuffle. ``max_per_key`` EXCLUDES keys with more distinct values
+    than the cap from pair counting entirely (their values still count
+    toward n_vX and n_keys); exclusion is exact, deterministic, and
+    the honest semantics — sampling a megakey's pairs would bias lift
+    downward for everything it touches. Set it to the d where d²/2
+    pairs per key stops being acceptable (e.g. 10^3 → ≤ 500k pairs).
+
+    Plan shape: one distinct over (key, value) [shuffle 1, persisted —
+    a self-join re-evaluates its source per branch otherwise], a
+    per-key count window when ``max_per_key`` is set, the equi-join on
+    key [shuffle 2, bounded by the cap], then a groupBy on the pair
+    [shuffle 3, ≤ |vocab|² rows]. Totals ride broadcast 1-row joins.
+    """
+    kv = (
+        df.filter(F.col(key).isNotNull() & F.col(value).isNotNull())
+        .select(F.col(key).alias("__k"), F.col(value).cast("string").alias("__v"))
+        .distinct()
+        .persist()
+    )
+    n_keys = kv.select("__k").distinct().count()  # also materializes kv
+    val_counts = kv.groupBy("__v").agg(F.count(F.lit(1)).alias("__nv"))
+
+    paired = kv
+    if max_per_key is not None:
+        if max_per_key < 2:
+            raise ValueError("max_per_key must be >= 2")
+        from pyspark.sql.window import Window
+
+        d = F.count(F.lit(1)).over(Window.partitionBy("__k"))
+        paired = kv.withColumn("__d", d).filter(
+            F.col("__d") <= max_per_key
+        ).drop("__d")
+    left = paired.select("__k", F.col("__v").alias("v1"))
+    right = paired.select("__k", F.col("__v").alias("v2"))
+    pairs = (
+        left.join(right, on="__k")
+        .filter(F.col("v1") < F.col("v2"))
+        .groupBy("v1", "v2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    out = (
+        pairs.join(val_counts.withColumnRenamed("__v", "v1"), on="v1")
+        .withColumnRenamed("__nv", "n_v1")
+        .join(val_counts.withColumnRenamed("__v", "v2"), on="v2")
+        .withColumnRenamed("__nv", "n_v2")
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.lit(float(n_keys))
+        / (F.col("n_v1").cast("double") * F.col("n_v2").cast("double"))
+    )
+    return out.select(
+        "v1",
+        "v2",
+        "n_pair",
+        "n_v1",
+        "n_v2",
+        lift.alias("lift"),
+        F.log2(lift).alias("pmi_bits"),
     )
 
 

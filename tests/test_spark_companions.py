@@ -735,3 +735,66 @@ def test_category_stats_matches_python(spark):
         assert abs(r["entropy_bits"] - ent) < 1e-9
         assert abs(r["gini_impurity"] - gini) < 1e-9
         assert abs(r["top_share"] - max(cnt.values()) / n) < 1e-12
+
+
+def test_cooccurrence_matches_python(spark):
+    import math
+    import random
+    from collections import Counter
+    from itertools import combinations
+
+    from hyper_spark.operators.profile import cooccurrence
+
+    rng = random.Random(23)
+    rows = []
+    by_key: dict[str, set] = {}
+    for k in range(60):
+        vals = set(rng.sample("abcdefg", rng.randint(1, 5)))
+        by_key[f"k{k}"] = vals
+        rows += [(f"k{k}", v) for v in vals for _ in range(rng.randint(1, 3))]
+    rows.append((None, "a"))
+    rows.append(("k0", None))
+    df = spark.createDataFrame(rows, "k string, v string").repartition(7)
+    got = {
+        (r["v1"], r["v2"]): r for r in cooccurrence(df, "k", "v").collect()
+    }
+
+    n_keys = len(by_key)
+    nv = Counter(v for vals in by_key.values() for v in vals)
+    exp_pairs = Counter()
+    for vals in by_key.values():
+        for a, b in combinations(sorted(vals), 2):
+            exp_pairs[(a, b)] += 1
+    assert set(got) == set(exp_pairs)
+    for (a, b), n_ab in exp_pairs.items():
+        r = got[(a, b)]
+        assert r["n_pair"] == n_ab and r["n_v1"] == nv[a] and r["n_v2"] == nv[b]
+        lift = n_ab * n_keys / (nv[a] * nv[b])
+        assert abs(r["lift"] - lift) < 1e-12
+        assert abs(r["pmi_bits"] - math.log2(lift)) < 1e-12
+
+
+def test_cooccurrence_max_per_key_excludes_megakey(spark):
+    from itertools import combinations
+
+    from hyper_spark.operators.profile import cooccurrence
+
+    rows = [("mega", f"v{i}") for i in range(20)]          # 190 pairs if kept
+    rows += [("a", "v0"), ("a", "v1"), ("b", "v0"), ("b", "v1"), ("b", "v2")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {
+        (r["v1"], r["v2"]): r
+        for r in cooccurrence(df, "k", "v", max_per_key=5).collect()
+    }
+    # only the small keys pair up
+    assert set(got) == set(combinations(["v0", "v1"], 2)) | set(
+        combinations(["v0", "v1", "v2"], 2)
+    )
+    r = got[("v0", "v1")]
+    assert r["n_pair"] == 2
+    # megakey still counts toward totals: n_v0 includes it
+    assert r["n_v1"] == 3 and r["n_v2"] == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cooccurrence(df, "k", "v", max_per_key=1)
