@@ -3042,6 +3042,20 @@ def _q_tx_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theta_pairwise_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap matrix between event types, entirely
+    in sketch space: one theta_by pass over events, then Jaccard /
+    intersection / containments per type pair from the sketch rows
+    (operators/theta_agg.py::theta_pairwise). k=16384 > 10k distinct
+    users — below saturation every number is exact."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.theta_agg import theta_by, theta_pairwise
+
+    events = _read(spark, sf_dir, "events")
+    sk = theta_by(events, ["event_type"], "user_id", k=16384)
+    return theta_pairwise(sk, "event_type")
+
+
 def _q_tx_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered tool co-occurrence within conversations over the
     transcripts fixture: which tools coexist in the same conversation
@@ -3158,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_tool_transitions": _q_tx_tool_transitions,
         "event_type_entropy": _q_event_type_entropy,
         "transcripts_tool_cooccurrence": _q_tx_tool_cooccurrence,
+        "theta_pairwise_users": _q_theta_pairwise_users,
         "gram_covariance_pairs": _q_gram_covariance_pairs,
         "asof_join_marks": _q_asof_join_marks,
         "sessionize_bucketed": _q_sessionize_bucketed,
@@ -4774,6 +4789,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_state, to_state, n,
                    n::DOUBLE / sum(n) OVER (PARTITION BY from_state) AS prob
             FROM counts
+        """,
+        "theta_pairwise_users": """
+            WITH kv AS (
+                SELECT DISTINCT event_type AS t, user_id AS u
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            c AS (SELECT t, count(*)::DOUBLE AS card FROM kv GROUP BY t),
+            p AS (
+                SELECT a.t AS t1, b.t AS t2, count(*)::DOUBLE AS inter
+                FROM kv a JOIN kv b ON a.u = b.u AND a.t < b.t
+                GROUP BY a.t, b.t
+            )
+            SELECT c1.t AS key_1, c2.t AS key_2,
+                   c1.card AS card_1, c2.card AS card_2,
+                   coalesce(p.inter, 0.0) AS intersect_card,
+                   coalesce(p.inter, 0.0)
+                       / (c1.card + c2.card - coalesce(p.inter, 0.0)) AS jaccard,
+                   coalesce(p.inter, 0.0) / c1.card AS containment_1_in_2,
+                   coalesce(p.inter, 0.0) / c2.card AS containment_2_in_1
+            FROM c c1
+            JOIN c c2 ON c1.t < c2.t
+            LEFT JOIN p ON p.t1 = c1.t AND p.t2 = c2.t
         """,
         "transcripts_tool_cooccurrence": f"""
             WITH kv AS (

@@ -106,6 +106,7 @@ from hyper_spark.operators.theta_agg import (
     theta_estimate,
     theta_intersect_card,
     theta_jaccard,
+    theta_pairwise,
     theta_union,
 )
 from hyper_spark.operators.matrix_sketch import (
@@ -153,6 +154,7 @@ __all__ = [
     "theta_a_not_b_card",
     "theta_containment",
     "theta_jaccard",
+    "theta_pairwise",
     "mixture_plan",
     "apply_mixture",
     "ngram_lm_train",

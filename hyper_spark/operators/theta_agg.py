@@ -56,6 +56,7 @@ __all__ = [
     "theta_a_not_b_card",
     "theta_jaccard",
     "theta_containment",
+    "theta_pairwise",
     "theta_rse",
 ]
 
@@ -290,6 +291,94 @@ def theta_jaccard(
         return a.intersect_card(b) / u
 
     return _binary_theta_op(left, right, on, jac, "jaccard")
+
+
+def theta_pairwise(sketch_df: DataFrame, key: str) -> DataFrame:
+    """Similarity matrix between every pair of groups from ONE sketch
+    table — "which segments share members" (users across event types,
+    domains across crawl batches) answered entirely in sketch space:
+    no raw row is touched after the one ``theta_by`` pass.
+
+    Output, one row per unordered pair (key_1 < key_2 as strings):
+    DataFrame[key_1, key_2, card_1, card_2, intersect_card, jaccard,
+    containment_1_in_2, containment_2_in_1] — all exact below
+    saturation (< k distinct per side), estimated at the combined
+    sampling rate above it.
+
+    Scale shape: the input is |groups| sketch rows of ≤ k longs each;
+    the pair join is |groups|²/2 rows of sketch blobs, one Arrow batch
+    per ~thousand pairs. The input lineage is persisted internally —
+    a self-join evaluates its source once PER BRANCH, and the source
+    here is the expensive sketch build. Mixed hash_fns refuse (probe
+    provenance contract, same as cms/bloom)."""
+    sk = sketch_df.persist()
+    kc = F.col(key).cast("string")
+    l = sk.select(
+        kc.alias("key_1"),
+        F.col("k").alias("k_l"),
+        F.col("entries").alias("e_l"),
+        F.col("hash_fn").alias("hf_l"),
+    )
+    r = sk.select(
+        kc.alias("key_2"),
+        F.col("k").alias("k_r"),
+        F.col("entries").alias("e_r"),
+        F.col("hash_fn").alias("hf_r"),
+    )
+    joined = l.join(r, on=F.col("key_1") < F.col("key_2"))
+
+    out_t = StructType(
+        [
+            StructField("card_1", DoubleType()),
+            StructField("card_2", DoubleType()),
+            StructField("intersect_card", DoubleType()),
+            StructField("jaccard", DoubleType()),
+            StructField("containment_1_in_2", DoubleType()),
+            StructField("containment_2_in_1", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _pair(
+        k_l: pd.Series, e_l: pd.Series, hf_l: pd.Series,
+        k_r: pd.Series, e_r: pd.Series, hf_r: pd.Series,
+    ) -> pd.DataFrame:
+        rows = []
+        for i in range(len(k_l)):
+            if hf_l[i] != hf_r[i]:
+                raise ValueError(
+                    f"theta_pairwise across hash_fns {hf_l[i]!r} vs "
+                    f"{hf_r[i]!r} — rebuild one side"
+                )
+            a = ThetaSketch.from_bytes(int(k_l[i]), bytes(e_l[i]))
+            b = ThetaSketch.from_bytes(int(k_r[i]), bytes(e_r[i]))
+            ca, cb = a.estimate(), b.estimate()
+            inter = a.intersect_card(b)
+            union = a.union(b).estimate()
+            rows.append(
+                (
+                    ca,
+                    cb,
+                    inter,
+                    (inter / union) if union else 0.0,
+                    (inter / ca) if ca else 0.0,
+                    (inter / cb) if cb else 0.0,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "card_1", "card_2", "intersect_card", "jaccard",
+                "containment_1_in_2", "containment_2_in_1",
+            ],
+        )
+
+    paired = joined.select(
+        "key_1",
+        "key_2",
+        _pair("k_l", "e_l", "hf_l", "k_r", "e_r", "hf_r").alias("__m"),
+    )
+    return paired.select("key_1", "key_2", "__m.*")
 
 
 def theta_containment(

@@ -133,3 +133,50 @@ def test_theta_containment_exact_when_unsaturated(spark):
     empty = theta_by(left.filter("1=0"), [], "v", k=2048)
     # empty sketch frame has zero rows -> no joined pair rows
     assert theta_containment(empty, b).count() == 0
+
+
+def test_theta_pairwise_exact_when_unsaturated(spark):
+    from hyper_spark.operators.theta_agg import theta_pairwise
+
+    # three groups with known overlaps: g0 = 0..399, g1 = 200..699,
+    # g2 = 600..649 (disjoint from g0, inside g1's tail)
+    rows = (
+        [("g0", str(i)) for i in range(0, 400)]
+        + [("g1", str(i)) for i in range(200, 700)]
+        + [("g2", str(i)) for i in range(600, 650)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string").repartition(5)
+    sk = theta_by(df, ["g"], "v", k=4096)
+    got = {(r["key_1"], r["key_2"]): r for r in theta_pairwise(sk, "g").collect()}
+    assert set(got) == {("g0", "g1"), ("g0", "g2"), ("g1", "g2")}
+
+    r = got[("g0", "g1")]
+    assert r["card_1"] == 400.0 and r["card_2"] == 500.0
+    assert r["intersect_card"] == 200.0
+    assert r["jaccard"] == pytest.approx(200 / 700, abs=1e-12)
+    assert r["containment_1_in_2"] == pytest.approx(0.5, abs=1e-12)
+    assert r["containment_2_in_1"] == pytest.approx(0.4, abs=1e-12)
+
+    r = got[("g0", "g2")]
+    assert r["intersect_card"] == 0.0 and r["jaccard"] == 0.0
+
+    r = got[("g1", "g2")]
+    assert r["intersect_card"] == 50.0
+    assert r["containment_2_in_1"] == 1.0  # g2 ⊆ g1
+
+
+def test_theta_pairwise_hash_fn_mismatch_refuses(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from hyper_spark.operators.theta_agg import theta_pairwise
+
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "g string, v string"
+    )
+    sk = theta_by(df, ["g"], "v", k=64)
+    mixed = sk.withColumn(
+        "hash_fn",
+        F.when(F.col("g") == "a", F.lit("xxhash64")).otherwise(F.lit("md5")),
+    )
+    with pytest.raises(Exception, match="hash_fn"):
+        theta_pairwise(mixed, "g").collect()
