@@ -3042,6 +3042,19 @@ def _q_tx_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical relevance of every document to a fixed query
+    (operators/bm25.py): one inverted-index build (explode + single
+    groupBy, doc length riding the explode) + query-filtered scoring.
+    top_k=None so the float cut can't make the row set
+    boundary-sensitive — the checker compares all matching docs."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.bm25 import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, "spark merge vector", top_k=None)
+
+
 def _q_theta_pairwise_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience-overlap matrix between event types, entirely
     in sketch space: one theta_by pass over events, then Jaccard /
@@ -3173,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_entropy": _q_event_type_entropy,
         "transcripts_tool_cooccurrence": _q_tx_tool_cooccurrence,
         "theta_pairwise_users": _q_theta_pairwise_users,
+        "bm25_scores": _q_bm25_scores,
         "gram_covariance_pairs": _q_gram_covariance_pairs,
         "asof_join_marks": _q_asof_join_marks,
         "sessionize_bucketed": _q_sessionize_bucketed,
@@ -4789,6 +4803,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_state, to_state, n,
                    n::DOUBLE / sum(n) OVER (PARTITION BY from_state) AS prob
             FROM counts
+        """,
+        "bm25_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+                                   x -> x != '') AS ts
+                FROM documents
+            ),
+            post AS (
+                SELECT doc_id, token, dl, count(*)::BIGINT AS tf
+                FROM (
+                    SELECT doc_id, len(ts)::BIGINT AS dl, unnest(ts) AS token
+                    FROM toks WHERE len(ts) > 0
+                )
+                GROUP BY doc_id, token, dl
+            ),
+            consts AS (
+                SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+                FROM (SELECT DISTINCT doc_id, dl FROM post)
+            ),
+            dft AS (
+                SELECT token, count(*)::BIGINT AS dft
+                FROM post WHERE token IN ('spark', 'merge', 'vector')
+                GROUP BY token
+            )
+            SELECT post.doc_id,
+                   sum(ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                       * tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   ) AS score,
+                   count(*)::INT AS n_terms
+            FROM post JOIN dft USING (token), consts
+            GROUP BY post.doc_id
         """,
         "theta_pairwise_users": """
             WITH kv AS (

@@ -65,6 +65,12 @@ from hyper_spark.operators.graph import (
     near_dedup,
     semantic_dedup,
 )
+from hyper_spark.operators.bm25 import (
+    bm25_build,
+    bm25_consts,
+    bm25_score,
+    bm25_topk,
+)
 from hyper_spark.operators.bpe import bpe_encode, bpe_merge_list, bpe_train
 from hyper_spark.operators.export import export_shards, shard_assignment, shard_manifest
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
@@ -140,6 +146,10 @@ __all__ = [
     "fd_components",
     "fd_project",
     "fd_covariance_diag",
+    "bm25_build",
+    "bm25_consts",
+    "bm25_score",
+    "bm25_topk",
     "bpe_train",
     "bpe_encode",
     "bpe_merge_list",

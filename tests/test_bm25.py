@@ -1,0 +1,123 @@
+"""BM25 lexical retrieval vs a brute-force python oracle."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from hyper_spark.operators.bm25 import (
+    bm25_build,
+    bm25_score,
+    bm25_topk,
+    query_tokens,
+)
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return [
+        t
+        for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+        if t
+    ]
+
+
+def _oracle_scores(docs, query, k1=1.2, b=0.75):
+    toks = {i: _norm_tokens(t) for i, t in docs}
+    toks = {i: ts for i, ts in toks.items() if ts}
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    terms = query_tokens(query)
+    df = Counter(t for ts in toks.values() for t in set(ts) if t in terms)
+    out = {}
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        s = 0.0
+        m = 0
+        for t in terms:
+            if tf[t] == 0:
+                continue
+            m += 1
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf[t] / (tf[t] + k1 * (1 - b + b * len(ts) / avgdl))
+        if m:
+            out[i] = (s, m)
+    return out
+
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog."),
+    (2, "A fast auburn fox vaulted a sleepy hound, quick as light!"),
+    (3, "Quick quick quick — repetition saturates, not dominates."),
+    (4, "Entirely unrelated text about spark shuffles and parquet files."),
+    (5, "the the the the the the the the the the"),  # long, common terms
+    (6, ""),  # empty: contributes no postings
+    (7, "Dog dog? DOG! dog."),
+]
+
+
+def test_bm25_matches_python_oracle(spark):
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string").repartition(3)
+    query = "quick fox dog"
+    got = {
+        r["doc_id"]: (r["score"], r["n_terms"])
+        for r in bm25_topk(df, query, top_k=None).collect()
+    }
+    exp = _oracle_scores(DOCS, query)
+    assert set(got) == set(exp)
+    for i, (s, m) in exp.items():
+        assert got[i][1] == m
+        assert got[i][0] == pytest.approx(s, rel=1e-12)
+    # term saturation: doc 3's triple "quick" must not beat doc 1's
+    # quick+fox+dog triple match
+    assert got[1][0] > got[3][0]
+
+
+def test_bm25_postings_reusable_and_deterministic(spark):
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    post = bm25_build(df)
+    rows = post.collect()
+    # doc 6 (empty) absent; dl is the token count of the normalized text
+    ids = {r["doc_id"] for r in rows}
+    assert 6 not in ids
+    dl7 = {r["dl"] for r in rows if r["doc_id"] == 7}
+    assert dl7 == {4}
+    tf7 = {r["token"]: r["tf"] for r in rows if r["doc_id"] == 7}
+    assert tf7 == {"dog": 4}
+
+    top = bm25_score(post, "lazy dog", top_k=2).collect()
+    assert [r["doc_id"] for r in top] == sorted(
+        [r["doc_id"] for r in top],
+        key=lambda i: (-dict((x["doc_id"], x["score"]) for x in top)[i], i),
+    )
+    assert top[0]["doc_id"] == 1  # only doc with both terms
+
+    with pytest.raises(ValueError):
+        bm25_score(post, "?!—")
+
+
+def test_bm25_build_normalizes_once(spark):
+    # the token array is staged in its own projection: the normalize
+    # regex must appear exactly once in the optimized plan (Catalyst
+    # does not CSE across lambda/projection boundaries if inlined)
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    plan = bm25_build(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 1, plan
+
+
+def test_bm25_consts_path_identical(spark):
+    from hyper_spark.operators.bm25 import bm25_consts
+
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    post = bm25_build(df)
+    n, avgdl = bm25_consts(post)
+    assert n == 6  # doc 6 (empty) excluded
+    inline = bm25_score(post, "quick fox dog", top_k=None).collect()
+    precomp = bm25_score(
+        post, "quick fox dog", top_k=None, consts=(n, avgdl)
+    ).collect()
+    assert {(r["doc_id"], r["score"]) for r in inline} == {
+        (r["doc_id"], r["score"]) for r in precomp
+    }
