@@ -3042,6 +3042,27 @@ def _q_tx_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-aware trailing-window features per event (1h / 1d windows
+    per user; operators/temporal.py::rolling_features): one shuffle +
+    one sort, every window frame stacked on it. Floats ship RAW: the
+    per-user frames are a handful of addends, so cross-engine values
+    agree to ~1 ulp and the checker's round-6 absorbs it — explicit
+    round(x, 3) on both sides FAILED (Spark rounds the decimal string,
+    DuckDB the binary double: 16.0875 -> 16.088 vs 16.087)."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import rolling_features
+
+    events = _read(spark, sf_dir, "events")
+    feats = rolling_features(
+        events, "user_id", "ts", "value", windows=[3600, 86400]
+    )
+    cols = ["event_id"]
+    for tag in ("3600s", "86400s"):
+        cols += [f"n_{tag}", f"sum_{tag}", f"mean_{tag}"]
+    return feats.select(*cols)
+
+
 def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical relevance of every document to a fixed query
     (operators/bm25.py): one inverted-index build (explode + single
@@ -3187,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_tool_cooccurrence": _q_tx_tool_cooccurrence,
         "theta_pairwise_users": _q_theta_pairwise_users,
         "bm25_scores": _q_bm25_scores,
+        "user_rolling_features": _q_user_rolling_features,
         "gram_covariance_pairs": _q_gram_covariance_pairs,
         "asof_join_marks": _q_asof_join_marks,
         "sessionize_bucketed": _q_sessionize_bucketed,
@@ -4803,6 +4825,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_state, to_state, n,
                    n::DOUBLE / sum(n) OVER (PARTITION BY from_state) AS prob
             FROM counts
+        """,
+        "user_rolling_features": """
+            SELECT event_id,
+                   count(*) OVER w1 AS n_3600s,
+                   sum(value) OVER w1 AS sum_3600s,
+                   avg(value) OVER w1 AS mean_3600s,
+                   count(*) OVER w2 AS n_86400s,
+                   sum(value) OVER w2 AS sum_86400s,
+                   avg(value) OVER w2 AS mean_86400s
+            FROM events
+            WINDOW
+                w1 AS (PARTITION BY user_id ORDER BY epoch(ts)
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+                w2 AS (PARTITION BY user_id ORDER BY epoch(ts)
+                       RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
         """,
         "bm25_scores": """
             WITH toks AS (

@@ -257,6 +257,29 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return theta_estimate(theta_by(events, [], "user_id", k=4096))
 
+    from hyper_spark.sources.transcripts import write_transcripts
+
+    tx_path = write_transcripts(spark, TRANSCRIPTS_CACHE, sf=SF)
+
+    def q_tool_transitions():
+        from hyper_spark.operators.temporal import transitions
+
+        tx = spark.read.parquet(tx_path)
+        return transitions(
+            tx, "conv_id", "turn_idx", "tool", include_bounds=True
+        )
+
+    def q_tool_cooccurrence():
+        from hyper_spark.operators.profile import cooccurrence
+
+        tx = spark.read.parquet(tx_path)
+        return cooccurrence(tx, "conv_id", "tool")
+
+    def q_bm25_search():
+        from hyper_spark.operators.bm25 import bm25_topk
+
+        return bm25_topk(docs, "spark merge vector", top_k=10)
+
     def q_vocab_stats():
         from hyper_spark.operators.profile import vocab_stats
 
@@ -355,6 +378,9 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "export_shards_docs": q_export_shards,
         "semantic_dedup_embeddings": q_semantic_dedup,
         "fd_covariance_sketch": q_fd_sketch,
+        "tool_transitions": q_tool_transitions,
+        "tool_cooccurrence": q_tool_cooccurrence,
+        "bm25_search_docs": q_bm25_search,
     }
 
 

@@ -42,6 +42,7 @@ from hyper_spark.operators.rollup import rollup_estimates, sketch_time_rollup
 from hyper_spark.operators.temporal import (
     asof_join,
     range_join,
+    rolling_features,
     sessionize,
     transitions,
 )
@@ -222,6 +223,7 @@ __all__ = [
     "tdigest_by",
     "sketch_time_rollup",
     "rollup_estimates",
+    "rolling_features",
     "sessionize",
     "transitions",
     "asof_join",

@@ -38,6 +38,7 @@ __all__ = [
     "funnel_counts",
     "funnel_durations",
     "transitions",
+    "rolling_features",
 ]
 
 
@@ -536,6 +537,76 @@ def funnel_durations(
         )
         .orderBy("transition")
     )
+
+
+def rolling_features(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    windows: Sequence[float],
+    include_current: bool = True,
+) -> DataFrame:
+    """Trailing-window aggregate features per row — the standard
+    feature-engineering op ("events in the last hour for this user",
+    "mean latency over the trailing day"): for every row and every
+    ``w`` seconds in ``windows``, appends
+
+        ``n_{w}s``    count of rows in the window
+        ``sum_{w}s``  sum of ``value_col`` (NULL values don't count
+                      toward sum/mean but DO count toward n)
+        ``mean_{w}s`` sum/count over non-NULL values
+
+    The window is ``[ts − w, ts]`` (a RANGE frame: all rows at the
+    same timestamp are peers — included together, both here and in any
+    SQL engine). ``include_current=False`` makes features LEAK-SAFE
+    for training (the row's own value never feeds its feature) by
+    subtracting the row's own contribution arithmetically — a range
+    frame cannot exclude just the current row among timestamp peers,
+    so ties from *other* rows at the same instant still count, which
+    is the correct "known at or before now" semantics.
+
+    Scale shape: ONE shuffle + ONE sort keyed by ``key`` — every
+    window reuses the same exchange and sort order (Spark stacks the
+    WindowExecs over one sort); per-task state is a running frame, not
+    the key's history. Same skew surface as ``sessionize``'s plain
+    path: a hot key funnels through one task.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    for w in windows:
+        if not float(w).is_integer() or w <= 0:
+            # the DataFrame Window API only takes integer range bounds
+            raise ValueError(f"windows must be positive whole seconds, got {w}")
+    ts = F.col(ts_col)
+    if df.schema[ts_col].dataType.simpleString().startswith("timestamp"):
+        ts = ts.cast("timestamp")
+    out = df.withColumn("__ts_s", ts.cast("double"))
+    v = F.col(value_col).cast("double")
+    for w in windows:
+        frame = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts_s")
+            .rangeBetween(-int(w), 0)
+        )
+        tag = f"{int(w)}s"
+        n = F.count(F.lit(1)).over(frame)
+        s = F.sum(v).over(frame)
+        nv = F.count(v).over(frame)  # non-NULL values only
+        if not include_current:
+            n = n - 1
+            nv = nv - F.when(v.isNotNull(), 1).otherwise(0)
+            # sum NULL (not 0.0) when no OTHER value contributes —
+            # same contract as the include_current sum over no values
+            s = F.when(nv > 0, s - F.coalesce(v, F.lit(0.0)))
+        out = (
+            out.withColumn(f"n_{tag}", n.cast("bigint"))
+            .withColumn(f"sum_{tag}", s)
+            .withColumn(
+                f"mean_{tag}",
+                F.when(nv > 0, F.col(f"sum_{tag}") / nv),
+            )
+        )
+    return out.drop("__ts_s")
 
 
 def transitions(

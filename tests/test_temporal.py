@@ -514,3 +514,61 @@ def test_transitions_matches_python_oracle(spark):
         froms[f] += n
     for r in out:
         assert abs(r["prob"] - got[(r["from_state"], r["to_state"])] / froms[r["from_state"]]) < 1e-12
+
+
+def test_rolling_features_matches_python(spark):
+    import random
+
+    from hyper_spark.operators.temporal import rolling_features
+
+    rng = random.Random(5)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(120):
+            ts = float(rng.randint(0, 500))
+            val = None if rng.random() < 0.15 else round(rng.uniform(-5, 5), 3)
+            rows.append((k, ts, val, len(rows)))
+    df = spark.createDataFrame(rows, "k string, t double, v double, rid int").repartition(5)
+
+    for include in (True, False):
+        got = {
+            r["rid"]: r
+            for r in rolling_features(
+                df, "k", "t", "v", windows=[60], include_current=include
+            ).collect()
+        }
+        for k, t, v, rid in rows:
+            in_win = [
+                (t2, v2)
+                for (k2, t2, v2, rid2) in rows
+                if k2 == k and t - 60 <= t2 <= t and (include or rid2 != rid)
+            ]
+            vals = [v2 for _, v2 in in_win if v2 is not None]
+            r = got[rid]
+            assert r["n_60s"] == len(in_win), (rid, include)
+            if vals:
+                assert abs(r["sum_60s"] - sum(vals)) < 1e-9
+                assert abs(r["mean_60s"] - sum(vals) / len(vals)) < 1e-9
+            else:
+                assert r["sum_60s"] is None and r["mean_60s"] is None
+
+
+def test_rolling_features_leak_safe_self_exclusion(spark):
+    from hyper_spark.operators.temporal import rolling_features
+
+    # two rows at the SAME timestamp: exclude-current removes only the
+    # row's own value, the tied other row still counts
+    df = spark.createDataFrame(
+        [("u", 100.0, 10.0, 1), ("u", 100.0, 4.0, 2), ("u", 50.0, 1.0, 3)],
+        "k string, t double, v double, rid int",
+    )
+    got = {
+        r["rid"]: r
+        for r in rolling_features(
+            df, "k", "t", "v", [60], include_current=False
+        ).collect()
+    }
+    assert got[1]["n_60s"] == 2 and got[1]["sum_60s"] == 5.0   # tied 4 + older 1
+    assert got[2]["n_60s"] == 2 and got[2]["sum_60s"] == 11.0  # tied 10 + older 1
+    assert got[3]["n_60s"] == 0 and got[3]["sum_60s"] is None
+    assert got[3]["mean_60s"] is None
