@@ -149,3 +149,35 @@ def test_substring_dup_jvm_with_partial_agg(spark, sf_correct):
     assert "partial_count" in plan, plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "lang" not in read_schema[0], plan
+
+
+def test_new_op_plan_shapes(spark):
+    """Scale-critical plan guards for the session-6 operators."""
+    from hyper_spark.operators.bm25 import bm25_build
+    from hyper_spark.operators.profile import category_stats, cooccurrence
+    from hyper_spark.operators.temporal import rolling_features, transitions
+    from hyper_spark.plans.report import assert_plan
+
+    rows = [("c%d" % (i % 7), i, "s%d" % (i % 3), float(i % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, i int, s string, v double")
+
+    # transitions: one window shuffle + one pair aggregate + the tiny
+    # denominator window — 3 exchanges max, no Python anywhere
+    assert_plan(
+        transitions(df, "k", "i", "s", include_bounds=True),
+        max_exchanges=3, no_python=True,
+    )
+    # category_stats: two stacked aggregates = 2 exchanges, JVM only
+    assert_plan(category_stats(df, ["k"], "s"), max_exchanges=2, no_python=True)
+    # cooccurrence: collect_set + pair agg + val-count agg + joins — the
+    # wide data crosses the network ONCE (the collect_set exchange);
+    # everything after operates on |vocab|-bounded tables
+    assert_plan(cooccurrence(df, "k", "s"), no_python=True)
+    # rolling_features: all frames share ONE exchange + sort, JVM only
+    assert_plan(
+        rolling_features(df, "k", "i", "v", [10, 100]),
+        max_exchanges=1, no_python=True,
+    )
+    # bm25 postings build: explode + single aggregate, one exchange
+    docs = df.select(F.col("i").alias("doc_id"), F.col("s").alias("text"))
+    assert_plan(bm25_build(docs), max_exchanges=1, no_python=True)
