@@ -2896,6 +2896,71 @@ def _q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_transitions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tool-transition extraction
+    (streaming/transitions_stream.py) over a 3-micro-batch replay of
+    the transcripts fixture equals the batch window SQL: keys buffer
+    (turn_idx, tool) in state and emit their pair counts once, when the
+    watermark passes last_ts + close_after (a far-future sentinel row
+    flushes the replay). Summed per-conv counts == the oracle's LEAD
+    query over the same parquet."""
+    _ensure_pkg(spark)
+    import datetime as _dt
+    import tempfile
+
+    from hyper_spark.streaming import streaming_transitions
+
+    tx = _tx(spark).select("conv_id", "ts", "turn_idx", "tool")
+    with tempfile.TemporaryDirectory(prefix="gate_stransit_") as td:
+        src, sink, ckpt = f"{td}/src", f"{td}/sink", f"{td}/ckpt"
+        tx.repartition(3).write.parquet(src)
+        sentinel = spark.createDataFrame(
+            [("__flush__", _dt.datetime(2100, 1, 1), 0, "x")],
+            "conv_id string, ts timestamp, turn_idx int, tool string",
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "conv_id string, ts timestamp, turn_idx int, tool string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_transitions(
+                stream,
+                "conv_id",
+                "ts",
+                "turn_idx",
+                "tool",
+                # fixture spans ~1 month of event time: the watermark
+                # delay must cover the replay's cross-batch disorder
+                # and close_after the watermark's lag (test-pinned
+                # contract, tests/test_plans_streaming.py)
+                close_after=86400.0 * 120,
+                watermark="60 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        agg = (
+            spark.read.parquet(sink)
+            .filter(F.col("conv_id") != "__flush__")
+            .groupBy("from_state", "to_state")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+    return spark.createDataFrame(
+        [(r["from_state"], r["to_state"], r["n"]) for r in agg],
+        "from_state string, to_state string, n bigint",
+    )
+
+
 def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (retrieval/packing prep), pure
     Catalyst sequence+slice (operators/corpus.py::chunk_documents);
@@ -3230,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": _q_corpus_prepare,
         "doc_chunks": _q_doc_chunks,
         "streaming_dedup_parity": _q_streaming_dedup_parity,
+        "streaming_transitions_parity": _q_streaming_transitions_parity,
         "decontaminate_docs": _q_decontaminate_docs,
         "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
@@ -4802,6 +4868,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 7, 7, sum(embedding[8]::DOUBLE * embedding[8]::DOUBLE)
             FROM embeddings
+        """,
+        "streaming_transitions_parity": f"""
+            WITH seq AS (
+                SELECT tool,
+                       lead(tool) OVER w AS nxt,
+                       row_number() OVER w AS rn
+                FROM {_TX_GATE_SQL}
+                WHERE tool IS NOT NULL
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            pairs AS (
+                SELECT '__START__' AS from_state, tool AS to_state
+                FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT tool, coalesce(nxt, '__END__') FROM seq
+            )
+            SELECT from_state, to_state, count(*)::BIGINT AS n
+            FROM pairs GROUP BY from_state, to_state
         """,
         "transcripts_tool_transitions": f"""
             WITH seq AS (

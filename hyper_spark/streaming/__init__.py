@@ -2,6 +2,7 @@ from hyper_spark.streaming.dedup_stream import streaming_dedup
 from hyper_spark.streaming.topk_stream import streaming_windowed_topk
 from hyper_spark.streaming.quantiles_window_stream import streaming_windowed_quantiles
 from hyper_spark.streaming.sessionize_stream import streaming_sessionize
+from hyper_spark.streaming.transitions_stream import streaming_transitions
 from hyper_spark.streaming.hll_stream import (
     streaming_cms_by,
     streaming_quantiles_by,
@@ -17,6 +18,7 @@ __all__ = [
     "streaming_quantiles_by",
     "streaming_windowed_sketch_by",
     "streaming_sessionize",
+    "streaming_transitions",
     "streaming_dedup",
     "streaming_windowed_topk",
     "streaming_windowed_quantiles",

@@ -936,3 +936,80 @@ def test_streaming_theta_matches_batch(spark, tmp_path):
 
     merged = theta_union(spark.read.parquet(sink), ["g"]).collect()
     assert len(merged) == 2
+
+
+def test_streaming_transitions_matches_batch(spark, tmp_path):
+    """Replay out-of-order conversation turns through the stream; after
+    a sentinel flush, summed per-conv pair counts must equal the batch
+    transitions() counts (incl. START/END bounds)."""
+    import datetime as dt
+
+    from hyper_spark.operators.temporal import transitions
+    from hyper_spark.streaming import streaming_transitions
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    rng = __import__("random").Random(13)
+    for c in range(12):
+        n = rng.randint(1, 8)
+        for i in rng.sample(range(n), n):  # out-of-order turn arrival
+            rows.append(
+                (
+                    f"c{c}",
+                    base + dt.timedelta(seconds=60 * c + i),
+                    i,
+                    rng.choice(["search", "code", "browse", None]),
+                )
+            )
+    schema = "conv string, ts timestamp, turn int, tool string"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    # three micro-batch files in arrival order + a far-future sentinel
+    # that advances the watermark past every close_after deadline
+    chunks = [rows[i::3] for i in range(3)]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+    sentinel = [("__flush__", base + dt.timedelta(days=30), 0, "x")]
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    # two contract knobs, both exercised here: the WATERMARK delay must
+    # cover arrival disorder (round-robin chunks deliver turns ~12 min
+    # out of order; "0 seconds" made Spark drop them as late input),
+    # and close_after must exceed watermark-lag skew so no conv closes
+    # while its turns are still arriving — the sentinel then advances
+    # the watermark past every deadline at once
+    out = streaming_transitions(
+        stream, "conv", "ts", "turn", "tool",
+        close_after=3600.0, watermark="1 hour",
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = (
+        spark.read.parquet(sink)
+        .filter(F.col("conv") != "__flush__")
+        .groupBy("from_state", "to_state")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    got_map = {(r["from_state"], r["to_state"]): r["n"] for r in got}
+    batch = transitions(df, "conv", "turn", "tool", include_bounds=True)
+    exp = {
+        (r["from_state"], r["to_state"]): r["n"] for r in batch.collect()
+    }
+    assert got_map == exp
