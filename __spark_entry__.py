@@ -2961,6 +2961,23 @@ def _q_streaming_transitions_parity(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structural/quality stats over the transcripts
+    fixture (operators/conversations.py): one window + one aggregate
+    sharing the conv_id partitioning — the table shuffles once
+    (plan-asserted in pytest). Includes the input-shape integrity
+    invariant (dense 0..n-1 turn indexes). mean_gap_s is NULL for
+    1-turn conversations — coalesced to -1.0 on both sides because
+    DuckDB NULL doubles arrive as NaN through .df() (r4 part-20
+    lesson); the NULL semantics stay pytest-covered."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.conversations import conversation_stats
+
+    return conversation_stats(_tx(spark)).withColumn(
+        "mean_gap_s", F.coalesce(F.col("mean_gap_s"), F.lit(-1.0))
+    )
+
+
 def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (retrieval/packing prep), pure
     Catalyst sequence+slice (operators/corpus.py::chunk_documents);
@@ -3296,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "streaming_dedup_parity": _q_streaming_dedup_parity,
         "streaming_transitions_parity": _q_streaming_transitions_parity,
+        "conversation_stats": _q_conversation_stats,
         "decontaminate_docs": _q_decontaminate_docs,
         "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
@@ -4868,6 +4886,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 7, 7, sum(embedding[8]::DOUBLE * embedding[8]::DOUBLE)
             FROM embeddings
+        """,
+        "conversation_stats": f"""
+            WITH base AS (
+                SELECT conv_id, turn_idx, role, text, tool,
+                       epoch(ts) AS ts_s,
+                       lag(role) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                       ) AS prev_role
+                FROM {_TX_GATE_SQL}
+            )
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   count(DISTINCT role)::BIGINT AS n_roles,
+                   count(tool)::BIGINT AS n_tool_calls,
+                   count(DISTINCT tool)::BIGINT AS n_distinct_tools,
+                   max(ts_s) - min(ts_s) AS duration_s,
+                   coalesce(CASE WHEN count(*) > 1
+                        THEN (max(ts_s) - min(ts_s)) / (count(*) - 1)
+                   END, -1.0) AS mean_gap_s,
+                   sum(coalesce(length(text), 0))::BIGINT
+                       AS total_text_chars,
+                   sum(coalesce(length(text), 0)) / count(*)
+                       AS avg_text_chars,
+                   arg_min(role, turn_idx) AS first_role,
+                   arg_max(role, turn_idx) AS last_role,
+                   sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)::BIGINT
+                       AS n_role_repeats,
+                   (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                    AND count(DISTINCT turn_idx) = count(*))
+                       AS turns_contiguous
+            FROM base GROUP BY conv_id
         """,
         "streaming_transitions_parity": f"""
             WITH seq AS (

@@ -59,6 +59,7 @@ from hyper_spark.operators.dedup import (
     write_signature_store,
 )
 from hyper_spark.operators.packing import chunk_stats, pack_offsets
+from hyper_spark.operators.conversations import conversation_stats
 from hyper_spark.operators.corpus import prepare_corpus
 from hyper_spark.operators.graph import (
     cluster_stats,
@@ -233,6 +234,7 @@ __all__ = [
     "deterministic_sample",
     "pack_offsets",
     "chunk_stats",
+    "conversation_stats",
     "prepare_corpus",
     "connected_components",
     "near_dedup",
