@@ -280,6 +280,11 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return bm25_topk(docs, "spark merge vector", top_k=10)
 
+    def q_conversation_stats():
+        from hyper_spark.operators.conversations import conversation_stats
+
+        return conversation_stats(spark.read.parquet(tx_path))
+
     def q_vocab_stats():
         from hyper_spark.operators.profile import vocab_stats
 
@@ -381,6 +386,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "tool_transitions": q_tool_transitions,
         "tool_cooccurrence": q_tool_cooccurrence,
         "bm25_search_docs": q_bm25_search,
+        "conversation_stats": q_conversation_stats,
     }
 
 
