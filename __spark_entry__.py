@@ -2961,6 +2961,57 @@ def _q_streaming_transitions_parity(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_wav_decode_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, distributed: every event synthesizes a
+    deterministic PCM WAV payload (kernel/media.py::make_wav — rate and
+    length are pure functions of event_id), media_info parses the
+    bytes back executor-side, and the oracle recomputes the header
+    fields from the same event_id arithmetic — so a header-parse bug
+    anywhere in the 10k payloads mismatches. duration_s = n/rate is an
+    exact int division, bit-equal in SQL."""
+    _ensure_pkg(spark)
+    from typing import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from hyper_spark.operators.multimodal import media_info
+
+    events = _read(spark, sf_dir, "events").select("event_id")
+
+    def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from hyper_spark.kernel.media import make_wav
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for eid in pdf["event_id"]:
+                n = 200 + int(eid) % 50
+                rate = 8000 + (int(eid) % 3) * 4000
+                t = _np.arange(n, dtype=_np.float64)
+                payloads.append(
+                    bytearray(make_wav(0.3 * _np.sin(2 * _np.pi * 7 * t / n), rate))
+                )
+            yield _pd.DataFrame(
+                {"event_id": pdf["event_id"].to_numpy(), "payload": payloads}
+            )
+
+    wavs = events.mapInPandas(synth, "event_id long, payload binary")
+    info = media_info(wavs, id_col="event_id")
+    return info.select(
+        "event_id",
+        "format",
+        "sample_rate",
+        F.col("n_samples"),
+        "channels",
+        "bits",
+        (F.col("n_samples").cast("double") / F.col("sample_rate")).alias(
+            "duration_s"
+        ),
+    )
+
+
 def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation structural/quality stats over the transcripts
     fixture (operators/conversations.py): one window + one aggregate
@@ -3314,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_parity": _q_streaming_dedup_parity,
         "streaming_transitions_parity": _q_streaming_transitions_parity,
         "conversation_stats": _q_conversation_stats,
+        "wav_decode_info": _q_wav_decode_info,
         "decontaminate_docs": _q_decontaminate_docs,
         "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
@@ -4886,6 +4938,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 7, 7, sum(embedding[8]::DOUBLE * embedding[8]::DOUBLE)
             FROM embeddings
+        """,
+        "wav_decode_info": """
+            SELECT event_id,
+                   'wav' AS format,
+                   (8000 + (event_id % 3) * 4000)::INT AS sample_rate,
+                   (200 + event_id % 50)::BIGINT AS n_samples,
+                   1::INT AS channels,
+                   16::INT AS bits,
+                   (200 + event_id % 50)::DOUBLE
+                       / (8000 + (event_id % 3) * 4000) AS duration_s
+            FROM events
         """,
         "conversation_stats": f"""
             WITH base AS (

@@ -77,6 +77,13 @@ from hyper_spark.operators.bpe import bpe_encode, bpe_merge_list, bpe_train
 from hyper_spark.operators.export import export_shards, shard_assignment, shard_manifest
 from hyper_spark.operators.lm import ngram_lm_score, ngram_lm_train, ppl_buckets
 from hyper_spark.operators.mixing import apply_mixture, mixture_plan
+from hyper_spark.operators.multimodal import (
+    attach_payload_metadata,
+    decode_features,
+    frame_sample,
+    media_decoder,
+    media_info,
+)
 from hyper_spark.operators.join_profile import join_key_profile, join_profile
 from hyper_spark.operators.profile import (
     category_stats,
@@ -169,6 +176,11 @@ __all__ = [
     "theta_pairwise",
     "mixture_plan",
     "apply_mixture",
+    "attach_payload_metadata",
+    "decode_features",
+    "frame_sample",
+    "media_decoder",
+    "media_info",
     "ngram_lm_train",
     "ngram_lm_score",
     "ppl_buckets",

@@ -3,17 +3,24 @@
 Design: image/audio/video payloads are ``binary`` columns beside a typed
 metadata struct; all transforms are ``mapInPandas`` stages over Arrow
 batches so payload bytes stream through Python exactly once per stage and
-never materialize on the driver. Decode is STUBBED in this environment
-(no image/audio libraries in the container — the stub is clearly marked
-and deterministic), but the Spark-side plumbing — schema, batch shape,
-partition flow — is real and tested:
+never materialize on the driver.
+
+Decode is REAL for uncompressed containers — PCM WAV, PPM/PGM, 24-bit
+BMP parse with pure numpy (kernel/media.py, byte-exact round-trip
+tested), feeding genuine featurizers (FFT band energies for audio,
+channel stats + luminance histogram for images). Compressed codecs
+(png/jpeg/ogg/flac) need external libraries absent from this container
+and remain pluggable via ``decoder=``; payloads nothing accepts fall
+back to a deterministic byte histogram.
 
 * ``attach_payload_metadata`` — JVM-only: payload size, md5, magic-byte
   format sniffing
-* ``decode_features`` — per-payload fixed-width feature vector.
-  ``fake_decoder`` (default) computes a deterministic 16-bin byte
-  histogram (stands in for a real CNN/FFT featurizer); ``strict=True``
-  raises NotImplementedError where a real decoder would plug in.
+* ``media_info`` — typed per-payload metadata from real header decodes
+  (rate/samples/channels/bits | width/height)
+* ``decode_features`` — per-payload fixed-width feature vector;
+  ``media_decoder`` dispatches WAV/PPM/PGM/BMP to the real featurizers,
+  ``fake_decoder`` is the byte-histogram fallback; ``strict=True``
+  raises where a compressed-codec decoder would plug in.
 * ``frame_sample`` — selects every nth chunk of a payload as "frames",
   the batch-shape analogue of video frame sampling.
 """
@@ -32,6 +39,10 @@ __all__ = [
     "decode_features",
     "frame_sample",
     "fake_decoder",
+    "media_decoder",
+    "media_info",
+    "audio_features",
+    "image_features",
 ]
 
 _MAGIC = {
@@ -71,6 +82,130 @@ def fake_decoder(payload: bytes) -> np.ndarray:
         return np.zeros(16, dtype=np.float32)
     hist = np.bincount(arr >> 4, minlength=16).astype(np.float32)
     return hist / hist.sum()
+
+
+def audio_features(payload: bytes) -> np.ndarray:
+    """REAL audio featurizer for PCM WAV payloads (kernel/media.py —
+    pure-numpy decode, no audio libraries): 16 floats =
+    [duration_s, rms, peak, zero_crossing_rate, log1p energy in 12
+    log-spaced rfft bands of the mono mix]. The spectral bands are a
+    genuine FFT featurization, not a stand-in."""
+    from hyper_spark.kernel.media import parse_wav
+
+    rate, samples = parse_wav(bytes(payload))
+    mono = samples.mean(axis=1)
+    n = mono.size
+    if n == 0:
+        return np.zeros(16, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    peak = float(np.abs(mono).max())
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    edges = np.unique(
+        np.geomspace(1, max(spec.size - 1, 1), 13).astype(np.int64)
+    )
+    bands = np.zeros(12)
+    for i in range(min(12, edges.size - 1)):
+        bands[i] = spec[edges[i] : edges[i + 1]].sum()
+    out = np.concatenate([[n / rate, rms, peak, zcr], np.log1p(bands)])
+    return out.astype(np.float32)
+
+
+def image_features(payload: bytes) -> np.ndarray:
+    """REAL image featurizer for PPM/PGM/BMP payloads: 16 floats =
+    [log1p(width), log1p(height), aspect, mean R, G, B, std R, G, B,
+    7-bin luminance histogram (L1-normalized)]."""
+    from hyper_spark.kernel.media import parse_bmp, parse_ppm
+
+    blob = bytes(payload)
+    arr = parse_bmp(blob) if blob[:2] == b"BM" else parse_ppm(blob)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w = arr.shape[:2]
+    px = arr.reshape(-1, 3).astype(np.float64)
+    lum = px @ np.array([0.2126, 0.7152, 0.0722])
+    hist = np.bincount(
+        np.minimum((lum / 256.0 * 7).astype(np.int64), 6), minlength=7
+    ).astype(np.float64)
+    out = np.concatenate(
+        [
+            [np.log1p(w), np.log1p(h), w / h],
+            px.mean(axis=0) / 255.0,
+            px.std(axis=0) / 255.0,
+            hist / hist.sum(),
+        ]
+    )
+    return out.astype(np.float32)
+
+
+def media_decoder(payload: bytes) -> np.ndarray:
+    """Dispatching featurizer: WAV → ``audio_features``, PPM/PGM/BMP →
+    ``image_features`` (all REAL pure-numpy decodes), anything else →
+    the byte-histogram fallback (compressed codecs need external
+    libraries — plug them in via ``decoder=``). All branches emit 16
+    floats, so mixed-modality columns share one schema."""
+    blob = bytes(payload)
+    try:
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            return audio_features(blob)
+        if blob[:2] in (b"P5", b"P6", b"BM"):
+            return image_features(blob)
+    except ValueError:
+        pass  # malformed/unsupported variant: fall through
+    return fake_decoder(blob)
+
+
+def media_info(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Typed per-payload metadata from REAL header decodes:
+    DataFrame[<id>, format, sample_rate, n_samples, channels, bits,
+    width, height] — audio fields NULL for images and vice versa,
+    everything NULL (format 'unknown') for payloads no parser accepts.
+    Arrow-batched mapInPandas; payload bytes never hit the driver."""
+    from hyper_spark.kernel.media import parse_bmp, parse_ppm, parse_wav
+    import struct as _struct
+
+    schema = (
+        f"{id_col} long, format string, sample_rate int, n_samples long, "
+        "channels int, bits int, width int, height int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[payload_col]):
+                blob = bytes(blob)
+                rec = [did, "unknown", None, None, None, None, None, None]
+                try:
+                    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                        rate, samples = parse_wav(blob)
+                        bits = _struct.unpack_from("<H", blob, 34)[0]
+                        rec = [did, "wav", rate, samples.shape[0],
+                               samples.shape[1], bits, None, None]
+                    elif blob[:2] in (b"P5", b"P6"):
+                        arr = parse_ppm(blob)
+                        ch = 3 if arr.ndim == 3 else 1
+                        rec = [did, "ppm" if ch == 3 else "pgm", None, None,
+                               None, None, arr.shape[1], arr.shape[0]]
+                    elif blob[:2] == b"BM":
+                        arr = parse_bmp(blob)
+                        rec = [did, "bmp", None, None, None, None,
+                               arr.shape[1], arr.shape[0]]
+                except ValueError:
+                    pass
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "sample_rate", "n_samples",
+                         "channels", "bits", "width", "height"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def decode_features(

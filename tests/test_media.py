@@ -1,0 +1,122 @@
+"""Pure-numpy media codecs: byte-exact round-trips + analytic checks,
+and the distributed decode operators over synthesized payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hyper_spark.kernel.media import (
+    make_bmp,
+    make_ppm,
+    make_wav,
+    parse_bmp,
+    parse_ppm,
+    parse_wav,
+    resize_nn,
+)
+
+
+def test_wav_roundtrip_all_depths():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-0.9, 0.9, size=(500, 2))
+    for bits, tol in ((8, 1 / 120), (16, 1 / 30000), (32, 1e-9)):
+        rate, back = parse_wav(make_wav(x, 8000, bits=bits))
+        assert rate == 8000 and back.shape == (500, 2)
+        assert np.abs(back - x).max() < tol
+    # mono 1-D input, odd length (word-aligned chunk padding)
+    rate, back = parse_wav(make_wav(x[:333, 0], 44100, bits=16))
+    assert rate == 44100 and back.shape == (333, 1)
+
+
+def test_wav_analytic_sine():
+    # full periods of a sine: rms == A/sqrt(2) up to 16-bit quantization
+    rate, amp, periods, n = 8000, 0.5, 10, 8000
+    t = np.arange(n) / n
+    rate_, s = parse_wav(make_wav(amp * np.sin(2 * np.pi * periods * n * t / n), rate))
+    rms = float(np.sqrt(np.mean(s**2)))
+    assert abs(rms - amp / np.sqrt(2)) < 1e-4
+    assert s.shape == (n, 1) and rate_ == rate
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_wav(b"definitely not riff data")
+
+
+def test_ppm_pgm_roundtrip_and_comments():
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(parse_ppm(make_ppm(rgb)), rgb)
+    gray = rng.integers(0, 256, size=(9, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(parse_ppm(make_ppm(gray)), gray)
+    # header comments are legal PPM
+    blob = b"P6\n# a comment line\n23 17\n255\n" + rgb.tobytes()
+    np.testing.assert_array_equal(parse_ppm(blob), rgb)
+
+
+def test_bmp_roundtrip_padding_and_orientation():
+    rng = np.random.default_rng(7)
+    for w in (4, 5, 6, 7):  # every row-padding residue 0..3
+        rgb = rng.integers(0, 256, size=(3, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(parse_bmp(make_bmp(rgb)), rgb)
+
+
+def test_resize_nn():
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = resize_nn(arr, 2, 2)
+    np.testing.assert_array_equal(out, [[5, 7], [13, 15]])
+    up = resize_nn(arr, 8, 8)
+    assert up.shape == (8, 8) and up[0, 0] == arr[0, 0] and up[-1, -1] == arr[-1, -1]
+
+
+def _payload_rows():
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(6):
+        n = 400 + 100 * i
+        wav = make_wav(0.4 * np.sin(2 * np.pi * 5 * np.arange(n) / n), 4000 + i)
+        rows.append((100 + i, bytearray(wav)))
+    for i in range(4):
+        img = rng.integers(0, 256, size=(8 + i, 11, 3), dtype=np.uint8)
+        rows.append((200 + i, bytearray(make_ppm(img))))
+        rows.append((300 + i, bytearray(make_bmp(img))))
+    rows.append((999, bytearray(b"\x89PNG garbage payload")))
+    return rows
+
+
+def test_media_info_and_decoder_distributed(spark):
+    from hyper_spark.operators.multimodal import decode_features, media_decoder, media_info
+
+    df = spark.createDataFrame(
+        _payload_rows(), "doc_id long, payload binary"
+    ).repartition(3)
+    info = {r["doc_id"]: r for r in media_info(df).collect()}
+    for i in range(6):
+        r = info[100 + i]
+        assert r["format"] == "wav" and r["sample_rate"] == 4000 + i
+        assert r["n_samples"] == 400 + 100 * i and r["channels"] == 1
+        assert r["bits"] == 16 and r["width"] is None
+    for i in range(4):
+        assert info[200 + i]["format"] == "ppm"
+        assert (info[200 + i]["width"], info[200 + i]["height"]) == (11, 8 + i)
+        assert info[300 + i]["format"] == "bmp"
+        assert (info[300 + i]["width"], info[300 + i]["height"]) == (11, 8 + i)
+    assert info[999]["format"] == "unknown" and info[999]["sample_rate"] is None
+
+    feats = {
+        r["doc_id"]: np.array(r["features"])
+        for r in decode_features(df, decoder=media_decoder).collect()
+    }
+    assert all(v.shape == (16,) for v in feats.values())
+    # audio: duration and rms are the analytic values
+    for i in range(6):
+        f = feats[100 + i]
+        n, rate = 400 + 100 * i, 4000 + i
+        assert abs(f[0] - n / rate) < 1e-6
+        assert abs(f[1] - 0.4 / np.sqrt(2)) < 1e-3
+    # same image through ppm and bmp containers -> identical features
+    for i in range(4):
+        np.testing.assert_allclose(feats[200 + i], feats[300 + i], atol=1e-6)
+    # unknown payload takes the byte-histogram fallback (sums to 1)
+    assert abs(feats[999].sum() - 1.0) < 1e-6
