@@ -3012,6 +3012,50 @@ def _q_wav_decode_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, distributed: per event a deterministic
+    YUV4MPEG2 stream (kernel/media.py::make_y4m) of 2 + event_id%4
+    constant-luma 8x8 frames, frames extracted + measured executor-side
+    (operators/multimodal.py::video_frame_stats); the oracle recomputes
+    every frame's exact mean luma from event_id arithmetic via a
+    generated series — a frame-boundary or plane-offset bug anywhere in
+    ~35k frames mismatches."""
+    _ensure_pkg(spark)
+    from typing import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from hyper_spark.operators.multimodal import video_frame_stats
+
+    events = _read(spark, sf_dir, "events").select("event_id")
+
+    def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from hyper_spark.kernel.media import make_y4m
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                frames = _np.stack(
+                    [
+                        _np.full((8, 8), (eid * 7 + i * 13) % 256, dtype=_np.uint8)
+                        for i in range(2 + eid % 4)
+                    ]
+                )
+                payloads.append(bytearray(make_y4m(frames)))
+            yield _pd.DataFrame(
+                {"event_id": pdf["event_id"].to_numpy(), "payload": payloads}
+            )
+
+    vids = events.mapInPandas(synth, "event_id long, payload binary")
+    return video_frame_stats(vids, id_col="event_id").select(
+        "event_id", "frame_idx", "mean_luma", "std_luma"
+    )
+
+
 def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation structural/quality stats over the transcripts
     fixture (operators/conversations.py): one window + one aggregate
@@ -3366,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_transitions_parity": _q_streaming_transitions_parity,
         "conversation_stats": _q_conversation_stats,
         "wav_decode_info": _q_wav_decode_info,
+        "y4m_frame_stats": _q_y4m_frame_stats,
         "decontaminate_docs": _q_decontaminate_docs,
         "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
@@ -4938,6 +4983,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 7, 7, sum(embedding[8]::DOUBLE * embedding[8]::DOUBLE)
             FROM embeddings
+        """,
+        "y4m_frame_stats": """
+            SELECT event_id,
+                   i::INT AS frame_idx,
+                   ((event_id * 7 + i * 13) % 256)::DOUBLE AS mean_luma,
+                   0.0 AS std_luma
+            FROM events,
+                 unnest(generate_series(0, 1 + event_id % 4)) AS t(i)
         """,
         "wav_decode_info": """
             SELECT event_id,

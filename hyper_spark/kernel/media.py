@@ -26,6 +26,8 @@ __all__ = [
     "parse_ppm",
     "make_bmp",
     "parse_bmp",
+    "make_y4m",
+    "parse_y4m",
     "resize_nn",
 ]
 
@@ -172,6 +174,72 @@ def parse_bmp(blob: bytes) -> np.ndarray:
     raw = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=pixel_off)
     px = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
     return (px[::-1] if flip else px).copy()
+
+
+# --------------------------------------------------------------------- Y4M
+
+def make_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Encode luma frames (n, h, w) uint8 as YUV4MPEG2 C420 with
+    neutral chroma — a real, tool-readable (ffmpeg/mplayer) video
+    stream; luma round-trips byte-exact. h and w must be even (420
+    chroma subsampling)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 3:
+        raise ValueError(f"expected (n, h, w) luma frames, got {frames.shape}")
+    n, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even frame dimensions")
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode()
+    chroma = b"\x80" * ((h // 2) * (w // 2))
+    out = bytearray(hdr)
+    for i in range(n):
+        out += b"FRAME\n" + frames[i].tobytes() + chroma + chroma
+    return bytes(out)
+
+
+def parse_y4m(blob: bytes) -> tuple[tuple[int, int], np.ndarray]:
+    """((fps_num, fps_den), luma frames (n, h, w) uint8) from a
+    YUV4MPEG2 C420* stream (chroma planes are skipped — features here
+    are luma-based; extend per-plane if color matters)."""
+    nl = blob.find(b"\n")
+    if nl < 0 or not blob.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps = (25, 1)
+    colorspace = "420jpeg"
+    for tok in blob[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode()
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif tag == b"C":
+            colorspace = val
+    if w is None or h is None:
+        raise ValueError("missing W/H in stream header")
+    if not colorspace.startswith("420"):
+        raise ValueError(f"only C420* supported, got C{colorspace}")
+    luma_n, chroma_n = w * h, 2 * ((w // 2) * ((h + 1) // 2))
+    frames = []
+    pos = nl + 1
+    while pos < len(blob):
+        fnl = blob.find(b"\n", pos)
+        if fnl < 0 or blob[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        start = fnl + 1
+        frames.append(
+            np.frombuffer(blob, dtype=np.uint8, count=luma_n, offset=start)
+            .reshape(h, w)
+        )
+        pos = start + luma_n + chroma_n
+    return fps, (
+        np.stack(frames) if frames else np.zeros((0, h, w), dtype=np.uint8)
+    )
 
 
 # ------------------------------------------------------------------ resize

@@ -83,6 +83,7 @@ from hyper_spark.operators.multimodal import (
     frame_sample,
     media_decoder,
     media_info,
+    video_frame_stats,
 )
 from hyper_spark.operators.join_profile import join_key_profile, join_profile
 from hyper_spark.operators.profile import (
@@ -181,6 +182,7 @@ __all__ = [
     "frame_sample",
     "media_decoder",
     "media_info",
+    "video_frame_stats",
     "ngram_lm_train",
     "ngram_lm_score",
     "ppl_buckets",

@@ -43,6 +43,8 @@ __all__ = [
     "media_info",
     "audio_features",
     "image_features",
+    "video_features",
+    "video_frame_stats",
 ]
 
 _MAGIC = {
@@ -138,6 +140,71 @@ def image_features(payload: bytes) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def video_features(payload: bytes) -> np.ndarray:
+    """REAL video featurizer for Y4M payloads: 16 floats =
+    [log1p(n_frames), fps, log1p(w), log1p(h), mean luma, std luma,
+    mean |frame-to-frame luma delta| (motion proxy),
+    9-bin luma histogram (L1-normalized over all frames)]."""
+    from hyper_spark.kernel.media import parse_y4m
+
+    (num, den), frames = parse_y4m(bytes(payload))
+    n, h, w = frames.shape
+    if n == 0:
+        return np.zeros(16, dtype=np.float32)
+    f = frames.astype(np.float64)
+    motion = float(np.abs(np.diff(f, axis=0)).mean()) / 255.0 if n > 1 else 0.0
+    hist = np.bincount(
+        np.minimum(frames.reshape(-1) // 29, 8), minlength=9
+    ).astype(np.float64)
+    out = np.concatenate(
+        [
+            [np.log1p(n), num / den, np.log1p(w), np.log1p(h),
+             f.mean() / 255.0, f.std() / 255.0, motion],
+            hist / hist.sum(),
+        ]
+    )
+    return out.astype(np.float32)
+
+
+def video_frame_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_nth: int = 1,
+) -> DataFrame:
+    """Per-FRAME statistics from real Y4M decode (the honest successor
+    of ``frame_sample``'s byte-chunk stand-in): one output row per
+    sampled frame, DataFrame[<id>, frame_idx, mean_luma, std_luma].
+    Arrow-batched; a payload's frames explode executor-side and the
+    video bytes never move again."""
+    if every_nth < 1:
+        raise ValueError("every_nth must be >= 1")
+    from hyper_spark.kernel.media import parse_y4m
+
+    schema = f"{id_col} long, frame_idx int, mean_luma double, std_luma double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, means, stds = [], [], [], []
+            for did, blob in zip(pdf[id_col], pdf[payload_col]):
+                _fps, frames = parse_y4m(bytes(blob))
+                for i in range(0, frames.shape[0], every_nth):
+                    fr = frames[i].astype(np.float64)
+                    ids.append(did)
+                    idxs.append(i)
+                    means.append(float(fr.mean()))
+                    stds.append(float(fr.std()))
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "frame_idx": idxs,
+                     "mean_luma": means, "std_luma": stds}
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def media_decoder(payload: bytes) -> np.ndarray:
     """Dispatching featurizer: WAV → ``audio_features``, PPM/PGM/BMP →
     ``image_features`` (all REAL pure-numpy decodes), anything else →
@@ -148,6 +215,8 @@ def media_decoder(payload: bytes) -> np.ndarray:
     try:
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
             return audio_features(blob)
+        if blob[:9] == b"YUV4MPEG2":
+            return video_features(blob)
         if blob[:2] in (b"P5", b"P6", b"BM"):
             return image_features(blob)
     except ValueError:
@@ -165,7 +234,7 @@ def media_info(
     width, height] — audio fields NULL for images and vice versa,
     everything NULL (format 'unknown') for payloads no parser accepts.
     Arrow-batched mapInPandas; payload bytes never hit the driver."""
-    from hyper_spark.kernel.media import parse_bmp, parse_ppm, parse_wav
+    from hyper_spark.kernel.media import parse_bmp, parse_ppm, parse_wav, parse_y4m
     import struct as _struct
 
     schema = (
@@ -196,6 +265,13 @@ def media_info(
                         arr = parse_bmp(blob)
                         rec = [did, "bmp", None, None, None, None,
                                arr.shape[1], arr.shape[0]]
+                    elif blob[:9] == b"YUV4MPEG2":
+                        # n_samples = frame count, sample_rate = fps
+                        # numerator (documented overloading: one flat
+                        # schema across modalities)
+                        (num, _den), frames = parse_y4m(blob)
+                        rec = [did, "y4m", num, frames.shape[0],
+                               None, None, frames.shape[2], frames.shape[1]]
                 except ValueError:
                     pass
                 rows.append(rec)

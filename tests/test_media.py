@@ -120,3 +120,60 @@ def test_media_info_and_decoder_distributed(spark):
         np.testing.assert_allclose(feats[200 + i], feats[300 + i], atol=1e-6)
     # unknown payload takes the byte-histogram fallback (sums to 1)
     assert abs(feats[999].sum() - 1.0) < 1e-6
+
+
+def test_y4m_roundtrip_and_guards():
+    from hyper_spark.kernel.media import make_y4m, parse_y4m
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=(5, 6, 8), dtype=np.uint8)
+    fps, back = parse_y4m(make_y4m(frames, fps=(30, 1)))
+    assert fps == (30, 1)
+    np.testing.assert_array_equal(back, frames)
+    with pytest.raises(ValueError):
+        make_y4m(frames[:, :5, :])  # odd height
+    with pytest.raises(ValueError):
+        parse_y4m(b"not a stream")
+
+
+def test_video_ops_distributed(spark):
+    from hyper_spark.kernel.media import make_y4m
+    from hyper_spark.operators.multimodal import (
+        decode_features,
+        media_decoder,
+        media_info,
+        video_frame_stats,
+    )
+
+    rows = []
+    for d in range(3):
+        lumas = [(d * 7 + i * 13) % 256 for i in range(2 + d)]
+        frames = np.stack(
+            [np.full((6, 8), v, dtype=np.uint8) for v in lumas]
+        )
+        rows.append((d, bytearray(make_y4m(frames, fps=(24, 1)))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(2)
+
+    info = {r["doc_id"]: r for r in media_info(df).collect()}
+    for d in range(3):
+        r = info[d]
+        assert r["format"] == "y4m" and r["n_samples"] == 2 + d
+        assert (r["width"], r["height"]) == (8, 6) and r["sample_rate"] == 24
+
+    stats = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in video_frame_stats(df, every_nth=2).collect()
+    }
+    for d in range(3):
+        for i in range(0, 2 + d, 2):
+            r = stats[(d, i)]
+            assert r["mean_luma"] == float((d * 7 + i * 13) % 256)
+            assert r["std_luma"] == 0.0
+    assert (0, 1) not in stats  # every_nth=2 skips odd frames
+
+    f = {r["doc_id"]: np.array(r["features"])
+         for r in decode_features(df, decoder=media_decoder).collect()}
+    # doc 2: 4 frames of luma 14, 27, 40, 53 -> overall mean 33.5
+    assert abs(f[2][4] - 33.5 / 255.0) < 1e-6
+    assert abs(f[2][1] - 24.0) < 1e-6  # fps slot
+    assert abs(f[2][6] - 13 / 255.0) < 1e-6  # constant motion delta
