@@ -3012,6 +3012,34 @@ def _q_wav_decode_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resample of event values per type
+    (operators/temporal.py::resample): one partial-aggregated groupBy,
+    deterministic open/close via lexicographic (ts, value) struct
+    min/max — the oracle reproduces the tiebreak with rank-1 windows.
+    bucket_start ships as a formatted string (DuckDB timestamps arrive
+    as pandas Timestamps through .df(), the r02 date lesson)."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import resample
+
+    events = _read(spark, sf_dir, "events")
+    out = resample(events, "event_type", "ts", "value", bucket="1 hour")
+    return out.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        ),
+        "n",
+        "n_values",
+        "v_open",
+        "v_close",
+        "v_min",
+        "v_max",
+        "v_sum",
+        "v_mean",
+    )
+
+
 def _q_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode, distributed: per event a deterministic
     YUV4MPEG2 stream (kernel/media.py::make_y4m) of 2 + event_id%4
@@ -3411,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": _q_conversation_stats,
         "wav_decode_info": _q_wav_decode_info,
         "y4m_frame_stats": _q_y4m_frame_stats,
+        "value_ohlc_hourly": _q_value_ohlc_hourly,
         "decontaminate_docs": _q_decontaminate_docs,
         "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
@@ -4983,6 +5012,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 7, 7, sum(embedding[8]::DOUBLE * embedding[8]::DOUBLE)
             FROM embeddings
+        """,
+        "value_ohlc_hourly": """
+            WITH v AS (
+                SELECT event_type,
+                       time_bucket(INTERVAL '1 hour', ts) AS bs,
+                       epoch(ts) AS tse, value
+                FROM events
+            ),
+            ranked AS (
+                SELECT *,
+                       CASE WHEN value IS NOT NULL THEN
+                           row_number() OVER (
+                               PARTITION BY event_type, bs, value IS NULL
+                               ORDER BY tse, value)
+                       END AS rno,
+                       CASE WHEN value IS NOT NULL THEN
+                           row_number() OVER (
+                               PARTITION BY event_type, bs, value IS NULL
+                               ORDER BY tse DESC, value DESC)
+                       END AS rnc
+                FROM v
+            )
+            SELECT event_type,
+                   strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                   count(*)::BIGINT AS n,
+                   count(value)::BIGINT AS n_values,
+                   max(CASE WHEN rno = 1 THEN value END) AS v_open,
+                   max(CASE WHEN rnc = 1 THEN value END) AS v_close,
+                   min(value) AS v_min,
+                   max(value) AS v_max,
+                   sum(value) AS v_sum,
+                   avg(value) AS v_mean
+            FROM ranked GROUP BY event_type, bs
         """,
         "y4m_frame_stats": """
             SELECT event_id,

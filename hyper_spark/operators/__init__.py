@@ -42,6 +42,7 @@ from hyper_spark.operators.rollup import rollup_estimates, sketch_time_rollup
 from hyper_spark.operators.temporal import (
     asof_join,
     range_join,
+    resample,
     rolling_features,
     sessionize,
     transitions,
@@ -238,6 +239,7 @@ __all__ = [
     "tdigest_by",
     "sketch_time_rollup",
     "rollup_estimates",
+    "resample",
     "rolling_features",
     "sessionize",
     "transitions",

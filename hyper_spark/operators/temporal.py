@@ -39,6 +39,7 @@ __all__ = [
     "funnel_durations",
     "transitions",
     "rolling_features",
+    "resample",
 ]
 
 
@@ -536,6 +537,63 @@ def funnel_durations(
             F.expr("percentile(dur_s, 0.5)").alias("p50_s"),
         )
         .orderBy("transition")
+    )
+
+
+def resample(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Time-bucketed series per key — the downsampling/OHLC op: one row
+    per (key, event-time tumbling bucket) with
+
+        n, n_values (non-NULL), v_open, v_close (first/last non-NULL
+        value by time), v_min, v_max, v_sum, v_mean
+
+    Empty-value buckets (rows exist, all values NULL) keep n and emit
+    NULL value stats; buckets with no rows don't appear (join a
+    calendar for gap-filling, or use anomaly.rate_gaps to FIND gaps).
+
+    Determinism: ties at the same timestamp break on the value itself
+    (open = value of the min (ts, value) pair, close = max) — the
+    selected row is a pure function of the data, never of partitioning.
+
+    Scale shape: ONE groupBy(keys, bucket) with map-side partial
+    aggregation — no window, no sort; the shuffle carries one partial
+    row per (key, bucket) per task. The skew surface is a hot
+    (key, bucket), inherently bounded by the bucket width.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    # TIMESTAMP_NTZ cannot cast to double directly; route through
+    # TIMESTAMP (no-op for tz-aware, session-tz for NTZ — cf. sessionize)
+    ts = F.col(ts_col).cast("timestamp")
+    v = F.col(value_col).cast("double")
+    bucketed = df.select(
+        *keys,
+        F.window(ts, bucket)["start"].alias("bucket_start"),
+        ts.cast("double").alias("__ts"),
+        v.alias("__v"),
+    )
+    # (ts, value) struct ordering: lexicographic min/max IS the
+    # deterministic tiebreak, and min/max skip NULLs by contract — a
+    # NULL value nulls the whole struct via the WHEN, so open/close
+    # consider only rows with a value
+    ord_key = F.when(
+        F.col("__v").isNotNull(), F.struct(F.col("__ts"), F.col("__v"))
+    )
+    n = F.count(F.lit(1))
+    return bucketed.groupBy(*keys, "bucket_start").agg(
+        n.cast("bigint").alias("n"),
+        F.count("__v").alias("n_values"),
+        F.min(ord_key)["__v"].alias("v_open"),
+        F.max(ord_key)["__v"].alias("v_close"),
+        F.min("__v").alias("v_min"),
+        F.max("__v").alias("v_max"),
+        F.sum("__v").alias("v_sum"),
+        F.avg("__v").alias("v_mean"),
     )
 
 

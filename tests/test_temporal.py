@@ -572,3 +572,64 @@ def test_rolling_features_leak_safe_self_exclusion(spark):
     assert got[2]["n_60s"] == 2 and got[2]["sum_60s"] == 11.0  # tied 10 + older 1
     assert got[3]["n_60s"] == 0 and got[3]["sum_60s"] is None
     assert got[3]["mean_60s"] is None
+
+
+def test_resample_matches_python(spark):
+    import datetime as dt
+    import random
+
+    from hyper_spark.operators.temporal import resample
+
+    rng = random.Random(17)
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(400):
+        k = f"u{i % 3}"
+        ts = base + dt.timedelta(seconds=rng.randint(0, 4 * 3600 - 1))
+        v = None if rng.random() < 0.2 else round(rng.uniform(-10, 10), 3)
+        rows.append((k, ts, v))
+    # a deliberate timestamp tie with two different values
+    tie = base + dt.timedelta(seconds=30)
+    rows += [("u0", tie, 5.0), ("u0", tie, -5.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double").repartition(5)
+    got = {
+        (r["k"], r["bucket_start"]): r
+        for r in resample(df, "k", "ts", "v", bucket="1 hour").collect()
+    }
+
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for k, ts, v in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        buckets[(k, b)].append((ts, v))
+    assert set(got) == set(buckets)
+    for key, items in buckets.items():
+        r = got[key]
+        vals = [v for _, v in items if v is not None]
+        assert r["n"] == len(items) and r["n_values"] == len(vals)
+        if not vals:
+            assert r["v_open"] is None and r["v_sum"] is None
+            continue
+        withv = [(ts, v) for ts, v in items if v is not None]
+        assert r["v_open"] == min(withv)[1]
+        assert r["v_close"] == max(withv)[1]
+        assert r["v_min"] == min(vals) and r["v_max"] == max(vals)
+        assert abs(r["v_sum"] - sum(vals)) < 1e-9
+        assert abs(r["v_mean"] - sum(vals) / len(vals)) < 1e-9
+    # the tie bucket: open takes the smaller value at the tied min ts,
+    # close the larger at the tied max ts
+    tb = got[("u0", tie.replace(minute=0, second=0, microsecond=0))]
+    assert tb is not None  # tie rows folded deterministically
+
+
+def test_resample_single_shuffle(spark):
+    import datetime as dt
+
+    from hyper_spark.operators.temporal import resample
+    from hyper_spark.plans.report import assert_plan
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2026, 1, 1), 1.0)], "k string, ts timestamp, v double"
+    )
+    assert_plan(resample(df, "k", "ts", "v"), max_exchanges=1, no_python=True)
