@@ -285,6 +285,19 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return conversation_stats(spark.read.parquet(tx_path))
 
+    def q_rolling_features():
+        from hyper_spark.operators.temporal import rolling_features
+
+        return rolling_features(
+            events, "user_id", "ts", "value", windows=[3600, 86400],
+            include_current=False,
+        )
+
+    def q_resample_ohlc():
+        from hyper_spark.operators.temporal import resample
+
+        return resample(events, "event_type", "ts", "value", bucket="1 hour")
+
     def q_vocab_stats():
         from hyper_spark.operators.profile import vocab_stats
 
@@ -387,6 +400,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "tool_cooccurrence": q_tool_cooccurrence,
         "bm25_search_docs": q_bm25_search,
         "conversation_stats": q_conversation_stats,
+        "rolling_features_events": q_rolling_features,
+        "resample_ohlc_events": q_resample_ohlc,
     }
 
 

@@ -192,9 +192,15 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """One-shot convenience: build postings and score a single query in
-    one plan (ad-hoc search). For repeated queries, persist
-    ``bm25_build`` output and call ``bm25_score``."""
+    """One-shot convenience: build postings and score a single query
+    (ad-hoc search). The postings are persist()ed internally: scoring
+    reads them from three branches (corpus constants, per-term df,
+    matched rows), and the query-term filter pushes BELOW the build's
+    exchange in two of them — correct pushdown, but it defeats AQE
+    exchange reuse, so an unpersisted one-shot would re-run the
+    explode+aggregate per branch (measured 6 scans of the raw text).
+    For repeated queries, write ``bm25_build`` output to parquet and
+    call ``bm25_score`` against the saved table."""
     return bm25_score(
-        bm25_build(df, id_col, text_col), query, id_col, k1, b, top_k
+        bm25_build(df, id_col, text_col).persist(), query, id_col, k1, b, top_k
     )
