@@ -3040,6 +3040,26 @@ def _q_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_ohlc_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type: calendar_fill densifies
+    the resample output (sequence-explode calendar + keyed left join),
+    silent hours appearing as n=0 — what trailing-window math needs to
+    see instead of skipped buckets."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import calendar_fill, resample
+
+    events = _read(spark, sf_dir, "events")
+    series = resample(events, "event_type", "ts", "value", bucket="1 hour")
+    filled = calendar_fill(series, ["event_type"], fill={"n": 0})
+    return filled.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        ),
+        "n",
+    )
+
+
 def _q_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode, distributed: per event a deterministic
     YUV4MPEG2 stream (kernel/media.py::make_y4m) of 2 + event_id%4
@@ -3440,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode_info": _q_wav_decode_info,
         "y4m_frame_stats": _q_y4m_frame_stats,
         "value_ohlc_hourly": _q_value_ohlc_hourly,
+        "value_ohlc_filled": _q_value_ohlc_filled,
         "decontaminate_docs": _q_decontaminate_docs,
         "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
@@ -5012,6 +5033,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 7, 7, sum(embedding[8]::DOUBLE * embedding[8]::DOUBLE)
             FROM embeddings
+        """,
+        "value_ohlc_filled": """
+            WITH r AS (
+                SELECT event_type,
+                       time_bucket(INTERVAL '1 hour', ts) AS bs,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY event_type, bs
+            ),
+            span AS (
+                SELECT event_type, min(bs) AS lo, max(bs) AS hi
+                FROM r GROUP BY event_type
+            ),
+            cal AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bs
+                FROM span
+            )
+            SELECT cal.event_type,
+                   strftime(cal.bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                   coalesce(r.n, 0)::BIGINT AS n
+            FROM cal LEFT JOIN r
+              ON cal.event_type = r.event_type AND cal.bs = r.bs
         """,
         "value_ohlc_hourly": """
             WITH v AS (

@@ -40,6 +40,7 @@ __all__ = [
     "transitions",
     "rolling_features",
     "resample",
+    "calendar_fill",
 ]
 
 
@@ -595,6 +596,45 @@ def resample(
         F.sum("__v").alias("v_sum"),
         F.avg("__v").alias("v_mean"),
     )
+
+
+def calendar_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket_col: str = "bucket_start",
+    step: str = "1 hour",
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Densify a bucketed series (the ``resample`` companion): for each
+    key, emit EVERY bucket from that key's first to its last at
+    ``step`` spacing; buckets absent from ``df`` appear with NULL
+    metric columns, or the value from ``fill`` (e.g. ``{"n": 0}``) —
+    what downstream window math (moving averages over the series,
+    anomaly z-scores) needs to see silence as zeros instead of
+    skipping it.
+
+    ``df`` must be unique on (keys, bucket) — resample output is.
+
+    Scale shape: a per-key min/max aggregate, one ``sequence()``
+    explode (rows = the key's time-span / step — inherently bounded),
+    and one keyed left join; the series table never re-scans raw data.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("calendar_fill needs at least one key column")
+    span = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    cal = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias(bucket_col),
+    )
+    out = cal.join(df, on=keys + [bucket_col], how="left")
+    for col, val in (fill or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
+    return out
 
 
 def rolling_features(

@@ -633,3 +633,28 @@ def test_resample_single_shuffle(spark):
         [("a", dt.datetime(2026, 1, 1), 1.0)], "k string, ts timestamp, v double"
     )
     assert_plan(resample(df, "k", "ts", "v"), max_exchanges=1, no_python=True)
+
+
+def test_calendar_fill(spark):
+    import datetime as dt
+
+    import pytest
+
+    from hyper_spark.operators.temporal import calendar_fill, resample
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        ("a", base, 1.0),
+        ("a", base + dt.timedelta(hours=3, minutes=5), 2.0),  # hours 1,2 missing
+        ("b", base + dt.timedelta(hours=1), 7.0),             # single bucket
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    series = resample(df, "k", "ts", "v", bucket="1 hour")
+    filled = calendar_fill(series, ["k"], fill={"n": 0, "n_values": 0})
+    got = {(r["k"], r["bucket_start"].hour): r for r in filled.collect()}
+    assert {(k, h) for k, h in got} == {("a", 0), ("a", 1), ("a", 2), ("a", 3), ("b", 1)}
+    assert got[("a", 1)]["n"] == 0 and got[("a", 1)]["v_sum"] is None
+    assert got[("a", 0)]["n"] == 1 and got[("a", 0)]["v_open"] == 1.0
+    assert got[("a", 3)]["v_close"] == 2.0
+    with pytest.raises(ValueError):
+        calendar_fill(series, [])
