@@ -3327,6 +3327,17 @@ def _q_tx_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence(tx, "conv_id", "tool")
 
 
+def _q_tx_tool_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top tool 3-step workflows over the transcripts fixture
+    (operators/temporal.py::state_ngrams): one window shuffle with two
+    stacked lead() columns, |vocab|^3-bounded aggregate."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.temporal import state_ngrams
+
+    tx = _tx(spark)
+    return state_ngrams(tx, "conv_id", "turn_idx", "tool", n=3, min_count=2)
+
+
 def _q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day categorical diversity of event_type: exact entropy /
     Gini impurity / majority share from one bounded two-stage
@@ -3429,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_text_determinism": _q_tx_text_determinism,
         "transcripts_sessionization": _q_tx_sessionization,
         "transcripts_tool_transitions": _q_tx_tool_transitions,
+        "transcripts_tool_trigrams": _q_tx_tool_trigrams,
         "event_type_entropy": _q_event_type_entropy,
         "transcripts_tool_cooccurrence": _q_tx_tool_cooccurrence,
         "theta_pairwise_users": _q_theta_pairwise_users,
@@ -5156,6 +5168,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT from_state, to_state, count(*)::BIGINT AS n
             FROM pairs GROUP BY from_state, to_state
+        """,
+        "transcripts_tool_trigrams": f"""
+            WITH seq AS (
+                SELECT tool AS s1,
+                       lead(tool, 1) OVER w AS s2,
+                       lead(tool, 2) OVER w AS s3
+                FROM {_TX_GATE_SQL}
+                WHERE tool IS NOT NULL
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT s1, s2, s3, count(*)::BIGINT AS n_gram
+            FROM seq WHERE s3 IS NOT NULL
+            GROUP BY s1, s2, s3
+            HAVING count(*) >= 2
         """,
         "transcripts_tool_transitions": f"""
             WITH seq AS (

@@ -45,6 +45,7 @@ from hyper_spark.operators.temporal import (
     resample,
     rolling_features,
     sessionize,
+    state_ngrams,
     transitions,
 )
 from hyper_spark.operators.sampling import (
@@ -242,6 +243,7 @@ __all__ = [
     "resample",
     "rolling_features",
     "sessionize",
+    "state_ngrams",
     "transitions",
     "asof_join",
     "range_join",

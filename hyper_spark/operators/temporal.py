@@ -38,6 +38,7 @@ __all__ = [
     "funnel_counts",
     "funnel_durations",
     "transitions",
+    "state_ngrams",
     "rolling_features",
     "resample",
     "calendar_fill",
@@ -635,6 +636,47 @@ def calendar_fill(
     for col, val in (fill or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
     return out
+
+
+def state_ngrams(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order_col: str,
+    state_col: str,
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Order-n sequence mining over per-key ordered states — the
+    higher-order extension of ``transitions``: counts of every run of
+    ``n`` CONSECUTIVE observed states within a key ("which 3-step tool
+    workflows dominate"). NULL states are dropped before sequencing
+    (same contract as transitions); runs never cross keys (a lead past
+    the key's last row is NULL and the row is filtered).
+
+    Output: DataFrame[s1..s<n> string, n_gram bigint] with
+    ``n_gram`` >= ``min_count``.
+
+    Scale shape: ONE window shuffle keyed by ``key`` (n-1 lead()
+    columns share the same window frame and sort), then a groupBy
+    whose shuffle is bounded by |state vocabulary|^n partial counts —
+    mind n for huge vocabularies (tools: trivial)."""
+    if n < 2:
+        raise ValueError("n must be >= 2 (n=1 is a plain value count)")
+    keys = [key] if isinstance(key, str) else list(key)
+    state = F.col(state_col).cast("string")
+    src = df.filter(state.isNotNull()).select(
+        *keys, F.col(order_col).alias("__o"), state.alias("__s")
+    )
+    w = Window.partitionBy(*keys).orderBy("__o")
+    cols = [F.col("__s").alias("s1")] + [
+        F.lead("__s", i).over(w).alias(f"s{i + 1}") for i in range(1, n)
+    ]
+    grams = src.select(*cols).filter(F.col(f"s{n}").isNotNull())
+    return (
+        grams.groupBy(*[f"s{i + 1}" for i in range(n)])
+        .agg(F.count(F.lit(1)).alias("n_gram"))
+        .filter(F.col("n_gram") >= min_count)
+    )
 
 
 def rolling_features(

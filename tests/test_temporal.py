@@ -658,3 +658,34 @@ def test_calendar_fill(spark):
     assert got[("a", 3)]["v_close"] == 2.0
     with pytest.raises(ValueError):
         calendar_fill(series, [])
+
+
+def test_state_ngrams_matches_python(spark):
+    import random
+    from collections import Counter
+
+    import pytest
+
+    from hyper_spark.operators.temporal import state_ngrams
+
+    rng = random.Random(29)
+    rows = []
+    seqs = {}
+    for k in range(30):
+        seq = [rng.choice(["a", "b", "c", None]) for _ in range(rng.randint(1, 10))]
+        seqs[k] = [s for s in seq if s is not None]
+        rows += [(f"k{k}", i, s) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "k string, i int, s string").repartition(5)
+
+    for n in (2, 3):
+        got = {
+            tuple(r[f"s{j + 1}"] for j in range(n)): r["n_gram"]
+            for r in state_ngrams(df, "k", "i", "s", n=n).collect()
+        }
+        exp = Counter()
+        for seq in seqs.values():
+            for j in range(len(seq) - n + 1):
+                exp[tuple(seq[j : j + n])] += 1
+        assert got == dict(exp), n
+    with pytest.raises(ValueError):
+        state_ngrams(df, "k", "i", "s", n=1)
