@@ -3355,6 +3355,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_distinct_users": _q_exact_distinct_users,
         "hll_users_within_bound": _q_hll_users_within_bound,
+        "near_dedup_docs": _q_near_dedup_docs,
+        "zorder_range_scan": _q_zorder_range_scan,
+        "incremental_index_lookup": _q_incremental_index_lookup,
+        "merge_upsert_orders": _q_merge_upsert,
+        "snapshot_diff_orders": _q_snapshot_diff,
+        "expectations_report": _q_expectations_report,
+        "plan_report_hygiene": _q_plan_report_hygiene,
+        "rate_spikes_hourly": _q_rate_spikes,
+        "rate_gaps_hourly": _q_rate_gaps,
+        "numeric_drift_value": _q_numeric_drift,
+        "compaction_roundtrip": _q_compaction_roundtrip,
+        "bpe_merges_docs": _q_bpe_merges,
+        "mixture_plan_docs": _q_mixture_plan,
+        "mixture_sample_docs": _q_mixture_sample,
+        "vocab_drift_docs": _q_vocab_drift,
+        "vocab_divergence_docs": _q_vocab_divergence,
+        "fd_covariance_bound": _q_fd_covariance_bound,
+        "transcripts_tool_transitions": _q_tx_tool_transitions,
+        "transcripts_tool_trigrams": _q_tx_tool_trigrams,
+        "event_type_entropy": _q_event_type_entropy,
+        "transcripts_tool_cooccurrence": _q_tx_tool_cooccurrence,
+        "theta_pairwise_users": _q_theta_pairwise_users,
+        "bm25_scores": _q_bm25_scores,
+        "user_rolling_features": _q_user_rolling_features,
+        "gram_covariance_pairs": _q_gram_covariance_pairs,
+        "sessionize_bucketed": _q_sessionize_bucketed,
+        "asof_bucketed_marks": _q_asof_bucketed_marks,
+        "streaming_windowed_rollup": _q_streaming_windowed_rollup,
+        "transcripts_windowed_distinct": _q_tx_windowed_distinct,
+        "transcripts_streaming_sessions": _q_tx_streaming_sessions,
+        "corpus_prepare": _q_corpus_prepare,
+        "doc_chunks": _q_doc_chunks,
+        "streaming_dedup_parity": _q_streaming_dedup_parity,
+        "streaming_transitions_parity": _q_streaming_transitions_parity,
+        "conversation_stats": _q_conversation_stats,
+        "wav_decode_info": _q_wav_decode_info,
+        "y4m_frame_stats": _q_y4m_frame_stats,
+        "value_ohlc_hourly": _q_value_ohlc_hourly,
+        "value_ohlc_filled": _q_value_ohlc_filled,
+        "decontaminate_docs": _q_decontaminate_docs,
+        "knn_join_exact": _q_knn_join_exact,
+        "hash_split_assignments": _q_hash_split_assignments,
+        "hash_sample_docs": _q_hash_sample_docs,
+        "stratified_sample_langs": _q_stratified_sample_langs,
+        "deterministic_sample_top": _q_deterministic_sample_top,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "pack_offsets_chunks": _q_pack_offsets_chunks,
+        "incremental_dedup_new": _q_incremental_dedup_new,
         "hll_users_by_type": _q_hll_users_by_type,
         "sql_sketch_build": _q_sql_sketch_build,
         "rolling_distinct_users": _q_rolling_distinct_users,
@@ -3380,7 +3428,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess_counts": _q_lang_guess_counts,
         "ngram_jaccard_pairs_05": _q_ngram_jaccard_pairs,
         "connected_components_ngram": _q_connected_components,
-        "near_dedup_docs": _q_near_dedup_docs,
         "substring_dup_docs": _q_substring_dup,
         "strip_dup_docs": _q_strip_dup,
         "near_dedup_longest": _q_near_dedup_longest,
@@ -3403,24 +3450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size_bounds": _q_cms_join_size,
         "join_profile_plan": _q_join_profile,
         "file_skip_lookup": _q_file_skip_lookup,
-        "zorder_range_scan": _q_zorder_range_scan,
-        "incremental_index_lookup": _q_incremental_index_lookup,
-        "merge_upsert_orders": _q_merge_upsert,
-        "snapshot_diff_orders": _q_snapshot_diff,
-        "expectations_report": _q_expectations_report,
-        "plan_report_hygiene": _q_plan_report_hygiene,
-        "rate_spikes_hourly": _q_rate_spikes,
-        "rate_gaps_hourly": _q_rate_gaps,
-        "numeric_drift_value": _q_numeric_drift,
-        "compaction_roundtrip": _q_compaction_roundtrip,
-        "bpe_merges_docs": _q_bpe_merges,
-        "mixture_plan_docs": _q_mixture_plan,
-        "mixture_sample_docs": _q_mixture_sample,
-        "vocab_drift_docs": _q_vocab_drift,
-        "vocab_divergence_docs": _q_vocab_divergence,
         "embedding_pairs_04": _q_embedding_pairs,
         "knn_top5": _q_knn_top5,
-        "fd_covariance_bound": _q_fd_covariance_bound,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
         "hll_precision_sweep": _q_hll_precision_sweep,
         "window_first_event": _q_window_first_event,
@@ -3439,17 +3470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_latency_quantiles": _q_tx_latency_quantiles,
         "transcripts_text_determinism": _q_tx_text_determinism,
         "transcripts_sessionization": _q_tx_sessionization,
-        "transcripts_tool_transitions": _q_tx_tool_transitions,
-        "transcripts_tool_trigrams": _q_tx_tool_trigrams,
-        "event_type_entropy": _q_event_type_entropy,
-        "transcripts_tool_cooccurrence": _q_tx_tool_cooccurrence,
-        "theta_pairwise_users": _q_theta_pairwise_users,
-        "bm25_scores": _q_bm25_scores,
-        "user_rolling_features": _q_user_rolling_features,
-        "gram_covariance_pairs": _q_gram_covariance_pairs,
         "asof_join_marks": _q_asof_join_marks,
-        "sessionize_bucketed": _q_sessionize_bucketed,
-        "asof_bucketed_marks": _q_asof_bucketed_marks,
         "asof_forward_tolerance": _q_asof_forward_tolerance,
         "multimodal_metadata": _q_multimodal_metadata,
         "hll_time_rollup": _q_hll_time_rollup,
@@ -3459,29 +3480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": _q_range_join_windows,
         "heavy_hitters_guaranteed": _q_heavy_hitters_guaranteed,
         "streaming_batch_parity": _q_streaming_batch_parity,
-        "streaming_windowed_rollup": _q_streaming_windowed_rollup,
-        "transcripts_windowed_distinct": _q_tx_windowed_distinct,
-        "transcripts_streaming_sessions": _q_tx_streaming_sessions,
         "streaming_quantiles_bound": _q_streaming_quantiles_bound,
         "knn_ivf_recall": _q_knn_ivf_recall,
-        "corpus_prepare": _q_corpus_prepare,
-        "doc_chunks": _q_doc_chunks,
-        "streaming_dedup_parity": _q_streaming_dedup_parity,
-        "streaming_transitions_parity": _q_streaming_transitions_parity,
-        "conversation_stats": _q_conversation_stats,
-        "wav_decode_info": _q_wav_decode_info,
-        "y4m_frame_stats": _q_y4m_frame_stats,
-        "value_ohlc_hourly": _q_value_ohlc_hourly,
-        "value_ohlc_filled": _q_value_ohlc_filled,
-        "decontaminate_docs": _q_decontaminate_docs,
-        "knn_join_exact": _q_knn_join_exact,
-        "hash_split_assignments": _q_hash_split_assignments,
-        "hash_sample_docs": _q_hash_sample_docs,
-        "stratified_sample_langs": _q_stratified_sample_langs,
-        "deterministic_sample_top": _q_deterministic_sample_top,
-        "weighted_sample_docs": _q_weighted_sample_docs,
-        "pack_offsets_chunks": _q_pack_offsets_chunks,
-        "incremental_dedup_new": _q_incremental_dedup_new,
         "sparse_dense_parity": _q_sparse_dense_parity,
         "null_skip_sketch": _q_null_skip_sketch,
         "packed6_roundtrip": _q_packed6_roundtrip,

@@ -42,7 +42,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from hyper_spark.functions.text import (
     char_shingles_col,
@@ -1074,6 +1074,31 @@ def _hyperplane_bucket_udf(dim: int, n_planes: int, seed: int):
     return bucket
 
 
+def _hyperplane_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """All-table hyperplane buckets in ONE pass: returns array<long> of
+    length n_tables per vector. One matmul against the stacked
+    (n_tables*n_planes, dim) plane matrix — the per-table variant scans
+    the vector column (and pays the Arrow transfer) n_tables times.
+    Plane rows per table match `_hyperplane_bucket_udf(dim, n_planes,
+    seed + 1000*t)` exactly, so single-table callers stay compatible."""
+    plane_stack = np.concatenate(
+        [
+            np.random.default_rng(seed + 1000 * t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ]
+    )  # (n_tables*n_planes, dim)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (mat @ plane_stack.T) > 0  # (n, n_tables*n_planes)
+        codes = signs.reshape(len(mat), -1, len(powers)) @ powers  # (n, n_tables)
+        return pd.Series(list(codes))
+
+    return buckets
+
+
 def embedding_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1084,6 +1109,7 @@ def embedding_pairs(
     n_tables: int = 4,
     dim: int | None = None,
     seed: int = 11,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
@@ -1092,53 +1118,114 @@ def embedding_pairs(
     quadratic join to same-bucket pairs; cosine verification is exact,
     so precision is 1.0 and only recall depends on table count.
     ``brute``: full id<id self-join — the recall baseline; quadratic,
-    for small inputs or audits only."""
+    for small inputs or audits only.
+
+    The LSH path mirrors the scale shape `minhash_lsh_pairs` converged
+    on after measurement (VERDICT r04 #1): bucket entries are BARE
+    (id, table, bucket) rows — the full embedding never rides the
+    self-join shuffle (an earlier version carried the vector on BOTH
+    sides; at d=128 that is ~1 KB × 2 per candidate row); vectors are
+    joined back from the cached input once per candidate; the distinct
+    runs AFTER the cosine screen, on the small surviving set, not on
+    the wide candidate stream (a distinct on ~97%-unique candidates is
+    a pure full-shuffle tax — measured 153→89 s on the minhash path).
+
+    ``max_bucket`` guards bucket skew: with n_planes=8 there are only
+    256 buckets per table, so one dense cluster (or a near-zero-vector
+    pile-up) makes the same-bucket self-join Σ|bucket|². Buckets larger
+    than ``max_bucket`` switch to a STAR join against the bucket's
+    min-id representative (linear, still exact-verified) — dense
+    near-dup clusters surface as rep↔member pairs and the member↔member
+    closure is left to the caller's connected-components pass, same
+    trade as `minhash_lsh_pairs`. Default None keeps the exhaustive
+    behavior.
+
+    CALLER CONTRACT: the returned LSH-path DataFrame is eagerly
+    materialized and **persisted** (so the bucket lineage never re-runs
+    and the entry/vector caches can be released before return). Call
+    ``.unpersist()`` on the result when done."""
+    cos = lambda a, b: cosine_col(a.cast("array<double>"), b.cast("array<double>"))  # noqa: E731
     if method == "brute":
         left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
         right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
-    elif method == "lsh":
-        if dim is None:
-            first = df.select(F.size(vec_col).alias("d")).first()
-            if first is None:
-                raise ValueError("empty embedding DataFrame")
-            dim = first["d"]
-        buckets = []
-        for t in range(n_tables):
-            udf = _hyperplane_bucket_udf(dim, n_planes, seed + 1000 * t)
-            buckets.append(
-                df.select(
-                    F.col(id_col),
-                    F.col(vec_col),
-                    F.lit(t).alias("table"),
-                    udf(F.col(vec_col)).alias("bucket"),
-                )
-            )
-        tagged = buckets[0]
-        for b in buckets[1:]:
-            tagged = tagged.unionByName(b)
-        left = tagged.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "table", "bucket"
-        )
-        right = tagged.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "table", "bucket"
-        )
-        pairs = (
-            left.join(right, on=["table", "bucket"])
+        return (
+            left.crossJoin(right)
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "v_a", "v_b")
-            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("cosine", cos(F.col("v_a"), F.col("v_b")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         )
-    else:
+    if method != "lsh":
         raise ValueError(f"unknown method {method!r}")
 
-    return (
-        pairs.withColumn(
-            "cosine", cosine_col(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>"))
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty embedding DataFrame")
+        dim = first["d"]
+    # cached: feeds the bucket UDF once and both vector-join sides
+    vecs = df.select(F.col(id_col), F.col(vec_col)).persist()
+    # ONE vector pass + ONE Arrow transfer computes every table's bucket
+    # (the per-table loop ran the pandas UDF n_tables times); entries
+    # are bare (id, table, bucket) — 24 B, not 24 B + the vector
+    all_buckets = _hyperplane_buckets_udf(dim, n_planes, n_tables, seed)
+    entries = vecs.select(
+        F.col(id_col),
+        F.posexplode(all_buckets(F.col(vec_col))).alias("table", "bucket"),
+    ).persist()
+
+    star = None
+    join_entries = entries
+    if max_bucket is not None:
+        sizes = entries.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("__bs")
         )
+        small = sizes.filter(F.col("__bs") <= max_bucket).drop("__bs")
+        big = sizes.filter(F.col("__bs") > max_bucket).drop("__bs")
+        join_entries = entries.join(small, on=["table", "bucket"], how="leftsemi")
+        big_entries = entries.join(big, on=["table", "bucket"], how="leftsemi")
+        reps = big_entries.groupBy("table", "bucket").agg(
+            F.min(id_col).alias("__rep")
+        )
+        # rep = min id ⇒ id_a < id_b holds by construction
+        star = (
+            big_entries.join(reps, on=["table", "bucket"])
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+            .distinct()
+        )
+
+    left = join_entries.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    right = join_entries.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    # NO distinct on raw candidates (a pair colliding in k≤n_tables
+    # tables rides through the cosine screen k times; duplicates are
+    # removed after the screen where the set is small)
+    candidates = (
+        left.join(right, on=["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if star is not None:
+        candidates = candidates.unionByName(star)
+    verified = (
+        candidates.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")),
+            on="id_b",
+        )
+        .withColumn("cosine", cos(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
     )
+    verified = verified.persist()
+    verified.count()  # materialize, then drop the upstream caches
+    entries.unpersist()
+    vecs.unpersist()
+    return verified
 
 
 # ------------------------------------------------- substring duplication

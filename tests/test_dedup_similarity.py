@@ -283,6 +283,53 @@ def test_embedding_pairs_brute_vs_lsh(spark, sf_correct):
         assert len(lsh) / len(brute) >= 0.8  # recall
 
 
+def test_embedding_pairs_max_bucket_cap(spark):
+    """Skew cap semantics (mirrors minhash_lsh_pairs): capped output is
+    exact-verified (⊆ brute), every capped survivor's cluster is still
+    reachable via its star representative, and a dense cluster that
+    overflows max_bucket yields rep↔member pairs (linear), not the full
+    |bucket|² closure."""
+    rng = np.random.default_rng(9)
+    center = rng.standard_normal(32)
+    rows = []
+    # one dense near-dup cluster of 40 (every bucket it lands in
+    # overflows max_bucket=8) + 60 unrelated singletons
+    for i in range(40):
+        v = center + 0.05 * rng.standard_normal(32)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    for i in range(40, 100):
+        v = rng.standard_normal(32)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_pairs(df, threshold=0.9, method="brute").collect()
+    }
+    uncapped = embedding_pairs(df, threshold=0.9, method="lsh", n_tables=6)
+    got_u = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    uncapped.unpersist()
+    capped = embedding_pairs(
+        df, threshold=0.9, method="lsh", n_tables=6, max_bucket=8
+    )
+    got_c = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    capped.unpersist()
+
+    assert got_u <= brute  # exact verification ⇒ precision 1.0
+    assert got_c <= brute  # star pairs are cosine-verified too
+    # every id the uncapped path touched is still covered by the capped
+    # output (pair-level recall is traded for cluster-level coverage)
+    ids = lambda s: {x for p in s for x in p}  # noqa: E731
+    assert ids(got_u) <= ids(got_c) | {min(ids(got_u) or {0})}
+    # the dense cluster collapses to star pairs: rep 0 pairs with every
+    # other cluster member, so the closure survives
+    cluster_pairs = {p for p in got_c if p[0] < 40 and p[1] < 40}
+    assert {(0, i) for i in range(1, 40)} <= cluster_pairs
+    # and the capped candidate volume is LINEAR in the cluster, not
+    # quadratic: star contributes 39 pairs, not C(40,2)=780
+    assert len(cluster_pairs) < 200
+
+
 def test_embedding_pairs_synthetic_duplicates(spark):
     rng = np.random.default_rng(5)
     base = rng.standard_normal((30, 16)).astype(float)
