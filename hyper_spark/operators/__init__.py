@@ -41,6 +41,7 @@ from hyper_spark.operators.hll_agg import multi_sketch_by
 from hyper_spark.operators.rollup import rollup_estimates, sketch_time_rollup
 from hyper_spark.operators.temporal import (
     asof_join,
+    calendar_fill,
     range_join,
     resample,
     rolling_features,
@@ -72,6 +73,7 @@ from hyper_spark.operators.graph import (
 from hyper_spark.operators.bm25 import (
     bm25_build,
     bm25_consts,
+    bm25_prune,
     bm25_score,
     bm25_topk,
 )
@@ -160,6 +162,7 @@ __all__ = [
     "fd_covariance_diag",
     "bm25_build",
     "bm25_consts",
+    "bm25_prune",
     "bm25_score",
     "bm25_topk",
     "bpe_train",
@@ -240,6 +243,7 @@ __all__ = [
     "tdigest_by",
     "sketch_time_rollup",
     "rollup_estimates",
+    "calendar_fill",
     "resample",
     "rolling_features",
     "sessionize",

@@ -56,7 +56,14 @@ from pyspark.sql import functions as F
 
 from hyper_spark.functions.text import normalized_text, word_tokens_col
 
-__all__ = ["bm25_build", "bm25_consts", "bm25_score", "bm25_topk", "query_tokens"]
+__all__ = [
+    "bm25_build",
+    "bm25_consts",
+    "bm25_prune",
+    "bm25_score",
+    "bm25_topk",
+    "query_tokens",
+]
 
 
 def query_tokens(query: str) -> list[str]:
@@ -103,6 +110,44 @@ def bm25_build(
     return exploded.groupBy(id_col, "token", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     ).select(id_col, "token", "tf", F.col("dl").cast("bigint").alias("dl"))
+
+
+def bm25_prune(
+    postings: DataFrame,
+    min_df: int | None = None,
+    max_df_frac: float | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Practical postings pruning: drop tokens whose document frequency
+    is below ``min_df`` (hapax/typo noise) or above
+    ``max_df_frac`` × n_docs (stop words — on templated corpora these
+    degenerate scoring to a full postings scan and drown the
+    informative terms; the sf1.0 drive measured exactly that).
+
+    Semantics: only postings ROWS are removed — ``dl`` keeps each
+    document's ORIGINAL token count, so length normalization is
+    unchanged (standard practice: pruning is an index-size/quality
+    decision, not a re-tokenization). Corpus constants should be
+    computed on the UNPRUNED table (``bm25_consts``) and passed to
+    ``bm25_score(consts=...)`` — a document whose every posting is
+    pruned should still count toward N and avgdl.
+
+    Scale shape: one groupBy(token) df-aggregate (map-side partial, the
+    shuffle is |vocab|), one semi-join of the postings against the
+    surviving vocabulary — both keyed on token, so AQE plans a
+    broadcast semi-join whenever the survivor list is small. Pruning
+    is OFF unless a bound is given (the gate pins the unpruned path)."""
+    if min_df is None and max_df_frac is None:
+        return postings
+    dfs = postings.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df_frac is not None:
+        if not (0.0 < max_df_frac <= 1.0):
+            raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+        n_docs, _ = bm25_consts(postings, id_col)
+        dfs = dfs.filter(F.col("__df") <= float(max_df_frac) * n_docs)
+    if min_df is not None:
+        dfs = dfs.filter(F.col("__df") >= int(min_df))
+    return postings.join(dfs.select("token"), on="token", how="leftsemi")
 
 
 def bm25_consts(postings: DataFrame, id_col: str = "doc_id") -> tuple[int, float]:
@@ -199,8 +244,14 @@ def bm25_topk(
     exchange in two of them — correct pushdown, but it defeats AQE
     exchange reuse, so an unpersisted one-shot would re-run the
     explode+aggregate per branch (measured 6 scans of the raw text).
-    For repeated queries, write ``bm25_build`` output to parquet and
-    call ``bm25_score`` against the saved table."""
-    return bm25_score(
-        bm25_build(df, id_col, text_col).persist(), query, id_col, k1, b, top_k
-    )
+    The postings cache is released before return — the (top_k-bounded)
+    result is eagerly materialized and **persisted**; the returned
+    handle IS that persisted DataFrame, call ``.unpersist()`` when done
+    (ADVICE r04: the old version leaked the postings cache for the
+    session). For repeated queries, write ``bm25_build`` output to
+    parquet and call ``bm25_score`` against the saved table."""
+    postings = bm25_build(df, id_col, text_col).persist()
+    out = bm25_score(postings, query, id_col, k1, b, top_k).persist()
+    out.count()  # materialize the small scored set, then release
+    postings.unpersist()  # the postings cache (its job is done)
+    return out

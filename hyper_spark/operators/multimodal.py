@@ -5,13 +5,15 @@ metadata struct; all transforms are ``mapInPandas`` stages over Arrow
 batches so payload bytes stream through Python exactly once per stage and
 never materialize on the driver.
 
-Decode is REAL for uncompressed containers — PCM WAV, PPM/PGM, 24-bit
-BMP parse with pure numpy (kernel/media.py, byte-exact round-trip
-tested), feeding genuine featurizers (FFT band energies for audio,
-channel stats + luminance histogram for images). Compressed codecs
-(png/jpeg/ogg/flac) need external libraries absent from this container
-and remain pluggable via ``decoder=``; payloads nothing accepts fall
-back to a deterministic byte histogram.
+Decode is REAL for every format whose compression is absent or in the
+stdlib — PCM WAV, PPM/PGM, 24-bit BMP (pure numpy), and PNG (stdlib
+zlib + unfilter; byte-exact round-trip tested) — feeding genuine
+featurizers (FFT band energies for audio, channel stats + luminance
+histogram for images). JPEG gets a real header parse (dimensions/
+channels/precision from the SOF marker) while its entropy decode, like
+ogg/flac, needs external codecs and remains pluggable via
+``decoder=``; payloads nothing accepts fall back to a deterministic
+byte histogram.
 
 * ``attach_payload_metadata`` — JVM-only: payload size, md5, magic-byte
   format sniffing
@@ -114,16 +116,31 @@ def audio_features(payload: bytes) -> np.ndarray:
 
 
 def image_features(payload: bytes) -> np.ndarray:
-    """REAL image featurizer for PPM/PGM/BMP payloads: 16 floats =
+    """REAL image featurizer for PNG/PPM/PGM/BMP payloads: 16 floats =
     [log1p(width), log1p(height), aspect, mean R, G, B, std R, G, B,
-    7-bin luminance histogram (L1-normalized)]."""
-    from hyper_spark.kernel.media import parse_bmp, parse_ppm
+    7-bin luminance histogram (L1-normalized)]. PNG is a FULL decode
+    (stdlib zlib + unfilter, kernel/media.py::parse_png); RGBA drops
+    alpha, greyscale broadcasts to 3 channels."""
+    from hyper_spark.kernel.media import parse_bmp, parse_png, parse_ppm
 
     blob = bytes(payload)
-    arr = parse_bmp(blob) if blob[:2] == b"BM" else parse_ppm(blob)
+    if blob[:2] == b"BM":
+        arr = parse_bmp(blob)
+    elif blob[:4] == b"\x89PNG":
+        arr = parse_png(blob)
+        if arr.ndim == 3 and arr.shape[2] >= 3:
+            arr = arr[:, :, :3]
+        elif arr.ndim == 3:  # grey+alpha
+            arr = arr[:, :, 0]
+    else:
+        arr = parse_ppm(blob)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        # a parsable zero-area image is metadata-only: no pixel stats
+        # (the old w/h and hist/hist.sum() raised/NaN'd — ADVICE r04)
+        return np.zeros(16, dtype=np.float32)
     px = arr.reshape(-1, 3).astype(np.float64)
     lum = px @ np.array([0.2126, 0.7152, 0.0722])
     hist = np.bincount(
@@ -206,21 +223,30 @@ def video_frame_stats(
 
 
 def media_decoder(payload: bytes) -> np.ndarray:
-    """Dispatching featurizer: WAV → ``audio_features``, PPM/PGM/BMP →
-    ``image_features`` (all REAL pure-numpy decodes), anything else →
-    the byte-histogram fallback (compressed codecs need external
-    libraries — plug them in via ``decoder=``). All branches emit 16
-    floats, so mixed-modality columns share one schema."""
+    """Dispatching featurizer: WAV → ``audio_features``, PNG/PPM/PGM/
+    BMP → ``image_features`` (all REAL pure-numpy decodes — PNG via
+    stdlib zlib), anything else → the byte-histogram fallback (JPEG
+    entropy decode and ogg/flac need external codecs — plug them in
+    via ``decoder=``). All branches emit 16 floats, so mixed-modality
+    columns share one schema."""
+    import struct as _struct
+    import zlib as _zlib
+
     blob = bytes(payload)
     try:
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
             return audio_features(blob)
         if blob[:9] == b"YUV4MPEG2":
             return video_features(blob)
-        if blob[:2] in (b"P5", b"P6", b"BM"):
+        if blob[:2] in (b"P5", b"P6", b"BM") or blob[:4] == b"\x89PNG":
             return image_features(blob)
-    except ValueError:
-        pass  # malformed/unsupported variant: fall through
+    except (ValueError, _struct.error, IndexError, _zlib.error):
+        # malformed payloads that pass the magic sniff raise more than
+        # ValueError: truncated headers raise struct.error, short
+        # buffers IndexError, corrupt IDAT zlib.error (ADVICE r04) —
+        # the contract is "fall back to the byte histogram", never
+        # fail the Spark task over one bad corpus payload
+        pass
     return fake_decoder(blob)
 
 
@@ -233,9 +259,21 @@ def media_info(
     DataFrame[<id>, format, sample_rate, n_samples, channels, bits,
     width, height] — audio fields NULL for images and vice versa,
     everything NULL (format 'unknown') for payloads no parser accepts.
+    PNG reads IHDR (header-only — covers interlaced/16-bit files the
+    full decoder rejects); JPEG reads the SOF marker (ITU T.81 —
+    dimensions/channels/precision without entropy decode).
     Arrow-batched mapInPandas; payload bytes never hit the driver."""
-    from hyper_spark.kernel.media import parse_bmp, parse_ppm, parse_wav, parse_y4m
+    from hyper_spark.kernel.media import (
+        jpeg_info,
+        parse_bmp,
+        parse_ppm,
+        parse_wav,
+        parse_y4m,
+        png_info,
+        wav_info,
+    )
     import struct as _struct
+    import zlib as _zlib
 
     schema = (
         f"{id_col} long, format string, sample_rate int, n_samples long, "
@@ -253,7 +291,10 @@ def media_info(
                 try:
                     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                         rate, samples = parse_wav(blob)
-                        bits = _struct.unpack_from("<H", blob, 34)[0]
+                        # bits come from the fmt chunk WALK — the old
+                        # fixed-offset-34 read returned garbage when a
+                        # LIST/JUNK chunk preceded fmt (ADVICE r04)
+                        _fmt, _ch, _rate, bits = wav_info(blob)
                         rec = [did, "wav", rate, samples.shape[0],
                                samples.shape[1], bits, None, None]
                     elif blob[:2] in (b"P5", b"P6"):
@@ -265,6 +306,12 @@ def media_info(
                         arr = parse_bmp(blob)
                         rec = [did, "bmp", None, None, None, None,
                                arr.shape[1], arr.shape[0]]
+                    elif blob[:4] == b"\x89PNG":
+                        w, h, depth, ch = png_info(blob)
+                        rec = [did, "png", None, None, ch, depth, w, h]
+                    elif blob[:3] == b"\xff\xd8\xff":
+                        w, h, ch, bits, _prog = jpeg_info(blob)
+                        rec = [did, "jpeg", None, None, ch, bits, w, h]
                     elif blob[:9] == b"YUV4MPEG2":
                         # n_samples = frame count, sample_rate = fps
                         # numerator (documented overloading: one flat
@@ -272,7 +319,10 @@ def media_info(
                         (num, _den), frames = parse_y4m(blob)
                         rec = [did, "y4m", num, frames.shape[0],
                                None, None, frames.shape[2], frames.shape[1]]
-                except ValueError:
+                except (ValueError, _struct.error, IndexError, _zlib.error):
+                    # same fall-through contract as media_decoder:
+                    # truncated/corrupt payloads report format
+                    # 'unknown', never fail the task (ADVICE r04)
                     pass
                 rows.append(rec)
             yield pd.DataFrame(

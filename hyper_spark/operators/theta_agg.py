@@ -309,7 +309,11 @@ def theta_pairwise(sketch_df: DataFrame, key: str) -> DataFrame:
     the pair join is |groups|²/2 rows of sketch blobs, one Arrow batch
     per ~thousand pairs. The input lineage is persisted internally —
     a self-join evaluates its source once PER BRANCH, and the source
-    here is the expensive sketch build. Mixed hash_fns refuse (probe
+    here is the expensive sketch build — then released before return:
+    the (small) metric result is eagerly materialized and **persisted**,
+    and the returned handle IS that persisted DataFrame — call
+    ``.unpersist()`` when done (ADVICE r04: the old version leaked the
+    input cache for the session). Mixed hash_fns refuse (probe
     provenance contract, same as cms/bloom)."""
     sk = sketch_df.persist()
     kc = F.col(key).cast("string")
@@ -378,7 +382,10 @@ def theta_pairwise(sketch_df: DataFrame, key: str) -> DataFrame:
         "key_2",
         _pair("k_l", "e_l", "hf_l", "k_r", "e_r", "hf_r").alias("__m"),
     )
-    return paired.select("key_1", "key_2", "__m.*")
+    out = paired.select("key_1", "key_2", "__m.*").persist()
+    out.count()  # materialize the small pair metrics, then release
+    sk.unpersist()  # the sketch-build cache (its job is done)
+    return out
 
 
 def theta_containment(

@@ -121,3 +121,59 @@ def test_bm25_consts_path_identical(spark):
     assert {(r["doc_id"], r["score"]) for r in inline} == {
         (r["doc_id"], r["score"]) for r in precomp
     }
+
+
+def test_bm25_prune_min_max_df(spark):
+    """Pruning semantics vs the python oracle: a max_df_frac bound
+    removes exactly the tokens appearing in more than that fraction of
+    docs, min_df removes hapaxes; dl is untouched so surviving-term
+    scores are IDENTICAL to the unpruned index's for the same query."""
+    from hyper_spark.operators.bm25 import bm25_consts, bm25_prune
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    postings = bm25_build(df).persist()
+    try:
+        n_docs, avgdl = bm25_consts(postings)
+
+        # python oracle for surviving vocabulary
+        toks = {i: _norm_tokens(t) for i, t in DOCS}
+        toks = {i: ts for i, ts in toks.items() if ts}
+        from collections import Counter as _C
+
+        dfc = _C(t for ts in toks.values() for t in set(ts))
+        keep = {
+            t
+            for t, c in dfc.items()
+            if c >= 2 and c <= 0.4 * len(toks)
+        }
+        pruned = bm25_prune(postings, min_df=2, max_df_frac=0.4)
+        got_vocab = {r["token"] for r in pruned.select("token").distinct().collect()}
+        assert got_vocab == keep
+        assert "quick" not in keep and "fox" in keep and "dog" in keep
+
+        # dl unchanged: every surviving row carries the original length
+        orig_dl = {r["doc_id"]: r["dl"] for r in postings.select("doc_id", "dl").distinct().collect()}
+        for r in pruned.select("doc_id", "dl").distinct().collect():
+            assert r["dl"] == orig_dl[r["doc_id"]]
+
+        # scoring a query of SURVIVING terms with pre-pruning consts ==
+        # scoring the unpruned index (identical rows feed the sum)
+        q = "fox dog"
+        a = bm25_score(postings, q, consts=(n_docs, avgdl), top_k=None).collect()
+        bres = bm25_score(pruned, q, consts=(n_docs, avgdl), top_k=None).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+            (r["doc_id"], round(r["score"], 9)) for r in bres
+        ]
+
+        # pruned-out frequent term: no matches at all against the
+        # pruned index (it would match 3 docs unpruned)
+        assert bm25_score(pruned, "quick", consts=(n_docs, avgdl), top_k=None).count() == 0
+        assert bm25_score(postings, "quick", consts=(n_docs, avgdl), top_k=None).count() == 3
+
+        # no bounds = identity (the gate pins this path)
+        assert bm25_prune(postings).count() == postings.count()
+
+        with pytest.raises(ValueError):
+            bm25_prune(postings, max_df_frac=1.5)
+    finally:
+        postings.unpersist()

@@ -177,3 +177,187 @@ def test_video_ops_distributed(spark):
     assert abs(f[2][4] - 33.5 / 255.0) < 1e-6
     assert abs(f[2][1] - 24.0) < 1e-6  # fps slot
     assert abs(f[2][6] - 13 / 255.0) < 1e-6  # constant motion delta
+
+
+# ----------------------------------------------------------------- PNG/JPEG
+
+
+def test_png_roundtrip_shapes():
+    from hyper_spark.kernel.media import make_png, parse_png, png_info
+
+    rng = np.random.default_rng(11)
+    for shape in [(9, 7), (12, 5, 3), (6, 6, 4), (1, 1), (2, 300, 3)]:
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        blob = make_png(arr)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        np.testing.assert_array_equal(parse_png(blob), arr)
+        w, h, depth, ch = png_info(blob)
+        assert (h, w) == shape[:2] and depth == 8
+        assert ch == (shape[2] if len(shape) == 3 else 1)
+
+
+def test_png_all_filter_types_decode():
+    """Hand-encode one row per filter type (None/Sub/Up/Average/Paeth)
+    and check the decoder inverts each — make_png only emits filter 0,
+    so this covers the paths real encoders use."""
+    import struct
+    import zlib
+
+    from hyper_spark.kernel.media import parse_png
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    ch, stride = 3, 18
+    prev = np.zeros(stride, np.int64)
+    lines = []
+    for r, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = arr[r].reshape(-1).astype(np.int64)
+        left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            enc = (cur - left) & 0xFF
+        elif ftype == 2:
+            enc = (cur - prev) & 0xFF
+        elif ftype == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (cur - pred) & 0xFF
+        lines.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(parse_png(blob), arr)
+
+
+def test_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    from hyper_spark.kernel.media import make_png, parse_png, png_info
+
+    with pytest.raises(ValueError):
+        png_info(b"not a png at all----")
+    # 16-bit depth: info parses it, full decode refuses
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    assert png_info(deep) == (2, 2, 16, 1)
+    with pytest.raises(ValueError):
+        parse_png(deep)
+    # corrupt IDAT raises zlib.error (media_info/media_decoder catch it)
+    good = bytearray(make_png(np.zeros((4, 4), np.uint8)))
+    idat_at = bytes(good).index(b"IDAT")
+    good[idat_at + 6] ^= 0xFF
+    with pytest.raises(zlib.error):
+        parse_png(bytes(good))
+
+
+def test_jpeg_info_and_header_synth():
+    from hyper_spark.kernel.media import jpeg_info, make_jpeg_header
+
+    for w, h, c, prog in [(640, 480, 3, False), (31, 17, 1, True), (8192, 8192, 3, False)]:
+        assert jpeg_info(make_jpeg_header(w, h, c, prog)) == (w, h, c, 8, prog)
+    with pytest.raises(ValueError):
+        jpeg_info(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        jpeg_info(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+
+def test_wav_info_chunk_walk():
+    """bits must come from the fmt chunk wherever it sits — a JUNK
+    chunk before fmt made the old fixed-offset read garbage
+    (ADVICE r04)."""
+    import struct
+
+    from hyper_spark.kernel.media import make_wav, parse_wav, wav_info
+
+    wav = make_wav(np.sin(np.arange(64) / 5.0), 22050, bits=8)
+    junk = b"JUNK" + struct.pack("<I", 10) + b"0123456789"
+    patched = (
+        b"RIFF" + struct.pack("<I", 4 + len(junk) + len(wav) - 12) + b"WAVE"
+        + junk + wav[12:]
+    )
+    assert wav_info(patched) == (1, 1, 22050, 8)
+    rate, samples = parse_wav(patched)
+    assert rate == 22050 and samples.shape == (64, 1)
+    with pytest.raises(ValueError):
+        wav_info(b"RIFF\x00\x00\x00\x00WAVEnope")
+
+
+def test_media_info_png_jpeg_and_malformed(spark):
+    from hyper_spark.kernel.media import make_bmp, make_jpeg_header, make_png
+    from hyper_spark.operators.multimodal import media_decoder, media_info
+
+    rng = np.random.default_rng(17)
+    rows = []
+    png_rgb = make_png(rng.integers(0, 256, (10, 14, 3), dtype=np.uint8))
+    png_grey = make_png(rng.integers(0, 256, (5, 6), dtype=np.uint8))
+    rows.append((1, bytearray(png_rgb)))
+    rows.append((2, bytearray(png_grey)))
+    rows.append((3, bytearray(make_jpeg_header(320, 200, 3))))
+    rows.append((4, bytearray(make_jpeg_header(64, 48, 1, progressive=True))))
+    # truncated BMP: magic passes, struct.unpack_from raises struct.error
+    rows.append((5, bytearray(make_bmp(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))[:16])))
+    # corrupt PNG IDAT: zlib.error inside parse (info path stays header-only)
+    bad_png = bytearray(png_rgb)
+    bad_png[bad_png.index(b"IDAT") + 6] ^= 0xFF
+    rows.append((6, bad_png))
+
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(2)
+    info = {r["doc_id"]: r for r in media_info(df).collect()}
+    assert info[1]["format"] == "png" and (info[1]["width"], info[1]["height"]) == (14, 10)
+    assert info[1]["channels"] == 3 and info[1]["bits"] == 8
+    assert info[2]["format"] == "png" and info[2]["channels"] == 1
+    assert info[3]["format"] == "jpeg" and (info[3]["width"], info[3]["height"]) == (320, 200)
+    assert info[4]["format"] == "jpeg" and info[4]["channels"] == 1
+    # malformed payloads degrade to 'unknown', never fail the task
+    assert info[5]["format"] == "unknown"
+    assert info[6]["format"] == "png"  # header-only parse still fine
+
+    # decoder: real PNG features equal the same pixels through BMP;
+    # malformed payloads take the byte-histogram fallback
+    px = rng.integers(0, 256, (9, 12, 3), dtype=np.uint8)
+    feats = {}
+    for did, blob in [(1, make_png(px)), (2, make_bmp(px)), (5, bytes(rows[4][1])), (6, bytes(bad_png))]:
+        feats[did] = media_decoder(blob)
+    np.testing.assert_allclose(feats[1], feats[2], atol=1e-6)
+    assert abs(feats[5].sum() - 1.0) < 1e-6  # histogram fallback
+    assert abs(feats[6].sum() - 1.0) < 1e-6  # zlib.error fallback
+
+
+def test_image_features_zero_area_guard():
+    from hyper_spark.kernel.media import make_png
+    from hyper_spark.operators.multimodal import image_features, media_decoder
+
+    blob = make_png(np.zeros((0, 5, 3), np.uint8))
+    feats = image_features(blob)
+    assert feats.shape == (16,) and not np.isnan(feats).any()
+    out = media_decoder(blob)
+    assert out.shape == (16,) and not np.isnan(out).any()

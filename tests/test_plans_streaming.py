@@ -769,6 +769,94 @@ def test_streaming_dedup_first_arrival_only(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 40
 
 
+def test_streaming_dedup_bloom_bounded_state(spark, tmp_path):
+    """Bounded-state mode contract: output ⊆ exact output (a Bloom
+    filter has no false negatives, so true duplicates are ALWAYS
+    dropped and nothing is emitted twice); divergence is only
+    false-positive drops of new docs, bounded by fpp; state survives a
+    checkpoint resume (replayed duplicates admit nothing)."""
+    from hyper_spark.functions.text import fingerprint_col as fpc
+    from hyper_spark.streaming.dedup_stream import streaming_dedup
+
+    rows = [
+        Row(doc_id=i, text=f"bloom mode body {i % 60}")  # 60 distinct
+        for i in range(480)
+    ]
+    df = spark.createDataFrame(rows)
+    src = str(tmp_path / "bl_src")
+    for part in range(4):
+        df.filter(F.col("doc_id") % 4 == part).write.mode(
+            "overwrite" if part == 0 else "append"
+        ).parquet(src)
+
+    def run(tag):
+        q = (
+            streaming_dedup(
+                spark.readStream.schema(df.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src),
+                state="bloom",
+                n_shards=8,
+                capacity_per_shard=5000,
+                fpp=0.01,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "bl_sink"))
+            .option("checkpointLocation", str(tmp_path / "bl_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("first")
+    got = spark.read.parquet(str(tmp_path / "bl_sink")).collect()
+    batch_fps = {
+        r["fp"] for r in df.select(fpc(F.col("text")).alias("fp")).distinct().collect()
+    }
+    got_fps = [r["fingerprint"] for r in got]
+    # no fingerprint admitted twice, all admitted ones are real
+    assert len(got_fps) == len(set(got_fps))
+    assert set(got_fps) <= batch_fps
+    # far under capacity: FP drops should be ~0; allow the fpp bound's
+    # slack (60 distinct * 0.01 rounds to ~1)
+    assert len(batch_fps) - len(set(got_fps)) <= 2
+    # resume from the checkpoint with replayed duplicates: no new rows
+    df.limit(120).write.mode("append").parquet(src)
+    run("resume")
+    again = spark.read.parquet(str(tmp_path / "bl_sink")).collect()
+    assert len(again) == len(got)
+
+
+def test_streaming_dedup_bloom_fp_rate_bound():
+    """The divergence from exact is the Bloom FP rate: sequentially
+    admit `capacity` distinct keys through the same filter the stream
+    shards use and count false-positive drops — must stay within a few
+    multiples of the configured fpp (the standard sizing analysis)."""
+    from hyper_spark.kernel.bloom import BloomFilter
+
+    cap, fpp = 4000, 0.01
+    bf = BloomFilter.from_expected(cap, fpp)
+    drops = 0
+    for i in range(cap):
+        key = f"distinct document {i}"
+        if bf.might_contain(key):
+            drops += 1
+        else:
+            bf.add(key)
+    # average fill over the run is half the final, so observed FP rate
+    # sits well under fpp; 3x guards seed variance
+    assert drops / cap <= 3 * fpp
+
+
+def test_streaming_dedup_bad_state_mode(spark):
+    from hyper_spark.streaming.dedup_stream import streaming_dedup
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError):
+        streaming_dedup(df, state="probabilistic")
+
+
 def _run_topk_stream(spark, tmp_path, rows_df, tag, **kw):
     from hyper_spark.streaming.topk_stream import streaming_windowed_topk
 
