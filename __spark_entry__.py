@@ -1670,6 +1670,23 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.4, method="brute").select("vec_id")
 
 
+def _q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/clustering.py::kmeans_profile)
+    under the determinism contract that lets an ITERATIVE algorithm meet
+    a pure-SQL oracle: init = k smallest vec_ids, exactly 3 unrolled
+    iterations, float64 L2 argmin with ties to the smaller cell, empty
+    cells retaining their previous centroid. The oracle unrolls the same
+    3 Lloyd iterations as chained CTEs (assignment window + per-position
+    mean + coalesce for empty cells)."""
+    from hyper_spark.operators.clustering import kmeans_profile
+
+    _ensure_pkg(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_profile(emb, k=8, iters=3).select(
+        "cell", "n_members", "avg_dist"
+    )
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -3542,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_dense_parity": _q_sparse_dense_parity,
         "null_skip_sketch": _q_null_skip_sketch,
         "packed6_roundtrip": _q_packed6_roundtrip,
+        "kmeans_cluster_profile": _q_kmeans_profile,
     }
 
 
@@ -3952,6 +3970,61 @@ def _cc_closure_cte(edge_table: str = "edges") -> str:
             comp AS (
                 SELECT id, min(r) AS component FROM reach GROUP BY id
             )"""
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
+    """Unrolled Lloyd iterations as chained CTEs (clustering.py's
+    determinism contract): c0 = the k smallest vec_ids; each iteration
+    is an assignment window ordered by (list_distance, cell) — the same
+    float64 L2 + smaller-cell tie-break as np.argmin — a per-position
+    mean via a range(1..d) cross join, and a coalesce that keeps the
+    previous centroid for empty cells."""
+    parts = [
+        f"""WITH c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         embedding::DOUBLE[] AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""", a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, i.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], i.c), i.cell
+           ) AS rn
+    FROM embeddings e CROSS JOIN {prev} i
+  ) WHERE rn = 1
+), m{i} AS (
+  SELECT a{i}.cell, t.i AS pos, avg((e.embedding::DOUBLE[])[t.i]) AS mv
+  FROM a{i} JOIN embeddings e USING (vec_id), range(1, {d + 1}) t(i)
+  GROUP BY a{i}.cell, t.i
+), c{i} AS (
+  SELECT p.cell, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, list(mv ORDER BY pos) AS c FROM m{i} GROUP BY cell
+  ) n USING (cell)
+)"""
+        )
+    parts.append(
+        f""", af AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT e.vec_id, i.cell,
+           list_distance(e.embedding::DOUBLE[], i.c) AS dist,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], i.c), i.cell
+           ) AS rn
+    FROM embeddings e CROSS JOIN c{iters} i
+  ) WHERE rn = 1
+)
+SELECT cell, count(*) AS n_members, round(avg(dist), 4) AS avg_dist
+FROM af GROUP BY cell"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5505,4 +5578,5 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order FROM lineitem "
             "GROUP BY l_returnflag, l_linestatus"
         ),
+        "kmeans_cluster_profile": _kmeans_oracle_sql(k=8, iters=3, d=64),
     }

@@ -141,6 +141,11 @@ from hyper_spark.operators.matrix_sketch import (
     gram_matrix,
     gram_merge,
 )
+from hyper_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_profile,
+)
 from hyper_spark.operators.quality import (
     c4_clean,
     gopher_filter,
@@ -150,6 +155,9 @@ from hyper_spark.operators.quality import (
 )
 
 __all__ = [
+    "kmeans_assign",
+    "kmeans_fit",
+    "kmeans_profile",
     "fd_sketch_by",
     "gram_by",
     "gram_components",

@@ -219,15 +219,24 @@ def knn_ivf(
     iters: int = 5,
     seed: int = 23,
     query_ids: Sequence[int] | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the n_probe nearest cells per query,
-    brute-search only those cells' vectors, per-query cell-masked."""
+    brute-search only those cells' vectors, per-query cell-masked.
+
+    ``centroids`` skips the sample trainer — pass
+    ``clustering.kmeans_fit(df, mode='spherical')`` output for a
+    full-corpus coarse quantizer (the sample trainer sees only
+    ``sample`` rows)."""
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(
         query_ids if query_ids is not None else np.arange(len(queries)),
         dtype=np.int64,
     )
-    centroids = _train_centroids(df, vec_col, n_cells, sample, iters, seed)
+    if centroids is None:
+        centroids = _train_centroids(df, vec_col, n_cells, sample, iters, seed)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
     assigned = ivf_assign(df, centroids, vec_col)
     qn, probe_cells, all_cells = _probe(queries, centroids, n_probe)
     # small literal IN-list: pure JVM filter, no join stage
@@ -364,15 +373,22 @@ def build_ivf_index(
     sample: int = 10000,
     iters: int = 5,
     seed: int = 23,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Persist an IVF index: centroids (JSON) + vectors parquet
     partitioned by cell. Queries then touch only the probed cells'
     *directories* — classic partition pruning, so at 100 TB a 1%-probe
-    query reads 1% of the index. Returns the centroids."""
+    query reads 1% of the index. Returns the centroids.
+
+    ``centroids`` (e.g. ``clustering.kmeans_fit(df, mode='spherical')``)
+    skips the sample trainer for a full-corpus quantizer."""
     import json
     import os
 
-    centroids = _train_centroids(df, vec_col, n_cells, sample, iters, seed)
+    if centroids is None:
+        centroids = _train_centroids(df, vec_col, n_cells, sample, iters, seed)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
     assigned = ivf_assign(df, centroids, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "vectors")
