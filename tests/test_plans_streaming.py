@@ -1101,3 +1101,117 @@ def test_streaming_transitions_matches_batch(spark, tmp_path):
         (r["from_state"], r["to_state"]): r["n"] for r in batch.collect()
     }
     assert got_map == exp
+
+
+def _run_transitions_stream(spark, tmp_path, files, schema, **kwargs):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    src = str(tmp_path / "src")
+    for i, chunk in enumerate(files):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+    from hyper_spark.streaming import streaming_transitions
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_transitions(
+        stream, "conv", "ts", "turn", "tool",
+        close_after=3600.0, watermark="1 hour", **kwargs,
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = (
+        spark.read.parquet(sink)
+        .filter(F.col("conv") != "__flush__")
+        .groupBy("from_state", "to_state")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    return {(r["from_state"], r["to_state"]): r["n"] for r in rows}
+
+
+def test_streaming_transitions_bounded_exact_when_in_order(spark, tmp_path):
+    """max_buffer=4 forces repeated folds (keys have up to 10 turns);
+    with in-order arrival the disorder is zero, so the bounded mode must
+    equal batch transitions EXACTLY — the fold is lossless whenever
+    per-key disorder stays within the retained tail."""
+    import datetime as dt
+
+    from hyper_spark.operators.temporal import transitions
+
+    base = dt.datetime(2026, 1, 1)
+    rng = __import__("random").Random(29)
+    rows = []
+    for c in range(10):
+        for i in range(rng.randint(1, 10)):
+            rows.append(
+                (
+                    f"c{c}",
+                    base + dt.timedelta(seconds=60 * c + i),
+                    i,
+                    rng.choice(["search", "code", "browse"]),
+                )
+            )
+    schema = "conv string, ts timestamp, turn int, tool string"
+    third = len(rows) // 3
+    sentinel = [("__flush__", base + dt.timedelta(days=30), 0, "x")]
+    got = _run_transitions_stream(
+        spark, tmp_path,
+        [rows[:third], rows[third:2 * third], rows[2 * third:], sentinel],
+        schema, max_buffer=4,
+    )
+    df = spark.createDataFrame(rows, schema)
+    exp = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transitions(df, "conv", "turn", "tool", include_bounds=True).collect()
+    }
+    assert got == exp
+
+
+def test_streaming_transitions_bounded_drops_beyond_horizon(spark, tmp_path):
+    """A straggler whose order precedes the fold frontier is dropped —
+    the result equals batch transitions over the OTHER rows (one-sided:
+    nothing already counted is wrong, only the straggler's own
+    transitions are lost)."""
+    import datetime as dt
+
+    from hyper_spark.operators.temporal import transitions
+
+    base = dt.datetime(2026, 1, 1)
+    mk = lambda t: ("c0", base + dt.timedelta(seconds=t), t, f"s{t}")  # noqa: E731
+    batch1 = [mk(t) for t in [0, 1, 2, 4, 5, 6, 7]]  # len 7 > 4: folds to tail [6,7], horizon=5
+    batch2 = [mk(3), mk(8), mk(9)]  # turn 3 <= horizon: dropped
+    sentinel = [("__flush__", base + dt.timedelta(days=30), 0, "x")]
+    schema = "conv string, ts timestamp, turn int, tool string"
+    got = _run_transitions_stream(
+        spark, tmp_path, [batch1, batch2, sentinel], schema, max_buffer=4
+    )
+    survivors = spark.createDataFrame(batch1 + batch2[1:], schema)
+    exp = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transitions(
+            survivors, "conv", "turn", "tool", include_bounds=True
+        ).collect()
+    }
+    assert got == exp
+    assert ("s2", "s3") not in got and ("s2", "s4") in got
+
+
+def test_streaming_transitions_bounded_guard(spark):
+    import pytest as _pytest
+
+    from hyper_spark.streaming import streaming_transitions
+
+    df = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="max_buffer"):
+        streaming_transitions(df, "value", "timestamp", "value", "value", max_buffer=2)
