@@ -134,6 +134,11 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         ).astype(np.float64)
         return knn_with_index(spark, ivf_path, qs, k=10, n_probe=4)
 
+    def q_kmeans():
+        from hyper_spark.operators.clustering import kmeans_profile
+
+        return kmeans_profile(emb, k=16, iters=5)
+
     def q_fd_sketch():
         from hyper_spark.operators.matrix_sketch import fd_merge, fd_sketch_by
 
@@ -402,6 +407,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "conversation_stats": q_conversation_stats,
         "rolling_features_events": q_rolling_features,
         "resample_ohlc_events": q_resample_ohlc,
+        "kmeans_profile_embeddings": q_kmeans,
     }
 
 
