@@ -1687,6 +1687,28 @@ def _q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression quality classifier
+    (operators/classifier.py): binary hashing-trick features (md5 mod
+    4096), 8 unrolled full-batch GD iterations from w=0 at lr=2.0,
+    labels = contains('vector') — a genuine token signal the model
+    LEARNS (0.996 self-accuracy vs the 0.764 base rate). Entirely
+    JVM-side (broadcast weight join — no Python UDF). The oracle
+    unrolls the same 8 GD steps as chained CTEs; outputs are the
+    confusion counts + 4-dp mean probability, stable under float
+    summation order."""
+    from hyper_spark.operators.classifier import logreg_confusion
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y", F.col("text").contains("vector").cast("double")
+    )
+    return logreg_confusion(
+        labeled, "y", n_features=4096, iters=8, lr=2.0, binary=True
+    ).select("label", "pred", "n", "avg_p")
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -3560,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_skip_sketch": _q_null_skip_sketch,
         "packed6_roundtrip": _q_packed6_roundtrip,
         "kmeans_cluster_profile": _q_kmeans_profile,
+        "logreg_quality_confusion": _q_logreg_confusion,
     }
 
 
@@ -4023,6 +4046,71 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
 )
 SELECT cell, count(*) AS n_members, round(avg(dist), 4) AS avg_dist
 FROM af GROUP BY cell"""
+    )
+    return "".join(parts)
+
+
+def _logreg_oracle_sql(
+    nf: int = 4096,
+    iters: int = 3,
+    lr: float = 0.5,
+    binary: bool = False,
+    label_sql: str = "CASE WHEN length(text) > 400 THEN 1.0 ELSE 0.0 END",
+) -> str:
+    """Unrolled full-batch logistic GD as chained CTEs
+    (classifier.py's determinism contract): w0 = 0 makes iteration 1's
+    residual exactly (0.5 − y); each later step is score (weight join
+    + per-doc sum), sigmoid residual, mean gradient by feature index,
+    weight update. Feature hash = ('0x' || first-8-md5-hex)::BIGINT
+    mod nf — bit-identical to Spark's pmod(conv(md5, 16, 10), nf)."""
+    n = "(SELECT count(*) FROM labels)"
+    tf_sql = "least(count(*), 1)::DOUBLE" if binary else "count(*)::DOUBLE"
+    parts = [
+        f"""WITH feats AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(tok), 1, 8))::BIGINT % {nf} AS idx,
+         {tf_sql} AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents) t
+  WHERE tok <> '' GROUP BY doc_id, idx
+), labels AS (
+  SELECT doc_id, {label_sql} AS y
+  FROM documents
+), w1 AS (
+  SELECT f.idx, -{lr} * sum((0.5 - l.y) * f.tf) / {n} AS w
+  FROM feats f JOIN labels l USING (doc_id) GROUP BY f.idx
+)"""
+    ]
+    for i in range(2, iters + 1):
+        parts.append(
+            f""", s{i} AS (
+  SELECT f.doc_id, sum(f.tf * w.w) AS s
+  FROM feats f JOIN w{i - 1} w USING (idx) GROUP BY f.doc_id
+), r{i} AS (
+  SELECT l.doc_id, 1 / (1 + exp(-coalesce(s{i}.s, 0))) - l.y AS resid
+  FROM labels l LEFT JOIN s{i} USING (doc_id)
+), w{i} AS (
+  SELECT w.idx, w.w - {lr} * g.g AS w
+  FROM w{i - 1} w JOIN (
+    SELECT f.idx, sum(f.tf * r{i}.resid) / {n} AS g
+    FROM feats f JOIN r{i} USING (doc_id) GROUP BY f.idx
+  ) g USING (idx)
+)"""
+        )
+    parts.append(
+        f""", sfin AS (
+  SELECT f.doc_id, sum(f.tf * w.w) AS s
+  FROM feats f JOIN w{iters} w USING (idx) GROUP BY f.doc_id
+), pfin AS (
+  SELECT l.y::BIGINT AS label,
+         1 / (1 + exp(-coalesce(sfin.s, 0))) AS p
+  FROM labels l LEFT JOIN sfin USING (doc_id)
+)
+SELECT label,
+       (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS pred,
+       count(*) AS n, round(avg(p), 4) AS avg_p
+FROM pfin GROUP BY label, pred"""
     )
     return "".join(parts)
 
@@ -5579,4 +5667,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag, l_linestatus"
         ),
         "kmeans_cluster_profile": _kmeans_oracle_sql(k=8, iters=3, d=64),
+        "logreg_quality_confusion": _logreg_oracle_sql(
+            nf=4096, iters=8, lr=2.0, binary=True,
+            label_sql=(
+                "CASE WHEN text LIKE '%vector%' THEN 1.0 ELSE 0.0 END"
+            ),
+        ),
     }

@@ -141,6 +141,12 @@ from hyper_spark.operators.matrix_sketch import (
     gram_matrix,
     gram_merge,
 )
+from hyper_spark.operators.classifier import (
+    hash_text_features,
+    logreg_confusion,
+    logreg_fit,
+    logreg_predict,
+)
 from hyper_spark.operators.clustering import (
     kmeans_assign,
     kmeans_fit,
@@ -155,6 +161,10 @@ from hyper_spark.operators.quality import (
 )
 
 __all__ = [
+    "hash_text_features",
+    "logreg_confusion",
+    "logreg_fit",
+    "logreg_predict",
     "kmeans_assign",
     "kmeans_fit",
     "kmeans_profile",
