@@ -481,6 +481,78 @@ def make_jpeg_header(
 
 # ------------------------------------------------------------------ resize
 
+def flac_info(blob: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits, total_samples) from the FLAC
+    STREAMINFO block (format spec §9.1: the first metadata block is
+    always STREAMINFO, 34 bytes). Header-only — no frame decode, which
+    is all this engine claims for FLAC (compressed audio codecs stay
+    pluggable)."""
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    btype = blob[4] & 0x7F
+    size = int.from_bytes(blob[5:8], "big")
+    if btype != 0 or size != 34:
+        raise ValueError("first metadata block is not STREAMINFO")
+    # bytes 18..26 of the block (abs 10+8=18): 20-bit rate, 3-bit
+    # channels-1, 5-bit bits-1, 36-bit total samples = exactly 64 bits
+    packed = int.from_bytes(blob[18:26], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("invalid sample rate 0")
+    return int(rate), int(channels), int(bits), int(total)
+
+
+def make_flac_header(
+    rate: int, channels: int, bits: int, total_samples: int
+) -> bytes:
+    """A valid fLaC magic + STREAMINFO metadata block (marked last)
+    carrying real stream parameters — what tests/gates use to exercise
+    `flac_info` without an encoder; NOT decodable audio (no frames)."""
+    if not (1 <= channels <= 8 and 4 <= bits <= 32 and 0 < rate < 1 << 20):
+        raise ValueError("parameter out of STREAMINFO range")
+    packed = (
+        (rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = (
+        struct.pack(">HH", 4096, 4096)  # min/max blocksize
+        + b"\x00" * 6  # min/max framesize (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of raw samples (unset)
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def gif_info(blob: bytes) -> tuple[int, int, str]:
+    """(width, height, version) from the GIF header + logical screen
+    descriptor (GIF89a spec §17-18). Header-only; LZW frames stay
+    pluggable."""
+    if blob[:4] != b"GIF8" or blob[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", blob, 6)
+    if w == 0 or h == 0:
+        raise ValueError("zero-area GIF")
+    return int(w), int(h), blob[3:6].decode("ascii")
+
+
+def make_gif_header(w: int, h: int, version: str = "89a") -> bytes:
+    """GIF header + logical screen descriptor + trailer carrying real
+    dimensions (no image data — header parsing is the claim)."""
+    if version not in ("87a", "89a"):
+        raise ValueError("version must be 87a or 89a")
+    return (
+        b"GIF" + version.encode("ascii")
+        + struct.pack("<HH", w, h)
+        + b"\x00\x00\x00"  # packed, bg color, aspect
+        + b"\x3b"  # trailer
+    )
+
+
 def resize_nn(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize via index sampling (pixel-center
     convention) — deterministic, allocation-bounded, no interpolation

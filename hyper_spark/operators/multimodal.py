@@ -55,6 +55,7 @@ _MAGIC = {
     b"RIFF": "riff",
     b"OggS": "ogg",
     b"fLaC": "flac",
+    b"GIF8": "gif",
 }
 
 
@@ -264,6 +265,8 @@ def media_info(
     dimensions/channels/precision without entropy decode).
     Arrow-batched mapInPandas; payload bytes never hit the driver."""
     from hyper_spark.kernel.media import (
+        flac_info,
+        gif_info,
         jpeg_info,
         parse_bmp,
         parse_ppm,
@@ -312,6 +315,15 @@ def media_info(
                     elif blob[:3] == b"\xff\xd8\xff":
                         w, h, ch, bits, _prog = jpeg_info(blob)
                         rec = [did, "jpeg", None, None, ch, bits, w, h]
+                    elif blob[:4] == b"fLaC":
+                        # header-only STREAMINFO parse (compressed
+                        # audio frames stay pluggable, like JPEG)
+                        rate, ch, bits, total = flac_info(blob)
+                        rec = [did, "flac", rate, total, ch, bits,
+                               None, None]
+                    elif blob[:4] == b"GIF8":
+                        w, h, _ver = gif_info(blob)
+                        rec = [did, "gif", None, None, None, None, w, h]
                     elif blob[:9] == b"YUV4MPEG2":
                         # n_samples = frame count, sample_rate = fps
                         # numerator (documented overloading: one flat

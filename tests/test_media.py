@@ -361,3 +361,49 @@ def test_image_features_zero_area_guard():
     assert feats.shape == (16,) and not np.isnan(feats).any()
     out = media_decoder(blob)
     assert out.shape == (16,) and not np.isnan(out).any()
+
+
+def test_flac_streaminfo_roundtrip():
+    from hyper_spark.kernel.media import flac_info, make_flac_header
+
+    for rate, ch, bits, total in [
+        (44100, 2, 16, 10_000_000),
+        (48000, 1, 24, 0),
+        (8000, 8, 32, (1 << 36) - 1),
+    ]:
+        blob = make_flac_header(rate, ch, bits, total)
+        assert flac_info(blob) == (rate, ch, bits, total)
+    with pytest.raises(ValueError):
+        flac_info(b"fLaX" + bytes(40))
+    with pytest.raises(ValueError):  # vorbis-comment-first stream
+        flac_info(b"fLaC" + bytes([0x84]) + (10).to_bytes(3, "big") + bytes(10))
+    with pytest.raises(ValueError):
+        make_flac_header(0, 2, 16, 0)
+
+
+def test_gif_header_roundtrip():
+    from hyper_spark.kernel.media import gif_info, make_gif_header
+
+    assert gif_info(make_gif_header(640, 480)) == (640, 480, "89a")
+    assert gif_info(make_gif_header(1, 65535, "87a")) == (1, 65535, "87a")
+    for bad in (b"GIF90a" + bytes(8), b"PNG" + bytes(10),
+                make_gif_header(1, 1)[:6] + b"\x00\x00\x00\x00"):
+        with pytest.raises(ValueError):
+            gif_info(bad)
+
+
+def test_media_info_flac_gif_branches(spark):
+    from hyper_spark.kernel.media import make_flac_header, make_gif_header
+    from hyper_spark.operators.multimodal import media_info
+
+    rows = [
+        (0, bytearray(make_flac_header(22050, 2, 16, 4410))),
+        (1, bytearray(make_gif_header(320, 200))),
+        (2, bytearray(b"fLaC\x00\x00")),  # truncated: degrades to unknown
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in media_info(df).collect()}
+    assert got[0]["format"] == "flac" and got[0]["sample_rate"] == 22050
+    assert got[0]["n_samples"] == 4410 and got[0]["bits"] == 16
+    assert got[1]["format"] == "gif" and (got[1]["width"], got[1]["height"]) == (320, 200)
+    assert got[2]["format"] == "unknown"
