@@ -1110,6 +1110,8 @@ def embedding_pairs(
     dim: int | None = None,
     seed: int = 11,
     max_bucket: int | None = None,
+    n_cells: int = 256,
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
@@ -1117,6 +1119,18 @@ def embedding_pairs(
     collision prob per table = (1 - θ/π)^n_planes) restricts the
     quadratic join to same-bucket pairs; cosine verification is exact,
     so precision is 1.0 and only recall depends on table count.
+    ``kmeans``: the SemDeDup paper's own shape (Abbas et al. 2023 §2:
+    cluster, then screen WITHIN clusters) — spherical k-means cells
+    (`clustering.kmeans_fit`, full-corpus trainer) play the bucket
+    role with a single table; candidate volume is Σ|cell|² capped by
+    the same ``max_bucket`` star join. Recall trade differs from LSH:
+    a pair split across a cell boundary is missed by construction
+    (the paper accepts this), whereas LSH recall improves with table
+    count; precision is 1.0 for both (exact cosine verification).
+    Seeding caveat: the determinism contract seeds cells from the k
+    SMALLEST ids — if ids correlate with embedding locality (e.g.
+    insertion-ordered corpora), hash them first or the seeds cluster
+    in one region and cell quality degrades.
     ``brute``: full id<id self-join — the recall baseline; quadratic,
     for small inputs or audits only.
 
@@ -1155,7 +1169,7 @@ def embedding_pairs(
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         )
-    if method != "lsh":
+    if method not in ("lsh", "kmeans"):
         raise ValueError(f"unknown method {method!r}")
 
     if dim is None:
@@ -1165,14 +1179,31 @@ def embedding_pairs(
         dim = first["d"]
     # cached: feeds the bucket UDF once and both vector-join sides
     vecs = df.select(F.col(id_col), F.col(vec_col)).persist()
-    # ONE vector pass + ONE Arrow transfer computes every table's bucket
-    # (the per-table loop ran the pandas UDF n_tables times); entries
-    # are bare (id, table, bucket) — 24 B, not 24 B + the vector
-    all_buckets = _hyperplane_buckets_udf(dim, n_planes, n_tables, seed)
-    entries = vecs.select(
-        F.col(id_col),
-        F.posexplode(all_buckets(F.col(vec_col))).alias("table", "bucket"),
-    ).persist()
+    if method == "kmeans":
+        from hyper_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+        cents = kmeans_fit(
+            vecs, k=min(n_cells, vecs.count()), iters=kmeans_iters,
+            id_col=id_col, vec_col=vec_col, mode="spherical",
+        )
+        # cells feed the SAME downstream machinery as LSH buckets
+        # (skew cap, bare entries, post-screen distinct) as a single
+        # table whose buckets are the k-means cells
+        entries = kmeans_assign(vecs, cents, vec_col=vec_col).select(
+            F.col(id_col),
+            F.lit(0).alias("table"),
+            F.col("cell").cast("int").alias("bucket"),
+        ).persist()
+    else:
+        # ONE vector pass + ONE Arrow transfer computes every table's
+        # bucket (the per-table loop ran the pandas UDF n_tables
+        # times); entries are bare (id, table, bucket) — 24 B, not
+        # 24 B + the vector
+        all_buckets = _hyperplane_buckets_udf(dim, n_planes, n_tables, seed)
+        entries = vecs.select(
+            F.col(id_col),
+            F.posexplode(all_buckets(F.col(vec_col))).alias("table", "bucket"),
+        ).persist()
 
     star = None
     join_entries = entries

@@ -757,3 +757,58 @@ def test_substring_dup_validations(spark, substr_docs):
         substring_dup_spans(df, min_count=1)
     with pytest.raises(ValueError):
         substring_dup_spans(df, by="nope")
+
+
+def test_embedding_pairs_kmeans_method(spark):
+    """SemDeDup cluster-then-screen: on well-separated clusters every
+    within-cluster near-dup pair is found (cells align with clusters),
+    the result is a subset of brute (exact verification), and
+    semantic_dedup(method='kmeans') keeps one survivor per dup group."""
+    import numpy as np
+
+    from hyper_spark.operators.dedup import embedding_pairs
+    from hyper_spark.operators.graph import semantic_dedup
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(5, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    # ids INTERLEAVED across clusters: the determinism contract seeds
+    # from the k smallest ids, so ids must not be correlated with
+    # embedding locality (documented caveat — hash ids if they are)
+    for j in range(6):  # 6 near-identical members per cluster
+        for ci, c in enumerate(centers):
+            v = c + rng.normal(scale=1e-3, size=16)
+            rows.append((j * 5 + ci, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_pairs(df, threshold=0.999, method="brute").collect()
+    }
+    km = embedding_pairs(
+        df, threshold=0.999, method="kmeans", n_cells=5, kmeans_iters=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in km.collect()}
+    km.unpersist()
+    assert got == brute and len(brute) == 5 * 15  # C(6,2) per cluster
+
+    survivors = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, threshold=0.999, method="kmeans", n_cells=5, kmeans_iters=4
+        ).collect()
+    }
+    assert survivors == {0, 1, 2, 3, 4}  # min id per cluster
+
+    # the star cap composes: capped pairs are a subset, every id in an
+    # oversized cell still reaches its representative
+    capped = embedding_pairs(
+        df, threshold=0.999, method="kmeans", n_cells=5,
+        kmeans_iters=4, max_bucket=3,
+    )
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    capped.unpersist()
+    assert cp <= brute
+    touched = {i for p in cp for i in p}
+    assert touched == set(range(30))
