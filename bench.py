@@ -139,6 +139,16 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return kmeans_profile(emb, k=16, iters=5)
 
+    def q_logreg():
+        from hyper_spark.operators.classifier import logreg_confusion
+
+        labeled = docs.withColumn(
+            "y", F.col("text").contains("vector").cast("double")
+        )
+        return logreg_confusion(
+            labeled, "y", n_features=4096, iters=4, lr=2.0, binary=True
+        )
+
     def q_fd_sketch():
         from hyper_spark.operators.matrix_sketch import fd_merge, fd_sketch_by
 
@@ -408,6 +418,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "rolling_features_events": q_rolling_features,
         "resample_ohlc_events": q_resample_ohlc,
         "kmeans_profile_embeddings": q_kmeans,
+        "logreg_quality_docs": q_logreg,
     }
 
 
