@@ -1709,6 +1709,22 @@ def _q_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", "pred", "n", "avg_p")
 
 
+def _q_pq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training
+    (operators/quantize.py::pq_profile, Jégou et al. TPAMI 2011): m=2
+    subspace codebooks of k=4 codewords, 2 Lloyd iterations each, all
+    trained in ONE mapInPandas pass per iteration. The oracle runs m
+    independent kmeans unrolls over DuckDB list SLICES of the
+    embedding and UNION ALLs the per-subspace profiles."""
+    from hyper_spark.operators.quantize import pq_profile
+
+    _ensure_pkg(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_profile(emb, m=2, k=4, iters=2).select(
+        "subspace", "cell", "n_members", "avg_dist"
+    )
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -3583,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed6_roundtrip": _q_packed6_roundtrip,
         "kmeans_cluster_profile": _q_kmeans_profile,
         "logreg_quality_confusion": _q_logreg_confusion,
+        "pq_codebook_profile": _q_pq_profile,
     }
 
 
@@ -3995,20 +4012,31 @@ def _cc_closure_cte(edge_table: str = "edges") -> str:
             )"""
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
+def _kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    d: int = 64,
+    vec_expr: str = "embedding::DOUBLE[]",
+    tag_select: str = "",
+) -> str:
     """Unrolled Lloyd iterations as chained CTEs (clustering.py's
     determinism contract): c0 = the k smallest vec_ids; each iteration
     is an assignment window ordered by (list_distance, cell) — the same
     float64 L2 + smaller-cell tie-break as np.argmin — a per-position
     mean via a range(1..d) cross join, and a coalesce that keeps the
-    previous centroid for empty cells."""
+    previous centroid for empty cells.
+
+    ``vec_expr`` generalizes the unroll to any list expression over
+    `embeddings e` (the PQ gate passes SUBSPACE SLICES); ``tag_select``
+    prefixes the final projection (e.g. ``0 AS subspace, ``)."""
     parts = [
         f"""WITH c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         embedding::DOUBLE[] AS c
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+         {vec_expr.replace('e.embedding', 'embedding')} AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}) e
 )"""
     ]
+    vec = vec_expr if vec_expr.startswith("(") or "e." in vec_expr else f"e.{vec_expr}"
     for i in range(1, iters + 1):
         prev = f"c{i - 1}"
         parts.append(
@@ -4017,12 +4045,12 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
     SELECT e.vec_id, i.cell,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY list_distance(e.embedding::DOUBLE[], i.c), i.cell
+             ORDER BY list_distance({vec}, i.c), i.cell
            ) AS rn
     FROM embeddings e CROSS JOIN {prev} i
   ) WHERE rn = 1
 ), m{i} AS (
-  SELECT a{i}.cell, t.i AS pos, avg((e.embedding::DOUBLE[])[t.i]) AS mv
+  SELECT a{i}.cell, t.i AS pos, avg(({vec})[t.i]) AS mv
   FROM a{i} JOIN embeddings e USING (vec_id), range(1, {d + 1}) t(i)
   GROUP BY a{i}.cell, t.i
 ), c{i} AS (
@@ -4036,18 +4064,41 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
         f""", af AS (
   SELECT vec_id, cell, dist FROM (
     SELECT e.vec_id, i.cell,
-           list_distance(e.embedding::DOUBLE[], i.c) AS dist,
+           list_distance({vec}, i.c) AS dist,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY list_distance(e.embedding::DOUBLE[], i.c), i.cell
+             ORDER BY list_distance({vec}, i.c), i.cell
            ) AS rn
     FROM embeddings e CROSS JOIN c{iters} i
   ) WHERE rn = 1
 )
-SELECT cell, count(*) AS n_members, round(avg(dist), 4) AS avg_dist
+SELECT {tag_select}cell, count(*) AS n_members, round(avg(dist), 4) AS avg_dist
 FROM af GROUP BY cell"""
     )
     return "".join(parts)
+
+
+def _pq_oracle_sql(m: int = 2, k: int = 4, iters: int = 2, d: int = 64) -> str:
+    """PQ codebook training oracle: each subspace is an independent
+    Lloyd unroll over a list SLICE of the embedding; the gate is the
+    UNION ALL of the m per-subspace profiles (WITH scoped inside each
+    branch)."""
+    dsub = d // m
+    branches = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        branches.append(
+            "SELECT * FROM (\n"
+            + _kmeans_oracle_sql(
+                k=k,
+                iters=iters,
+                d=dsub,
+                vec_expr=f"(e.embedding::DOUBLE[])[{lo}:{hi}]",
+                tag_select=f"{s} AS subspace, ",
+            )
+            + "\n)"
+        )
+    return "\nUNION ALL\n".join(branches)
 
 
 def _logreg_oracle_sql(
@@ -5673,4 +5724,5 @@ def oracle_sql() -> dict[str, str]:
                 "CASE WHEN text LIKE '%vector%' THEN 1.0 ELSE 0.0 END"
             ),
         ),
+        "pq_codebook_profile": _pq_oracle_sql(m=2, k=4, iters=2, d=64),
     }

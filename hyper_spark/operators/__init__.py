@@ -152,6 +152,13 @@ from hyper_spark.operators.clustering import (
     kmeans_fit,
     kmeans_profile,
 )
+from hyper_spark.operators.quantize import (
+    pq_encode,
+    pq_profile,
+    pq_reconstruction_mse,
+    pq_search,
+    pq_train,
+)
 from hyper_spark.operators.quality import (
     c4_clean,
     gopher_filter,
@@ -161,6 +168,11 @@ from hyper_spark.operators.quality import (
 )
 
 __all__ = [
+    "pq_encode",
+    "pq_profile",
+    "pq_reconstruction_mse",
+    "pq_search",
+    "pq_train",
     "hash_text_features",
     "logreg_confusion",
     "logreg_fit",
