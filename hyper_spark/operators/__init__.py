@@ -153,6 +153,8 @@ from hyper_spark.operators.clustering import (
     kmeans_profile,
 )
 from hyper_spark.operators.quantize import (
+    build_ivfpq_index,
+    knn_ivfpq,
     pq_encode,
     pq_profile,
     pq_reconstruction_mse,
@@ -168,6 +170,8 @@ from hyper_spark.operators.quality import (
 )
 
 __all__ = [
+    "build_ivfpq_index",
+    "knn_ivfpq",
     "pq_encode",
     "pq_profile",
     "pq_reconstruction_mse",

@@ -45,6 +45,8 @@ from pyspark.sql import functions as F
 from hyper_spark.operators.clustering import _assign_batch, _seed_centroids
 
 __all__ = [
+    "build_ivfpq_index",
+    "knn_ivfpq",
     "pq_train",
     "pq_encode",
     "pq_search",
@@ -193,7 +195,11 @@ def pq_search(
             # ADC: m gather-sums per query over the whole batch
             for qi in range(len(qids)):
                 dist = tables[qi, np.arange(m)[None, :], codes].sum(axis=1)
-                top = np.argsort(dist, kind="stable")[:k]
+                # (dist, id) is a TOTAL order, so the per-partition
+                # top-k provably contains the global top-k even when
+                # identical codes tie on distance (row order varies
+                # between a DataFrame and its parquet round-trip)
+                top = np.lexsort((ids, dist))[:k]
                 yield pd.DataFrame(
                     {
                         "query_id": qids[qi],
@@ -257,6 +263,132 @@ def pq_profile(
     return labeled.groupBy("subspace", "cell").agg(
         F.count("*").alias("n_members"),
         F.round(F.avg("dist"), round_to).alias("avg_dist"),
+    )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k_pq: int = 256,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Persist the FAISS-style IVFPQ layout: coarse spherical k-means
+    cells (partition-pruned directories, like `build_ivf_index`) whose
+    files hold ONLY ``(id, pq_code)`` — m bytes of payload per vector,
+    never the raw embedding, so a 10⁹×768-float32 corpus's hot index is
+    ~8 GB instead of ~3 TB and a 25%-probe query reads 25% of THAT.
+    Returns (centroids, codebooks); both are also written as JSON.
+
+    Codebooks quantize RAW vectors, not per-cell residuals (the
+    original IVFADC encodes x − centroid; the residual variant is a
+    follow-up — raw-vector PQ keeps one global codebook set and lets
+    `pq_search`/ADC work unchanged, at some recall cost on strongly
+    clustered data; documented trade)."""
+    import json
+    import os
+
+    from hyper_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    centroids = kmeans_fit(
+        df, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        mode="spherical",
+    )
+    codebooks = pq_train(
+        df, m=m, k=k_pq, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    encoded = pq_encode(
+        kmeans_assign(df, centroids, vec_col=vec_col), codebooks,
+        vec_col=vec_col,
+    ).select(id_col, "cell", "pq_code")
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+    with open(os.path.join(path, "codebooks.json"), "w") as f:
+        json.dump(codebooks.tolist(), f)
+    return centroids, codebooks
+
+
+def knn_ivfpq(
+    spark,
+    path: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    query_ids: np.ndarray | None = None,
+) -> DataFrame:
+    """Query a persisted IVFPQ index: the ``cell IN (...)`` filter
+    prunes to the probed cells' DIRECTORIES (the `knn_with_index`
+    partition-pruning shape), the per-query probe mask lives inside
+    the map-side ADC top-k (a query's heap never sees cells it did not
+    probe), and scoring reads only (id, cell, pq_code) — m bytes per
+    candidate. Returns [query_id, id, adc_dist, rank]."""
+    import json
+    import os
+
+    from hyper_spark.operators.similarity import _probe
+
+    centroids = np.asarray(
+        json.load(open(os.path.join(path, "centroids.json")))
+    )
+    books = np.asarray(json.load(open(os.path.join(path, "codebooks.json"))))
+    m, kc, dsub = books.shape
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(
+        query_ids if query_ids is not None else np.arange(len(queries)),
+        dtype=np.int64,
+    )
+    _qn, probe_cells, all_cells = _probe(queries, centroids, n_probe)
+    # probe mask as a (nq, n_cells) boolean — rides the closure
+    mask = np.zeros((len(queries), len(centroids)), dtype=bool)
+    for qi, cells in enumerate(probe_cells):
+        mask[qi, cells] = True
+    qsubs = _split(queries, m)
+    tables = np.stack(
+        [
+            ((qsubs[s][:, None, :] - books[s][None]) ** 2).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            for qi in range(len(qids)):
+                sel = mask[qi, cells]
+                if not sel.any():
+                    continue
+                dist = tables[qi, np.arange(m)[None, :], codes[sel]].sum(axis=1)
+                top = np.lexsort((ids[sel], dist))[:k]  # total order (see pq_search)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        id_col: ids[sel][top],
+                        "adc_dist": dist[top],
+                    }
+                )
+
+    codes_df = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cell").isin([int(c) for c in all_cells])
+    )
+    partials = codes_df.select(id_col, "cell", "pq_code").mapInPandas(
+        run, schema=f"query_id long, {id_col} long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -122,3 +122,46 @@ def test_profile_counts_and_guards(spark):
     assert by_sub == {0: 120, 1: 120}
     with pytest.raises(ValueError, match="divisible"):
         pq_train(df, m=3, k=4, iters=1)
+
+
+def test_ivfpq_index_roundtrip(spark, tmp_path):
+    """Build the persisted IVFPQ layout, then: probe-all == plain ADC
+    over every code (the IVF mask only restricts, never reorders), a
+    1-probe query reads ONLY the probed cells' files (partition
+    pruning), and the index files carry codes, not vectors."""
+    import os
+
+    from hyper_spark.operators.quantize import build_ivfpq_index, knn_ivfpq
+
+    df, mat, ids = _toy(spark, n=200)
+    path = str(tmp_path / "ivfpq")
+    cents, books = build_ivfpq_index(
+        df, path, n_cells=4, m=2, k_pq=4, iters=3
+    )
+    assert cents.shape == (4, 8) and books.shape == (2, 4, 4)
+
+    q = mat[:2]
+    full = pq_search(pq_encode(df, books), books, q, k=5)
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"]) for r in full.collect()
+    )
+    got_df = knn_ivfpq(spark, path, q, k=5, n_probe=4)  # probe-all
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"]) for r in got_df.collect()
+    )
+    assert got == want
+
+    narrow = knn_ivfpq(spark, path, q[:1], k=3, n_probe=1)
+    # partition pruning is physical: inputFiles() lists leaves
+    # pre-pruning, so assert the pushed PartitionFilters instead
+    import re
+
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    seg = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # single-cell isin compiles to (cell = N) — any cell predicate in
+    # PartitionFilters proves the probe reached the directory listing
+    assert seg and "cell" in seg.group(1)
+    assert narrow.count() == 3
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    assert set(codes.columns) == {"vec_id", "pq_code", "cell"}
