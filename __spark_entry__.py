@@ -1725,6 +1725,34 @@ def _q_pq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.py::pagerank) over the
+    event-type transition digraph: edges = per-user consecutive
+    event_type pairs ordered by (ts, event_id), weight = pair count;
+    5 power iterations at d=0.85 with dangling-mass redistribution.
+    Uniform-init + fixed-iteration determinism contract; the oracle
+    unrolls the same 5 iterations as chained CTEs over a lead()
+    window-derived edge table."""
+    from pyspark.sql import Window as W
+
+    from hyper_spark.operators.graph import pagerank
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    out = pagerank(edges, weight="w", iters=5, damping=0.85)
+    return out.select("node", F.round("rank", 5).alias("rank"))
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -3600,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster_profile": _q_kmeans_profile,
         "logreg_quality_confusion": _q_logreg_confusion,
         "pq_codebook_profile": _q_pq_profile,
+        "pagerank_event_types": _q_pagerank_event_types,
     }
 
 
@@ -4162,6 +4191,52 @@ SELECT label,
        (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS pred,
        count(*) AS n, round(avg(p), 4) AS avg_p
 FROM pfin GROUP BY label, pred"""
+    )
+    return "".join(parts)
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank power iterations (graph.py's determinism
+    contract: uniform 1/N init, fixed count, dangling mass D_t
+    redistributed as D_t/N each step)."""
+    d = damping
+    parts = [
+        f"""WITH edges AS (
+  SELECT src, dst, count(*)::DOUBLE AS w FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY src, dst
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+), nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f""", d{i} AS (
+  SELECT coalesce(sum(r.rank), 0) AS dm
+  FROM {prev} r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL
+), c{i} AS (
+  SELECT e.dst AS node, sum(r.rank * e.w / o.wout) AS c
+  FROM {prev} r JOIN edges e ON r.node = e.src JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(c.c, 0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+           AS rank
+  FROM nodes n LEFT JOIN c{i} c USING (node)
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, round(rank, 5) AS rank FROM r{iters}"
     )
     return "".join(parts)
 
@@ -5725,4 +5800,5 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "pq_codebook_profile": _pq_oracle_sql(m=2, k=4, iters=2, d=64),
+        "pagerank_event_types": _pagerank_oracle_sql(iters=5, damping=0.85),
     }

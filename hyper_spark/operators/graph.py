@@ -34,6 +34,7 @@ __all__ = [
     "near_dedup",
     "cluster_stats",
     "semantic_dedup",
+    "pagerank",
 ]
 
 
@@ -327,3 +328,87 @@ def semantic_dedup(
         )
     finally:
         pairs.unpersist()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank (Brin & Page 1998) over ``edges[src, dst]``
+    with dangling-mass redistribution: for each of exactly ``iters``
+    power iterations,
+
+        r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)·w/W_u + D/N)
+
+    where W_u is u's total out-weight and D the rank mass sitting on
+    dangling nodes (no out-edges). Returns [node, rank]; ranks sum to
+    1 at every iteration.
+
+    Distributed shape: ranks and edges stay DataFrames end-to-end —
+    one join + one groupBy(dst) per iteration (shuffle = |edges| the
+    first, |nodes| the second, both partial-aggregated), plus ONE
+    scalar collect for the dangling mass (a single row; documented
+    driver touch). Lineage is truncated per iteration via the same
+    checkpoint used by `connected_components`, so deep iteration
+    counts do not grow the plan. Uniform 1/N init + fixed iteration
+    count = the determinism contract that lets the gate unroll the
+    same iterations as SQL CTEs (clustering.py's design)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    ).groupBy("__s", "__d").agg(F.sum("__w").alias("__w"))
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty edge set")
+    outw = e.groupBy("__s").agg(F.sum("__w").alias("__wout"))
+    # transition probabilities, built once
+    trans = (
+        e.join(outw, "__s")
+        .select("__s", "__d", (F.col("__w") / F.col("__wout")).alias("__p"))
+        .persist()
+    )
+    trans.count()
+    dangling_nodes = nodes.join(
+        outw.select(F.col("__s").alias("node")), "node", "left_anti"
+    ).persist()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    try:
+        for _ in range(iters):
+            dm_row = dangling_nodes.join(ranks, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            ).collect()
+            dm = dm_row[0]["dm"]
+            contrib = (
+                ranks.join(trans, ranks["node"] == trans["__s"])
+                .groupBy("__d")
+                .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
+            )
+            ranks = _checkpoint(
+                nodes.join(contrib, nodes["node"] == contrib["__d"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dm / n))
+                    ).alias("rank"),
+                )
+            )
+    finally:
+        trans.unpersist()
+        dangling_nodes.unpersist()
+        nodes.unpersist()
+    return ranks

@@ -297,3 +297,55 @@ def test_semantic_dedup_longest_requires_text(spark):
     df = _semantic_corpus(spark)
     with pytest.raises(ValueError):
         semantic_dedup(df, keep="longest")
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from hyper_spark.operators.graph import pagerank
+
+    # weighted digraph with a dangling node (3 has no out-edges)
+    edges = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 3.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", iters=12, damping=0.85).collect()
+    }
+    n, d = 4, 0.85
+    P = np.zeros((n, n))
+    for s, t, w in edges:
+        P[s, t] = w
+    wout = P.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        dm = r[wout == 0].sum()
+        contrib = np.zeros(n)
+        for s in range(n):
+            if wout[s]:
+                contrib += r[s] * P[s] / wout[s]
+        r = (1 - d) / n + d * (contrib + dm / n)
+    assert set(got) == {0, 1, 2, 3}
+    assert np.allclose([got[i] for i in range(n)], r, atol=1e-12)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from hyper_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    ranks = [r["rank"] for r in pagerank(df, iters=3).collect()]
+    assert all(abs(x - 1.0 / 3) < 1e-12 for x in ranks)
+
+
+def test_pagerank_guards(spark):
+    import pytest as _pytest
+
+    from hyper_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with _pytest.raises(ValueError, match="empty"):
+        pagerank(df.filter("src < 0"), iters=1)
