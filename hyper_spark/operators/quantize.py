@@ -266,6 +266,26 @@ def pq_profile(
     )
 
 
+def _residualize(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    cell_col: str = "cell",
+    out_col: str = "__resid",
+) -> DataFrame:
+    """Adds ``out_col`` = x − centroid[cell] (the IVFADC residual).
+    Centroids ride the closure; one gather-subtract per Arrow batch."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def resid(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = mat - cents[cells.to_numpy().astype(np.int64)]
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, resid(F.col(vec_col), F.col(cell_col)))
+
+
 def build_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -275,19 +295,22 @@ def build_ivfpq_index(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Persist the FAISS-style IVFPQ layout: coarse spherical k-means
     cells (partition-pruned directories, like `build_ivf_index`) whose
     files hold ONLY ``(id, pq_code)`` — m bytes of payload per vector,
     never the raw embedding, so a 10⁹×768-float32 corpus's hot index is
     ~8 GB instead of ~3 TB and a 25%-probe query reads 25% of THAT.
-    Returns (centroids, codebooks); both are also written as JSON.
+    Returns (centroids, codebooks); both persist as JSON beside a
+    meta.json recording the encoding mode.
 
-    Codebooks quantize RAW vectors, not per-cell residuals (the
-    original IVFADC encodes x − centroid; the residual variant is a
-    follow-up — raw-vector PQ keeps one global codebook set and lets
-    `pq_search`/ADC work unchanged, at some recall cost on strongly
-    clustered data; documented trade)."""
+    ``residual=False`` quantizes RAW vectors (one global codebook set,
+    query tables independent of the probed cell). ``residual=True`` is
+    the original IVFADC (Jégou et al. §IV.B): codebooks quantize
+    x − centroid[cell], which spends the code budget on WITHIN-cell
+    variation — lower quantization error on clustered corpora for the
+    price of per-(query, probed-cell) ADC tables at search time."""
     import json
     import os
 
@@ -297,20 +320,30 @@ def build_ivfpq_index(
         df, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
         mode="spherical",
     )
-    codebooks = pq_train(
-        df, m=m, k=k_pq, iters=iters, id_col=id_col, vec_col=vec_col
-    )
-    encoded = pq_encode(
-        kmeans_assign(df, centroids, vec_col=vec_col), codebooks,
-        vec_col=vec_col,
-    ).select(id_col, "cell", "pq_code")
-    encoded.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "codes")
-    )
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col)
+    if residual:
+        assigned = _residualize(assigned, centroids, vec_col).persist()
+        codebooks = pq_train(
+            assigned, m=m, k=k_pq, iters=iters,
+            id_col=id_col, vec_col="__resid",
+        )
+        encoded = pq_encode(assigned, codebooks, vec_col="__resid")
+    else:
+        codebooks = pq_train(
+            df, m=m, k=k_pq, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        encoded = pq_encode(assigned, codebooks, vec_col=vec_col)
+    encoded.select(id_col, "cell", "pq_code").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(path, "codes"))
+    if residual:
+        assigned.unpersist()
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(centroids.tolist(), f)
     with open(os.path.join(path, "codebooks.json"), "w") as f:
         json.dump(codebooks.tolist(), f)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"residual": residual, "id_col": id_col}, f)
     return centroids, codebooks
 
 
@@ -328,7 +361,11 @@ def knn_ivfpq(
     partition-pruning shape), the per-query probe mask lives inside
     the map-side ADC top-k (a query's heap never sees cells it did not
     probe), and scoring reads only (id, cell, pq_code) — m bytes per
-    candidate. Returns [query_id, id, adc_dist, rank]."""
+    candidate. Returns [query_id, id, adc_dist, rank].
+
+    Residual-mode indexes (meta.json) get per-(query, probed-cell) ADC
+    tables — |Q|·n_probe·m·k doubles built driver-side, still tiny —
+    because the stored code quantizes x − centroid[cell]."""
     import json
     import os
 
@@ -338,6 +375,12 @@ def knn_ivfpq(
         json.load(open(os.path.join(path, "centroids.json")))
     )
     books = np.asarray(json.load(open(os.path.join(path, "codebooks.json"))))
+    meta_path = os.path.join(path, "meta.json")
+    residual = (
+        json.load(open(meta_path)).get("residual", False)
+        if os.path.exists(meta_path)
+        else False
+    )
     m, kc, dsub = books.shape
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(
@@ -349,14 +392,27 @@ def knn_ivfpq(
     mask = np.zeros((len(queries), len(centroids)), dtype=bool)
     for qi, cells in enumerate(probe_cells):
         mask[qi, cells] = True
-    qsubs = _split(queries, m)
-    tables = np.stack(
-        [
-            ((qsubs[s][:, None, :] - books[s][None]) ** 2).sum(axis=2)
-            for s in range(m)
-        ],
-        axis=1,
-    )
+
+    def _adc_tables(qmat: np.ndarray) -> np.ndarray:
+        qsubs = _split(qmat, m)
+        return np.stack(
+            [
+                ((qsubs[s][:, None, :] - books[s][None]) ** 2).sum(axis=2)
+                for s in range(m)
+            ],
+            axis=1,
+        )
+
+    if residual:
+        # tables keyed (query, probed cell): code quantizes x − c_cell,
+        # so the query must be residualized against the SAME centroid
+        rtables = {
+            (qi, int(c)): _adc_tables((queries[qi] - centroids[c])[None])[0]
+            for qi in range(len(queries))
+            for c in probe_cells[qi]
+        }
+    else:
+        tables = _adc_tables(queries)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -369,7 +425,16 @@ def knn_ivfpq(
                 sel = mask[qi, cells]
                 if not sel.any():
                     continue
-                dist = tables[qi, np.arange(m)[None, :], codes[sel]].sum(axis=1)
+                if residual:
+                    dist = np.empty(int(sel.sum()))
+                    sel_cells = cells[sel]
+                    sel_codes = codes[sel]
+                    for c in np.unique(sel_cells):
+                        mc = sel_cells == c
+                        t = rtables[(qi, int(c))]
+                        dist[mc] = t[np.arange(m)[None, :], sel_codes[mc]].sum(axis=1)
+                else:
+                    dist = tables[qi, np.arange(m)[None, :], codes[sel]].sum(axis=1)
                 top = np.lexsort((ids[sel], dist))[:k]  # total order (see pq_search)
                 yield pd.DataFrame(
                     {
