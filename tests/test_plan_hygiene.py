@@ -181,3 +181,48 @@ def test_new_op_plan_shapes(spark):
     # bm25 postings build: explode + single aggregate, one exchange
     docs = df.select(F.col("i").alias("doc_id"), F.col("s").alias("text"))
     assert_plan(bm25_build(docs), max_exchanges=1, no_python=True)
+
+
+def test_round5_op_plan_shapes(spark):
+    """Scale-critical plan guards for the round-5 operators."""
+    import numpy as np
+
+    from hyper_spark.operators.classifier import (
+        hash_text_features,
+        logreg_predict,
+    )
+    from hyper_spark.operators.graph import pagerank
+    from hyper_spark.plans.report import assert_plan, plan_report
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma spark"[: 5 + i % 15]) for i in range(100)],
+        "doc_id long, text string",
+    )
+    # feature hashing: explode + md5/conv/pmod + ONE aggregate, pure JVM
+    assert_plan(
+        hash_text_features(docs, n_features=64),
+        max_exchanges=1, no_python=True,
+    )
+    # classifier scoring: the weight table must come in as a BROADCAST
+    # join (never a shuffled SortMergeJoin on the feature stream) and
+    # stay Python-free end-to-end
+    w = np.zeros(64)
+    w[3] = 0.5
+    pred = logreg_predict(docs, w)
+    assert_plan(pred, no_python=True)
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    # the weight table joins the raw feature stream as a BROADCAST
+    # (the doc_id score join may sort-merge — both sides are
+    # corpus-sized there, which is the correct shape)
+    assert "BroadcastHashJoin" in plan
+
+    # pagerank iteration output: checkpointed per round, so the plan a
+    # downstream consumer sees is FLAT (scan of the checkpoint), not
+    # iters-deep — assert the returned frame's plan has no join chain
+    edges = spark.createDataFrame(
+        [(i % 7, (i + 1) % 7) for i in range(50)], "src long, dst long"
+    )
+    ranks = pagerank(edges, iters=3)
+    rep = plan_report(ranks)
+    assert rep["python_stages"] == []
+    assert "Join" not in ranks._jdf.queryExecution().executedPlan().toString()
