@@ -105,11 +105,15 @@ def logreg_fit(
     iters: int = 3,
     lr: float = 0.5,
     binary: bool = False,
+    l2: float = 0.0,
 ) -> np.ndarray:
     """Full-batch logistic GD; returns the n_features weight vector.
     ``label_col`` must be 0/1 (cast to double). w starts at 0, each
-    iteration steps lr × mean gradient — the unrolled-SQL-oracle
-    contract (module docstring)."""
+    iteration steps lr × (mean gradient + l2·w) — the unrolled-SQL-
+    oracle contract (module docstring) holds at the default l2=0; the
+    ridge penalty is a driver-side vector op, free at any scale."""
+    if l2 < 0:
+        raise ValueError(f"l2 must be >= 0, got {l2}")
     labels = df.select(
         id_col, F.col(label_col).cast("double").alias("y")
     ).persist()
@@ -138,6 +142,8 @@ def logreg_fit(
                 .agg((F.sum(F.col("tf") * F.col("resid")) / n_docs).alias("g"))
                 .collect()
             )
+            if l2:
+                w *= 1.0 - lr * l2
             for r in grad_rows:
                 w[r["idx"]] -= lr * r["g"]
     finally:

@@ -123,11 +123,18 @@ def kmeans_fit(
     vec_col: str = "embedding",
     mode: str = "l2",
     return_inertia: bool = False,
+    tol: float | None = None,
 ) -> np.ndarray | tuple[np.ndarray, list[float]]:
     """Full-corpus Lloyd k-means; returns k x d float64 centroids
     (optionally with the per-iteration inertia trace, which is
     non-increasing — each trace entry is sum of min squared distances
     to the centroids *entering* that iteration).
+
+    ``tol`` opts into early exit when the RELATIVE inertia improvement
+    drops below it (checked from the second iteration on). The default
+    None keeps the fixed-iteration determinism contract the SQL oracle
+    unrolls; with tol set, the iteration count becomes data-dependent
+    (still deterministic for a given input).
 
     Each iteration: one scan, one mapInPandas reduce to <=k rows per
     Arrow batch, one posexplode + groupBy over those partials (map-side
@@ -165,6 +172,13 @@ def kmeans_fit(
         if normalize:
             new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
         cents = new
+        if (
+            tol is not None
+            and len(inertia) >= 2
+            and inertia[-2] > 0
+            and (inertia[-2] - inertia[-1]) / inertia[-2] < tol
+        ):
+            break
     return (cents, inertia) if return_inertia else cents
 
 

@@ -110,3 +110,27 @@ def test_guards(spark):
         hash_text_features(df, n_features=1)
     with pytest.raises(ValueError, match="empty"):
         logreg_fit(df.filter("doc_id < 0"), "y")
+
+
+def test_l2_regularization_matches_numpy(spark):
+    df = _df(spark)
+    w = logreg_fit(df, "y", n_features=256, iters=4, lr=1.0, l2=0.1)
+    # sequential reference with ridge: w <- w(1 - lr*l2) - lr*g
+    X = np.zeros((len(_DOCS), 256))
+    for i, (text, _) in enumerate(_DOCS):
+        for tok in text.strip().lower().split():
+            X[i, _hash_idx(tok, 256)] += 1.0
+    y = np.asarray([lab for _, lab in _DOCS])
+    ref = np.zeros(256)
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(X @ ref)))
+        g = (X.T @ (p - y)) / len(_DOCS)
+        ref = ref * (1.0 - 1.0 * 0.1) - 1.0 * g
+    assert np.allclose(w, ref, atol=1e-12)
+    # shrinkage: the ridge norm is strictly smaller
+    w0 = logreg_fit(df, "y", n_features=256, iters=4, lr=1.0)
+    assert np.linalg.norm(w) < np.linalg.norm(w0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="l2"):
+        logreg_fit(df, "y", l2=-1.0)

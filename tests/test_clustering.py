@@ -125,3 +125,15 @@ def test_spherical_feeds_knn_ivf(spark):
         [(r["query_id"], r["rank"], r["vec_id"]) for r in want.collect()],
         key=lambda t: t[:2],
     )
+
+
+def test_tol_early_exit(spark):
+    # tight clusters converge after ~2 iterations: tol stops early and
+    # the centroids match the full-iteration run
+    df, _, _ = _toy(spark, seed=3)
+    full = kmeans_fit(df, k=4, iters=8)
+    early, trace = kmeans_fit(
+        df, k=4, iters=8, tol=1e-6, return_inertia=True
+    )
+    assert len(trace) < 8
+    assert np.allclose(early, full, atol=1e-9)
