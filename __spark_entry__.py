@@ -1753,6 +1753,39 @@ def _q_pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 5).alias("rank"))
 
 
+def _q_dd_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch build (operators/ddsketch.py::dd_by, Masson et al. VLDB
+    2019): the grouped log-bucket table itself — store/bucket/count per
+    event_type at alpha=0.01. FULL integer value parity: the oracle
+    recomputes ceil(ln(|v|)/ln(gamma)) bucketing in SQL (bucket indices
+    verified bit-identical between JVM StrictMath and DuckDB libm on
+    this data), so the sketch STATE, not just its answers, is gated."""
+    from hyper_spark.operators.ddsketch import dd_by
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    return dd_by(ev, ["event_type"], "value", alpha=0.01).select(
+        "event_type", "store", "bucket", F.col("count").alias("bucket_count")
+    )
+
+
+def _q_dd_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantile evaluation (operators/ddsketch.py::
+    dd_quantiles_by): per-event_type p50/p90/p99 of value with the
+    paper's RELATIVE-error guarantee (|est - x_q| <= alpha*x_q), the
+    whole build->eval lifecycle pure JVM codegen. The oracle replays
+    the identical bucket walk (window cumsum, rank = floor(q*(n-1)),
+    first covering bucket, est = 2*gamma^i/(gamma+1)) in SQL — value
+    parity on the estimates themselves, not a bound check."""
+    from hyper_spark.operators.ddsketch import dd_quantiles_by
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    return dd_quantiles_by(
+        ev, ["event_type"], "value", [0.5, 0.9, 0.99], alpha=0.01
+    ).select("event_type", "q", "est")
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -3629,6 +3662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_quality_confusion": _q_logreg_confusion,
         "pq_codebook_profile": _q_pq_profile,
         "pagerank_event_types": _q_pagerank_event_types,
+        "dd_sketch_events": _q_dd_sketch_events,
+        "dd_value_quantiles": _q_dd_value_quantiles,
     }
 
 
@@ -4239,6 +4274,66 @@ r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
         f"\nSELECT node, round(rank, 5) AS rank FROM r{iters}"
     )
     return "".join(parts)
+
+
+def _dd_bucket_cte_sql(alpha: float) -> str:
+    """The DDSketch bucket table (ddsketch.py::dd_by) as a DuckDB CTE
+    body: identical ceil(ln(|v|)/ln(gamma)) arithmetic — JVM and libm
+    bucket indices verified bit-identical on the test data."""
+    import math as _math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = _math.log(gamma)
+    return f"""
+  SELECT event_type,
+         CASE WHEN value > 0 THEN '+'
+              WHEN value < 0 THEN '-' ELSE '0' END AS store,
+         CASE WHEN value <> 0
+              THEN ceil(ln(abs(value)) / {lg!r})::BIGINT
+              ELSE 0 END AS bucket,
+         count(*) AS bucket_count
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3"""
+
+
+def _dd_sketch_oracle_sql(alpha: float) -> str:
+    return f"WITH sk AS ({_dd_bucket_cte_sql(alpha)})\nSELECT * FROM sk"
+
+
+def _dd_quantiles_oracle_sql(alpha: float, qs: tuple[float, ...]) -> str:
+    """Replays dd_quantiles' bucket walk: global value order =
+    (store_rank, signed_bucket), cumulative count window, first bucket
+    covering rank floor(q*(n-1)), answered by ±2*gamma^i/(gamma+1)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    qvals = ", ".join(f"({q!r}::DOUBLE)" for q in qs)
+    est = (
+        f"CASE store WHEN '0' THEN 0.0 "
+        f"WHEN '+' THEN 2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0) "
+        f"ELSE -2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0) END"
+    )
+    return f"""
+WITH sk AS ({_dd_bucket_cte_sql(alpha)}),
+ord AS (
+  SELECT *,
+         CASE store WHEN '-' THEN -1 WHEN '0' THEN 0 ELSE 1 END AS sr,
+         CASE WHEN store = '-' THEN -bucket ELSE bucket END AS sb
+  FROM sk
+),
+cum AS (
+  SELECT *,
+         sum(bucket_count) OVER (
+           PARTITION BY event_type ORDER BY sr, sb) AS cum,
+         sum(bucket_count) OVER (PARTITION BY event_type) AS n
+  FROM ord
+),
+hits AS (
+  SELECT event_type, q, store, bucket,
+         row_number() OVER (
+           PARTITION BY event_type, q ORDER BY sr, sb) AS rk
+  FROM cum CROSS JOIN (VALUES {qvals}) AS qs(q)
+  WHERE cum >= floor(q * (n - 1)) + 1
+)
+SELECT event_type, q, {est} AS est FROM hits WHERE rk = 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5801,4 +5896,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pq_codebook_profile": _pq_oracle_sql(m=2, k=4, iters=2, d=64),
         "pagerank_event_types": _pagerank_oracle_sql(iters=5, damping=0.85),
+        "dd_sketch_events": _dd_sketch_oracle_sql(alpha=0.01),
+        "dd_value_quantiles": _dd_quantiles_oracle_sql(
+            alpha=0.01, qs=(0.5, 0.9, 0.99)
+        ),
     }

@@ -1,0 +1,240 @@
+"""DDSketch: fully-mergeable quantiles with a RELATIVE-error guarantee.
+
+Masson, Rim & Lee, "DDSketch: A Fast and Fully-Mergeable Quantile Sketch
+with Relative-Error Guarantees" (VLDB 2019). Complements the KLL /
+t-digest family (operators/quantiles.py), whose guarantee is on *rank*:
+DDSketch instead guarantees the returned value x̂ is within ``alpha`` of
+the true q-quantile x_q in VALUE — ``|x̂ - x_q| <= alpha * x_q`` — which
+is what latency SLOs ask for ("p99 within 1%"), and which rank-error
+sketches cannot promise on heavy-tailed data.
+
+The sketch is a log-spaced histogram: with gamma = (1+alpha)/(1-alpha),
+every x > 0 lands in bucket i = ceil(log_gamma(x)); bucket i covers
+(gamma^(i-1), gamma^i] and is answered by 2*gamma^i/(gamma+1), whose
+relative distance to anything in the bucket is <= alpha. Zeros and
+negatives get their own stores ('0', '-' on |x|), so the full real line
+is covered (paper §2.3).
+
+Spark-first shape — this is the one sketch family in the library whose
+ENTIRE lifecycle is JVM codegen, zero Python anywhere:
+
+* build   = one ``groupBy(keys, store, bucket).count()`` — map-side
+  partial aggregation caps the shuffle at (stores x buckets) rows per
+  partition regardless of input size (~2k buckets spans 1e-9..1e9 at
+  alpha=0.01);
+* merge   = ``groupBy(...).sum(count)`` — counts add, so union is
+  associative, commutative, and loss-free (the paper's "fully
+  mergeable");
+* collapse = two window functions (bound the bucket count to m by
+  folding the lowest-magnitude buckets into the m-th, paper §2.2 —
+  relative error is preserved for every quantile above the collapsed
+  mass);
+* quantile eval = a window cumulative sum + a broadcast probe join —
+  rank r = floor(q*(n-1)), answer the first bucket whose cumulative
+  count exceeds r.
+
+Because build/merge are plain integer aggregation, two sketches built
+at different parallelism levels are BIT-IDENTICAL — the property the
+north rule's two-cluster-size criterion checks on the HLL path holds
+here by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "dd_bucket_col",
+    "dd_by",
+    "dd_merge",
+    "dd_collapse",
+    "dd_quantiles",
+    "dd_quantiles_by",
+]
+
+_STORE_ORDER = {"-": -1, "0": 0, "+": 1}
+
+
+def _gamma(alpha: float) -> float:
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket_col(col: Column, alpha: float) -> tuple[Column, Column]:
+    """(store, bucket) expressions for one value column.
+
+    store: '+' / '-' / '0'; bucket: ceil(log_gamma(|x|)) for nonzero x,
+    0 for the zero store. Pure codegen: one log, one division, one ceil.
+    """
+    gamma = _gamma(alpha)
+    store = (
+        F.when(col > 0, F.lit("+"))
+        .when(col < 0, F.lit("-"))
+        .otherwise(F.lit("0"))
+    )
+    bucket = F.when(
+        col != 0,
+        F.ceil(F.log(F.abs(col)) / F.lit(math.log(gamma))),
+    ).otherwise(F.lit(0).cast("long"))
+    return store, bucket
+
+
+def dd_by(
+    df: DataFrame, keys: Sequence[str], col: str | Column, alpha: float = 0.01
+) -> DataFrame:
+    """One DDSketch per group: DataFrame[*keys, store, bucket, count].
+
+    Long (bucket-row) format rather than a blob: the bucket table IS the
+    mergeable state, and keeping it relational means merge, collapse and
+    quantile evaluation all stay in Catalyst (and the state is readable
+    by any SQL engine — the oracle recomputes it verbatim). NULLs are
+    skipped, matching the null contract of sketch_by/cms_by.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    keys = list(keys)
+    store, bucket = dd_bucket_col(c, alpha)
+    return (
+        df.filter(c.isNotNull())
+        .select(*keys, store.alias("store"), bucket.alias("bucket"))
+        .groupBy(*keys, "store", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def dd_merge(sketch_df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge sketches onto coarser keys (or global with keys=()) —
+    bucket counts add, so the fold is lossless at any tree shape."""
+    keys = list(keys)
+    return sketch_df.groupBy(*keys, "store", "bucket").agg(
+        F.sum("count").alias("count")
+    )
+
+
+def _order_cols() -> tuple[Column, Column]:
+    """Global ascending value order over (store, bucket) rows: the '-'
+    store descends in bucket (bigger |x| = smaller x), then zeros, then
+    the '+' store ascends."""
+    store_rank = (
+        F.when(F.col("store") == "-", F.lit(-1))
+        .when(F.col("store") == "0", F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    signed_bucket = F.when(
+        F.col("store") == "-", -F.col("bucket")
+    ).otherwise(F.col("bucket"))
+    return store_rank, signed_bucket
+
+
+def dd_collapse(
+    sketch_df: DataFrame, keys: Sequence[str], max_buckets: int
+) -> DataFrame:
+    """Bound each group's positive/negative stores to ``max_buckets``
+    buckets by folding the lowest-magnitude buckets into the lowest
+    RETAINED one (paper §2.2: collapse smallest — high quantiles keep
+    their full guarantee; collapsed mass answers with the boundary
+    bucket's value). The zero store is a single bucket already.
+
+    Two window functions per store — no Python, no extra shuffle beyond
+    the window's hash partitioning on (keys, store)."""
+    if max_buckets < 1:
+        raise ValueError("max_buckets must be >= 1")
+    keys = list(keys)
+    w = Window.partitionBy(*keys, "store").orderBy(F.desc("bucket"))
+    ranked = sketch_df.withColumn("__rk", F.dense_rank().over(w))
+    kept_floor = F.min(
+        F.when(F.col("__rk") <= max_buckets, F.col("bucket"))
+    ).over(Window.partitionBy(*keys, "store"))
+    folded = ranked.withColumn(
+        "bucket",
+        F.when(F.col("store") == "0", F.col("bucket")).otherwise(
+            F.greatest(F.col("bucket"), kept_floor)
+        ),
+    ).drop("__rk")
+    return folded.groupBy(*keys, "store", "bucket").agg(
+        F.sum("count").alias("count")
+    )
+
+
+def dd_quantiles(
+    sketch_df: DataFrame,
+    qs: Sequence[float],
+    keys: Sequence[str] = (),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Evaluate quantiles from bucket rows: DataFrame[*keys, q, est]
+    (long format). ``alpha`` must match the build.
+
+    rank(q) = floor(q*(n-1)); the answer is the first bucket, in global
+    value order, whose cumulative count covers rank+1 items. Implemented
+    as one cumulative-sum window + a broadcast probe of the (tiny) qs
+    literal + a min-struct aggregate — all codegen, no Python.
+    """
+    gamma = _gamma(alpha)
+    keys = list(keys)
+    qs = [float(q) for q in qs]
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be within [0, 1], got {qs!r}")
+    store_rank, signed_bucket = _order_cols()
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(store_rank, signed_bucket)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    ranked = sketch_df.select(
+        *keys,
+        "store",
+        "bucket",
+        store_rank.alias("__sr"),
+        signed_bucket.alias("__sb"),
+        F.sum("count").over(w_cum).alias("__cum"),
+        F.sum("count").over(w_all).alias("__n"),
+    )
+    spark = sketch_df.sparkSession
+    probes = spark.createDataFrame([(q,) for q in qs], "q double")
+    hits = ranked.join(F.broadcast(probes)).filter(
+        F.col("__cum")
+        >= F.floor(F.col("q") * (F.col("__n") - 1)).cast("long") + 1
+    )
+    est = (
+        F.when(F.col("store") == "0", F.lit(0.0))
+        .when(
+            F.col("store") == "+",
+            F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0),
+        )
+        .otherwise(
+            F.lit(-2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0)
+        )
+    )
+    return (
+        hits.withColumn("__est", est)
+        .groupBy(*keys, "q")
+        .agg(
+            F.min_by(
+                F.col("__est"), F.struct(F.col("__sr"), F.col("__sb"))
+            ).alias("est")
+        )
+    )
+
+
+def dd_quantiles_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+    max_buckets: int | None = None,
+) -> DataFrame:
+    """End-to-end grouped relative-error quantiles: build, optionally
+    collapse to ``max_buckets``, evaluate. One shuffle for the build,
+    one window pass for the eval."""
+    sk = dd_by(df, keys, col, alpha)
+    if max_buckets is not None:
+        sk = dd_collapse(sk, keys, max_buckets)
+    return dd_quantiles(sk, qs, keys, alpha)

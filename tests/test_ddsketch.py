@@ -1,0 +1,164 @@
+"""DDSketch: relative-error guarantee, merge algebra, collapse bound.
+
+Differential strategy: every estimate is checked against the exact
+quantile of the same data (rank r = floor(q*(n-1)), 0-indexed sorted
+pick) under the paper's guarantee |est - x_q| <= alpha * |x_q|; merge
+and collapse are checked as exact bucket-table algebra.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hyper_spark.operators.ddsketch import (
+    dd_by,
+    dd_collapse,
+    dd_merge,
+    dd_quantiles,
+    dd_quantiles_by,
+)
+
+ALPHA = 0.01
+QS = [0.01, 0.1, 0.5, 0.9, 0.99]
+
+
+def exact_quantile(values, q):
+    xs = np.sort(np.asarray(values, dtype=np.float64))
+    return float(xs[int(math.floor(q * (len(xs) - 1)))])
+
+
+def lognormal_rows(n=4000, seed=7):
+    rng = np.random.default_rng(seed)
+    vals = np.exp(rng.normal(3.0, 1.5, n))  # heavy-tailed latencies
+    return [Row(g=int(i % 3), v=float(v)) for i, v in enumerate(vals)]
+
+
+def assert_within_alpha(est, exact, alpha=ALPHA):
+    assert abs(est - exact) <= alpha * abs(exact) + 1e-12, (est, exact)
+
+
+def test_relative_error_guarantee_global(spark):
+    rows = lognormal_rows()
+    df = spark.createDataFrame(rows)
+    got = {r["q"]: r["est"] for r in dd_quantiles_by(df, [], "v", QS, ALPHA).collect()}
+    vals = [r.v for r in rows]
+    for q in QS:
+        assert_within_alpha(got[q], exact_quantile(vals, q))
+
+
+def test_relative_error_guarantee_grouped(spark):
+    rows = lognormal_rows()
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["g"], r["q"]): r["est"]
+        for r in dd_quantiles_by(df, ["g"], "v", QS, ALPHA).collect()
+    }
+    for g in (0, 1, 2):
+        vals = [r.v for r in rows if r.g == g]
+        for q in QS:
+            assert_within_alpha(got[(g, q)], exact_quantile(vals, q))
+
+
+def test_negative_zero_and_mixed_stores(spark):
+    vals = [-250.0, -3.7, -0.002, 0.0, 0.0, 0.004, 1.0, 8.5, 8.5, 4000.0]
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    got = {r["q"]: r["est"] for r in dd_quantiles_by(df, [], "v", QS, ALPHA).collect()}
+    for q in QS:
+        assert_within_alpha(got[q], exact_quantile(vals, q))
+    # the exact median is 0.0 — only the zero store answers it exactly
+    med = dd_quantiles_by(df, [], "v", [0.5], ALPHA).collect()[0]["est"]
+    assert med == 0.0
+
+
+def test_nulls_skipped(spark):
+    df = spark.createDataFrame(
+        [Row(v=1.0), Row(v=None), Row(v=100.0)], "v double"
+    )
+    sk = dd_by(df, [], "v", ALPHA)
+    assert sk.agg(F.sum("count")).collect()[0][0] == 2
+
+
+def test_merge_is_lossless_union(spark):
+    """Grouped sketches merged to global == sketch built global: the
+    bucket tables are bit-identical integer rows (fully mergeable)."""
+    df = spark.createDataFrame(lognormal_rows())
+    merged = dd_merge(dd_by(df, ["g"], "v", ALPHA), [])
+    direct = dd_by(df, [], "v", ALPHA)
+    assert merged.subtract(direct).count() == 0
+    assert direct.subtract(merged).count() == 0
+
+
+def test_merge_parallelism_invariance(spark):
+    """Build at 2 vs 13 partitions: identical bucket tables — the
+    two-cluster-size bit-identity the north rule checks on HLL holds
+    here by construction (integer groupBy)."""
+    df = spark.createDataFrame(lognormal_rows())
+    a = dd_by(df.repartition(2), [], "v", ALPHA)
+    b = dd_by(df.repartition(13), [], "v", ALPHA)
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_collapse_bounds_buckets_and_preserves_high_quantiles(spark):
+    rows = lognormal_rows()
+    df = spark.createDataFrame(rows)
+    sk = dd_by(df, ["g"], "v", ALPHA)
+    # the data spans ~530 buckets at alpha=0.01; m=256 folds roughly
+    # half of them while the kept range still covers q >= ~0.5
+    m = 256
+    collapsed = dd_collapse(sk, ["g"], m)
+    per_group = (
+        collapsed.groupBy("g", "store").agg(F.count(F.lit(1)).alias("nb")).collect()
+    )
+    assert all(r["nb"] <= m for r in per_group)
+    # total mass is preserved
+    assert (
+        collapsed.agg(F.sum("count")).collect()[0][0]
+        == sk.agg(F.sum("count")).collect()[0][0]
+    )
+    # quantiles above the collapsed mass keep the full guarantee
+    got = {
+        (r["g"], r["q"]): r["est"]
+        for r in dd_quantiles(collapsed, [0.9, 0.99], ["g"], ALPHA).collect()
+    }
+    for g in (0, 1, 2):
+        vals = [r.v for r in rows if r.g == g]
+        for q in (0.9, 0.99):
+            assert_within_alpha(got[(g, q)], exact_quantile(vals, q))
+
+
+def test_quantile_edges(spark):
+    vals = [float(x) for x in range(1, 101)]
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    got = {
+        r["q"]: r["est"]
+        for r in dd_quantiles_by(df, [], "v", [0.0, 1.0], ALPHA).collect()
+    }
+    assert_within_alpha(got[0.0], 1.0)
+    assert_within_alpha(got[1.0], 100.0)
+
+
+def test_plan_is_python_free(spark):
+    """The whole lifecycle (build -> collapse -> eval) contains no
+    Python evaluation nodes — DDSketch is the library's pure-codegen
+    sketch family."""
+    df = spark.createDataFrame(lognormal_rows())
+    plan = dd_quantiles_by(
+        df, ["g"], "v", QS, ALPHA, max_buckets=128
+    )._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_alpha_validation(spark):
+    df = spark.createDataFrame([Row(v=1.0)])
+    with pytest.raises(ValueError):
+        dd_by(df, [], "v", alpha=1.5)
+    with pytest.raises(ValueError):
+        dd_quantiles_by(df, [], "v", [1.5])
+    with pytest.raises(ValueError):
+        dd_collapse(dd_by(df, [], "v"), [], 0)
