@@ -1786,6 +1786,57 @@ def _q_dd_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "q", "est")
 
 
+def _q_countsketch_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-sketch point estimates (operators/countsketch.py::cs_by +
+    cs_estimate, Charikar et al. ICALP 2002): unbiased median-of-rows
+    frequency estimates for user_ids 0..9 from a deliberately
+    collision-heavy sketch (150 users into width 64). The oracle
+    rebuilds the SIGNED counter table with the same md5 bucket/sign
+    arithmetic in SQL and takes the same median — the estimates match
+    exactly, collisions included, so the sketch STATE is what's gated."""
+    from hyper_spark.operators.countsketch import cs_by, cs_estimate
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    sk = cs_by(ev, [], "user_id", depth=5, width=64, hash_fn="md5")
+    cands = spark.range(0, 10).select(F.col("id").alias("user_id"))
+    return cs_estimate(sk, cands, "user_id", hash_fn="md5")
+
+
+def _q_ams_f2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second frequency moment (operators/countsketch.py::cs_f2,
+    Alon-Matias-Szegedy STOC 1996): sum(f_u^2) — the self-join size /
+    skew diagnostic — estimated as the median over sketch rows of the
+    tug-of-war value sum_b C[i][b]^2. Full value parity: the oracle
+    replays the counter build and the same median in SQL."""
+    from hyper_spark.operators.countsketch import cs_by, cs_f2
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    return cs_f2(cs_by(ev, [], "user_id", depth=5, width=64, hash_fn="md5"))
+
+
+def _q_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased equijoin-size estimation from two count sketches
+    (operators/countsketch.py::cs_inner_product): |lineitem JOIN orders
+    ON orderkey| estimated as the median over rows of the counter dot
+    product — the AMS complement to cms_join_size_bounds' one-sided
+    overcount. exact_join travels along so the row shows estimate
+    quality; the oracle reproduces both counter tables, the dot
+    products, the median, AND the exact join count in SQL."""
+    from hyper_spark.operators.countsketch import cs_by, cs_inner_product
+
+    _ensure_pkg(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    od = _read(spark, sf_dir, "orders")
+    lsk = cs_by(li, [], "l_orderkey", depth=5, width=4096, hash_fn="md5")
+    rsk = cs_by(od, [], "o_orderkey", depth=5, width=4096, hash_fn="md5")
+    exact = li.join(od, li["l_orderkey"] == od["o_orderkey"]).count()
+    return cs_inner_product(lsk, rsk).withColumn(
+        "exact_join", F.lit(int(exact)).cast("long")
+    )
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -3664,6 +3715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_event_types": _q_pagerank_event_types,
         "dd_sketch_events": _q_dd_sketch_events,
         "dd_value_quantiles": _q_dd_value_quantiles,
+        "countsketch_user_estimates": _q_countsketch_user_estimates,
+        "ams_f2_users": _q_ams_f2_users,
+        "ams_join_size": _q_ams_join_size,
     }
 
 
@@ -4334,6 +4388,71 @@ hits AS (
   WHERE cum >= floor(q * (n - 1)) + 1
 )
 SELECT event_type, q, {est} AS est FROM hits WHERE rk = 1"""
+
+
+def _cs_cells_cte_sql(table: str, col: str, depth: int, width: int) -> str:
+    """The count-sketch signed counter table (countsketch.py::cs_by,
+    md5 mode) as a DuckDB CTE body: bucket = 24-bit md5 window i%5 of
+    md5('{i//5}:'||v) mod width (cms_agg.py::md5_bucket_col), sign =
+    1-2*parity of hex digit i%32 of md5('s{i//32}:'||v)
+    (countsketch.py::cs_sign_col). Depth <= 5 keeps the window
+    literals at '0:'/'s0:'."""
+    if depth > 5:
+        raise ValueError("oracle helper supports depth <= 5")
+    return f"""
+  SELECT i,
+         ('0x' || substring(md5('0:' || {col}::VARCHAR),
+                            1 + 6 * (i % 5), 6))::BIGINT % {width} AS bucket,
+         sum(1 - 2 * (('0x' || substring(md5('s0:' || {col}::VARCHAR),
+                                         i + 1, 1))::BIGINT % 2)) AS csum
+  FROM {table} CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1})) AS i)
+  WHERE {col} IS NOT NULL GROUP BY 1, 2"""
+
+
+def _cs_estimates_oracle_sql(depth: int, width: int) -> str:
+    """countsketch_user_estimates: rebuild the counters, probe user_ids
+    0..9 with the same bucket/sign arithmetic, median over rows."""
+    return f"""
+WITH cells AS ({_cs_cells_cte_sql("events", "user_id", depth, width)}),
+cand AS (SELECT unnest(generate_series(0, 9)) AS user_id),
+probe AS (
+  SELECT cand.user_id, idx.i,
+         ('0x' || substring(md5('0:' || cand.user_id::VARCHAR),
+                            1 + 6 * (idx.i % 5), 6))::BIGINT % {width} AS bucket,
+         1 - 2 * (('0x' || substring(md5('s0:' || cand.user_id::VARCHAR),
+                                     idx.i + 1, 1))::BIGINT % 2) AS sign
+  FROM cand
+  CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1})) AS i) idx
+)
+SELECT probe.user_id, median(probe.sign * coalesce(cells.csum, 0))::BIGINT AS est_count
+FROM probe LEFT JOIN cells ON probe.i = cells.i AND probe.bucket = cells.bucket
+GROUP BY probe.user_id"""
+
+
+def _cs_f2_oracle_sql(depth: int, width: int) -> str:
+    return f"""
+WITH cells AS ({_cs_cells_cte_sql("events", "user_id", depth, width)}),
+per_row AS (SELECT i, sum(csum * csum) AS ss FROM cells GROUP BY i)
+SELECT median(ss)::BIGINT AS f2_est,
+       (SELECT count(*) FROM events WHERE user_id IS NOT NULL) AS n
+FROM per_row"""
+
+
+def _cs_join_size_oracle_sql(depth: int, width: int) -> str:
+    return f"""
+WITH lc AS ({_cs_cells_cte_sql("lineitem", "l_orderkey", depth, width)}),
+oc AS ({_cs_cells_cte_sql("orders", "o_orderkey", depth, width)}),
+prod AS (
+  SELECT lc.i, sum(lc.csum * oc.csum) AS dot
+  FROM lc JOIN oc ON lc.i = oc.i AND lc.bucket = oc.bucket
+  GROUP BY lc.i
+)
+SELECT median(dot)::BIGINT AS inner_product,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_l,
+       (SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL) AS n_r,
+       (SELECT count(*) FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey) AS exact_join
+FROM prod"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5900,4 +6019,9 @@ def oracle_sql() -> dict[str, str]:
         "dd_value_quantiles": _dd_quantiles_oracle_sql(
             alpha=0.01, qs=(0.5, 0.9, 0.99)
         ),
+        "countsketch_user_estimates": _cs_estimates_oracle_sql(
+            depth=5, width=64
+        ),
+        "ams_f2_users": _cs_f2_oracle_sql(depth=5, width=64),
+        "ams_join_size": _cs_join_size_oracle_sql(depth=5, width=4096),
     }
