@@ -318,6 +318,26 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return vocab_stats(docs, top_k=100)
 
+    def q_dd_quantiles():
+        from hyper_spark.operators.ddsketch import dd_quantiles_by
+
+        return dd_quantiles_by(
+            lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99]
+        )
+
+    def q_countsketch_f2():
+        from hyper_spark.operators.countsketch import cs_by, cs_f2
+
+        return cs_f2(cs_by(lineitem, [], "l_suppkey", depth=5, width=4096))
+
+    def q_ams_join_size():
+        from hyper_spark.operators.countsketch import cs_by, cs_inner_product
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lsk = cs_by(lineitem, [], "l_orderkey", depth=5, width=4096)
+        rsk = cs_by(orders, [], "o_orderkey", depth=5, width=4096)
+        return cs_inner_product(lsk, rsk)
+
     def q_pack_offsets():
         from hyper_spark.functions.text import token_count_col
         from hyper_spark.operators.packing import pack_offsets
@@ -419,6 +439,9 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "resample_ohlc_events": q_resample_ohlc,
         "kmeans_profile_embeddings": q_kmeans,
         "logreg_quality_docs": q_logreg,
+        "dd_quantiles_price": q_dd_quantiles,
+        "countsketch_f2_suppkey": q_countsketch_f2,
+        "ams_join_size_orders": q_ams_join_size,
     }
 
 
