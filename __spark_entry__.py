@@ -1786,6 +1786,76 @@ def _q_dd_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "q", "est")
 
 
+def _q_streaming_dd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DDSketch (streaming/dd_stream.py): per-day windowed
+    bucket tables built by Structured Streaming's NATIVE windowed
+    aggregation (no custom state operator — the relational bucket
+    format makes the state store a plain streaming agg), quantiles
+    evaluated batch-side over the sink. Because bucket counts are
+    integers and the eval is the same code path as batch, the streamed
+    estimates are BIT-IDENTICAL to batch — so the oracle is the full
+    per-day DDSketch quantile walk in SQL, value parity, not a bound
+    check."""
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from hyper_spark.streaming.dd_stream import (
+        streaming_windowed_dd_by,
+        windowed_dd_quantiles,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="gate_dds_") as td:
+        src = f"{td}/src"
+        os.makedirs(src)
+        data = events.select(
+            F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", 1.0)], "ts string, value double"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+        for i, part in enumerate([data, sentinel]):  # sentinel LAST
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_windowed_dd_by(
+            stream, "ts", [], "value", alpha=0.01,
+            window="1 day", watermark="1 hour",
+        )
+        sink = f"{td}/sink"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{td}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        buckets = (
+            spark.read.parquet(sink)
+            .filter(F.year("window_start") < 2100)
+            .persist()
+        )
+        ests = windowed_dd_quantiles(buckets, [0.5, 0.99], [], alpha=0.01)
+        rows = (
+            ests.select(
+                F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+                "q",
+                "est",
+            )
+        ).collect()
+        buckets.unpersist()
+    return spark.createDataFrame(rows, "day string, q double, est double")
+
+
 def _q_countsketch_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-sketch point estimates (operators/countsketch.py::cs_by +
     cs_estimate, Charikar et al. ICALP 2002): unbiased median-of-rows
@@ -3718,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_user_estimates": _q_countsketch_user_estimates,
         "ams_f2_users": _q_ams_f2_users,
         "ams_join_size": _q_ams_join_size,
+        "streaming_dd_parity": _q_streaming_dd_parity,
     }
 
 
@@ -4330,7 +4401,11 @@ r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
     return "".join(parts)
 
 
-def _dd_bucket_cte_sql(alpha: float) -> str:
+def _dd_bucket_cte_sql(
+    alpha: float,
+    group_expr: str = "event_type",
+    group_alias: str = "event_type",
+) -> str:
     """The DDSketch bucket table (ddsketch.py::dd_by) as a DuckDB CTE
     body: identical ceil(ln(|v|)/ln(gamma)) arithmetic — JVM and libm
     bucket indices verified bit-identical on the test data."""
@@ -4339,7 +4414,7 @@ def _dd_bucket_cte_sql(alpha: float) -> str:
     gamma = (1.0 + alpha) / (1.0 - alpha)
     lg = _math.log(gamma)
     return f"""
-  SELECT event_type,
+  SELECT {group_expr} AS {group_alias},
          CASE WHEN value > 0 THEN '+'
               WHEN value < 0 THEN '-' ELSE '0' END AS store,
          CASE WHEN value <> 0
@@ -4354,19 +4429,25 @@ def _dd_sketch_oracle_sql(alpha: float) -> str:
     return f"WITH sk AS ({_dd_bucket_cte_sql(alpha)})\nSELECT * FROM sk"
 
 
-def _dd_quantiles_oracle_sql(alpha: float, qs: tuple[float, ...]) -> str:
+def _dd_quantiles_oracle_sql(
+    alpha: float,
+    qs: tuple[float, ...],
+    group_expr: str = "event_type",
+    group_alias: str = "event_type",
+) -> str:
     """Replays dd_quantiles' bucket walk: global value order =
     (store_rank, signed_bucket), cumulative count window, first bucket
     covering rank floor(q*(n-1)), answered by ±2*gamma^i/(gamma+1)."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     qvals = ", ".join(f"({q!r}::DOUBLE)" for q in qs)
+    g = group_alias
     est = (
         f"CASE store WHEN '0' THEN 0.0 "
         f"WHEN '+' THEN 2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0) "
         f"ELSE -2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0) END"
     )
     return f"""
-WITH sk AS ({_dd_bucket_cte_sql(alpha)}),
+WITH sk AS ({_dd_bucket_cte_sql(alpha, group_expr, group_alias)}),
 ord AS (
   SELECT *,
          CASE store WHEN '-' THEN -1 WHEN '0' THEN 0 ELSE 1 END AS sr,
@@ -4376,18 +4457,18 @@ ord AS (
 cum AS (
   SELECT *,
          sum(bucket_count) OVER (
-           PARTITION BY event_type ORDER BY sr, sb) AS cum,
-         sum(bucket_count) OVER (PARTITION BY event_type) AS n
+           PARTITION BY {g} ORDER BY sr, sb) AS cum,
+         sum(bucket_count) OVER (PARTITION BY {g}) AS n
   FROM ord
 ),
 hits AS (
-  SELECT event_type, q, store, bucket,
+  SELECT {g}, q, store, bucket,
          row_number() OVER (
-           PARTITION BY event_type, q ORDER BY sr, sb) AS rk
+           PARTITION BY {g}, q ORDER BY sr, sb) AS rk
   FROM cum CROSS JOIN (VALUES {qvals}) AS qs(q)
   WHERE cum >= floor(q * (n - 1)) + 1
 )
-SELECT event_type, q, {est} AS est FROM hits WHERE rk = 1"""
+SELECT {g}, q, {est} AS est FROM hits WHERE rk = 1"""
 
 
 def _cs_cells_cte_sql(table: str, col: str, depth: int, width: int) -> str:
@@ -6024,4 +6105,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ams_f2_users": _cs_f2_oracle_sql(depth=5, width=64),
         "ams_join_size": _cs_join_size_oracle_sql(depth=5, width=4096),
+        "streaming_dd_parity": _dd_quantiles_oracle_sql(
+            alpha=0.01,
+            qs=(0.5, 0.99),
+            group_expr="strftime(date_trunc('day', ts), '%Y-%m-%d')",
+            group_alias="day",
+        ),
     }

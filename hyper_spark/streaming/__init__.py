@@ -3,6 +3,10 @@ from hyper_spark.streaming.topk_stream import streaming_windowed_topk
 from hyper_spark.streaming.quantiles_window_stream import streaming_windowed_quantiles
 from hyper_spark.streaming.sessionize_stream import streaming_sessionize
 from hyper_spark.streaming.transitions_stream import streaming_transitions
+from hyper_spark.streaming.dd_stream import (
+    streaming_windowed_dd_by,
+    windowed_dd_quantiles,
+)
 from hyper_spark.streaming.hll_stream import (
     streaming_cms_by,
     streaming_quantiles_by,
@@ -22,4 +26,6 @@ __all__ = [
     "streaming_dedup",
     "streaming_windowed_topk",
     "streaming_windowed_quantiles",
+    "streaming_windowed_dd_by",
+    "windowed_dd_quantiles",
 ]
