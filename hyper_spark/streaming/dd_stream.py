@@ -40,6 +40,7 @@ def streaming_windowed_dd_by(
     alpha: float = 0.01,
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming DDSketch bucket rows per (keys, tumbling window):
     DataFrame[*keys, window_start, window_end, store, bucket, count].
@@ -48,11 +49,20 @@ def streaming_windowed_dd_by(
     rows inside the watermark fold in exactly (counts add); older rows
     are dropped by Spark upstream — the standard watermark contract.
     Works identically on a batch DataFrame (the groupBy is the same
-    plan), which is what the parity gate exploits."""
+    plan), which is what the parity gate exploits.
+
+    ``slide`` turns the windows SLIDING (e.g. window='1 hour',
+    slide='15 minutes' → each row lands in 4 overlapping windows) —
+    free here because the state is a native windowed aggregate; the
+    blob-state sketches would need explicit window fan-out."""
     c = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
     store, bucket = dd_bucket_col(c, alpha)
-    win = F.window(F.col(ts_col), window)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), window)
+    )
     return (
         df.withWatermark(ts_col, watermark)
         .filter(c.isNotNull())

@@ -178,3 +178,32 @@ def test_streaming_plan_has_no_python(spark):
         "FlatMapGroupsInPandasWithState",
     ):
         assert marker not in plan
+
+
+def test_sliding_windows_cover_each_row_k_times(spark):
+    """window=1h slide=30m: every row lands in exactly 2 windows, and
+    each sliding window's bucket table equals the union of its two
+    half-hour tumbling constituents (counts add — the mergeable-state
+    property in window form)."""
+    df = _typed(spark, _rows())
+    n = df.count()
+    slid = streaming_windowed_dd_by(
+        df, "ts", ["g"], "v", alpha=ALPHA, window="1 hour", slide="30 minutes"
+    )
+    assert slid.agg(F.sum("count")).collect()[0][0] == 2 * n
+    # exact check: for one specific sliding window, the bucket table
+    # equals dd_by of exactly the rows in that span
+    from hyper_spark.operators.ddsketch import dd_by
+
+    some = slid.select("window_start", "window_end").distinct().orderBy(
+        "window_start"
+    ).collect()[2]
+    span = df.filter(
+        (F.col("ts") >= some["window_start"]) & (F.col("ts") < some["window_end"])
+    )
+    direct = dd_by(span, ["g"], "v", ALPHA)
+    got = slid.filter(
+        (F.col("window_start") == some["window_start"])
+    ).select("g", "store", "bucket", "count")
+    assert got.subtract(direct).count() == 0
+    assert direct.subtract(got).count() == 0
