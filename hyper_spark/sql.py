@@ -342,4 +342,34 @@ def register_sql_construction(
     full = f"{prefix}hll_registers_from_pairs"
     spark.udf.register(full, _from_pairs)
     names.append(full)
+
+    # DDSketch construction + evaluation helpers: the whole family is
+    # plain arithmetic, so all three inline into codegen — a SQL-only
+    # consumer can build bucket tables (GROUP BY dd_store(v),
+    # dd_bucket(v, a)), merge them (SUM(count)), and read bucket
+    # answers back, with zero Python anywhere (operators/ddsketch.py
+    # semantics, gated against dd_by in pytest).
+    dd_bodies = {
+        f"{prefix}dd_store": (
+            "(v DOUBLE) RETURNS STRING RETURN "
+            "CASE WHEN v > 0 THEN '+' WHEN v < 0 THEN '-' ELSE '0' END"
+        ),
+        f"{prefix}dd_bucket": (
+            "(v DOUBLE, alpha DOUBLE) RETURNS BIGINT RETURN "
+            "CASE WHEN v <> 0 THEN "
+            "CEIL(LN(ABS(v)) / LN((1.0 + alpha) / (1.0 - alpha))) "
+            "ELSE 0 END"
+        ),
+        f"{prefix}dd_bucket_value": (
+            "(store STRING, bucket BIGINT, alpha DOUBLE) RETURNS DOUBLE "
+            "RETURN CASE store WHEN '0' THEN 0.0D WHEN '+' THEN "
+            "2.0D * POWER((1.0 + alpha) / (1.0 - alpha), bucket) "
+            "/ ((1.0 + alpha) / (1.0 - alpha) + 1.0) ELSE "
+            "-2.0D * POWER((1.0 + alpha) / (1.0 - alpha), bucket) "
+            "/ ((1.0 + alpha) / (1.0 - alpha) + 1.0) END"
+        ),
+    }
+    for full, sig in dd_bodies.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {full}{sig}")
+        names.append(full)
     return names

@@ -162,3 +162,40 @@ def test_alpha_validation(spark):
         dd_quantiles_by(df, [], "v", [1.5])
     with pytest.raises(ValueError):
         dd_collapse(dd_by(df, [], "v"), [], 0)
+
+
+def test_sql_construction_matches_dd_by(spark):
+    """register_sql_construction's dd_store/dd_bucket build the exact
+    bucket table dd_by builds, and dd_bucket_value reads back the same
+    answers — the DD family end-to-end in pure SQL."""
+    from hyper_spark.sql import register_sql_construction
+
+    names = register_sql_construction(spark)
+    assert {"dd_store", "dd_bucket", "dd_bucket_value"} <= set(names)
+    df = spark.createDataFrame(lognormal_rows())
+    df.createOrReplaceTempView("dd_src")
+    sql_table = spark.sql(
+        """
+        SELECT g, dd_store(v) AS store, dd_bucket(v, 0.01) AS bucket,
+               count(*) AS count
+        FROM dd_src GROUP BY g, dd_store(v), dd_bucket(v, 0.01)
+        """
+    )
+    direct = dd_by(df, ["g"], "v", 0.01)
+    assert sql_table.subtract(direct).count() == 0
+    assert direct.subtract(sql_table).count() == 0
+    # value read-back parity with the operator's est expression
+    import math
+
+    gamma = (1 + 0.01) / (1 - 0.01)
+    got = spark.sql(
+        "SELECT dd_bucket_value('+', 25L, 0.01) AS v"
+    ).collect()[0]["v"]
+    assert got == 2.0 * gamma**25 / (gamma + 1.0)
+    assert spark.sql(
+        "SELECT dd_bucket_value('0', 0L, 0.01) AS v"
+    ).collect()[0]["v"] == 0.0
+    neg = spark.sql(
+        "SELECT dd_bucket_value('-', 3L, 0.01) AS v"
+    ).collect()[0]["v"]
+    assert neg == -2.0 * gamma**3 / (gamma + 1.0)
