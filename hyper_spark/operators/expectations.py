@@ -15,6 +15,14 @@ Rule vocabulary (plain dicts, dbt/Great-Expectations-shaped):
 - ``{"rule": "matches", "column": c, "pattern": regex}``
 - ``{"rule": "foreign_key", "column": c, "ref": DataFrame,
   "ref_column": rc}`` — values absent from the reference column
+- ``{"rule": "quantile_between", "column": c, "q": 0.99, "lo": x,
+  "hi": y, "alpha": 0.01}`` — a DISTRIBUTION-level expectation ("p99
+  latency must sit in [lo, hi]"), evaluated from a DDSketch
+  (operators/ddsketch.py) so the check costs one integer aggregate,
+  carries the sketch's ±alpha relative-error contract, and never
+  sorts the column; either bound may be None. Violations are all-or-
+  nothing (0 or n_rows): the expectation is about the distribution,
+  not individual rows
 
 NULL semantics follow the dbt convention: only ``not_null`` fails on
 NULL; every other rule passes NULL rows (compose with ``not_null``
@@ -83,6 +91,17 @@ def _validate(rules: Sequence[dict]) -> list[dict]:
         if kind in _ROW_LEVEL or kind == "foreign_key":
             if "column" not in r:
                 raise ValueError(f"rule {kind!r} needs a 'column'")
+        elif kind == "quantile_between":
+            if "column" not in r or "q" not in r:
+                raise ValueError(
+                    "rule 'quantile_between' needs 'column' and 'q'"
+                )
+            if not 0.0 <= float(r["q"]) <= 1.0:
+                raise ValueError("'q' must be within [0, 1]")
+            if r.get("lo") is None and r.get("hi") is None:
+                raise ValueError(
+                    "rule 'quantile_between' needs at least one bound"
+                )
         elif kind == "unique":
             if not r.get("columns"):
                 raise ValueError("rule 'unique' needs non-empty 'columns'")
@@ -138,6 +157,37 @@ def expect(
             )
             counts[i] = int(got["__v"] or 0)
 
+    # quantile rules: ONE DDSketch build per distinct (column, alpha),
+    # every q over that column evaluated from the same bucket table
+    q_rules = [
+        (i, r) for i, r in enumerate(rules) if r["rule"] == "quantile_between"
+    ]
+    if q_rules:
+        from hyper_spark.operators.ddsketch import dd_by, dd_quantiles
+
+        by_build: dict[tuple, list] = {}
+        for i, r in q_rules:
+            by_build.setdefault(
+                (r["column"], float(r.get("alpha", 0.01))), []
+            ).append((i, r))
+        for (col, alpha), group in by_build.items():
+            qs = sorted({float(r["q"]) for _, r in group})
+            ests = {
+                row["q"]: row["est"]
+                for row in dd_quantiles(
+                    dd_by(df, [], col, alpha), qs, [], alpha
+                ).collect()
+            }
+            for i, r in group:
+                est = ests.get(float(r["q"]))
+                lo, hi = r.get("lo"), r.get("hi")
+                ok = est is not None
+                if ok and lo is not None:
+                    ok = est >= lo
+                if ok and hi is not None:
+                    ok = est <= hi
+                counts[i] = 0 if ok else n_rows
+
     out = []
     for i, r in enumerate(rules):
         v = counts[i]
@@ -176,5 +226,11 @@ def violations(df: DataFrame, rule: dict) -> DataFrame:
         return (
             df.filter(F.col(r["column"]).isNotNull())
             .join(refk, on=F.col(r["column"]) == F.col("__ref"), how="anti")
+        )
+    if kind == "quantile_between":
+        raise ValueError(
+            "quantile_between is a distribution-level rule — no single "
+            "row violates it; inspect the distribution with "
+            "dd_quantiles_by or quantiles_by instead"
         )
     raise ValueError(f"unknown rule {kind!r}")

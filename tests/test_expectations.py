@@ -113,3 +113,39 @@ def test_row_level_rules_share_one_scan(spark, dirty):
     # rows come back without n_rules scans
     rep = expect(dirty, RULES[:1] + RULES[2:])  # drop 'unique'
     assert rep.count() == 4
+
+
+def test_quantile_between_rule(spark):
+    """Distribution-level expectation via DDSketch: p50/p99 bounds,
+    one sketch build per (column, alpha) shared across rules,
+    all-or-nothing violations, open bounds, validation, and the
+    violations() refusal."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(5)
+    vals = np.exp(rng.normal(3.0, 1.0, 3000))
+    df = spark.createDataFrame([Row(v=float(x)) for x in vals])
+    xs = np.sort(vals)
+    p50 = float(xs[int(0.5 * (len(xs) - 1))])
+    p99 = float(xs[int(np.floor(0.99 * (len(xs) - 1)))])
+    rules = [
+        {"rule": "quantile_between", "column": "v", "q": 0.5,
+         "lo": p50 * 0.95, "hi": p50 * 1.05},
+        {"rule": "quantile_between", "column": "v", "q": 0.99,
+         "hi": p99 * 0.5},  # deliberately failing, open lo
+        {"rule": "quantile_between", "column": "v", "q": 0.99,
+         "lo": p99 * 0.9},  # open hi, passes
+    ]
+    rows = expect(df, rules).collect()
+    assert rows[0]["passed"] and rows[0]["n_violations"] == 0
+    assert not rows[1]["passed"] and rows[1]["n_violations"] == 3000
+    assert rows[2]["passed"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expect(df, [{"rule": "quantile_between", "column": "v", "q": 1.5, "lo": 0}])
+    with _pytest.raises(ValueError):
+        expect(df, [{"rule": "quantile_between", "column": "v", "q": 0.5}])
+    with _pytest.raises(ValueError):
+        violations(df, {"rule": "quantile_between", "column": "v", "q": 0.5, "lo": 0})
