@@ -1856,6 +1856,50 @@ def _q_streaming_dd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "day string, q double, est double")
 
 
+def _q_decayed_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed counts (operators/decay.py::
+    decayed_counts, Cormode et al. ICDE 2009 forward decay): per
+    event_type trending score with a 1-day half-life at a pinned
+    reference instant. One JVM aggregate whose partials are
+    origin-anchored plain sums (mergeable/resumable); the oracle
+    recomputes sum(2^((epoch(ts)-epoch(T))/86400)) in SQL — raw-double
+    value parity on the scores themselves."""
+    from hyper_spark.operators.decay import decayed_counts
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    return decayed_counts(
+        ev, "ts", "event_type", 86400.0, t_ref="2024-02-01 00:00:00"
+    ).select(
+        "event_type",
+        "decayed_count",
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_seen"
+        ),
+    )
+
+
+def _q_decayed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k (operators/decay.py::decayed_topk): the 3
+    currently-hottest user_ids per event_type under a 12-hour
+    half-life — recency-weighted heavy hitters with no window cliff.
+    Deterministic (pinned t_ref, value tie-break); the oracle replays
+    the same decayed sum + row_number walk in SQL."""
+    from hyper_spark.operators.decay import decayed_topk
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    return decayed_topk(
+        ev,
+        "ts",
+        "user_id",
+        43200.0,
+        k=3,
+        by=["event_type"],
+        t_ref="2024-02-01 00:00:00",
+    ).select("event_type", "user_id", "decayed_count")
+
+
 def _q_countsketch_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-sketch point estimates (operators/countsketch.py::cs_by +
     cs_estimate, Charikar et al. ICALP 2002): unbiased median-of-rows
@@ -3789,6 +3833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_users": _q_ams_f2_users,
         "ams_join_size": _q_ams_join_size,
         "streaming_dd_parity": _q_streaming_dd_parity,
+        "decayed_event_trends": _q_decayed_event_trends,
+        "decayed_topk_users": _q_decayed_topk_users,
     }
 
 
@@ -6111,4 +6157,32 @@ def oracle_sql() -> dict[str, str]:
             group_expr="strftime(date_trunc('day', ts), '%Y-%m-%d')",
             group_alias="day",
         ),
+        "decayed_event_trends": """
+            SELECT event_type,
+                   sum(pow(2.0, (epoch(ts)
+                       - epoch(TIMESTAMP '2024-02-01 00:00:00')) / 86400.0))
+                       AS decayed_count,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY event_type
+        """,
+        "decayed_topk_users": """
+            WITH scored AS (
+                SELECT event_type, user_id,
+                       sum(pow(2.0, (epoch(ts)
+                           - epoch(TIMESTAMP '2024-02-01 00:00:00'))
+                           / 43200.0)) AS decayed_count
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY event_type, user_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY decayed_count DESC, user_id) AS rk
+                FROM scored
+            )
+            SELECT event_type, user_id, decayed_count
+            FROM ranked WHERE rk <= 3
+        """,
     }

@@ -338,6 +338,14 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         rsk = cs_by(orders, [], "o_orderkey", depth=5, width=4096)
         return cs_inner_product(lsk, rsk)
 
+    def q_decayed_topk():
+        from hyper_spark.operators.decay import decayed_topk
+
+        return decayed_topk(
+            events, "ts", "user_id", "1 day", k=10, by=["event_type"],
+            t_ref="2024-02-01 00:00:00",
+        )
+
     def q_pack_offsets():
         from hyper_spark.functions.text import token_count_col
         from hyper_spark.operators.packing import pack_offsets
@@ -442,6 +450,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "dd_quantiles_price": q_dd_quantiles,
         "countsketch_f2_suppkey": q_countsketch_f2,
         "ams_join_size_orders": q_ams_join_size,
+        "decayed_topk_users": q_decayed_topk,
     }
 
 
