@@ -1856,6 +1856,74 @@ def _q_streaming_dd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "day string, q double, est double")
 
 
+def _q_streaming_decay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming forward decay (streaming/decay_stream.py): per-day
+    window-anchored partial sums built by Structured Streaming's NATIVE
+    sum aggregate (the forward-decay identity makes the state plain
+    additive — no custom state operator), then trending scores
+    evaluated batch-side over the sink at a pinned reference time. The
+    oracle replays the identical two-level arithmetic in SQL (per-day
+    anchored sums, then the 2^((window_start-T)/h) re-reference) —
+    value parity on the scores, not a bound check."""
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from hyper_spark.streaming.decay_stream import (
+        streaming_windowed_decay_by,
+        windowed_decayed_counts,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="gate_decay_") as td:
+        src = f"{td}/src"
+        os.makedirs(src)
+        data = events.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", "view")], "ts string, event_type string"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        for i, part in enumerate([data, sentinel]):  # sentinel LAST
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_windowed_decay_by(
+            stream, "ts", [], "event_type", 21600.0,
+            window="1 day", watermark="1 hour",
+        )
+        sink = f"{td}/sink"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{td}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        parts = (
+            spark.read.parquet(sink)
+            .filter(F.year("window_start") < 2100)
+        )
+        rows = (
+            windowed_decayed_counts(
+                parts, "event_type", 21600.0, "2024-02-01 00:00:00"
+            )
+            .select("event_type", "decayed_count", "n")
+            .collect()
+        )
+    return spark.createDataFrame(
+        rows, "event_type string, decayed_count double, n bigint"
+    )
+
+
 def _q_decayed_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed counts (operators/decay.py::
     decayed_counts, Cormode et al. ICDE 2009 forward decay): per
@@ -3835,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dd_parity": _q_streaming_dd_parity,
         "decayed_event_trends": _q_decayed_event_trends,
         "decayed_topk_users": _q_decayed_topk_users,
+        "streaming_decay_parity": _q_streaming_decay_parity,
     }
 
 
@@ -6166,6 +6235,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND ts IS NOT NULL
             GROUP BY event_type
+        """,
+        "streaming_decay_parity": """
+            WITH p AS (
+                SELECT event_type,
+                       date_trunc('day', ts) AS ws,
+                       sum(pow(2.0, (epoch(ts)
+                           - epoch(date_trunc('day', ts))) / 21600.0))
+                           AS partial,
+                       count(*) AS n
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY event_type, date_trunc('day', ts)
+            )
+            SELECT event_type,
+                   sum(partial * pow(2.0, (epoch(ws)
+                       - epoch(TIMESTAMP '2024-02-01 00:00:00')) / 21600.0))
+                       AS decayed_count,
+                   sum(n)::BIGINT AS n
+            FROM p GROUP BY event_type
         """,
         "decayed_topk_users": """
             WITH scored AS (

@@ -7,6 +7,11 @@ from hyper_spark.streaming.dd_stream import (
     streaming_windowed_dd_by,
     windowed_dd_quantiles,
 )
+from hyper_spark.streaming.decay_stream import (
+    streaming_windowed_decay_by,
+    windowed_decayed_counts,
+    windowed_decayed_topk,
+)
 from hyper_spark.streaming.hll_stream import (
     streaming_cms_by,
     streaming_quantiles_by,
@@ -28,4 +33,7 @@ __all__ = [
     "streaming_windowed_quantiles",
     "streaming_windowed_dd_by",
     "windowed_dd_quantiles",
+    "streaming_windowed_decay_by",
+    "windowed_decayed_counts",
+    "windowed_decayed_topk",
 ]
