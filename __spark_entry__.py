@@ -1856,6 +1856,42 @@ def _q_streaming_dd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "day string, q double, est double")
 
 
+def _q_priority_sample_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (operators/priority_sample.py::
+    priority_sample_by, Duffield-Lund-Thorup JACM 2007): per event_type
+    the k=8 highest-priority user_ids (priority = weight / md5-uniform
+    draw) plus the (k+1)-th-priority threshold. Deterministic by the
+    sampling doctrine, so the oracle rebuilds weights, draws,
+    priorities, ranks, and tau in SQL — full state parity including
+    the threshold doubles."""
+    from hyper_spark.operators.priority_sample import priority_sample_by
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    return priority_sample_by(
+        ev, "user_id", k=8, by=["event_type"], seed=0
+    ).select("event_type", "user_id", "w", "priority", "threshold")
+
+
+def _q_priority_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT subset-sum estimation: one k=32 sample per event_type
+    answers the post-hoc query 'how many events came from even
+    user_ids' via sum(max(w, tau)) over matching sampled items —
+    unbiased without rescanning. The oracle replays sample AND
+    estimator in SQL: value parity on the estimates."""
+    from hyper_spark.operators.priority_sample import (
+        priority_sample_by,
+        priority_subset_sum,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    s = priority_sample_by(ev, "user_id", k=32, by=["event_type"], seed=0)
+    return priority_subset_sum(
+        s, F.col("user_id") % 2 == 0, by=["event_type"]
+    ).select("event_type", "est_sum", "n_sample_hits")
+
+
 def _q_streaming_decay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming forward decay (streaming/decay_stream.py): per-day
     window-anchored partial sums built by Structured Streaming's NATIVE
@@ -3904,6 +3940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_event_trends": _q_decayed_event_trends,
         "decayed_topk_users": _q_decayed_topk_users,
         "streaming_decay_parity": _q_streaming_decay_parity,
+        "priority_sample_users": _q_priority_sample_users,
+        "priority_subset_sum_events": _q_priority_subset_sum,
     }
 
 
@@ -6234,6 +6272,59 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
             FROM events
             WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY event_type
+        """,
+        "priority_sample_users": """
+            WITH wtab AS (
+                SELECT event_type, user_id, count(*)::DOUBLE AS w
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY event_type, user_id
+            ), scored AS (
+                SELECT event_type, user_id, w,
+                       w / ((('0x' || substring(
+                               md5(user_id::VARCHAR || ':0'), 1, 8))::BIGINT
+                             + 1) / 4294967296.0) AS priority
+                FROM wtab
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY priority DESC, user_id) AS rn
+                FROM scored
+            ), thresh AS (
+                SELECT *, coalesce(max(CASE WHEN rn = 9 THEN priority END)
+                           OVER (PARTITION BY event_type), 0.0) AS threshold
+                FROM ranked
+            )
+            SELECT event_type, user_id, w, priority, threshold
+            FROM thresh WHERE rn <= 8
+        """,
+        "priority_subset_sum_events": """
+            WITH wtab AS (
+                SELECT event_type, user_id, count(*)::DOUBLE AS w
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY event_type, user_id
+            ), scored AS (
+                SELECT event_type, user_id, w,
+                       w / ((('0x' || substring(
+                               md5(user_id::VARCHAR || ':0'), 1, 8))::BIGINT
+                             + 1) / 4294967296.0) AS priority
+                FROM wtab
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY priority DESC, user_id) AS rn
+                FROM scored
+            ), samp AS (
+                SELECT *, coalesce(max(CASE WHEN rn = 33 THEN priority END)
+                           OVER (PARTITION BY event_type), 0.0) AS threshold
+                FROM ranked
+            )
+            SELECT event_type,
+                   coalesce(sum(CASE WHEN user_id % 2 = 0
+                       THEN greatest(w, threshold) END), 0.0) AS est_sum,
+                   count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+                       AS n_sample_hits
+            FROM samp WHERE rn <= 32
             GROUP BY event_type
         """,
         "streaming_decay_parity": """

@@ -346,6 +346,13 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             t_ref="2024-02-01 00:00:00",
         )
 
+    def q_priority_sample():
+        from hyper_spark.operators.priority_sample import priority_sample_by
+
+        return priority_sample_by(
+            events, "user_id", k=256, by=["event_type"], seed=0
+        )
+
     def q_pack_offsets():
         from hyper_spark.functions.text import token_count_col
         from hyper_spark.operators.packing import pack_offsets
@@ -451,6 +458,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "countsketch_f2_suppkey": q_countsketch_f2,
         "ams_join_size_orders": q_ams_join_size,
         "decayed_topk_users": q_decayed_topk,
+        "priority_sample_users": q_priority_sample,
     }
 
 
