@@ -1856,6 +1856,58 @@ def _q_streaming_dd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "day string, q double, est double")
 
 
+def _q_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window HLL (operators/sliding_hll.py, Chabchoub-Hébrail
+    ICDMW 2010): ONE retained per-register Pareto-front state answers
+    trailing-window distinct-user queries for every window at once —
+    here 7/14/31 days evaluated at a pinned T. Gate emits the exact
+    windowed count, the published-bound check, and `matches_batch`:
+    the sliding estimate is BIT-IDENTICAL to a fresh batch sketch of
+    each window's raw rows (the front is lossless for aligned
+    windows)."""
+    from hyper_spark.kernel.hll import error_bound
+    from hyper_spark.operators.sliding_hll import (
+        sliding_estimates,
+        sliding_register_table,
+    )
+
+    _ensure_pkg(spark)
+    p = 14
+    ev = _read(spark, sf_dir, "events")
+    t_ref = "2024-02-01 00:00:00"
+    windows = {"7d": "7 days", "14d": "14 days", "31d": "31 days"}
+    state = sliding_register_table(ev, "ts", [], "user_id", p=p, grain="1 day")
+    est = {
+        r["window"]: r["estimate"]
+        for r in sliding_estimates(state, [], t_ref, windows, p).collect()
+    }
+    out = []
+    for lab, days in [("7d", 7), ("14d", 14), ("31d", 31)]:
+        lo = F.lit(t_ref).cast("timestamp") - F.expr(
+            f"INTERVAL {days} DAYS"
+        )
+        sliced = ev.filter(F.col("ts").cast("timestamp") >= lo)
+        batch = sketch_collect(
+            sketch_by(sliced, [], "user_id", p)
+        ).cardinality()
+        exact = sliced.select(
+            F.countDistinct("user_id").alias("n")
+        ).collect()[0]["n"]
+        out.append(
+            (
+                lab,
+                int(exact),
+                bool(abs(est[lab] - exact) / exact <= error_bound(p)),
+                bool(est[lab] == batch),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "window string, exact_count bigint, within_bound boolean, "
+        "matches_batch boolean",
+    )
+
+
 def _q_priority_sample_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (operators/priority_sample.py::
     priority_sample_by, Duffield-Lund-Thorup JACM 2007): per event_type
@@ -3942,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_decay_parity": _q_streaming_decay_parity,
         "priority_sample_users": _q_priority_sample_users,
         "priority_subset_sum_events": _q_priority_subset_sum,
+        "sliding_hll_users": _q_sliding_hll_users,
     }
 
 
@@ -6273,6 +6326,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND ts IS NOT NULL
             GROUP BY event_type
+        """,
+        "sliding_hll_users": """
+            SELECT lab AS window,
+                   (SELECT count(DISTINCT user_id) FROM events
+                    WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+                          - to_days(d))::BIGINT AS exact_count,
+                   true AS within_bound,
+                   true AS matches_batch
+            FROM (VALUES ('7d', 7), ('14d', 14), ('31d', 31)) AS w(lab, d)
         """,
         "priority_sample_users": """
             WITH wtab AS (

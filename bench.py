@@ -353,6 +353,20 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             events, "user_id", k=256, by=["event_type"], seed=0
         )
 
+    def q_sliding_hll():
+        from hyper_spark.operators.sliding_hll import (
+            sliding_estimates,
+            sliding_register_table,
+        )
+
+        state = sliding_register_table(
+            events, "ts", [], "user_id", p=14, grain="1 day"
+        )
+        return sliding_estimates(
+            state, [], "2024-02-01 00:00:00",
+            {"7d": "7 days", "31d": "31 days"}, 14,
+        )
+
     def q_pack_offsets():
         from hyper_spark.functions.text import token_count_col
         from hyper_spark.operators.packing import pack_offsets
@@ -459,6 +473,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "ams_join_size_orders": q_ams_join_size,
         "decayed_topk_users": q_decayed_topk,
         "priority_sample_users": q_priority_sample,
+        "sliding_hll_users": q_sliding_hll,
     }
 
 
