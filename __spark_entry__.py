@@ -1908,6 +1908,101 @@ def _q_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-HLL build (streaming/sliding_hll_stream.py):
+    per-day bucketized register maxima via the NATIVE windowed max
+    aggregate (integer state, JVM state store — the dd_stream shape),
+    then any-window distinct estimates evaluated batch-side over the
+    sink at a pinned T. Integer rho rows make the streamed state equal
+    the batch bucketization EXACTLY, so `matches_batch` asserts
+    bit-parity of the estimates with the pure-batch sliding path."""
+    from hyper_spark.kernel.hll import error_bound
+    from hyper_spark.operators.sliding_hll import (
+        sliding_estimates,
+        sliding_register_table,
+    )
+    from hyper_spark.streaming.sliding_hll_stream import (
+        streaming_sliding_register_by,
+    )
+
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    p = 14
+    t_ref = "2024-02-01 00:00:00"
+    windows = {"7d": "7 days", "31d": "31 days"}
+    ev = _read(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="gate_shll_") as td:
+        src = f"{td}/src"
+        os.makedirs(src)
+        data = ev.select(
+            F.col("ts").cast("timestamp").alias("ts"), "user_id"
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", 0)], "ts string, user_id bigint"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        for i, part in enumerate([data, sentinel]):  # sentinel LAST
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_sliding_register_by(
+            stream, "ts", [], "user_id", p=p,
+            grain="1 day", watermark="1 hour",
+        )
+        sink = f"{td}/sink"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{td}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(sink).filter(F.year("bucket_ts") < 2100)
+        est = {
+            r["window"]: r["estimate"]
+            for r in sliding_estimates(got, [], t_ref, windows, p).collect()
+        }
+    batch_state = sliding_register_table(
+        ev, "ts", [], "user_id", p=p, grain="1 day"
+    )
+    batch_est = {
+        r["window"]: r["estimate"]
+        for r in sliding_estimates(
+            batch_state, [], t_ref, windows, p
+        ).collect()
+    }
+    rows = []
+    for lab, days in [("7d", 7), ("31d", 31)]:
+        lo = F.lit(t_ref).cast("timestamp") - F.expr(f"INTERVAL {days} DAYS")
+        exact = (
+            ev.filter(F.col("ts").cast("timestamp") >= lo)
+            .select(F.countDistinct("user_id").alias("n"))
+            .collect()[0]["n"]
+        )
+        rows.append(
+            (
+                lab,
+                int(exact),
+                bool(abs(est[lab] - exact) / exact <= error_bound(p)),
+                bool(est[lab] == batch_est[lab]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "window string, exact_count bigint, within_bound boolean, "
+        "matches_batch boolean",
+    )
+
+
 def _q_priority_sample_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (operators/priority_sample.py::
     priority_sample_by, Duffield-Lund-Thorup JACM 2007): per event_type
@@ -3995,6 +4090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_users": _q_priority_sample_users,
         "priority_subset_sum_events": _q_priority_subset_sum,
         "sliding_hll_users": _q_sliding_hll_users,
+        "streaming_sliding_hll_parity": _q_streaming_sliding_hll,
     }
 
 
@@ -6326,6 +6422,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND ts IS NOT NULL
             GROUP BY event_type
+        """,
+        "streaming_sliding_hll_parity": """
+            SELECT lab AS window,
+                   (SELECT count(DISTINCT user_id) FROM events
+                    WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+                          - to_days(d))::BIGINT AS exact_count,
+                   true AS within_bound,
+                   true AS matches_batch
+            FROM (VALUES ('7d', 7), ('31d', 31)) AS w(lab, d)
         """,
         "sliding_hll_users": """
             SELECT lab AS window,

@@ -12,6 +12,9 @@ from hyper_spark.streaming.decay_stream import (
     windowed_decayed_counts,
     windowed_decayed_topk,
 )
+from hyper_spark.streaming.sliding_hll_stream import (
+    streaming_sliding_register_by,
+)
 from hyper_spark.streaming.hll_stream import (
     streaming_cms_by,
     streaming_quantiles_by,
@@ -36,4 +39,5 @@ __all__ = [
     "streaming_windowed_decay_by",
     "windowed_decayed_counts",
     "windowed_decayed_topk",
+    "streaming_sliding_register_by",
 ]
