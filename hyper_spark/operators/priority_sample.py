@@ -84,6 +84,22 @@ def priority_sample_by(
         # global top-(k+1) via sort+limit (TakeOrdered: per-partition
         # partial top-k, no full-table single-partition window)
         scored = scored.orderBy(F.desc("priority"), F.col(item)).limit(k + 1)
+    else:
+        # grouped TakeOrdered equivalent: a globally top-(k+1) row of a
+        # group is top-(k+1) of that group within ANY partition it sits
+        # in, so a partition-local rank prune keeps a superset of the
+        # answer while bounding the final per-group sort at
+        # n_partitions*(k+1) rows — without it, a group's every
+        # distinct item funnels through ONE window task (millions of
+        # rows per sort at transcript scale)
+        local = Window.partitionBy(F.spark_partition_id(), *bys).orderBy(
+            F.desc("priority"), F.col(item)
+        )
+        scored = (
+            scored.withColumn("__lrn", F.row_number().over(local))
+            .filter(F.col("__lrn") <= k + 1)
+            .drop("__lrn")
+        )
     part = Window.partitionBy(*bys) if bys else Window.partitionBy()
     rank_w = part.orderBy(F.desc("priority"), F.col(item))
     return (

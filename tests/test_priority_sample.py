@@ -135,3 +135,26 @@ def test_guards_and_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_grouped_prune_partitioning_invariance(spark):
+    """The grouped partition-local rank prune must be invisible: a
+    skewed-group sample (one group holds 10x the items of the other)
+    is identical at 1 partition (prune is a no-op — every group row
+    sits in one partition) and at 16 partitions (prune active)."""
+    rows = [
+        Row(item=f"a{i:04d}", w=1 + (104729 * i) % 90, g="big")
+        for i in range(1000)
+    ] + [
+        Row(item=f"b{i:04d}", w=1 + (7919 * i) % 90, g="small")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    one = priority_sample_by(
+        df.coalesce(1), "item", weight="w", k=30, by=["g"], seed=11
+    ).collect()
+    many = priority_sample_by(
+        df.repartition(16), "item", weight="w", k=30, by=["g"], seed=11
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+    assert len(one) == 60
