@@ -250,6 +250,94 @@ def _q_sql_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_beta_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogLog-Beta estimation (kernel/hll.py::estimate_beta, Qin et al.
+    arXiv:1612.02284; the north star's named alternative to HLL++ bias
+    correction): branch-free smooth estimator over the same register
+    table, coefficients refit per precision for the reference's
+    windowed-rho convention (tools/fit_beta_constants.py). The Spark
+    side is beta_estimate_agg — the estimate as ONE whole-stage-codegen
+    aggregate over register_table rows, zero Python stages — asserted
+    bit-close to the kernel estimator and within the published
+    1.04/sqrt(2^p) bound of the exact count."""
+    _ensure_pkg(spark)
+    from hyper_spark.kernel.hll import estimate_beta
+    from hyper_spark.operators.hll_agg import beta_estimate_agg, register_table
+
+    events = _read(spark, sf_dir, "events")
+    p = 14
+    jvm = register_table(events, [], "user_id", p).agg(
+        beta_estimate_agg(p).alias("est")
+    )
+    kernel_est = estimate_beta(
+        sketch_collect(sketch_by(events, [], "user_id", p)).registers, p
+    )
+    exact = events.select(F.countDistinct("user_id").alias("exact_count"))
+    return exact.crossJoin(jvm).select(
+        "exact_count",
+        (
+            F.abs(F.col("est") - F.col("exact_count")) / F.col("exact_count")
+            <= F.lit(error_bound(p))
+        ).alias("within_bound"),
+        (
+            F.abs(F.col("est") - F.lit(kernel_est))
+            <= F.lit(1e-9) * F.lit(kernel_est)
+        ).alias("jvm_matches_kernel"),
+    )
+
+
+def _q_sql_beta_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL raw-rows -> cardinality ESTIMATE, zero Python end to end
+    (hyper_spark.sql::hll_card_beta): hll_index/hll_rho build the
+    register table in codegen and hll_card_beta reads it back with the
+    LogLog-Beta formula — the read side HLL++ cannot offer SQL-only
+    consumers (its bias tables and branches don't inline). Asserted
+    against the DataFrame operator path (beta_estimate_agg) and the HLL
+    error bound per group."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.hll_agg import beta_estimate_agg, register_table
+    from hyper_spark.sql import register_sql_construction
+
+    register_sql_construction(spark)
+    events = _read(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__sqlb_events")
+    p = 14
+    sql_est = spark.sql(
+        f"""
+        SELECT event_type,
+               hll_card_beta({p}, count(*), sum(pow(2.0D, -rho))) AS est
+        FROM (SELECT event_type, hll_index(user_id, {p}) AS idx,
+                     max(hll_rho(user_id, {p})) AS rho
+              FROM __sqlb_events WHERE user_id IS NOT NULL
+              GROUP BY event_type, hll_index(user_id, {p}))
+        GROUP BY event_type
+        """
+    )
+    op_est = register_table(events, ["event_type"], "user_id", p).groupBy(
+        "event_type"
+    ).agg(beta_estimate_agg(p).alias("op_est"))
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_count")
+    )
+    return (
+        sql_est.join(op_est, on="event_type")
+        .join(exact, on="event_type")
+        .select(
+            "event_type",
+            "exact_count",
+            (
+                F.abs(F.col("est") - F.col("exact_count"))
+                / F.col("exact_count")
+                <= F.lit(error_bound(p))
+            ).alias("within_bound"),
+            (
+                F.abs(F.col("est") - F.col("op_est"))
+                <= F.lit(1e-9) * F.abs(F.col("op_est"))
+            ).alias("matches_operator"),
+        )
+    )
+
+
 def _q_hll_rollup_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     events = _read(spark, sf_dir, "events")
@@ -4091,6 +4179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_subset_sum_events": _q_priority_subset_sum,
         "sliding_hll_users": _q_sliding_hll_users,
         "streaming_sliding_hll_parity": _q_streaming_sliding_hll,
+        "hll_beta_within_bound": _q_hll_beta_within_bound,
+        "sql_beta_estimate": _q_sql_beta_estimate,
     }
 
 
@@ -6432,6 +6522,15 @@ def oracle_sql() -> dict[str, str]:
                    true AS matches_batch
             FROM (VALUES ('7d', 7), ('31d', 31)) AS w(lab, d)
         """,
+        "hll_beta_within_bound": (
+            "SELECT count(DISTINCT user_id) AS exact_count, "
+            "true AS within_bound, true AS jvm_matches_kernel FROM events"
+        ),
+        "sql_beta_estimate": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_count, "
+            "true AS within_bound, true AS matches_operator "
+            "FROM events GROUP BY event_type"
+        ),
         "sliding_hll_users": """
             SELECT lab AS window,
                    (SELECT count(DISTINCT user_id) FROM events

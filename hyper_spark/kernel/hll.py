@@ -42,7 +42,9 @@ __all__ = [
     "hash_value",
     "hash_values",
     "alpha",
+    "beta_coefficients",
     "estimate_bias",
+    "estimate_beta",
     "estimate_from_registers",
     "error_bound",
     "is_sketch",
@@ -270,6 +272,55 @@ def estimate_bias(e: float, p: int) -> float:
     return float(bias_vec[nearest].mean())
 
 
+@lru_cache(maxsize=1)
+def _beta_constants() -> dict[int, np.ndarray]:
+    from importlib import resources
+
+    raw = json.loads(
+        resources.files("hyper_spark.kernel")
+        .joinpath("beta_constants.json")
+        .read_text()
+    )
+    return {
+        int(p): np.asarray(v, dtype=np.float64)
+        for p, v in raw["coeffs"].items()
+    }
+
+
+def beta_coefficients(p: int) -> np.ndarray:
+    """Per-precision LogLog-Beta polynomial coefficients [c0..c7]."""
+    _check_p(p)
+    return _beta_constants()[p]
+
+
+def estimate_beta(registers: np.ndarray, p: int) -> float:
+    """LogLog-Beta estimator (Qin, Kim, Abernethy, Lee;
+    arXiv:1612.02284): one smooth, branch-free formula
+
+        alpha(m) * m * (m - z) / (beta_p(z) + ssum)
+
+    with z the zero-register count, ssum = sum(2^-reg), and beta_p a
+    degree-7 polynomial in (z, ln(z+1)) — no linear-counting branch, no
+    bias tables, so the whole estimate is expressible in pure SQL
+    codegen (hyper_spark.sql::hll_card_beta). Coefficients are refit
+    per precision for the reference's windowed-rho convention by the
+    paper's own least-squares procedure (tools/fit_beta_constants.py;
+    the paper's published set is m=2^14-only and degrades to 4-6x the
+    error bound at other precisions). Measured sigma ~= the published
+    1.04/sqrt(m) at every p (accuracy table in beta_constants.json)."""
+    _check_p(p)
+    m = 1 << p
+    regs = registers.astype(np.float64, copy=False)
+    ssum = float(np.exp2(-regs).sum())
+    z = float(np.count_nonzero(registers == 0))
+    zl = math.log(z + 1.0)
+    c = _beta_constants()[p]
+    beta = c[0] * z + float(
+        c[1:] @ np.array([zl**i for i in range(1, 8)])
+    )
+    return alpha(m) * m * (m - z) / (beta + ssum)
+
+
 def estimate_from_registers(registers: np.ndarray, p: int) -> float:
     """The card/1 estimator (src/hyper.erl:103-130)."""
     m = 1 << p
@@ -369,8 +420,14 @@ class HllSketch:
         return HllSketch(new_p, folded)
 
     # -- read ---------------------------------------------------------
-    def cardinality(self) -> float:
-        return estimate_from_registers(self.registers, self.p)
+    def cardinality(self, estimator: str = "hllpp") -> float:
+        """Estimate: ``hllpp`` (reference parity, src/hyper.erl:103-130)
+        or ``beta`` (LogLog-Beta, branch-free)."""
+        if estimator == "hllpp":
+            return estimate_from_registers(self.registers, self.p)
+        if estimator == "beta":
+            return estimate_beta(self.registers, self.p)
+        raise ValueError(f"unknown estimator {estimator!r}")
 
     def intersect_cardinality(self, other: "HllSketch") -> float:
         """Inclusion–exclusion estimate; no accuracy guarantee

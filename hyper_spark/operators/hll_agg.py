@@ -51,8 +51,10 @@ from pyspark.sql.types import (
 from hyper_spark.functions.hashing import hll_prepare
 from hyper_spark.kernel.hll import (
     HllSketch,
+    beta_coefficients,
     decode_register_blob,
     encode_registers,
+    estimate_beta,
     estimate_from_registers,
 )
 
@@ -61,6 +63,8 @@ __all__ = [
     "multi_sketch_by",
     "union_sketches",
     "cardinality_col",
+    "cardinality_beta_col",
+    "beta_estimate_agg",
     "approx_distinct",
     "sketch_collect",
     "register_table",
@@ -407,6 +411,46 @@ def cardinality_col(p: pd.Series, registers: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(DoubleType())
+def cardinality_beta_col(p: pd.Series, registers: pd.Series) -> pd.Series:
+    """Arrow-batched LogLog-Beta estimator column (kernel/hll.py::
+    estimate_beta): branch-free, bias-table-free alternative to
+    ``cardinality_col``."""
+    out = np.empty(len(p), dtype=np.float64)
+    for i, (p_i, blob) in enumerate(zip(p, registers)):
+        out[i] = estimate_beta(
+            decode_register_blob(int(p_i), blob), int(p_i)
+        )
+    return pd.Series(out)
+
+
+def beta_estimate_agg(p: int, rho: str | Column = "rho") -> Column:
+    """LogLog-Beta estimate as ONE pure-JVM aggregate expression over a
+    register table (``register_table`` rows: one (group, idx, rho) row
+    per NONZERO register). Compose as
+
+        register_table(df, keys, col, p).groupBy(*keys)
+            .agg(beta_estimate_agg(p).alias("estimate"))
+
+    and the whole query — scan, hash, register max, estimate — runs in
+    whole-stage codegen with zero Python stages. z (zero registers)
+    = m - count(rows); each zero register contributes 2^0 = 1 to the
+    register sum, hence the ``+ z`` next to sum(2^-rho). Bit-identical
+    to kernel estimate_beta (gated)."""
+    rho = F.col(rho) if isinstance(rho, str) else rho
+    m = float(1 << p)
+    c = [float(x) for x in beta_coefficients(p)]
+    z = F.lit(m) - F.count(F.lit(1)).cast("double")
+    ssum = F.sum(F.pow(F.lit(2.0), -rho.cast("double"))) + z
+    zl = F.log(z + F.lit(1.0))
+    beta = F.lit(c[0]) * z
+    for i in range(1, 8):
+        beta = beta + F.lit(c[i]) * F.pow(zl, F.lit(float(i)))
+    from hyper_spark.kernel.hll import alpha as _alpha
+
+    return F.lit(_alpha(1 << p)) * F.lit(m) * (F.lit(m) - z) / (beta + ssum)
+
+
 def approx_distinct(
     df: DataFrame,
     keys: Sequence[str],
@@ -414,11 +458,14 @@ def approx_distinct(
     p: int = 14,
     strategy: str = "auto",
     hash_fn: str = "sha1",
+    estimator: str = "hllpp",
 ) -> DataFrame:
-    """User-facing distinct-cardinality query: one estimate per group."""
+    """User-facing distinct-cardinality query: one estimate per group.
+    ``estimator='beta'`` routes the read side through LogLog-Beta."""
     sk = sketch_by(df, keys, col, p, strategy, hash_fn=hash_fn)
+    est_fn = {"hllpp": cardinality_col, "beta": cardinality_beta_col}[estimator]
     return sk.select(
-        *keys, cardinality_col(F.col("p"), F.col("registers")).alias("estimate")
+        *keys, est_fn(F.col("p"), F.col("registers")).alias("estimate")
     )
 
 

@@ -372,4 +372,43 @@ def register_sql_construction(
     for full, sig in dd_bodies.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {full}{sig}")
         names.append(full)
+
+    # LogLog-Beta cardinality (kernel/hll.py::estimate_beta): the one
+    # HLL estimator expressible as a single SQL expression — no bias
+    # tables, no linear-counting branch — which closes the read side of
+    # the pure-SQL pipeline: raw rows -> register table (hll_index /
+    # hll_rho GROUP BY) -> estimate, zero Python anywhere. Args are the
+    # nonzero-register count and sum(pow(2,-rho)) over the group's
+    # register rows; each of the m - nonzero zero registers contributes
+    # 2^0 = 1, hence "+ z" beside rho_sum. Per-precision coefficients
+    # inline as 8 thirteen-element array literals indexed by p - 3.
+    full = f"{prefix}hll_card_beta"
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION "
+        f"{full}(p INT, nonzero BIGINT, rho_sum DOUBLE) "
+        f"RETURNS DOUBLE RETURN {_sql_beta_body()}"
+    )
+    names.append(full)
     return names
+
+
+def _sql_beta_body() -> str:
+    from hyper_spark.kernel.hll import MAX_P, MIN_P, beta_coefficients
+
+    coef = {p: beta_coefficients(p) for p in range(MIN_P, MAX_P + 1)}
+    m = "CAST(SHIFTLEFT(1, p) AS DOUBLE)"
+    z = f"({m} - CAST(nonzero AS DOUBLE))"
+    zl = f"LN({z} + 1.0D)"
+
+    def c(i: int) -> str:
+        arr = ", ".join(repr(float(coef[p][i])) + "D" for p in coef)
+        return f"ELEMENT_AT(ARRAY({arr}), p - 3)"
+
+    beta = f"{c(0)} * {z}" + "".join(
+        f" + {c(i)} * POWER({zl}, {i}.0D)" for i in range(1, 8)
+    )
+    al = (
+        "CASE WHEN p = 4 THEN 0.673D WHEN p = 5 THEN 0.697D "
+        f"WHEN p = 6 THEN 0.709D ELSE 0.7213D / (1.0D + 1.079D / {m}) END"
+    )
+    return f"{al} * {m} * ({m} - {z}) / (({beta}) + rho_sum + {z})"

@@ -1,0 +1,163 @@
+"""LogLog-Beta estimator (kernel/hll.py::estimate_beta, arXiv:1612.02284
+refit per precision by tools/fit_beta_constants.py): kernel accuracy,
+merge invariance, and parity of the three Spark read surfaces
+(beta_estimate_agg JVM aggregate, cardinality_beta_col pandas UDF,
+hll_card_beta pure-SQL function)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hyper_spark.kernel.hll import (
+    HllSketch,
+    beta_coefficients,
+    error_bound,
+    estimate_beta,
+    hash_values,
+)
+from hyper_spark.operators.hll_agg import (
+    approx_distinct,
+    beta_estimate_agg,
+    cardinality_beta_col,
+    register_table,
+    sketch_by,
+    sketch_collect,
+)
+
+
+def _sketch(n: int, p: int, seed: int = 0) -> HllSketch:
+    vals = [f"s{seed}:{i}".encode() for i in range(n)]
+    idx, rho = hash_values(vals, p)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return HllSketch(p, regs)
+
+
+@pytest.mark.parametrize("p", [10, 12, 14, 16])
+def test_kernel_within_2sigma(p):
+    """Per-draw accuracy: the published 1.04/sqrt(m) is a one-sigma
+    bound, so the max over 5 deterministic seeds is asserted within
+    2.5x (the worst fixed draw measures 2.09 sigma — normal tail
+    behavior); the MEDIAN over seeds must sit inside the bound
+    itself."""
+    m = 1 << p
+    for n in (max(50, m // 16), m // 3, 2 * m):
+        errs = sorted(
+            abs(estimate_beta(_sketch(n, p, s).registers, p) - n) / n
+            for s in range(5)
+        )
+        assert errs[-1] <= 2.5 * error_bound(p), (p, n, errs)
+        assert errs[2] <= error_bound(p), (p, n, errs)
+
+
+def test_empty_and_tiny():
+    p = 12
+    assert estimate_beta(np.zeros(1 << p, dtype=np.uint8), p) == 0.0
+    one = estimate_beta(_sketch(1, p).registers, p)
+    assert 0.5 <= one <= 2.0
+
+
+def test_merge_invariance():
+    """estimate(union) is a pure function of the merged registers, so
+    any shard split gives the identical beta estimate."""
+    p = 13
+    full = _sketch(5000, p, seed=9)
+    vals = [f"s9:{i}".encode() for i in range(5000)]
+    parts = [HllSketch(p).insert_many(vals[i::4]) for i in range(4)]
+    merged = HllSketch.merge_all(parts)
+    assert estimate_beta(merged.registers, p) == estimate_beta(
+        full.registers, p
+    )
+    assert merged.cardinality(estimator="beta") == full.cardinality(
+        estimator="beta"
+    )
+
+
+def test_coefficients_per_precision_distinct():
+    assert not np.allclose(beta_coefficients(10), beta_coefficients(14))
+    with pytest.raises(ValueError):
+        beta_coefficients(3)
+    with pytest.raises(ValueError):
+        _sketch(10, 12).cardinality(estimator="nope")
+
+
+def _df(spark, n_users=4000, n_rows=20000):
+    return spark.range(n_rows).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.concat(
+            F.lit("u"), (F.col("id") % n_users).cast("string")
+        ).alias("u"),
+    )
+
+
+def test_spark_surfaces_match_kernel(spark):
+    p = 12
+    df = _df(spark)
+    kernel = estimate_beta(
+        sketch_collect(sketch_by(df, [], "u", p)).registers, p
+    )
+    jvm = (
+        register_table(df, [], "u", p)
+        .agg(beta_estimate_agg(p).alias("e"))
+        .collect()[0]["e"]
+    )
+    blob = (
+        sketch_by(df, [], "u", p)
+        .select(cardinality_beta_col("p", "registers").alias("e"))
+        .collect()[0]["e"]
+    )
+    ad = approx_distinct(df, [], "u", p, estimator="beta").collect()[0][
+        "estimate"
+    ]
+    for got in (jvm, blob, ad):
+        assert got == pytest.approx(kernel, rel=1e-9)
+    assert kernel == pytest.approx(4000, rel=2 * error_bound(p))
+
+
+def test_sql_function_matches_jvm_agg_grouped(spark):
+    from hyper_spark.sql import register_sql_construction
+
+    register_sql_construction(spark)
+    p = 11
+    df = _df(spark)
+    df.createOrReplaceTempView("__beta_t")
+    got = {
+        r["g"]: r["e"]
+        for r in spark.sql(
+            f"""
+            SELECT g, hll_card_beta({p}, count(*), sum(pow(2.0D, -rho))) AS e
+            FROM (SELECT g, hll_index(u, {p}) AS idx,
+                         max(hll_rho(u, {p})) AS rho
+                  FROM __beta_t WHERE u IS NOT NULL
+                  GROUP BY g, hll_index(u, {p}))
+            GROUP BY g
+            """
+        ).collect()
+    }
+    want = {
+        r["g"]: r["e"]
+        for r in register_table(df, ["g"], "u", p)
+        .groupBy("g")
+        .agg(beta_estimate_agg(p).alias("e"))
+        .collect()
+    }
+    assert set(got) == set(want) and len(got) == 5
+    for g in want:
+        assert got[g] == pytest.approx(want[g], rel=1e-9)
+
+
+def test_beta_agg_plan_is_python_free(spark):
+    p = 12
+    plan = (
+        register_table(_df(spark), [], "u", p)
+        .agg(beta_estimate_agg(p).alias("e"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
+        assert marker not in plan
