@@ -86,6 +86,20 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         # opt-in fast hash path (no reference byte parity, same bounds)
         return approx_distinct(events, [], "user_id", 14, hash_fn="xxhash64")
 
+    def q_hll_beta_by_flag():
+        # LogLog-Beta read path: register agg + one codegen aggregate,
+        # no densify/Arrow stage anywhere (vs q_hll_by_flag's blob read)
+        from hyper_spark.operators.hll_agg import (
+            beta_estimate_agg,
+            register_table,
+        )
+
+        return (
+            register_table(lineitem, ["l_returnflag"], "l_orderkey", 14)
+            .groupBy("l_returnflag")
+            .agg(beta_estimate_agg(14).alias("estimate"))
+        )
+
     def q_heavy_hitters():
         return heavy_hitters(lineitem, "l_suppkey", k=10, width=8192)
 
@@ -432,6 +446,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "hll_rollup_hour_day_week": q_hll_rollup,
         "hll_orderkey_partial": q_hll_orderkey_partial,
         "hll_by_flag": q_hll_by_flag,
+        "hll_beta_by_flag": q_hll_beta_by_flag,
         "hll_users": q_hll_users,
         "hll_users_xxhash": q_hll_users_xxh,
         "heavy_hitters_suppkey": q_heavy_hitters,
