@@ -1944,6 +1944,38 @@ def _q_streaming_dd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "day string, q double, est double")
 
 
+def _q_sliding_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window count-min heavy hitters (operators/
+    sliding_cms.py): one bucketed cell state (counters merge by SUM,
+    so in-window buckets sum to exactly a CMS of the window's rows) +
+    per-bucket Misra-Gries candidate sets answer top-k frequency
+    queries over ANY trailing window — here top-3 users per event_type
+    at 7/31 days. Gate pins the exhaustive-candidate mode (k*fanout
+    >= per-bucket distinct users at this sf, like heavy_hitters'
+    exact=True gates) and width 8192 >> distinct users, so estimates
+    equal exact windowed counts and the oracle ranks them in SQL; the
+    collision/heuristic regimes are pytest-covered
+    (tests/test_sliding_cms.py)."""
+    from hyper_spark.operators.sliding_cms import (
+        sliding_cms_table,
+        sliding_cms_topk,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    cells, cands = sliding_cms_table(
+        ev, "ts", ["event_type"], "user_id", grain="1 day",
+        depth=5, width=8192, k=64, fanout=8,
+    )
+    return sliding_cms_topk(
+        cells, cands, ["event_type"], "user_id", "2024-02-01 00:00:00",
+        {"7d": "7 days", "31d": "31 days"}, k=3,
+    ).select(
+        "event_type", "window", "user_id",
+        F.col("estimate").cast("long").alias("estimate"),
+    )
+
+
 def _q_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window HLL (operators/sliding_hll.py, Chabchoub-Hébrail
     ICDMW 2010): ONE retained per-register Pareto-front state answers
@@ -4181,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_hll_parity": _q_streaming_sliding_hll,
         "hll_beta_within_bound": _q_hll_beta_within_bound,
         "sql_beta_estimate": _q_sql_beta_estimate,
+        "sliding_cms_topk_users": _q_sliding_cms_topk,
     }
 
 
@@ -6531,6 +6564,24 @@ def oracle_sql() -> dict[str, str]:
             "true AS within_bound, true AS matches_operator "
             "FROM events GROUP BY event_type"
         ),
+        "sliding_cms_topk_users": """
+            WITH w AS (SELECT '7d' AS "window", 7 AS d
+                       UNION ALL SELECT '31d', 31),
+            c AS (
+                SELECT event_type, w."window", user_id,
+                       count(*)::BIGINT AS estimate
+                FROM events, w
+                WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - to_days(w.d)
+                GROUP BY event_type, w."window", user_id
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type, "window"
+                    ORDER BY estimate DESC, user_id) AS rk
+                FROM c
+            )
+            SELECT event_type, "window", user_id, estimate
+            FROM r WHERE rk <= 3
+        """,
         "sliding_hll_users": """
             SELECT lab AS window,
                    (SELECT count(DISTINCT user_id) FROM events

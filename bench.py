@@ -367,6 +367,21 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             events, "user_id", k=256, by=["event_type"], seed=0
         )
 
+    def q_sliding_cms_topk():
+        from hyper_spark.operators.sliding_cms import (
+            sliding_cms_table,
+            sliding_cms_topk,
+        )
+
+        cells, cands = sliding_cms_table(
+            events, "ts", ["event_type"], "user_id", grain="1 day",
+            width=8192, k=16,
+        )
+        return sliding_cms_topk(
+            cells, cands, ["event_type"], "user_id",
+            "2024-02-01 00:00:00", {"7d": "7 days", "31d": "31 days"}, k=5,
+        )
+
     def q_sliding_hll():
         from hyper_spark.operators.sliding_hll import (
             sliding_estimates,
@@ -489,6 +504,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "decayed_topk_users": q_decayed_topk,
         "priority_sample_users": q_priority_sample,
         "sliding_hll_users": q_sliding_hll,
+        "sliding_cms_topk_users": q_sliding_cms_topk,
     }
 
 
