@@ -1976,6 +1976,58 @@ def _q_sliding_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_theta_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window Theta/KMV (operators/sliding_theta.py): per-grain-
+    bucket k-min entry sets are lossless for ANY bucket subset, so one
+    state answers trailing-window distinct queries with the theta
+    exactness contract — k (8192) above the window's distinct count
+    makes every estimate the EXACT count the oracle computes in SQL
+    (kernel/theta.py semantics; saturated regime pytest-covered)."""
+    from hyper_spark.operators.sliding_theta import (
+        sliding_theta_estimates,
+        sliding_theta_table,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    state = sliding_theta_table(
+        ev, "ts", ["event_type"], "user_id", k=8192, grain="1 day"
+    )
+    return sliding_theta_estimates(
+        state, ["event_type"], "2024-02-01 00:00:00",
+        {"7d": "7 days", "31d": "31 days"},
+    ).select(
+        "event_type", "window",
+        F.col("n_entries").cast("long").alias("n_entries"),
+        "estimate", "exact",
+    )
+
+
+def _q_sliding_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-range set algebra from the sliding theta state — the
+    question nested trailing windows cannot ask and HLL answers only by
+    inclusion-exclusion: per event_type the user overlap between two
+    adjacent weeks (|A∩B|, |A∪B|, Jaccard). Exact mode (k above both
+    ranges' distinct counts); the oracle reproduces every figure with
+    INTERSECT/UNION set SQL."""
+    from hyper_spark.operators.sliding_theta import (
+        sliding_theta_overlap,
+        sliding_theta_table,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    state = sliding_theta_table(
+        ev, "ts", ["event_type"], "user_id", k=8192, grain="1 day"
+    )
+    return sliding_theta_overlap(
+        state,
+        ["event_type"],
+        ("2024-01-18 00:00:00", "2024-01-25 00:00:00"),
+        ("2024-01-25 00:00:00", "2024-02-01 00:00:00"),
+    )
+
+
 def _q_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window HLL (operators/sliding_hll.py, Chabchoub-Hébrail
     ICDMW 2010): ONE retained per-register Pareto-front state answers
@@ -4214,6 +4266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_beta_within_bound": _q_hll_beta_within_bound,
         "sql_beta_estimate": _q_sql_beta_estimate,
         "sliding_cms_topk_users": _q_sliding_cms_topk,
+        "sliding_theta_window_estimates": _q_sliding_theta_estimates,
+        "sliding_theta_week_overlap": _q_sliding_theta_overlap,
     }
 
 
@@ -6581,6 +6635,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, "window", user_id, estimate
             FROM r WHERE rk <= 3
+        """,
+        "sliding_theta_window_estimates": """
+            WITH w AS (SELECT '7d' AS "window", 7 AS d
+                       UNION ALL SELECT '31d', 31)
+            SELECT event_type, w."window",
+                   count(DISTINCT user_id)::BIGINT AS n_entries,
+                   count(DISTINCT user_id)::DOUBLE AS estimate,
+                   true AS exact
+            FROM events, w
+            WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - to_days(w.d)
+            GROUP BY event_type, w."window"
+        """,
+        "sliding_theta_week_overlap": """
+            WITH a AS (
+                SELECT DISTINCT event_type, user_id FROM events
+                WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'
+                  AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+            ), b AS (
+                SELECT DISTINCT event_type, user_id FROM events
+                WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+                  AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+            ), ca AS (
+                SELECT event_type, count(*)::DOUBLE AS est_a
+                FROM a GROUP BY event_type
+            ), cb AS (
+                SELECT event_type, count(*)::DOUBLE AS est_b
+                FROM b GROUP BY event_type
+            ), ci AS (
+                SELECT event_type, count(*)::DOUBLE AS intersect_est
+                FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+                GROUP BY event_type
+            ), cu AS (
+                SELECT event_type, count(*)::DOUBLE AS union_est
+                FROM (SELECT * FROM a UNION SELECT * FROM b)
+                GROUP BY event_type
+            )
+            SELECT cu.event_type,
+                   coalesce(est_a, 0.0) AS est_a,
+                   coalesce(est_b, 0.0) AS est_b,
+                   coalesce(intersect_est, 0.0) AS intersect_est,
+                   union_est,
+                   coalesce(intersect_est, 0.0) / union_est AS jaccard,
+                   true AS exact
+            FROM cu
+            LEFT JOIN ca USING (event_type)
+            LEFT JOIN cb USING (event_type)
+            LEFT JOIN ci USING (event_type)
         """,
         "sliding_hll_users": """
             SELECT lab AS window,

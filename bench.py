@@ -382,6 +382,22 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             "2024-02-01 00:00:00", {"7d": "7 days", "31d": "31 days"}, k=5,
         )
 
+    def q_sliding_theta_overlap():
+        from hyper_spark.operators.sliding_theta import (
+            sliding_theta_overlap,
+            sliding_theta_table,
+        )
+
+        state = sliding_theta_table(
+            events, "ts", ["event_type"], "user_id", k=8192, grain="1 day"
+        )
+        return sliding_theta_overlap(
+            state,
+            ["event_type"],
+            ("2024-01-18 00:00:00", "2024-01-25 00:00:00"),
+            ("2024-01-25 00:00:00", "2024-02-01 00:00:00"),
+        )
+
     def q_sliding_hll():
         from hyper_spark.operators.sliding_hll import (
             sliding_estimates,
@@ -505,6 +521,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "priority_sample_users": q_priority_sample,
         "sliding_hll_users": q_sliding_hll,
         "sliding_cms_topk_users": q_sliding_cms_topk,
+        "sliding_theta_week_overlap": q_sliding_theta_overlap,
     }
 
 
