@@ -131,6 +131,7 @@ def sliding_estimates(
     t_ref: str,
     windows: Mapping[str, str],
     p: int,
+    estimator: str = "hllpp",
 ) -> DataFrame:
     """Query the state at ``t_ref`` (>= newest event — see module doc)
     for several trailing windows at once: DataFrame[*keys, window,
@@ -140,7 +141,13 @@ def sliding_estimates(
     the partially-covered oldest bucket in full.
 
     One pass: per (keys, idx) a conditional max per window, then the
-    standard densify + kernel estimator per (keys, window)."""
+    read side. ``estimator='hllpp'`` (default, reference parity)
+    densifies per (keys, window) and runs the kernel estimator;
+    ``'beta'`` replaces that whole tail with beta_estimate_agg — ONE
+    more codegen aggregate, so the sliding query has zero Python
+    stages (same registers, LogLog-Beta formula)."""
+    if estimator not in ("hllpp", "beta"):
+        raise ValueError(f"unknown estimator {estimator!r}")
     keys = list(keys)
     labels = list(windows)
     spark = state.sparkSession
@@ -182,6 +189,12 @@ def sliding_estimates(
         .filter(F.col("rho").isNotNull())
     )
     gkeys = keys + ["window"]
+    if estimator == "beta":
+        from hyper_spark.operators.hll_agg import beta_estimate_agg
+
+        return stacked.groupBy(*gkeys).agg(
+            beta_estimate_agg(p).alias("estimate")
+        )
     schema = StructType(
         [state.schema[k] for k in keys]
         + [StructField("window", StringType(), False)]

@@ -161,3 +161,58 @@ def test_beta_agg_plan_is_python_free(spark):
     )
     for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
         assert marker not in plan
+
+
+def test_sliding_estimates_beta_matches_kernel(spark):
+    """sliding_estimates(estimator='beta') drops the densify/Arrow tail:
+    same window registers, beta formula, zero Python — values must
+    equal estimate_beta of the batch sketch of each window slice
+    (aligned windows), and the plan must be Python-free."""
+    from hyper_spark.operators.sliding_hll import (
+        sliding_estimates,
+        sliding_register_table,
+    )
+
+    p = 12
+    rows = [
+        (f"2024-01-{d + 1:02d} 06:00:00", f"u{(d * 37 + i) % 500}")
+        for d in range(20)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ts string, u string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    state = sliding_register_table(df, "ts", [], "u", p=p, grain="1 day")
+    got = {
+        r["window"]: r["estimate"]
+        for r in sliding_estimates(
+            state, [], "2024-01-21 00:00:00",
+            {"7d": "7 days", "20d": "20 days"}, p, estimator="beta",
+        ).collect()
+    }
+    for lab, days in (("7d", 7), ("20d", 20)):
+        sliced = df.filter(
+            F.col("ts")
+            >= F.lit("2024-01-21 00:00:00").cast("timestamp")
+            - F.expr(f"INTERVAL {days} DAYS")
+        )
+        want = estimate_beta(
+            sketch_collect(sketch_by(sliced, [], "u", p)).registers, p
+        )
+        assert got[lab] == pytest.approx(want, rel=1e-12), lab
+    plan = (
+        sliding_estimates(
+            state, [], "2024-01-21 00:00:00", {"7d": "7 days"}, p,
+            estimator="beta",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
+        assert marker not in plan
+    with pytest.raises(ValueError, match="unknown estimator"):
+        sliding_estimates(
+            state, [], "2024-01-21 00:00:00", {"7d": "7 days"}, p,
+            estimator="nope",
+        )
