@@ -2080,6 +2080,109 @@ def _q_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_sliding_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-CMS build (streaming/sliding_cms_stream.py):
+    per-day cell counts via the NATIVE windowed count aggregate (the
+    dd_stream/sliding-HLL shape — integer JVM state, no custom
+    operator), queried batch-side through sliding_cms_topk at a pinned
+    T. Counts are order-insensitive so the streamed cells equal the
+    batch build exactly; `matches_batch` asserts the streamed-state
+    top-k is row-identical to the batch-state top-k, and the values
+    themselves match the oracle's exact window ranking (exhaustive-
+    candidate + collision-free width, as in sliding_cms_topk_users)."""
+    from hyper_spark.operators.sliding_cms import (
+        sliding_cms_table,
+        sliding_cms_topk,
+    )
+    from hyper_spark.streaming.sliding_cms_stream import (
+        streaming_sliding_cms_cells,
+    )
+
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    t_ref = "2024-02-01 00:00:00"
+    windows = {"7d": "7 days", "31d": "31 days"}
+    ev = _read(spark, sf_dir, "events")
+    batch_cells, batch_cands = sliding_cms_table(
+        ev, "ts", ["event_type"], "user_id", grain="1 day",
+        depth=5, width=8192, k=64, fanout=8,
+    )
+    with tempfile.TemporaryDirectory(prefix="gate_scms_") as td:
+        src = f"{td}/src"
+        os.makedirs(src)
+        data = ev.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type",
+            "user_id",
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", "sentinel", 0)],
+            "ts string, event_type string, user_id bigint",
+        ).select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type",
+            "user_id",
+        )
+        for i, part in enumerate([data, sentinel]):  # sentinel LAST
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_type string, user_id bigint"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_sliding_cms_cells(
+            stream, "ts", ["event_type"], "user_id", grain="1 day",
+            depth=5, width=8192, watermark="1 hour",
+        )
+        sink = f"{td}/sink"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{td}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(sink).filter(F.year("bucket_ts") < 2100)
+        streamed = sorted(
+            map(
+                tuple,
+                sliding_cms_topk(
+                    got, batch_cands, ["event_type"], "user_id", t_ref,
+                    windows, k=3,
+                ).collect(),
+            )
+        )
+    batch = sorted(
+        map(
+            tuple,
+            sliding_cms_topk(
+                batch_cells, batch_cands, ["event_type"], "user_id", t_ref,
+                windows, k=3,
+            ).collect(),
+        )
+    )
+    matches = streamed == batch
+    return spark.createDataFrame(
+        [
+            Row(
+                event_type=t[0],
+                window=t[1],
+                user_id=t[2],
+                estimate=int(t[3]),
+                matches_batch=bool(matches),
+            )
+            for t in streamed
+        ]
+    )
+
+
 def _q_streaming_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-HLL build (streaming/sliding_hll_stream.py):
     per-day bucketized register maxima via the NATIVE windowed max
@@ -4268,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_cms_topk_users": _q_sliding_cms_topk,
         "sliding_theta_window_estimates": _q_sliding_theta_estimates,
         "sliding_theta_week_overlap": _q_sliding_theta_overlap,
+        "streaming_sliding_cms_parity": _q_streaming_sliding_cms,
     }
 
 
@@ -6634,6 +6738,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             )
             SELECT event_type, "window", user_id, estimate
+            FROM r WHERE rk <= 3
+        """,
+        "streaming_sliding_cms_parity": """
+            WITH w AS (SELECT '7d' AS "window", 7 AS d
+                       UNION ALL SELECT '31d', 31),
+            c AS (
+                SELECT event_type, w."window", user_id,
+                       count(*)::BIGINT AS estimate
+                FROM events, w
+                WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - to_days(w.d)
+                GROUP BY event_type, w."window", user_id
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type, "window"
+                    ORDER BY estimate DESC, user_id) AS rk
+                FROM c
+            )
+            SELECT event_type, "window", user_id, estimate,
+                   true AS matches_batch
             FROM r WHERE rk <= 3
         """,
         "sliding_theta_window_estimates": """

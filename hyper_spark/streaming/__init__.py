@@ -12,6 +12,9 @@ from hyper_spark.streaming.decay_stream import (
     windowed_decayed_counts,
     windowed_decayed_topk,
 )
+from hyper_spark.streaming.sliding_cms_stream import (
+    streaming_sliding_cms_cells,
+)
 from hyper_spark.streaming.sliding_hll_stream import (
     streaming_sliding_register_by,
 )
@@ -40,4 +43,5 @@ __all__ = [
     "windowed_decayed_counts",
     "windowed_decayed_topk",
     "streaming_sliding_register_by",
+    "streaming_sliding_cms_cells",
 ]
