@@ -152,6 +152,7 @@ def sliding_cms_topk(
     t_ref: str,
     windows: Mapping[str, str],
     k: int,
+    params: tuple[int, int, str] | None = None,
 ) -> DataFrame:
     """Top-k items per (group, trailing window) queried at ``t_ref``:
     DataFrame[*keys, window, <col>, estimate]. ``windows`` maps
@@ -162,7 +163,12 @@ def sliding_cms_topk(
     One conditional-sum pass over cells covers every window; the
     candidate probe re-derives the depth bucket expressions from the
     state's recorded (depth, width, hash_fn) lineage, so mixing states
-    built with different parameters fails loudly."""
+    built with different parameters fails loudly. Reading the lineage
+    is one driver action on ``cells`` — cheap on a persisted state
+    table (the operational shape), but it recomputes an unpersisted
+    build plan once; when composing build+query in one plan either
+    persist the state or pass ``params=(depth, width, hash_fn)`` to
+    skip the introspection."""
     keys = list(keys)
     labels = list(windows)
     spark = cells.sparkSession
@@ -170,16 +176,19 @@ def sliding_cms_topk(
     cutoffs = {
         lab: ref_s - _interval_seconds(spark, windows[lab]) for lab in labels
     }
-    metas = cells.select("depth", "width", "hash_fn").distinct().take(2)
-    if not metas:
-        raise ValueError("empty cell state")
-    if len(metas) > 1:
-        raise ValueError(
-            "mixed (depth, width, hash_fn) cell states cannot be queried "
-            "together"
-        )
-    meta = metas[0]
-    depth, width, hash_fn = meta["depth"], meta["width"], meta["hash_fn"]
+    if params is not None:
+        depth, width, hash_fn = params
+    else:
+        metas = cells.select("depth", "width", "hash_fn").distinct().take(2)
+        if not metas:
+            raise ValueError("empty cell state")
+        if len(metas) > 1:
+            raise ValueError(
+                "mixed (depth, width, hash_fn) cell states cannot be "
+                "queried together"
+            )
+        meta = metas[0]
+        depth, width, hash_fn = meta["depth"], meta["width"], meta["hash_fn"]
 
     b = F.col("bucket_ts").cast("timestamp").cast("double")
     summed = cells.groupBy(*keys, "row", "bucket").agg(

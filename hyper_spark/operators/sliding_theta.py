@@ -149,14 +149,16 @@ def sliding_theta_estimates(
     keys: Sequence[str],
     t_ref: str,
     windows: Mapping[str, str],
-    rse_mult: float = 3.0,
+    k: int | None = None,
 ) -> DataFrame:
     """Trailing-window distinct estimates at ``t_ref``:
     DataFrame[*keys, window, n_entries, estimate, exact] — ``exact``
     is true when the window's distinct count is below k (the entry set
     is complete). One pass: per (group, h) the newest bucket decides
     window membership (windows share the t_ref end), then one k-min
-    trim per (group, window)."""
+    trim per (group, window). Reading k from the state lineage is one
+    driver action — persist the state or pass ``k`` explicitly when
+    composing build+query in one plan."""
     keys = list(keys)
     labels = list(windows)
     spark = state.sparkSession
@@ -164,7 +166,8 @@ def sliding_theta_estimates(
     cutoffs = {
         lab: ref_s - _interval_seconds(spark, windows[lab]) for lab in labels
     }
-    k, _ = _meta(state)
+    if k is None:
+        k, _ = _meta(state)
     b = F.col("bucket_ts").cast("timestamp").cast("double")
     per_h = state.groupBy(*keys, "h").agg(F.max(b).alias("__newest"))
     stacked = (
@@ -218,6 +221,7 @@ def sliding_theta_overlap(
     keys: Sequence[str],
     range_a: tuple[str, str],
     range_b: tuple[str, str],
+    k: int | None = None,
 ) -> DataFrame:
     """Set algebra between two half-open bucket ranges [lo, hi):
     DataFrame[*keys, est_a, est_b, intersect_est, union_est, jaccard,
@@ -226,7 +230,8 @@ def sliding_theta_overlap(
     true when BOTH ranges are unsaturated, making every output an
     exact count (the gate mode)."""
     keys = list(keys)
-    k, _ = _meta(state)
+    if k is None:
+        k, _ = _meta(state)
     g = "__stg"  # internal constant key so the no-keys path is the
     # grouped path with one group
     gkeys = keys if keys else [g]

@@ -102,7 +102,8 @@ def main() -> None:
                     width=8192, k=16,
                 )
                 return sliding_cms_topk(
-                    cells, cands, ["role"], "tool", T_REF, WINDOWS, k=10
+                    cells, cands, ["role"], "tool", T_REF, WINDOWS, k=10,
+                    params=(5, 8192, "xxhash64"),
                 )
 
             timed("sliding_cms_build_plus_3window_topk", cms_full)
@@ -119,7 +120,7 @@ def main() -> None:
                     df, "ts", ["role"], "conv_id", k=4096, grain="1 day"
                 )
                 return sliding_theta_estimates(
-                    state, ["role"], T_REF, WINDOWS
+                    state, ["role"], T_REF, WINDOWS, k=4096
                 )
 
             timed("sliding_theta_build_plus_3window_est", theta_est)
@@ -132,6 +133,7 @@ def main() -> None:
                     state, ["role"],
                     ("2028-08-01 00:00:00", "2028-08-31 00:00:00"),
                     ("2028-08-31 00:00:00", "2028-09-30 00:00:00"),
+                    k=4096,
                 )
 
             timed("sliding_theta_build_plus_month_overlap", theta_ov)
