@@ -53,6 +53,7 @@ __all__ = [
     "sliding_cms_table",
     "sliding_cms_merge",
     "sliding_cms_expire",
+    "sliding_cms_coarsen",
     "sliding_cms_topk",
 ]
 
@@ -141,6 +142,51 @@ def sliding_cms_expire(
     return (
         sliding_expire(cells, older_than_ts),
         sliding_expire(cands, older_than_ts),
+    )
+
+
+def sliding_cms_coarsen(
+    cells: DataFrame,
+    cands: DataFrame,
+    keys: Sequence[str],
+    older_than_ts: str,
+    grain: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Tiered retention: re-bucket history strictly OLDER than the
+    cutoff to a coarser grain (counter cells SUM into the coarse
+    bucket — exactly the window-sum the query performs, so coarse-
+    aligned windows return identical results from fewer rows);
+    candidate sets re-bucket by distinct union. The candidate
+    1/k-share guarantee weakens to the COARSE bucket for archived
+    history (an item needs share >= 1/k in some coarse bucket) — the
+    usual tiered-rollup trade. Cutoff must sit on a coarse boundary
+    (see sliding_hll.sliding_coarsen)."""
+    keys = list(keys)
+    cut = F.lit(older_than_ts).cast("timestamp")
+    b = F.col("bucket_ts").cast("timestamp")
+    lineage = ["depth", "width", "hash_fn"]
+    coarse_b = (
+        F.window(F.col("bucket_ts"), grain).start.cast("timestamp")
+    )
+    old_cells = (
+        cells.filter(b < cut)
+        .select(
+            *keys, coarse_b.alias("bucket_ts"), "row", "bucket", "cnt",
+            *lineage,
+        )
+        .groupBy(*keys, "bucket_ts", "row", "bucket", *lineage)
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(*keys, "bucket_ts", "row", "bucket", "cnt", *lineage)
+    )
+    item = [c for c in cands.columns if c not in (*keys, "bucket_ts")]
+    old_cands = (
+        cands.filter(b < cut)
+        .select(*keys, coarse_b.alias("bucket_ts"), *item)
+        .distinct()
+    )
+    return (
+        cells.filter(b >= cut).unionByName(old_cells),
+        cands.filter(b >= cut).unionByName(old_cands),
     )
 
 

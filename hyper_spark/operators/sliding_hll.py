@@ -60,6 +60,7 @@ __all__ = [
     "sliding_register_table",
     "sliding_merge",
     "sliding_expire",
+    "sliding_coarsen",
     "sliding_estimates",
 ]
 
@@ -122,6 +123,46 @@ def sliding_expire(state: DataFrame, older_than_ts: str) -> DataFrame:
     return state.filter(
         F.col("bucket_ts").cast("timestamp")
         >= F.lit(older_than_ts).cast("timestamp")
+    )
+
+
+def sliding_coarsen(
+    state: DataFrame,
+    keys: Sequence[str],
+    older_than_ts: str,
+    grain: str,
+) -> DataFrame:
+    """Tiered retention: re-bucket history strictly OLDER than the
+    cutoff to a coarser grain (day state -> month archive), keeping
+    recent buckets untouched. Lossless for every window whose oldest
+    edge aligns to the coarse grain: register max commutes with
+    re-bucketing (max over a coarse bucket == max over the union of
+    its fine buckets), so coarse-aligned queries return bit-identical
+    estimates from ~grain-ratio fewer rows. The recent/archive split
+    point must itself sit on a coarse boundary or the straddling
+    coarse bucket will claim fine buckets newer than the cutoff."""
+    cut = F.lit(older_than_ts).cast("timestamp")
+    b = F.col("bucket_ts").cast("timestamp")
+    recent = state.filter(b >= cut)
+    old = (
+        state.filter(b < cut)
+        .select(
+            *keys,
+            "idx",
+            F.window(F.col("bucket_ts"), grain)
+            .start.cast("timestamp")
+            .alias("bucket_ts"),
+            "rho",
+        )
+        .groupBy(*keys, "idx", "bucket_ts")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return _front(
+        recent.select(*keys, "idx", "bucket_ts", "rho")
+        .unionByName(old)
+        .groupBy(*keys, "idx", "bucket_ts")
+        .agg(F.max("rho").alias("rho")),
+        list(keys),
     )
 
 

@@ -47,6 +47,7 @@ __all__ = [
     "sliding_theta_table",
     "sliding_theta_merge",
     "sliding_theta_expire",
+    "sliding_theta_coarsen",
     "sliding_theta_estimates",
     "sliding_theta_overlap",
 ]
@@ -142,6 +143,39 @@ def sliding_theta_expire(state: DataFrame, older_than_ts: str) -> DataFrame:
     """Drop buckets strictly older than the cutoff — a plain range
     predicate (a bucket's k-min is independent of other buckets)."""
     return sliding_expire(state, older_than_ts)
+
+
+def sliding_theta_coarsen(
+    state: DataFrame,
+    keys: Sequence[str],
+    older_than_ts: str,
+    grain: str,
+) -> DataFrame:
+    """Tiered retention: re-bucket history strictly OLDER than the
+    cutoff to a coarser grain. Lossless for coarse-aligned ranges: a
+    hash in the k-min of a coarse bucket cannot have k smaller hashes
+    in its own fine bucket (those would be in the coarse set too), so
+    k-min over the union of fine k-mins == k-min of the coarse raw
+    set. Cutoff must sit on a coarse boundary (see
+    sliding_hll.sliding_coarsen)."""
+    keys = list(keys)
+    k, hash_fn = _meta(state)
+    cut = F.lit(older_than_ts).cast("timestamp")
+    b = F.col("bucket_ts").cast("timestamp")
+    old = _kmin(
+        state.filter(b < cut)
+        .select(
+            *keys,
+            F.window(F.col("bucket_ts"), grain)
+            .start.cast("timestamp")
+            .alias("bucket_ts"),
+            "h",
+        )
+        .distinct(),
+        [*keys, "bucket_ts"],
+        k,
+    ).select("*", F.lit(k).alias("k"), F.lit(hash_fn).alias("hash_fn"))
+    return state.filter(b >= cut).unionByName(old)
 
 
 def sliding_theta_estimates(

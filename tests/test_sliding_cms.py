@@ -194,3 +194,27 @@ def test_plan_is_python_free(spark):
     )
     for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
         assert marker not in plan
+
+
+def test_coarsen_preserves_aligned_windows(spark):
+    """Day cells older than the cutoff re-bucket to epoch-aligned
+    10-day archive buckets; counter sums commute with re-bucketing, so
+    windows whose oldest edge sits on an archive boundary (Jan 8/18)
+    return identical top-k from the smaller state."""
+    from hyper_spark.operators.sliding_cms import sliding_cms_coarsen
+
+    rows = _rows()
+    cells, cands = sliding_cms_table(
+        _df(spark, rows), "ts", ["grp"], "tool", grain="1 day", k=8
+    )
+    cc, cd = sliding_cms_coarsen(
+        cells, cands, ["grp"], "2024-01-18 00:00:00", "10 days"
+    )
+    assert (
+        cc.select("bucket_ts").distinct().count()
+        < cells.select("bucket_ts").distinct().count()
+    )
+    wins = {"13d": "13 days", "23d": "23 days", "45d": "45 days"}
+    a = sliding_cms_topk(cc, cd, ["grp"], "tool", T_REF, wins, k=4)
+    b = sliding_cms_topk(cells, cands, ["grp"], "tool", T_REF, wins, k=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -173,3 +173,48 @@ def test_build_plan_python_free(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_coarsen_preserves_aligned_windows(spark):
+    """Day buckets older than the cutoff re-bucket to 10-day archive
+    buckets; a window whose oldest edge sits on the archive boundary
+    estimates bit-identically from the smaller state."""
+    from hyper_spark.operators.sliding_hll import (
+        sliding_coarsen,
+        sliding_estimates,
+        sliding_register_table,
+    )
+
+    p = 12
+    # per-day churned users: old days hold registers no later day
+    # re-hits, so the Pareto front RETAINS archive entries to coarsen
+    rows = [
+        (f"2024-01-{d + 1:02d} 09:00:00", f"u{d}_{i}")
+        for d in range(30)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "ts string, u string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    state = sliding_register_table(df, "ts", [], "u", p=p, grain="1 day")
+    # F.window('10 days') starts are epoch-aligned: ...Jan 8, 18, 28.
+    # Coarsen at the Jan 18 boundary; query windows whose cutoffs are
+    # Jan 18 (13d), Jan 8 (23d), and before all data (45d)
+    coarse = sliding_coarsen(state, [], "2024-01-18 00:00:00", "10 days")
+    # the front already thins history to ~one entry per (idx, level),
+    # so ROW count may not drop; the archive's bucket GRANULARITY must
+    # (17 fine buckets re-bucket to 2 coarse ones here)
+    assert coarse.count() <= state.count()
+    assert (
+        coarse.select("bucket_ts").distinct().count()
+        < state.select("bucket_ts").distinct().count()
+    )
+    wins = {"13d": "13 days", "23d": "23 days", "45d": "45 days"}
+    t_ref = "2024-01-31 00:00:00"
+    a = sorted(
+        map(tuple, sliding_estimates(state, [], t_ref, wins, p).collect())
+    )
+    b = sorted(
+        map(tuple, sliding_estimates(coarse, [], t_ref, wins, p).collect())
+    )
+    assert a == b

@@ -194,3 +194,32 @@ def test_plans_python_free(spark):
     for plan in plans:
         for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
             assert marker not in plan
+
+
+def test_coarsen_preserves_aligned_windows(spark):
+    """Day buckets older than the cutoff re-bucket to epoch-aligned
+    10-day archive buckets; k-min of unioned fine k-mins equals k-min
+    of the coarse raw set, so aligned windows (oldest edge Jan 8/18)
+    estimate bit-identically from the smaller state. Covers both the
+    exact (k=2048) and saturated (k=256) regimes."""
+    from hyper_spark.operators.sliding_theta import sliding_theta_coarsen
+
+    rows = _rows()
+    df = _df(spark, rows)
+    for k in (2048, 256):
+        state = sliding_theta_table(
+            df, "ts", ["grp"], "uid", k=k, grain="1 day"
+        )
+        coarse = sliding_theta_coarsen(
+            state, ["grp"], "2024-01-18 00:00:00", "10 days"
+        )
+        assert (
+            coarse.select("bucket_ts").distinct().count()
+            < state.select("bucket_ts").distinct().count()
+        )
+        wins = {"11d": "11 days", "21d": "21 days", "45d": "45 days"}
+        a = sliding_theta_estimates(coarse, ["grp"], T_REF, wins)
+        b = sliding_theta_estimates(state, ["grp"], T_REF, wins)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        ), k
