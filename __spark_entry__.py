@@ -2028,6 +2028,94 @@ def _q_sliding_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_theta_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered retention for the sliding theta state (operators/
+    sliding_theta.py::sliding_theta_coarsen): day buckets older than an
+    epoch-aligned 10-day boundary (2024-01-18) re-bucket to 10-day
+    archive buckets — k-min of unioned fine k-mins equals k-min of the
+    coarse raw set, so every window whose oldest edge sits on a coarse
+    boundary answers bit-identically from the smaller state. Windows
+    4d (fine-only), 14d (edge = the cutoff), 24d (edge inside the
+    archive, on the Jan 8 boundary). Exact regime (k=8192 above every
+    window's distinct count) so the oracle computes the same figures in
+    SQL; `matches_fine` asserts row parity with the uncoarsened state
+    Spark-side."""
+    from hyper_spark.operators.sliding_theta import (
+        sliding_theta_coarsen,
+        sliding_theta_estimates,
+        sliding_theta_table,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    t_ref = "2024-02-01 00:00:00"
+    wins = {"4d": "4 days", "14d": "14 days", "24d": "24 days"}
+    state = sliding_theta_table(
+        ev, "ts", ["event_type"], "user_id", k=8192, grain="1 day"
+    )
+    coarse = sliding_theta_coarsen(
+        state, ["event_type"], "2024-01-18 00:00:00", "10 days"
+    )
+    cols = [
+        "event_type", "window",
+        F.col("n_entries").cast("long").alias("n_entries"),
+        "estimate", "exact",
+    ]
+    got = sliding_theta_estimates(coarse, ["event_type"], t_ref, wins).select(
+        *cols
+    )
+    fine = sliding_theta_estimates(state, ["event_type"], t_ref, wins).select(
+        *cols
+    )
+    matches = sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, fine.collect())
+    )
+    return got.withColumn("matches_fine", F.lit(bool(matches)))
+
+
+def _q_sliding_cms_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered retention for the sliding CMS state (operators/
+    sliding_cms.py::sliding_cms_coarsen): counter cells older than the
+    epoch-aligned 2024-01-18 boundary SUM into 10-day archive buckets
+    (exactly the window-sum the query performs) and candidate sets
+    union, so coarse-aligned windows (14d/24d here) return identical
+    top-k from fewer rows. Same exhaustive-candidate + collision-free-
+    width pin as sliding_cms_topk_users, so estimates equal exact
+    windowed counts and the oracle ranks them in SQL; `matches_fine`
+    asserts row parity with the uncoarsened state."""
+    from hyper_spark.operators.sliding_cms import (
+        sliding_cms_coarsen,
+        sliding_cms_table,
+        sliding_cms_topk,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    t_ref = "2024-02-01 00:00:00"
+    wins = {"14d": "14 days", "24d": "24 days"}
+    cells, cands = sliding_cms_table(
+        ev, "ts", ["event_type"], "user_id", grain="1 day",
+        depth=5, width=8192, k=64, fanout=8,
+    )
+    cc, cd = sliding_cms_coarsen(
+        cells, cands, ["event_type"], "2024-01-18 00:00:00", "10 days"
+    )
+    cols = [
+        "event_type", "window", "user_id",
+        F.col("estimate").cast("long").alias("estimate"),
+    ]
+    got = sliding_cms_topk(
+        cc, cd, ["event_type"], "user_id", t_ref, wins, k=3
+    ).select(*cols)
+    fine = sliding_cms_topk(
+        cells, cands, ["event_type"], "user_id", t_ref, wins, k=3
+    ).select(*cols)
+    matches = sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, fine.collect())
+    )
+    return got.withColumn("matches_fine", F.lit(bool(matches)))
+
+
 def _q_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window HLL (operators/sliding_hll.py, Chabchoub-Hébrail
     ICDMW 2010): ONE retained per-register Pareto-front state answers
@@ -4372,6 +4460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_theta_window_estimates": _q_sliding_theta_estimates,
         "sliding_theta_week_overlap": _q_sliding_theta_overlap,
         "streaming_sliding_cms_parity": _q_streaming_sliding_cms,
+        "sliding_theta_coarsen_aligned": _q_sliding_theta_coarsen,
+        "sliding_cms_coarsen_aligned": _q_sliding_cms_coarsen,
     }
 
 
@@ -6805,6 +6895,37 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ca USING (event_type)
             LEFT JOIN cb USING (event_type)
             LEFT JOIN ci USING (event_type)
+        """,
+        "sliding_theta_coarsen_aligned": """
+            WITH w AS (SELECT '4d' AS "window", 4 AS d
+                       UNION ALL SELECT '14d', 14
+                       UNION ALL SELECT '24d', 24)
+            SELECT event_type, w."window",
+                   count(DISTINCT user_id)::BIGINT AS n_entries,
+                   count(DISTINCT user_id)::DOUBLE AS estimate,
+                   true AS exact, true AS matches_fine
+            FROM events, w
+            WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - to_days(w.d)
+            GROUP BY event_type, w."window"
+        """,
+        "sliding_cms_coarsen_aligned": """
+            WITH w AS (SELECT '14d' AS "window", 14 AS d
+                       UNION ALL SELECT '24d', 24),
+            c AS (
+                SELECT event_type, w."window", user_id,
+                       count(*)::BIGINT AS estimate
+                FROM events, w
+                WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - to_days(w.d)
+                GROUP BY event_type, w."window", user_id
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type, "window"
+                    ORDER BY estimate DESC, user_id) AS rk
+                FROM c
+            )
+            SELECT event_type, "window", user_id, estimate,
+                   true AS matches_fine
+            FROM r WHERE rk <= 3
         """,
         "sliding_hll_users": """
             SELECT lab AS window,
