@@ -891,6 +891,20 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def _q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity self-join (operators/
+    ssjoin.py, AllPairs WWW'07 / PPJoin WWW'08): same pair set and
+    exact jaccard values as the full inverted-index join, but only
+    each doc's rarest-first prefix is indexed — recall-lossless, no
+    max_df drop needed. Oracle recomputes the exact 5-gram Jaccard
+    pairs + values in SQL."""
+    from hyper_spark.operators.ssjoin import similarity_join
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return similarity_join(docs, threshold=0.5, shingle_n=5)
+
+
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster closure over the exact n-gram pair graph: large-star /
     small-star components (hyper_spark.operators.graph) vs a DuckDB
@@ -4462,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_cms_parity": _q_streaming_sliding_cms,
         "sliding_theta_coarsen_aligned": _q_sliding_theta_coarsen,
         "sliding_cms_coarsen_aligned": _q_sliding_cms_coarsen,
+        "ssjoin_prefix_pairs": _q_ssjoin_prefix_pairs,
     }
 
 
@@ -5851,6 +5866,15 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs_05": f"""
             WITH {_ngram_edges_cte(norm)}
             SELECT id_a, id_b FROM edges
+        """,
+        "ssjoin_prefix_pairs": f"""
+            WITH {_ngram_edges_cte(norm)}
+            SELECT id_a, id_b,
+                   inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
         """,
         "connected_components_ngram": f"""
             WITH RECURSIVE {_ngram_edges_cte(norm)},

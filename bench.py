@@ -210,6 +210,11 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return near_dedup(docs).select("doc_id")
 
+    def q_ssjoin_prefix():
+        from hyper_spark.operators.ssjoin import similarity_join
+
+        return similarity_join(docs, threshold=0.5)
+
     def q_gopher_filter():
         from hyper_spark.operators.quality import gopher_filter
 
@@ -496,6 +501,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "file_skip_lookup": q_file_skip,
         "zorder_range_scan": q_zorder_scan,
         "near_dedup_docs": q_near_dedup,
+        "ssjoin_prefix_docs": q_ssjoin_prefix,
         "gopher_filter_docs": q_gopher_filter,
         "incremental_near_dedup_docs": q_incremental_near_dedup,
         "strip_dup_docs": q_strip_dup,
