@@ -905,6 +905,20 @@ def _q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_join(docs, threshold=0.5, shingle_n=5)
 
 
+def _q_ssjoin_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus (R-S) prefix join — the EXACT decontamination
+    shape (vs dedup.decontaminate's probabilistic minhash screen):
+    every (train doc, eval doc) pair with 5-gram Jaccard >= 0.5, eval
+    set = doc_id % 7 == 0, token order shared over the union. Includes
+    the self-match diagonal at jaccard 1.0 by construction."""
+    from hyper_spark.operators.ssjoin import similarity_join
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    right = docs.filter(F.col("doc_id") % 7 == 0)
+    return similarity_join(docs, threshold=0.5, other=right)
+
+
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster closure over the exact n-gram pair graph: large-star /
     small-star components (hyper_spark.operators.graph) vs a DuckDB
@@ -4477,6 +4491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_theta_coarsen_aligned": _q_sliding_theta_coarsen,
         "sliding_cms_coarsen_aligned": _q_sliding_cms_coarsen,
         "ssjoin_prefix_pairs": _q_ssjoin_prefix_pairs,
+        "ssjoin_decontaminate": _q_ssjoin_decontaminate,
     }
 
 
@@ -5875,6 +5890,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        """,
+        "ssjoin_decontaminate": f"""
+            WITH norm AS (
+                SELECT doc_id, {norm} AS t FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+                FROM norm
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(t, i::BIGINT, 5) AS s FROM pos
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ),
+            xinter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE b.doc_id % 7 = 0
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard
+            FROM xinter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.5
         """,
         "connected_components_ngram": f"""
             WITH RECURSIVE {_ngram_edges_cte(norm)},

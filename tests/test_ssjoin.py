@@ -118,3 +118,67 @@ def test_plan_python_free_no_cartesian(spark, corpus):
         "BroadcastNestedLoop",
     ):
         assert marker not in plan
+
+
+def _brute_cross(left_rows, right_rows, t):
+    def tokset(txt):
+        toks = set(re.sub(r"[^a-z0-9]+", " ", txt.lower()).split())
+        toks.discard("")
+        return toks if toks else {""}
+
+    L = {r["doc_id"]: tokset(r["text"]) for r in left_rows}
+    R = {r["eval_id"]: tokset(r["body"]) for r in right_rows}
+    out = []
+    for a, sa in L.items():
+        for b, sb in R.items():
+            inter = len(sa & sb)
+            jac = inter / len(sa | sb)
+            if jac >= t:
+                out.append((a, b, round(jac, 9)))
+    return sorted(out)
+
+
+def test_cross_corpus_brute_force(spark, corpus):
+    """R-S mode (exact decontamination shape): every qualifying
+    cross pair, custom id/text column names on the right side."""
+    from pyspark.sql import Row
+
+    right = spark.createDataFrame(
+        [
+            Row(eval_id=1000 + r["doc_id"], body=r["text"] + " extra words here")
+            for r in corpus.collect()
+            if r["doc_id"] % 30 == 0
+        ]
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in similarity_join(
+            corpus,
+            threshold=0.5,
+            tokens="words",
+            other=right,
+            other_id_col="eval_id",
+            other_text_col="body",
+        ).collect()
+    )
+    assert got == _brute_cross(corpus.collect(), right.collect(), 0.5)
+    assert got  # the planted overlaps qualify
+
+
+def test_cross_of_self_equals_self_join(spark, corpus):
+    """cross(df, df) restricted to id_a < id_b must equal the
+    self-join; the diagonal comes back at jaccard 1.0."""
+    cross = similarity_join(corpus, threshold=0.6, other=corpus).collect()
+    diag = [r for r in cross if r["id_a"] == r["id_b"]]
+    assert len(diag) == corpus.count()
+    assert all(r["jaccard"] == 1.0 for r in diag)
+    lower = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in cross
+        if r["id_a"] < r["id_b"]
+    )
+    self_j = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in similarity_join(corpus, threshold=0.6).collect()
+    )
+    assert lower == self_j
