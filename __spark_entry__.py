@@ -2299,6 +2299,112 @@ def _q_streaming_sliding_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_sliding_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-theta build (streaming/sliding_theta_stream.py):
+    per-bucket k-min ADMISSION DELTAS — any hash in a bucket's final
+    k-min was among the k smallest at its own arrival, so it was
+    admitted and emitted exactly once, and sliding_theta_merge's
+    re-trim drops later-evicted extras. The merged sink therefore
+    equals the batch sliding_theta_table EXACTLY; `matches_batch`
+    asserts row parity of the estimates, and the exact regime (k above
+    window distincts) makes every figure the oracle's SQL count."""
+    from hyper_spark.operators.sliding_theta import (
+        sliding_theta_estimates,
+        sliding_theta_merge,
+        sliding_theta_table,
+    )
+    from hyper_spark.streaming.sliding_theta_stream import (
+        streaming_sliding_theta_entries,
+    )
+
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    t_ref = "2024-02-01 00:00:00"
+    windows = {"7d": "7 days", "31d": "31 days"}
+    k = 8192
+    ev = _read(spark, sf_dir, "events")
+    batch_state = sliding_theta_table(
+        ev, "ts", ["event_type"], "user_id", k=k, grain="1 day"
+    )
+    with tempfile.TemporaryDirectory(prefix="gate_stheta_sl_") as td:
+        src = f"{td}/src"
+        os.makedirs(src)
+        data = ev.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type", "user_id"
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", "sentinel", 0)],
+            "ts string, event_type string, user_id bigint",
+        ).select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type", "user_id"
+        )
+        for i, part in enumerate([data, sentinel]):  # sentinel LAST
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_type string, user_id bigint"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_sliding_theta_entries(
+            stream, "ts", ["event_type"], "user_id", k=k, grain="1 day",
+            watermark="1 hour",
+        )
+        sink = f"{td}/sink"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{td}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(sink).filter(F.year("bucket_ts") < 2100)
+        merged = sliding_theta_merge([got], ["event_type"])
+        cols = [
+            "event_type", "window",
+            F.col("n_entries").cast("long").alias("n_entries"),
+            "estimate", "exact",
+        ]
+        streamed = sorted(
+            map(
+                tuple,
+                sliding_theta_estimates(
+                    merged, ["event_type"], t_ref, windows
+                ).select(*cols).collect(),
+            )
+        )
+    batch = sorted(
+        map(
+            tuple,
+            sliding_theta_estimates(
+                batch_state, ["event_type"], t_ref, windows
+            ).select(*cols).collect(),
+        )
+    )
+    matches = streamed == batch
+    return spark.createDataFrame(
+        [
+            Row(
+                event_type=t[0],
+                window=t[1],
+                n_entries=int(t[2]),
+                estimate=float(t[3]),
+                exact=bool(t[4]),
+                matches_batch=bool(matches),
+            )
+            for t in streamed
+        ]
+    )
+
+
 def _q_streaming_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-HLL build (streaming/sliding_hll_stream.py):
     per-day bucketized register maxima via the NATIVE windowed max
@@ -4492,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_cms_coarsen_aligned": _q_sliding_cms_coarsen,
         "ssjoin_prefix_pairs": _q_ssjoin_prefix_pairs,
         "ssjoin_decontaminate": _q_ssjoin_decontaminate,
+        "streaming_sliding_theta_parity": _q_streaming_sliding_theta,
     }
 
 
@@ -6962,6 +7069,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ca USING (event_type)
             LEFT JOIN cb USING (event_type)
             LEFT JOIN ci USING (event_type)
+        """,
+        "streaming_sliding_theta_parity": """
+            WITH w AS (SELECT '7d' AS "window", 7 AS d
+                       UNION ALL SELECT '31d', 31)
+            SELECT event_type, w."window",
+                   count(DISTINCT user_id)::BIGINT AS n_entries,
+                   count(DISTINCT user_id)::DOUBLE AS estimate,
+                   true AS exact, true AS matches_batch
+            FROM events, w
+            WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - to_days(w.d)
+            GROUP BY event_type, w."window"
         """,
         "sliding_theta_coarsen_aligned": """
             WITH w AS (SELECT '4d' AS "window", 4 AS d

@@ -12,6 +12,9 @@ from hyper_spark.streaming.decay_stream import (
     windowed_decayed_counts,
     windowed_decayed_topk,
 )
+from hyper_spark.streaming.sliding_theta_stream import (
+    streaming_sliding_theta_entries,
+)
 from hyper_spark.streaming.sliding_cms_stream import (
     streaming_sliding_cms_cells,
 )
@@ -44,4 +47,5 @@ __all__ = [
     "windowed_decayed_topk",
     "streaming_sliding_register_by",
     "streaming_sliding_cms_cells",
+    "streaming_sliding_theta_entries",
 ]
