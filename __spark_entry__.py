@@ -2299,6 +2299,60 @@ def _q_streaming_sliding_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DDSketch (operators/sliding_dd.py): per-grain
+    bucket counts SUM to exactly the window's sketch, so one state
+    answers p50/p90/p99 of value over ANY trailing window — here
+    7/31 days per event_type at a pinned T. Value parity with the
+    oracle's windowed bucket walk (same ±alpha arithmetic), not a
+    bound check."""
+    from hyper_spark.operators.sliding_dd import (
+        sliding_dd_quantiles,
+        sliding_dd_table,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    state = sliding_dd_table(ev, "ts", ["event_type"], "value", alpha=0.01)
+    return sliding_dd_quantiles(
+        state, ["event_type"], "2024-02-01 00:00:00",
+        {"7d": "7 days", "31d": "31 days"}, [0.5, 0.9, 0.99], alpha=0.01,
+    ).select("event_type", "window", "q", "est")
+
+
+def _q_sliding_dd_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered retention for the sliding DD state: archive counts SUM
+    into epoch-aligned 10-day buckets (cutoff 2024-01-18), fully
+    lossless for aligned windows (no CMS-style candidate caveat) —
+    quantiles from the coarsened state bit-match the fine state
+    (`matches_fine`) and the oracle's windowed bucket walk."""
+    from hyper_spark.operators.sliding_dd import (
+        sliding_dd_coarsen,
+        sliding_dd_quantiles,
+        sliding_dd_table,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    t_ref = "2024-02-01 00:00:00"
+    wins = {"4d": "4 days", "14d": "14 days", "24d": "24 days"}
+    state = sliding_dd_table(ev, "ts", ["event_type"], "value", alpha=0.01)
+    coarse = sliding_dd_coarsen(
+        state, ["event_type"], "2024-01-18 00:00:00", "10 days"
+    )
+    cols = ["event_type", "window", "q", "est"]
+    got = sliding_dd_quantiles(
+        coarse, ["event_type"], t_ref, wins, [0.5, 0.9, 0.99], alpha=0.01
+    ).select(*cols)
+    fine = sliding_dd_quantiles(
+        state, ["event_type"], t_ref, wins, [0.5, 0.9, 0.99], alpha=0.01
+    ).select(*cols)
+    matches = sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, fine.collect())
+    )
+    return got.withColumn("matches_fine", F.lit(bool(matches)))
+
+
 def _q_streaming_sliding_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-theta build (streaming/sliding_theta_stream.py):
     per-bucket k-min ADMISSION DELTAS — any hash in a bucket's final
@@ -4599,6 +4653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssjoin_prefix_pairs": _q_ssjoin_prefix_pairs,
         "ssjoin_decontaminate": _q_ssjoin_decontaminate,
         "streaming_sliding_theta_parity": _q_streaming_sliding_theta,
+        "sliding_dd_window_quantiles": _q_sliding_dd_quantiles,
+        "sliding_dd_coarsen_aligned": _q_sliding_dd_coarsen,
     }
 
 
@@ -5237,6 +5293,70 @@ def _dd_bucket_cte_sql(
 
 def _dd_sketch_oracle_sql(alpha: float) -> str:
     return f"WITH sk AS ({_dd_bucket_cte_sql(alpha)})\nSELECT * FROM sk"
+
+
+def _sliding_dd_oracle_sql(
+    alpha: float,
+    qs: tuple[float, ...],
+    windows: dict,
+    t_ref: str,
+    extra_cols: str = "",
+) -> str:
+    """Windowed variant of _dd_quantiles_oracle_sql: the DDSketch
+    bucket walk per (event_type, trailing window) — value parity with
+    sliding_dd_quantiles, since summing in-window bucket counts IS the
+    window's sketch."""
+    import math as _math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = _math.log(gamma)
+    qvals = ", ".join(f"({q!r}::DOUBLE)" for q in qs)
+    wrows = " UNION ALL ".join(
+        f"SELECT '{lab}' AS \"window\", {d} AS d" for lab, d in windows.items()
+    )
+    est = (
+        f"CASE store WHEN '0' THEN 0.0 "
+        f"WHEN '+' THEN 2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0) "
+        f"ELSE -2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0) END"
+    )
+    return f"""
+WITH w AS ({wrows}),
+sk AS (
+  SELECT event_type, w."window",
+         CASE WHEN value > 0 THEN '+'
+              WHEN value < 0 THEN '-' ELSE '0' END AS store,
+         CASE WHEN value <> 0
+              THEN ceil(ln(abs(value)) / {lg!r})::BIGINT
+              ELSE 0 END AS bucket,
+         count(*) AS bucket_count
+  FROM events, w
+  WHERE value IS NOT NULL
+    AND ts >= TIMESTAMP '{t_ref}' - to_days(w.d)
+  GROUP BY 1, 2, 3, 4
+),
+ord AS (
+  SELECT *,
+         CASE store WHEN '-' THEN -1 WHEN '0' THEN 0 ELSE 1 END AS sr,
+         CASE WHEN store = '-' THEN -bucket ELSE bucket END AS sb
+  FROM sk
+),
+cum AS (
+  SELECT *,
+         sum(bucket_count) OVER (
+           PARTITION BY event_type, "window" ORDER BY sr, sb) AS cum,
+         sum(bucket_count) OVER (
+           PARTITION BY event_type, "window") AS n
+  FROM ord
+),
+hits AS (
+  SELECT event_type, "window", q, store, bucket,
+         row_number() OVER (
+           PARTITION BY event_type, "window", q ORDER BY sr, sb) AS rk
+  FROM cum CROSS JOIN (VALUES {qvals}) AS qs(q)
+  WHERE cum >= floor(q * (n - 1)) + 1
+)
+SELECT event_type, "window", q, {est} AS est{extra_cols}
+FROM hits WHERE rk = 1"""
 
 
 def _dd_quantiles_oracle_sql(
@@ -7070,6 +7190,16 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cb USING (event_type)
             LEFT JOIN ci USING (event_type)
         """,
+        "sliding_dd_window_quantiles": _sliding_dd_oracle_sql(
+            alpha=0.01, qs=(0.5, 0.9, 0.99),
+            windows={"7d": 7, "31d": 31}, t_ref="2024-02-01 00:00:00",
+        ),
+        "sliding_dd_coarsen_aligned": _sliding_dd_oracle_sql(
+            alpha=0.01, qs=(0.5, 0.9, 0.99),
+            windows={"4d": 4, "14d": 14, "24d": 24},
+            t_ref="2024-02-01 00:00:00",
+            extra_cols=", true AS matches_fine",
+        ),
         "streaming_sliding_theta_parity": """
             WITH w AS (SELECT '7d' AS "window", 7 AS d
                        UNION ALL SELECT '31d', 31)
