@@ -2353,6 +2353,33 @@ def _q_sliding_dd_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.withColumn("matches_fine", F.lit(bool(matches)))
 
 
+def _q_sliding_dd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-range distribution drift from the sliding DD state
+    (operators/sliding_dd.py::sliding_dd_drift): per event_type the
+    Kolmogorov-Smirnov statistic of `value` between two adjacent weeks
+    — deterministic bucket arithmetic, value parity with the oracle's
+    SQL replay (cumulative bucket CDFs, max abs gap)."""
+    from hyper_spark.operators.sliding_dd import (
+        sliding_dd_drift,
+        sliding_dd_table,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    state = sliding_dd_table(ev, "ts", ["event_type"], "value", alpha=0.01)
+    return sliding_dd_drift(
+        state,
+        ["event_type"],
+        ("2024-01-18 00:00:00", "2024-01-25 00:00:00"),
+        ("2024-01-25 00:00:00", "2024-02-01 00:00:00"),
+    ).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "ks",
+    )
+
+
 def _q_streaming_sliding_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-theta build (streaming/sliding_theta_stream.py):
     per-bucket k-min ADMISSION DELTAS — any hash in a bucket's final
@@ -4655,6 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_theta_parity": _q_streaming_sliding_theta,
         "sliding_dd_window_quantiles": _q_sliding_dd_quantiles,
         "sliding_dd_coarsen_aligned": _q_sliding_dd_coarsen,
+        "sliding_dd_drift_weeks": _q_sliding_dd_drift,
     }
 
 
@@ -7189,6 +7217,48 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ca USING (event_type)
             LEFT JOIN cb USING (event_type)
             LEFT JOIN ci USING (event_type)
+        """,
+        "sliding_dd_drift_weeks": f"""
+            WITH sk AS (
+              SELECT event_type,
+                     CASE WHEN value > 0 THEN '+'
+                          WHEN value < 0 THEN '-' ELSE '0' END AS store,
+                     CASE WHEN value <> 0
+                          THEN ceil(ln(abs(value)) / {__import__('math').log(101.0 / 99.0)!r})::BIGINT
+                          ELSE 0 END AS bucket,
+                     sum(CASE WHEN ts >= TIMESTAMP '2024-01-18 00:00:00'
+                               AND ts < TIMESTAMP '2024-01-25 00:00:00'
+                              THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00'
+                               AND ts < TIMESTAMP '2024-02-01 00:00:00'
+                              THEN 1 ELSE 0 END) AS cb
+              FROM events
+              WHERE value IS NOT NULL
+                AND ts >= TIMESTAMP '2024-01-18 00:00:00'
+                AND ts < TIMESTAMP '2024-02-01 00:00:00'
+              GROUP BY 1, 2, 3
+            ),
+            cum AS (
+              SELECT event_type,
+                     sum(ca) OVER (PARTITION BY event_type ORDER BY
+                       CASE store WHEN '-' THEN -1 WHEN '0' THEN 0 ELSE 1 END,
+                       CASE WHEN store = '-' THEN -bucket ELSE bucket END
+                     ) AS cum_a,
+                     sum(cb) OVER (PARTITION BY event_type ORDER BY
+                       CASE store WHEN '-' THEN -1 WHEN '0' THEN 0 ELSE 1 END,
+                       CASE WHEN store = '-' THEN -bucket ELSE bucket END
+                     ) AS cum_b,
+                     sum(ca) OVER (PARTITION BY event_type) AS n_a,
+                     sum(cb) OVER (PARTITION BY event_type) AS n_b
+              FROM sk
+            )
+            SELECT event_type,
+                   n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                   max(CASE WHEN n_a > 0 AND n_b > 0
+                            THEN abs(cum_a::DOUBLE / n_a
+                                     - cum_b::DOUBLE / n_b) END) AS ks
+            FROM cum
+            GROUP BY event_type, n_a, n_b
         """,
         "sliding_dd_window_quantiles": _sliding_dd_oracle_sql(
             alpha=0.01, qs=(0.5, 0.9, 0.99),

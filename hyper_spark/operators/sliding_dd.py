@@ -46,6 +46,7 @@ __all__ = [
     "sliding_dd_expire",
     "sliding_dd_coarsen",
     "sliding_dd_quantiles",
+    "sliding_dd_drift",
 ]
 
 
@@ -201,3 +202,67 @@ def sliding_dd_quantiles(
         .filter(F.col("count") > 0)
     )
     return dd_quantiles(stacked, list(qs), keys=[*keys, "window"], alpha=alpha)
+
+
+def sliding_dd_drift(
+    state: DataFrame,
+    keys: Sequence[str],
+    range_a: tuple[str, str],
+    range_b: tuple[str, str],
+) -> DataFrame:
+    """Distribution drift BETWEEN two [lo, hi) time ranges from the
+    state alone — the cross-range question (sliding_theta_overlap's
+    shape, for values instead of sets): DataFrame[*keys, n_a, n_b,
+    ks]. ``ks`` is the Kolmogorov-Smirnov statistic
+    max |CDF_a - CDF_b| over the DD bucketization — deterministic
+    bucket arithmetic, so an SQL oracle reproduces it to the double,
+    and it sits within O(alpha) of the raw-value KS (each bucket spans
+    a [x/γ, x·γ] value band). Groups empty on either side return NULL
+    ks (no distribution to compare). One conditional-sum pass + one
+    cumulative window, pure codegen."""
+    from pyspark.sql.window import Window
+
+    from hyper_spark.operators.ddsketch import _order_cols
+
+    keys = list(keys)
+    spark = state.sparkSession
+    b = F.col("bucket_ts").cast("timestamp").cast("double")
+
+    def _in(rng: tuple[str, str]) -> Column:
+        lo = _epoch_seconds(spark, rng[0])
+        hi = _epoch_seconds(spark, rng[1])
+        return (b >= F.lit(lo)) & (b < F.lit(hi))
+
+    in_a, in_b = _in(range_a), _in(range_b)
+    cells = (
+        state.filter(in_a | in_b)
+        .groupBy(*keys, "store", "bucket")
+        .agg(
+            F.sum(F.when(in_a, F.col("cnt")).otherwise(0)).alias("__ca"),
+            F.sum(F.when(in_b, F.col("cnt")).otherwise(0)).alias("__cb"),
+        )
+    )
+    store_rank, signed_bucket = _order_cols()
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(store_rank, signed_bucket)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = cells.select(
+        *keys,
+        F.sum("__ca").over(w_cum).alias("__cum_a"),
+        F.sum("__cb").over(w_cum).alias("__cum_b"),
+        F.sum("__ca").over(w_all).alias("n_a"),
+        F.sum("__cb").over(w_all).alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("__cum_a") / F.col("n_a") - F.col("__cum_b") / F.col("n_b")
+    )
+    return cum.groupBy(*keys).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.max(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), gap)
+        ).alias("ks"),
+    )

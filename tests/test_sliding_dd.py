@@ -170,3 +170,58 @@ def test_plan_python_free(spark):
     )
     for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
         assert marker not in plan
+
+
+def test_drift_cross_range(spark):
+    """KS between two ranges: zero for identical ranges, matches a
+    pandas replay of the bucket arithmetic for disjoint ones, NULL for
+    groups empty on one side."""
+    rows = _rows()
+    # g2 exists only in the late range
+    rows += [(f"2024-01-{d:02d} 11:00:00", "g2", float(d * 3 + 1)) for d in range(25, 30)]
+    df = _df(spark, rows)
+    state = sliding_dd_table(df, "ts", ["grp"], "v", alpha=ALPHA)
+    from hyper_spark.operators.sliding_dd import sliding_dd_drift
+
+    ra = ("2024-01-01 00:00:00", "2024-01-15 00:00:00")
+    rb = ("2024-01-15 00:00:00", "2024-01-31 00:00:00")
+    same = sliding_dd_drift(state, ["grp"], ra, ra).collect()
+    assert all(r["ks"] == 0.0 for r in same if r["n_a"] > 0)
+    got = {r["grp"]: r for r in sliding_dd_drift(state, ["grp"], ra, rb).collect()}
+    assert got["g2"]["n_a"] == 0 and got["g2"]["ks"] is None
+    # pandas replay over the DD bucketization
+    import pandas as pd
+
+    def buckets(pred):
+        out = {}
+        for ts, g, v in rows:
+            d = datetime.strptime(ts, "%Y-%m-%d %H:%M:%S")
+            if not pred(d) or v is None:
+                continue
+            gamma = (1 + ALPHA) / (1 - ALPHA)
+            if v > 0:
+                key = ("+", math.ceil(math.log(abs(v)) / math.log(gamma)))
+            elif v < 0:
+                key = ("-", math.ceil(math.log(abs(v)) / math.log(gamma)))
+            else:
+                key = ("0", 0)
+            out.setdefault(g, {}).setdefault(key, 0)
+            out[g][key] += 1
+        return out
+
+    A = buckets(lambda d: datetime(2024, 1, 1) <= d < datetime(2024, 1, 15))
+    B = buckets(lambda d: datetime(2024, 1, 15) <= d < datetime(2024, 1, 31))
+    for g in ("g0", "g1"):
+        keys_union = sorted(
+            set(A[g]) | set(B[g]),
+            key=lambda sk: ({"-": -1, "0": 0, "+": 1}[sk[0]],
+                            -sk[1] if sk[0] == "-" else sk[1]),
+        )
+        na, nb = sum(A[g].values()), sum(B[g].values())
+        ca = cb = 0
+        ks = 0.0
+        for sk in keys_union:
+            ca += A[g].get(sk, 0)
+            cb += B[g].get(sk, 0)
+            ks = max(ks, abs(ca / na - cb / nb))
+        assert got[g]["ks"] == pytest.approx(ks, abs=1e-12), g
