@@ -931,6 +931,23 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("id", "component")
 
 
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the exact n-gram pair graph
+    (operators/graph.py::label_propagation, Raghavan et al. 2007 with
+    the deterministic contract: synchronous rounds, fixed iters=5,
+    min-label ties) vs the same five rounds unrolled as SQL CTEs —
+    the clustering.py oracle design for iterative algorithms."""
+    from hyper_spark.operators.graph import label_propagation
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5, max_df=None)
+    return label_propagation(pairs, iters=5).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
 def _q_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: pair policy (exact n-gram Jaccard here,
     so the oracle is SQL-expressible) → components → keep the min-id
@@ -4683,6 +4700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_dd_window_quantiles": _q_sliding_dd_quantiles,
         "sliding_dd_coarsen_aligned": _q_sliding_dd_coarsen,
         "sliding_dd_drift_weeks": _q_sliding_dd_drift,
+        "label_propagation_ngram": _q_label_propagation,
     }
 
 
@@ -4819,6 +4837,36 @@ def _ngram_edges_cte(norm: str) -> str:
                 JOIN sizes sb ON sb.doc_id = id_b
                 WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
             )"""
+
+
+def _lpa_cte_sql(iters: int) -> str:
+    """Unrolled synchronous label-propagation rounds over ``edges``
+    (graph.py::label_propagation's deterministic contract: labels init
+    to the node id, each round every node takes the most frequent
+    neighbor label, ties to the smallest), ending in ``l{iters}(id,
+    label)``."""
+    parts = [
+        """sym AS (
+                SELECT id_a AS s, id_b AS d FROM edges
+                UNION
+                SELECT id_b, id_a FROM edges
+            ),
+            l0 AS (SELECT DISTINCT s AS id, s AS label FROM sym)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (
+                SELECT y.s, l.label, count(*) AS c
+                FROM sym y JOIN l{i - 1} l ON l.id = y.d
+                GROUP BY 1, 2
+            ),
+            l{i} AS (
+                SELECT s AS id, label FROM (
+                    SELECT s, label, row_number() OVER (
+                        PARTITION BY s ORDER BY c DESC, label) AS rn
+                    FROM c{i}
+                ) WHERE rn = 1
+            )""")
+    return ",\n            ".join(parts)
 
 
 def _repetition_sql(ns=(2, 3, 4)) -> str:
@@ -6136,6 +6184,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs_05": f"""
             WITH {_ngram_edges_cte(norm)}
             SELECT id_a, id_b FROM edges
+        """,
+        "label_propagation_ngram": f"""
+            WITH {_ngram_edges_cte(norm)},
+            {_lpa_cte_sql(5)}
+            SELECT id::BIGINT AS id, label::BIGINT AS label FROM l5
         """,
         "ssjoin_prefix_pairs": f"""
             WITH {_ngram_edges_cte(norm)}

@@ -35,6 +35,7 @@ __all__ = [
     "cluster_stats",
     "semantic_dedup",
     "pagerank",
+    "label_propagation",
 ]
 
 
@@ -412,3 +413,63 @@ def pagerank(
         dangling_nodes.unpersist()
         nodes.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) with a deterministic contract — completes
+    the graph family (connected_components: reachability closure;
+    pagerank: centrality; this: communities, which can split a single
+    component into densely-linked groups).
+
+    Contract (what makes the SQL-CTE oracle possible, clustering.py's
+    design): edges are symmetrized and deduped; every node's label
+    starts as its own id; each of exactly ``iters`` SYNCHRONOUS rounds
+    every node adopts the most frequent label among its neighbors,
+    ties to the SMALLEST label. Fixed iteration count (synchronous LPA
+    can oscillate on bipartite structures — a convergence loop would
+    not terminate there, and the original paper randomizes instead,
+    which no SQL oracle can replay).
+
+    Returns [id, label]. Distributed shape: one |edges| join + one
+    groupBy + one per-node window rank per round (the window input is
+    ≤ one row per (node, distinct neighbor label)); lineage truncated
+    per round via the connected_components checkpoint, so deep
+    iteration counts do not grow the plan."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("__s").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    w = Window.partitionBy("__s").orderBy(F.desc("__c"), F.asc("label"))
+    try:
+        for _ in range(iters):
+            cnt = (
+                sym.join(labels, sym["__d"] == labels["id"])
+                .groupBy("__s", "label")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            labels = _checkpoint(
+                cnt.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(F.col("__s").alias("id"), "label")
+            )
+    finally:
+        sym.unpersist()
+    return labels

@@ -349,3 +349,88 @@ def test_pagerank_guards(spark):
         pagerank(df, damping=1.0)
     with _pytest.raises(ValueError, match="empty"):
         pagerank(df.filter("src < 0"), iters=1)
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _brute(edges, iters):
+        from collections import defaultdict
+
+        nbrs = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+        labels = {v: v for v in nbrs}
+        for _ in range(iters):
+            new = {}
+            for v in nbrs:
+                counts = defaultdict(int)
+                for u in nbrs[v]:
+                    counts[labels[u]] += 1
+                # deterministic: max count, tie -> smallest label
+                top = max(counts.values())
+                new[v] = min(lab for lab, c in counts.items() if c == top)
+            labels = new
+        return labels
+
+    def test_matches_brute_force(self, spark):
+        from hyper_spark.operators.graph import label_propagation
+
+        # two dense communities bridged by one edge, plus a path
+        edges = []
+        for base in (0, 100):
+            for i in range(8):
+                for j in range(i + 1, 8):
+                    if (i + j) % 3 != 0:
+                        edges.append((base + i, base + j))
+        edges.append((7, 100))  # bridge
+        edges += [(200 + i, 201 + i) for i in range(6)]  # path
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for iters in (1, 3, 5):
+            got = {
+                r["id"]: r["label"]
+                for r in label_propagation(df, iters=iters).collect()
+            }
+            assert got == self._brute(edges, iters), iters
+
+    def test_communities_split_one_component(self, spark):
+        """LPA separates two dense cliques joined by a single bridge,
+        which connected_components cannot."""
+        from hyper_spark.operators.graph import (
+            connected_components,
+            label_propagation,
+        )
+
+        edges = []
+        for base in (0, 50):
+            for i in range(6):
+                for j in range(i + 1, 6):
+                    edges.append((base + i, base + j))
+        edges.append((0, 50))
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        comp = connected_components(df).select("component").distinct()
+        assert comp.count() == 1
+        labs = label_propagation(df, iters=5).collect()
+        by_label = {}
+        for r in labs:
+            by_label.setdefault(r["label"], set()).add(r["id"])
+        assert {frozenset(v) for v in by_label.values()} == {
+            frozenset(range(0, 6)), frozenset(range(50, 56))
+        }
+
+    def test_guards_and_plan(self, spark):
+        import pytest as _pytest
+
+        from hyper_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with _pytest.raises(ValueError, match="iters"):
+            label_propagation(df, iters=0)
+        plan = (
+            label_propagation(df, iters=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -137,6 +137,48 @@ def main() -> None:
                 )
 
             timed("sliding_theta_build_plus_month_overlap", theta_ov)
+        if "dd" in ops:
+            from pyspark.sql import functions as F
+
+            from hyper_spark.operators.sliding_dd import (
+                sliding_dd_drift,
+                sliding_dd_quantiles,
+                sliding_dd_table,
+            )
+
+            val = df.withColumn("turn_len", F.length("text").cast("double"))
+            timed(
+                "sliding_dd_build_len_by_role",
+                lambda: sliding_dd_table(
+                    val, "ts", ["role"], "turn_len", alpha=0.01,
+                    grain="1 day",
+                ),
+            )
+
+            def dd_q():
+                state = sliding_dd_table(
+                    val, "ts", ["role"], "turn_len", alpha=0.01,
+                    grain="1 day",
+                )
+                return sliding_dd_quantiles(
+                    state, ["role"], T_REF, WINDOWS,
+                    [0.5, 0.9, 0.99], alpha=0.01,
+                )
+
+            timed("sliding_dd_build_plus_3window_quantiles", dd_q)
+
+            def dd_drift():
+                state = sliding_dd_table(
+                    val, "ts", ["role"], "turn_len", alpha=0.01,
+                    grain="1 day",
+                )
+                return sliding_dd_drift(
+                    state, ["role"],
+                    ("2028-08-01 00:00:00", "2028-08-31 00:00:00"),
+                    ("2028-08-31 00:00:00", "2028-09-30 00:00:00"),
+                )
+
+            timed("sliding_dd_build_plus_month_drift", dd_drift)
     finally:
         spark.stop()
     print(json.dumps({"metric": "sliding_scale_rows", "rows": n,
