@@ -948,6 +948,22 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting (operators/graph.py::cluster_safe_split):
+    the split key is the near-dup CLUSTER (component of the exact
+    n-gram pair graph), so paraphrase chains never straddle
+    train/test; unpaired docs reproduce plain hash_split. Oracle =
+    recursive-CTE closure + the same md5 thresholds."""
+    from hyper_spark.operators.graph import cluster_safe_split
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5, max_df=None)
+    return cluster_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).select("doc_id", "split")
+
+
 def _q_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: pair policy (exact n-gram Jaccard here,
     so the oracle is SQL-expressible) → components → keep the min-id
@@ -4701,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_dd_coarsen_aligned": _q_sliding_dd_coarsen,
         "sliding_dd_drift_weeks": _q_sliding_dd_drift,
         "label_propagation_ngram": _q_label_propagation,
+        "cluster_safe_split_docs": _q_cluster_safe_split,
     }
 
 
@@ -6189,6 +6206,22 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ngram_edges_cte(norm)},
             {_lpa_cte_sql(5)}
             SELECT id::BIGINT AS id, label::BIGINT AS label FROM l5
+        """,
+        "cluster_safe_split_docs": f"""
+            WITH RECURSIVE {_ngram_edges_cte(norm)},
+            {_cc_closure_cte()},
+            assigned AS (
+                SELECT d.doc_id,
+                       coalesce(comp.component, d.doc_id) AS c
+                FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+            )
+            SELECT doc_id, CASE
+                WHEN substring(md5(c::VARCHAR || ':42'), 1, 8)
+                     < '{_hex_threshold(0.8)}' THEN 'train'
+                WHEN substring(md5(c::VARCHAR || ':42'), 1, 8)
+                     < '{_hex_threshold(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+            FROM assigned
         """,
         "ssjoin_prefix_pairs": f"""
             WITH {_ngram_edges_cte(norm)}

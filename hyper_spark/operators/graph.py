@@ -36,6 +36,7 @@ __all__ = [
     "semantic_dedup",
     "pagerank",
     "label_propagation",
+    "cluster_safe_split",
 ]
 
 
@@ -473,3 +474,42 @@ def label_propagation(
     finally:
         sym.unpersist()
     return labels
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights,
+    id_col: str = "doc_id",
+    seed: str | int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every member of a duplicate
+    CLUSTER lands in the same split.
+
+    hash_split on a fingerprint already keeps EXACT duplicates
+    together, but near-duplicates (minhash / n-gram / embedding pairs)
+    have different fingerprints — split independently, a paraphrase of
+    a training doc lands in test and leaks. Here the split key is the
+    connected component of the pair graph (min-id per cluster,
+    ``connected_components``), so any chain of near-dup pairs shares
+    one draw; docs in no pair split by their own id, reproducing plain
+    hash_split for them. Same md5-threshold determinism contract as
+    hash_split (exactly reproducible in SQL).
+
+    Cost: components on the pair graph (O(log n) star rounds over
+    |pairs|) + one left join onto the corpus + a map-side when-chain.
+    Returns ``df`` plus ``split_col``."""
+    from hyper_spark.operators.sampling import hash_split
+
+    assign = connected_components(pairs, src="id_a", dst="id_b")
+    joined = df.join(
+        assign.select(
+            F.col("id").alias(id_col), F.col("component").alias("__comp")
+        ),
+        id_col,
+        "left",
+    ).withColumn("__comp", F.coalesce("__comp", F.col(id_col)))
+    return hash_split(
+        joined, "__comp", weights, seed=seed, split_col=split_col
+    ).drop("__comp")

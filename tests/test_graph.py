@@ -434,3 +434,37 @@ class TestLabelPropagation:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestClusterSafeSplit:
+    def test_clusters_never_straddle_and_unpaired_match_hash_split(self, spark):
+        from pyspark.sql import Row
+
+        from hyper_spark.operators.graph import cluster_safe_split
+        from hyper_spark.operators.sampling import hash_split
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"d{i}") for i in range(400)]
+        )
+        # chains of near-dup pairs: (10k, 10k+1, 10k+2) for k < 10
+        pairs = spark.createDataFrame(
+            [(10 * k, 10 * k + 1) for k in range(10)]
+            + [(10 * k + 1, 10 * k + 2) for k in range(10)],
+            "id_a long, id_b long",
+        )
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = cluster_safe_split(docs, pairs, w, seed=42).collect()
+        split = {r["doc_id"]: r["split"] for r in out}
+        for k in range(10):
+            assert split[10 * k] == split[10 * k + 1] == split[10 * k + 2], k
+        # unpaired docs draw on their own id == plain hash_split
+        paired = {10 * k + j for k in range(10) for j in range(3)}
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(docs, "doc_id", w, seed=42).collect()
+        }
+        for d in range(400):
+            if d not in paired:
+                assert split[d] == plain[d], d
+        # every split is populated at these sizes
+        assert {s for s in split.values()} == {"train", "val", "test"}
