@@ -215,6 +215,20 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return similarity_join(docs, threshold=0.5)
 
+    def q_sliding_dd():
+        from hyper_spark.operators.sliding_dd import (
+            sliding_dd_quantiles,
+            sliding_dd_table,
+        )
+
+        state = sliding_dd_table(
+            events, "ts", ["event_type"], "value", alpha=0.01
+        )
+        return sliding_dd_quantiles(
+            state, ["event_type"], "2024-02-01 00:00:00",
+            {"7d": "7 days", "31d": "31 days"}, [0.5, 0.9, 0.99], alpha=0.01,
+        )
+
     def q_gopher_filter():
         from hyper_spark.operators.quality import gopher_filter
 
@@ -502,6 +516,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "zorder_range_scan": q_zorder_scan,
         "near_dedup_docs": q_near_dedup,
         "ssjoin_prefix_docs": q_ssjoin_prefix,
+        "sliding_dd_quantiles": q_sliding_dd,
         "gopher_filter_docs": q_gopher_filter,
         "incremental_near_dedup_docs": q_incremental_near_dedup,
         "strip_dup_docs": q_strip_dup,
