@@ -948,6 +948,23 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node exact triangle counts over the n-gram pair graph
+    (operators/graph.py::triangle_count, WWW'11 degree-ordered
+    node-iterator — each triangle counted once via lower→higher
+    (degree, id) edge orientation). Oracle = canonical three-way
+    self-join in SQL."""
+    from hyper_spark.operators.graph import triangle_count
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5, max_df=None)
+    return triangle_count(pairs, per_node=True).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
 def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe splitting (operators/graph.py::cluster_safe_split):
     the split key is the near-dup CLUSTER (component of the exact
@@ -2226,6 +2243,60 @@ def _q_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "window string, exact_count bigint, within_bound boolean, "
         "matches_batch boolean",
+    )
+
+
+def _q_sliding_hll_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered retention for the sliding HLL state (operators/
+    sliding_hll.py::sliding_coarsen): register max commutes with
+    re-bucketing, so windows whose oldest edge sits on the coarse
+    boundary estimate bit-identically from the archived state —
+    windows 4d (fine-only), 14d (edge = the Jan 18 cutoff), 24d (edge
+    on the Jan 8 archive boundary). Gate emits the exact count, the
+    published bound check, and matches_fine (bit-parity with the
+    uncoarsened state)."""
+    from hyper_spark.kernel.hll import error_bound
+    from hyper_spark.operators.sliding_hll import (
+        sliding_coarsen,
+        sliding_estimates,
+        sliding_register_table,
+    )
+
+    _ensure_pkg(spark)
+    p = 14
+    ev = _read(spark, sf_dir, "events")
+    t_ref = "2024-02-01 00:00:00"
+    wins = {"4d": "4 days", "14d": "14 days", "24d": "24 days"}
+    state = sliding_register_table(ev, "ts", [], "user_id", p=p, grain="1 day")
+    coarse = sliding_coarsen(state, [], "2024-01-18 00:00:00", "10 days")
+    est_c = {
+        r["window"]: r["estimate"]
+        for r in sliding_estimates(coarse, [], t_ref, wins, p).collect()
+    }
+    est_f = {
+        r["window"]: r["estimate"]
+        for r in sliding_estimates(state, [], t_ref, wins, p).collect()
+    }
+    out = []
+    for lab, days in [("4d", 4), ("14d", 14), ("24d", 24)]:
+        lo = F.lit(t_ref).cast("timestamp") - F.expr(f"INTERVAL {days} DAYS")
+        exact = (
+            ev.filter(F.col("ts").cast("timestamp") >= lo)
+            .select(F.countDistinct("user_id").alias("n"))
+            .collect()[0]["n"]
+        )
+        out.append(
+            (
+                lab,
+                int(exact),
+                bool(abs(est_c[lab] - exact) / exact <= error_bound(p)),
+                bool(est_c[lab] == est_f[lab]),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "window string, exact_count bigint, within_bound boolean, "
+        "matches_fine boolean",
     )
 
 
@@ -4718,6 +4789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_dd_drift_weeks": _q_sliding_dd_drift,
         "label_propagation_ngram": _q_label_propagation,
         "cluster_safe_split_docs": _q_cluster_safe_split,
+        "sliding_hll_coarsen_aligned": _q_sliding_hll_coarsen,
+        "triangle_counts_ngram": _q_triangle_counts,
     }
 
 
@@ -6207,6 +6280,28 @@ def oracle_sql() -> dict[str, str]:
             {_lpa_cte_sql(5)}
             SELECT id::BIGINT AS id, label::BIGINT AS label FROM l5
         """,
+        "triangle_counts_ngram": f"""
+            WITH {_ngram_edges_cte(norm)},
+            tri AS (
+                SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                FROM edges e1
+                JOIN edges e2 ON e2.id_a = e1.id_b
+                JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+            ),
+            nodes AS (
+                SELECT id_a AS id FROM edges
+                UNION SELECT id_b FROM edges
+            ),
+            corners AS (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ),
+            cnt AS (SELECT id, count(*) AS n FROM corners GROUP BY id)
+            SELECT n.id::BIGINT AS id,
+                   coalesce(cnt.n, 0)::BIGINT AS n_triangles
+            FROM nodes n LEFT JOIN cnt ON cnt.id = n.id
+        """,
         "cluster_safe_split_docs": f"""
             WITH RECURSIVE {_ngram_edges_cte(norm)},
             {_cc_closure_cte()},
@@ -7397,6 +7492,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, "window", user_id, estimate,
                    true AS matches_fine
             FROM r WHERE rk <= 3
+        """,
+        "sliding_hll_coarsen_aligned": """
+            SELECT lab AS window,
+                   (SELECT count(DISTINCT user_id) FROM events
+                    WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+                          - to_days(d))::BIGINT AS exact_count,
+                   true AS within_bound,
+                   true AS matches_fine
+            FROM (VALUES ('4d', 4), ('14d', 14), ('24d', 24)) AS w(lab, d)
         """,
         "sliding_hll_users": """
             SELECT lab AS window,

@@ -468,3 +468,71 @@ class TestClusterSafeSplit:
                 assert split[d] == plain[d], d
         # every split is populated at these sizes
         assert {s for s in split.values()} == {"train", "val", "test"}
+
+
+class TestTriangleCount:
+    @staticmethod
+    def _brute(edges):
+        from collections import defaultdict
+
+        nbrs = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+        nodes = sorted(nbrs)
+        per = {v: 0 for v in nodes}
+        total = 0
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1 :]:
+                if b not in nbrs[a]:
+                    continue
+                for c in nodes[nodes.index(b) + 1 :]:
+                    if c in nbrs[a] and c in nbrs[b]:
+                        total += 1
+                        per[a] += 1
+                        per[b] += 1
+                        per[c] += 1
+        return total, per
+
+    def test_cliques_paths_random(self, spark):
+        import random as _random
+
+        from hyper_spark.operators.graph import triangle_count
+
+        rng = _random.Random(13)
+        cases = [
+            [(i, j) for i in range(5) for j in range(i + 1, 5)],  # K5: 10
+            [(i, i + 1) for i in range(20)],  # path: 0
+            list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(40), rng.randrange(40))
+                               for _ in range(150)) if a != b}),
+        ]
+        for edges in cases:
+            total, per = self._brute(edges)
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            got_total = triangle_count(df).collect()[0]["n_triangles"]
+            assert got_total == total, edges[:3]
+            got_per = {
+                r["id"]: r["n_triangles"]
+                for r in triangle_count(df, per_node=True).collect()
+            }
+            assert got_per == per, edges[:3]
+
+    def test_messy_input_and_plan(self, spark):
+        from hyper_spark.operators.graph import triangle_count
+
+        # self loops, dup edges, both orientations of one triangle
+        edges = [(1, 1), (1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (4, 4)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        assert triangle_count(df).collect()[0]["n_triangles"] == 1
+        per = {r["id"]: r["n_triangles"]
+               for r in triangle_count(df, per_node=True).collect()}
+        assert per == {1: 1, 2: 1, 3: 1, 4: 0}
+        plan = (
+            triangle_count(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
