@@ -965,6 +965,58 @@ def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighbourhood-function estimates (operators/graph.py::
+    hyperball, Boldi-Vigna 2013) over the n-gram pair graph: per-node
+    |ball(v, t)| for t=0..2 by hop-wise HLL register max — the
+    library's own union algebra as graph iteration. Gate computes the
+    exact balls with the same unrolled reachability joins the oracle
+    runs in SQL and emits the published-bound check per row."""
+    from hyper_spark.kernel.hll import error_bound
+    from hyper_spark.operators.graph import hyperball
+
+    _ensure_pkg(spark)
+    p = 12
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5, max_df=None)
+    est = hyperball(pairs, p=p, max_hops=2, estimator="hllpp")
+    # exact balls by the same unrolled reachability the oracle runs
+    e = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    reach = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("r"))
+    )
+    exacts = []
+    for hop in range(3):
+        exacts.append(
+            reach.groupBy("id")
+            .agg(F.countDistinct("r").alias("exact_ball"))
+            .select("id", F.lit(hop).alias("hop"), "exact_ball")
+        )
+        reach = reach.unionByName(
+            sym.join(reach.select(F.col("id").alias("d"), "r"), "d").select(
+                F.col("s").alias("id"), "r"
+            )
+        ).distinct()
+    exact = exacts[0].unionByName(exacts[1]).unionByName(exacts[2])
+    return (
+        est.join(exact, ["id", "hop"])
+        .select(
+            F.col("id").cast("long").alias("id"),
+            "hop",
+            F.col("exact_ball").cast("long").alias("exact_ball"),
+            (
+                F.abs(F.col("estimate") - F.col("exact_ball"))
+                / F.col("exact_ball")
+                <= F.lit(error_bound(p))
+            ).alias("within_bound"),
+        )
+    )
+
+
 def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe splitting (operators/graph.py::cluster_safe_split):
     the split key is the near-dup CLUSTER (component of the exact
@@ -4791,6 +4843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split_docs": _q_cluster_safe_split,
         "sliding_hll_coarsen_aligned": _q_sliding_hll_coarsen,
         "triangle_counts_ngram": _q_triangle_counts,
+        "hyperball_ngram": _q_hyperball,
     }
 
 
@@ -6279,6 +6332,36 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ngram_edges_cte(norm)},
             {_lpa_cte_sql(5)}
             SELECT id::BIGINT AS id, label::BIGINT AS label FROM l5
+        """,
+        "hyperball_ngram": f"""
+            WITH {_ngram_edges_cte(norm)},
+            sym AS (
+                SELECT id_a AS s, id_b AS d FROM edges
+                UNION SELECT id_b, id_a FROM edges
+            ),
+            nodes AS (
+                SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges
+            ),
+            r0 AS (SELECT id, id AS r FROM nodes),
+            r1 AS (
+                SELECT * FROM r0
+                UNION
+                SELECT y.s, r.r FROM sym y JOIN r0 r ON r.id = y.d
+            ),
+            r2 AS (
+                SELECT * FROM r1
+                UNION
+                SELECT y.s, r.r FROM sym y JOIN r1 r ON r.id = y.d
+            )
+            SELECT id::BIGINT AS id, hop, n::BIGINT AS exact_ball,
+                   true AS within_bound
+            FROM (
+                SELECT id, 0 AS hop, count(*) AS n FROM r0 GROUP BY id
+                UNION ALL
+                SELECT id, 1, count(*) FROM r1 GROUP BY id
+                UNION ALL
+                SELECT id, 2, count(*) FROM r2 GROUP BY id
+            )
         """,
         "triangle_counts_ngram": f"""
             WITH {_ngram_edges_cte(norm)},

@@ -38,6 +38,7 @@ __all__ = [
     "label_propagation",
     "cluster_safe_split",
     "triangle_count",
+    "hyperball",
 ]
 
 
@@ -598,4 +599,100 @@ def triangle_count(
         out = nodes.join(corners, "id", "left").select(
             "id", F.coalesce("__n", F.lit(0)).alias("n_triangles")
         )
+    return out
+
+
+def hyperball(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    p: int = 12,
+    max_hops: int = 3,
+    estimator: str = "hllpp",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", 2013): per-node NEIGHBOURHOOD
+    FUNCTION estimates — |ball(v, t)| = how many nodes sit within t
+    hops of v — for every t in 0..``max_hops``, from one register
+    state that never stores the balls themselves.
+
+    The trick is the library's own HLL algebra applied hop-wise:
+    ball(v, t) = {v} ∪ ⋃_{(v,u)∈E} ball(u, t−1), and HLL registers
+    union by MAX — so each hop is one edge join + one (node, idx)
+    max groupBy over relational register rows (the sliding_hll state
+    shape), never materializing a ball. Registers per node ≤ 2^p
+    regardless of graph size; lineage checkpoint-truncated per hop.
+    Exact-distance BFS stores O(n²) pair rows on dense graphs —
+    HyperBall is how effective-diameter / closeness estimation stays
+    feasible at web scale.
+
+    Undirected (edges symmetrized); estimates carry the standard HLL
+    guarantee (±1.04/√2^p), evaluated by the kernel estimator
+    (``'hllpp'``, reference parity) or LogLog-Beta (``'beta'``, zero
+    Python in the read path). Returns [id, hop, estimate], hops
+    0..max_hops (hop 0 ≈ 1.0, the node itself)."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if estimator not in ("hllpp", "beta"):
+        raise ValueError(f"unknown estimator {estimator!r}")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from hyper_spark.functions.hashing import hll_prepare
+    from hyper_spark.operators.hll_agg import (
+        SKETCH_FIELDS,
+        _densify_fn,
+        beta_estimate_agg,
+        cardinality_col,
+    )
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    canon = _star_edges(e)
+    sym = _checkpoint(
+        canon.unionByName(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    idx, rho = hll_prepare(F.col("id").cast("string"), p, hash_fn)
+    state = _checkpoint(
+        nodes.select("id", idx.alias("idx"), rho.alias("rho"))
+    )
+
+    def estimates(st: DataFrame, hop: int) -> DataFrame:
+        if estimator == "beta":
+            est = st.groupBy("id").agg(beta_estimate_agg(p).alias("estimate"))
+        else:
+            schema = StructType(
+                [st.schema["id"]]
+                + [StructField("__hop", StringType(), False)]
+                + list(SKETCH_FIELDS)
+            )
+            tagged = st.withColumn("__hop", F.lit(str(hop)))
+            sk = tagged.groupBy("id", "__hop").applyInPandas(
+                _densify_fn(p, ["id", "__hop"]), schema
+            )
+            est = sk.select(
+                "id",
+                cardinality_col(F.col("p"), F.col("registers")).alias(
+                    "estimate"
+                ),
+            )
+        return est.select("id", F.lit(hop).alias("hop"), "estimate")
+
+    out = estimates(state, 0)
+    for t in range(1, max_hops + 1):
+        nbr = sym.join(state, sym["v"] == state["id"]).select(
+            sym["u"].alias("id"), "idx", "rho"
+        )
+        state = _checkpoint(
+            state.unionByName(nbr).groupBy("id", "idx").agg(
+                F.max("rho").alias("rho")
+            )
+        )
+        out = out.unionByName(estimates(state, t))
     return out

@@ -536,3 +536,62 @@ class TestTriangleCount:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestHyperball:
+    @staticmethod
+    def _exact_balls(edges, max_hops):
+        from collections import defaultdict
+
+        nbrs = defaultdict(set)
+        nodes = set()
+        for a, b in edges:
+            nodes.update((a, b))
+            if a != b:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+        out = {}
+        for v in nodes:
+            ball = {v}
+            out[(v, 0)] = 1
+            frontier = {v}
+            for t in range(1, max_hops + 1):
+                frontier = {u for w in frontier for u in nbrs[w]} - ball
+                ball |= frontier
+                out[(v, t)] = len(ball)
+        return out
+
+    def test_estimates_within_bound(self, spark):
+        from hyper_spark.kernel.hll import error_bound
+
+        from hyper_spark.operators.graph import hyperball
+
+        edges = []
+        for base in (0, 100):
+            for i in range(8):
+                for j in range(i + 1, 8):
+                    edges.append((base + i, base + j))
+        edges.append((7, 100))  # bridge
+        edges += [(200 + i, 201 + i) for i in range(8)]  # path
+        exact = self._exact_balls(edges, 3)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        p = 12
+        for estimator in ("hllpp", "beta"):
+            got = hyperball(df, p=p, max_hops=3, estimator=estimator).collect()
+            assert len(got) == len(exact), estimator
+            for r in got:
+                true = exact[(r["id"], r["hop"])]
+                assert (
+                    abs(r["estimate"] - true) / true <= error_bound(p)
+                ), (estimator, r["id"], r["hop"], r["estimate"], true)
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from hyper_spark.operators.graph import hyperball
+
+        df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with _pytest.raises(ValueError, match="max_hops"):
+            hyperball(df, max_hops=-1)
+        with _pytest.raises(ValueError, match="estimator"):
+            hyperball(df, estimator="loglog")
