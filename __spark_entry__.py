@@ -1017,6 +1017,23 @@ def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition over the n-gram pair graph
+    (operators/graph.py::coreness, the Lü et al. 2016 h-index
+    iteration with the fixed-rounds determinism contract: exactly 4
+    synchronous rounds, h_0 = degree) vs the same rounds unrolled as
+    SQL CTEs — the label_propagation oracle design. Self-loop-only /
+    isolated-in-pairs nodes return 0."""
+    from hyper_spark.operators.graph import coreness
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5, max_df=None)
+    return coreness(pairs, iters=4).select(
+        F.col("id").cast("long").alias("id"), "coreness"
+    )
+
+
 def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe splitting (operators/graph.py::cluster_safe_split):
     the split key is the near-dup CLUSTER (component of the exact
@@ -4844,6 +4861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_hll_coarsen_aligned": _q_sliding_hll_coarsen,
         "triangle_counts_ngram": _q_triangle_counts,
         "hyperball_ngram": _q_hyperball,
+        "coreness_ngram": _q_coreness,
     }
 
 
@@ -5008,6 +5026,30 @@ def _lpa_cte_sql(iters: int) -> str:
                         PARTITION BY s ORDER BY c DESC, label) AS rn
                     FROM c{i}
                 ) WHERE rn = 1
+            )""")
+    return ",\n            ".join(parts)
+
+
+def _coreness_cte_sql(iters: int) -> str:
+    """Unrolled synchronous h-index rounds over ``edges``
+    (graph.py::coreness's fixed-iters contract: h_0 = degree, each
+    round h(u) = h-index of neighbor values = max over the descending
+    rank rn of least(rn, value)), ending in ``h{iters}(id, h)``."""
+    parts = [
+        """sym AS (
+                SELECT id_a AS s, id_b AS d FROM edges
+                UNION
+                SELECT id_b, id_a FROM edges
+            ),
+            h0 AS (SELECT s AS id, count(*) AS h FROM sym GROUP BY s)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""h{i} AS (
+                SELECT s AS id, max(least(rn, hv)) AS h FROM (
+                    SELECT y.s, l.h AS hv, row_number() OVER (
+                        PARTITION BY y.s ORDER BY l.h DESC) AS rn
+                    FROM sym y JOIN h{i - 1} l ON l.id = y.d
+                ) GROUP BY s
             )""")
     return ",\n            ".join(parts)
 
@@ -6362,6 +6404,15 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT id, 2, count(*) FROM r2 GROUP BY id
             )
+        """,
+        "coreness_ngram": f"""
+            WITH {_ngram_edges_cte(norm)},
+            {_coreness_cte_sql(4)},
+            nodes AS (
+                SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges
+            )
+            SELECT n.id::BIGINT AS id, coalesce(h.h, 0)::BIGINT AS coreness
+            FROM nodes n LEFT JOIN h4 h ON h.id = n.id
         """,
         "triangle_counts_ngram": f"""
             WITH {_ngram_edges_cte(norm)},

@@ -595,3 +595,106 @@ class TestHyperball:
             hyperball(df, max_hops=-1)
         with _pytest.raises(ValueError, match="estimator"):
             hyperball(df, estimator="loglog")
+
+
+class TestCoreness:
+    @staticmethod
+    def _peel(edges):
+        """Classic O(E) peel: repeatedly remove a min-degree node;
+        coreness = the running max of min-degrees at removal."""
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        core = {}
+        k = 0
+        deg = {v: len(ns) for v, ns in adj.items()}
+        while deg:
+            v = min(deg, key=lambda x: (deg[x], x))
+            k = max(k, deg[v])
+            core[v] = k
+            for u in adj[v]:
+                if u in deg and u != v:
+                    deg[u] -= 1
+            del deg[v]
+            for u in adj[v]:
+                adj[u].discard(v)
+        return core
+
+    @staticmethod
+    def _h_rounds(edges, iters):
+        """Synchronous h-index iteration replay (the iters=k contract)."""
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        h = {v: len(ns) for v, ns in adj.items()}
+        for _ in range(iters):
+            new = {}
+            for v, ns in adj.items():
+                vals = sorted((h[u] for u in ns), reverse=True)
+                new[v] = max(
+                    (min(i + 1, x) for i, x in enumerate(vals)), default=0
+                )
+            h = new
+        return h
+
+    def test_fixpoint_matches_peel(self, spark):
+        import random
+
+        from hyper_spark.operators.graph import coreness
+
+        rng = random.Random(7)
+        # clique (core 5) + random sparse graph + path (core 1)
+        edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        edges += [
+            (rng.randrange(20, 60), rng.randrange(20, 60)) for _ in range(80)
+        ]
+        edges += [(100 + i, 101 + i) for i in range(10)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["coreness"] for r in coreness(df).collect()}
+        want = self._peel(edges)
+        # self-loop-only nodes appear at 0 in the operator output
+        for v, k in want.items():
+            assert got[v] == k, v
+        for v in got:
+            assert got[v] == want.get(v, 0), v
+
+    def test_fixed_iters_replays_h_iteration(self, spark):
+        from hyper_spark.operators.graph import coreness
+
+        # long path: convergence takes ~n/2 rounds, so small iters are
+        # a strict upper bound — exactly what the SQL oracle unrolls
+        edges = [(i, i + 1) for i in range(14)]
+        edges += [(i, j) for i in range(200, 205) for j in range(i + 1, 205)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for iters in (0, 1, 3):
+            got = {
+                r["id"]: r["coreness"]
+                for r in coreness(df, iters=iters).collect()
+            }
+            assert got == self._h_rounds(edges, iters), iters
+
+    def test_messy_input_and_plan(self, spark):
+        import pytest as _pytest
+
+        from hyper_spark.operators.graph import coreness
+
+        edges = [(1, 2), (2, 1), (1, 2), (3, 3), (2, 4), (4, 1)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["coreness"] for r in coreness(df).collect()}
+        # triangle {1,2,4} -> core 2; self-loop-only node 3 -> 0
+        assert got == {1: 2, 2: 2, 4: 2, 3: 0}
+        with _pytest.raises(ValueError, match="iters"):
+            coreness(df, iters=-1)
+        plan = (
+            coreness(df, iters=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
