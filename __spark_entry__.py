@@ -1034,6 +1034,38 @@ def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/selection.py::
+    dsir_weights, Xie et al. NeurIPS 2023): hashed unigram+bigram
+    bag distributions fitted on target (lang = 'de' — a genuinely
+    distinct vocabulary) and the full pool, Laplace-smoothed log
+    likelihood ratio summed per document.
+    The md5→conv feature hash and closed-form fit replay exactly in
+    SQL; the few-hundred-addend double sums agree within the checker's
+    rounding."""
+    from hyper_spark.operators.selection import dsir_weights
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    return dsir_weights(docs, target, buckets=8192)
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper's resampling step (operators/selection.py::
+    dsir_select): Gumbel-top-k over log_weight + Gumbel(md5-uniform of
+    'doc_id:7') — sampling without replacement ∝ exp(log_weight),
+    deterministic, ranked identically in SQL."""
+    from hyper_spark.operators.selection import dsir_select
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    return dsir_select(docs, target, k=100, buckets=8192, seed=7).select(
+        "doc_id", "log_weight"
+    )
+
+
 def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe splitting (operators/graph.py::cluster_safe_split):
     the split key is the near-dup CLUSTER (component of the exact
@@ -4862,6 +4894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts_ngram": _q_triangle_counts,
         "hyperball_ngram": _q_hyperball,
         "coreness_ngram": _q_coreness,
+        "dsir_weights_docs": _q_dsir_weights,
+        "dsir_select_docs": _q_dsir_select,
     }
 
 
@@ -5052,6 +5086,54 @@ def _coreness_cte_sql(iters: int) -> str:
                 ) GROUP BY s
             )""")
     return ",\n            ".join(parts)
+
+
+def _dsir_cte_sql(buckets: int) -> str:
+    """DuckDB replay of operators/selection.py::dsir_weights over
+    documents with target = lang 'de', ending in
+    ``weights(doc_id, log_weight)``: same whitespace tokens, same
+    unigram+bigram features, same md5→int bucket hash, same
+    Laplace-smoothed log likelihood ratio."""
+    return f"""tk AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x != '') AS t
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, unnest(list_concat(t,
+                    list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1]))) AS f
+                FROM tk
+            ),
+            inst AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(f), 1, 8))::BIGINT
+                           % {buckets} AS b
+                FROM feats
+            ),
+            q AS (SELECT b, count(*) AS c FROM inst GROUP BY b),
+            p AS (SELECT b, count(*) AS c
+                  FROM inst JOIN documents USING (doc_id)
+                  WHERE lang = 'de' GROUP BY b),
+            tq AS (SELECT sum(c) AS t FROM q),
+            tp AS (SELECT sum(c) AS t FROM p),
+            lr AS (
+                SELECT q.b,
+                       ln((coalesce(p.c, 0) + 1) / (tp.t + {buckets})::DOUBLE)
+                     - ln((q.c + 1) / (tq.t + {buckets})::DOUBLE) AS lr
+                FROM q LEFT JOIN p ON p.b = q.b, tq, tp
+            ),
+            wsum AS (
+                SELECT i.doc_id, sum(l.lr) AS lw
+                FROM inst i JOIN lr l ON l.b = i.b
+                GROUP BY i.doc_id
+            ),
+            weights AS (
+                SELECT d.doc_id, coalesce(w.lw, 0.0)::DOUBLE AS log_weight
+                FROM documents d LEFT JOIN wsum w ON w.doc_id = d.doc_id
+            )"""
 
 
 def _repetition_sql(ns=(2, 3, 4)) -> str:
@@ -6413,6 +6495,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n.id::BIGINT AS id, coalesce(h.h, 0)::BIGINT AS coreness
             FROM nodes n LEFT JOIN h4 h ON h.id = n.id
+        """,
+        "dsir_weights_docs": f"""
+            WITH {_dsir_cte_sql(8192)}
+            SELECT doc_id, log_weight FROM weights
+        """,
+        "dsir_select_docs": f"""
+            WITH {_dsir_cte_sql(8192)},
+            keyed AS (
+                SELECT doc_id, log_weight,
+                       log_weight - ln(-ln(
+                           ((('0x' || substring(
+                               md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+                             + 0.5) / 4294967296.0))) AS k
+                FROM weights
+            )
+            SELECT doc_id, log_weight FROM keyed
+            ORDER BY k DESC, doc_id LIMIT 100
         """,
         "triangle_counts_ngram": f"""
             WITH {_ngram_edges_cte(norm)},
