@@ -1066,6 +1066,39 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc n-gram contamination (operators/contamination.py::
+    ngram_overlap, the GPT-3 Appendix C measurement): eval = doc_id %
+    7 == 0, train = the rest, word 3-grams; the train gram stream
+    broadcast-joins the eval gram set map-side so misses never
+    shuffle. Exact string grams — the SQL replay is verbatim."""
+    from hyper_spark.operators.contamination import ngram_overlap
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return ngram_overlap(train, evals, n=3)
+
+
+def _q_contamination_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-card rollup (operators/contamination.py::
+    overlap_summary): fraction of eval docs at >= 20/50/80% 3-gram
+    overlap against train, all thresholds from one scan."""
+    from hyper_spark.operators.contamination import (
+        ngram_overlap,
+        overlap_summary,
+    )
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return overlap_summary(
+        ngram_overlap(train, evals, n=3), thresholds=(0.2, 0.5, 0.8)
+    )
+
+
 def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe splitting (operators/graph.py::cluster_safe_split):
     the split key is the near-dup CLUSTER (component of the exact
@@ -4896,6 +4929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_ngram": _q_coreness,
         "dsir_weights_docs": _q_dsir_weights,
         "dsir_select_docs": _q_dsir_select,
+        "ngram_overlap_docs": _q_ngram_overlap,
+        "contamination_summary_docs": _q_contamination_summary,
     }
 
 
@@ -5133,6 +5168,45 @@ def _dsir_cte_sql(buckets: int) -> str:
             weights AS (
                 SELECT d.doc_id, coalesce(w.lw, 0.0)::DOUBLE AS log_weight
                 FROM documents d LEFT JOIN wsum w ON w.doc_id = d.doc_id
+            )"""
+
+
+def _overlap_cte_sql(n: int) -> str:
+    """DuckDB replay of operators/contamination.py::ngram_overlap over
+    documents (eval = doc_id % 7 == 0, train = the rest), ending in
+    ``per_eval(doc_id, n_grams, n_overlap, overlap_frac)``."""
+    return f"""tk2 AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x != '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(t) - {n - 1}),
+                    i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g
+                FROM tk2
+            ),
+            evg AS (SELECT DISTINCT doc_id, g FROM grams
+                    WHERE doc_id % 7 = 0),
+            trg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 <> 0),
+            hitcnt AS (
+                SELECT e.doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
+                           AS n_overlap
+                FROM evg e LEFT JOIN trg t ON t.g = e.g
+                GROUP BY 1
+            ),
+            per_eval AS (
+                SELECT d.doc_id,
+                       coalesce(h.n_grams, 0)::BIGINT AS n_grams,
+                       coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+                       CASE WHEN coalesce(h.n_grams, 0) > 0
+                            THEN h.n_overlap / h.n_grams::DOUBLE
+                       END AS overlap_frac
+                FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+                LEFT JOIN hitcnt h ON h.doc_id = d.doc_id
             )"""
 
 
@@ -6512,6 +6586,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, log_weight FROM keyed
             ORDER BY k DESC, doc_id LIMIT 100
+        """,
+        "ngram_overlap_docs": f"""
+            WITH {_overlap_cte_sql(3)}
+            SELECT doc_id, n_grams, n_overlap, overlap_frac FROM per_eval
+        """,
+        "contamination_summary_docs": f"""
+            WITH {_overlap_cte_sql(3)}
+            SELECT t.threshold,
+                   sum(CASE WHEN overlap_frac >= t.threshold
+                            THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+                   count(*)::BIGINT AS n_docs,
+                   (sum(CASE WHEN overlap_frac >= t.threshold
+                             THEN 1 ELSE 0 END)
+                    / count(*)::DOUBLE) AS contaminated_frac
+            FROM per_eval
+            CROSS JOIN (VALUES (0.2::DOUBLE), (0.5::DOUBLE),
+                               (0.8::DOUBLE)) AS t(threshold)
+            GROUP BY t.threshold
         """,
         "triangle_counts_ngram": f"""
             WITH {_ngram_edges_cte(norm)},
