@@ -1099,6 +1099,22 @@ def _q_contamination_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily mean-value series per event type
+    (operators/temporal.py::acf over resample output, lags 1-3): the
+    textbook estimator from per-key sufficient statistics — one window
+    sort + one groupBy, single exchange. The oracle replays the exact
+    expression tree (IEEE mult/div are exactly rounded, so given the
+    sums the arithmetic is bit-stable; checker rounding absorbs
+    sum-order noise)."""
+    from hyper_spark.operators.temporal import acf, resample
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    series = resample(events, "event_type", "ts", "value", bucket="1 day")
+    return acf(series, "event_type", "bucket_start", "v_mean", max_lag=3)
+
+
 def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe splitting (operators/graph.py::cluster_safe_split):
     the split key is the near-dup CLUSTER (component of the exact
@@ -4931,6 +4947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": _q_dsir_select,
         "ngram_overlap_docs": _q_ngram_overlap,
         "contamination_summary_docs": _q_contamination_summary,
+        "value_acf_daily": _q_value_acf_daily,
     }
 
 
@@ -6586,6 +6603,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, log_weight FROM keyed
             ORDER BY k DESC, doc_id LIMIT 100
+        """,
+        "value_acf_daily": """
+            WITH s AS (
+                SELECT event_type,
+                       time_bucket(INTERVAL '1 day', ts) AS bs,
+                       avg(value) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            l AS (
+                SELECT event_type, v,
+                       lag(v, 1) OVER w AS l1,
+                       lag(v, 2) OVER w AS l2,
+                       lag(v, 3) OVER w AS l3
+                FROM s WHERE v IS NOT NULL
+                WINDOW w AS (PARTITION BY event_type ORDER BY bs)
+            ),
+            g AS (
+                SELECT event_type, count(*) AS n, sum(v) AS sv,
+                       sum(v * v) AS ss,
+                       count(l1) AS c1, sum(v * l1) AS sp1,
+                       sum(CASE WHEN l1 IS NOT NULL THEN v END) AS sc1,
+                       sum(l1) AS sl1,
+                       count(l2) AS c2, sum(v * l2) AS sp2,
+                       sum(CASE WHEN l2 IS NOT NULL THEN v END) AS sc2,
+                       sum(l2) AS sl2,
+                       count(l3) AS c3, sum(v * l3) AS sp3,
+                       sum(CASE WHEN l3 IS NOT NULL THEN v END) AS sc3,
+                       sum(l3) AS sl3
+                FROM l GROUP BY 1
+            )
+            SELECT event_type, lag, n_pairs,
+                   CASE WHEN n_pairs > 0
+                             AND (ss - n * (sv / n) * (sv / n)) > 0
+                        THEN (sp - (sv / n) * (sc + sl)
+                              + c * (sv / n) * (sv / n))
+                             / (ss - n * (sv / n) * (sv / n))
+                   END AS acf
+            FROM (
+                SELECT event_type, n, sv, ss, 1 AS lag,
+                       c1::BIGINT AS n_pairs, c1 AS c, sp1 AS sp,
+                       sc1 AS sc, sl1 AS sl FROM g
+                UNION ALL
+                SELECT event_type, n, sv, ss, 2,
+                       c2::BIGINT, c2, sp2, sc2, sl2 FROM g
+                UNION ALL
+                SELECT event_type, n, sv, ss, 3,
+                       c3::BIGINT, c3, sp3, sc3, sl3 FROM g
+            )
         """,
         "ngram_overlap_docs": f"""
             WITH {_overlap_cte_sql(3)}

@@ -42,6 +42,7 @@ __all__ = [
     "rolling_features",
     "resample",
     "calendar_fill",
+    "acf",
 ]
 
 
@@ -838,4 +839,92 @@ def transitions(
         "to_state",
         "n",
         (F.col("n").cast("double") / F.sum("n").over(denom)).alias("prob"),
+    )
+
+
+def acf(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 10,
+) -> DataFrame:
+    """Sample autocorrelation function per key — the seasonality /
+    persistence diagnostic that closes the series-analytics loop
+    (resample → calendar_fill → acf): for each key and each lag
+    ℓ = 1..``max_lag``,
+
+        r_ℓ = Σ_t (x_t − x̄)(x_{t+ℓ} − x̄) / Σ_t (x_t − x̄)²
+
+    (the textbook estimator: global mean and variance over the key's
+    whole series, numerator over the n−ℓ overlapping pairs — the
+    statsmodels ``acf`` definition). A daily series with weekly
+    seasonality spikes at lag 7; a white-noise series hugs 0.
+
+    Contract: rows with NULL value are dropped; lags are ROW offsets
+    in ``ts_col`` order, so the series should be regularly spaced and
+    unique per (key, ts) — exactly what ``resample`` (+
+    ``calendar_fill`` with a zero fill) emits. Returns one row per
+    (key, lag): [keys..., lag, n_pairs, acf], acf NULL when the key
+    has no pairs at that lag or zero variance.
+
+    Scale shape: ONE window sort per key (input = the bucketed series,
+    never raw events) producing all ``max_lag`` lag columns from the
+    same sort, then ONE groupBy(keys) whose aggregate row carries the
+    3 + 4·max_lag sufficient statistics — the lag loop widens the
+    aggregate, never adds passes or shuffles; Catalyst keeps the
+    window's hash partitioning for the groupBy, so the whole operator
+    is one exchange over series rows. All moment arithmetic is
+    IEEE-exact given the sums, so the SQL oracle replays it by writing
+    the same expression tree."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__ts")
+    lags = range(1, max_lag + 1)
+    lagged = base.select(
+        *keys,
+        "__v",
+        *[F.lag("__v", lg).over(w).alias(f"__l{lg}") for lg in lags],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+    ]
+    for lg in lags:
+        lv = F.col(f"__l{lg}")
+        aggs += [
+            F.count(lv).alias(f"__c{lg}"),
+            F.sum(F.col("__v") * lv).alias(f"__sp{lg}"),
+            F.sum(F.when(lv.isNotNull(), F.col("__v"))).alias(f"__sc{lg}"),
+            F.sum(lv).alias(f"__sl{lg}"),
+        ]
+    g = lagged.groupBy(*keys).agg(*aggs)
+    xbar = F.col("__s") / F.col("__n")
+    den = F.col("__ss") - F.col("__n") * xbar * xbar
+    structs = []
+    for lg in lags:
+        c = F.col(f"__c{lg}")
+        num = (
+            F.col(f"__sp{lg}")
+            - xbar * (F.col(f"__sc{lg}") + F.col(f"__sl{lg}"))
+            + c * xbar * xbar
+        )
+        structs.append(
+            F.struct(
+                F.lit(lg).alias("lag"),
+                c.cast("long").alias("n_pairs"),
+                F.when((c > 0) & (den > 0), num / den).alias("acf"),
+            )
+        )
+    return g.select(*keys, F.explode(F.array(*structs)).alias("__e")).select(
+        *keys, "__e.lag", "__e.n_pairs", "__e.acf"
     )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import bisect
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -689,3 +691,84 @@ def test_state_ngrams_matches_python(spark):
         assert got == dict(exp), n
     with pytest.raises(ValueError):
         state_ngrams(df, "k", "i", "s", n=1)
+
+
+class TestAcf:
+    @staticmethod
+    def _acf(xs, max_lag):
+        import numpy as np
+
+        x = np.asarray(xs, dtype=float)
+        n = len(x)
+        xbar = x.mean()
+        den = ((x - xbar) ** 2).sum()
+        out = {}
+        for lg in range(1, max_lag + 1):
+            if n > lg and den > 0:
+                out[lg] = float(
+                    ((x[:-lg] - xbar) * (x[lg:] - xbar)).sum() / den
+                )
+            else:
+                out[lg] = None
+        return out
+
+    def test_matches_numpy_definition(self, spark):
+        import math
+
+        from hyper_spark.operators.temporal import acf
+
+        # key a: strong period-2 signal; key b: ramp; key c: constant
+        rows = []
+        for t in range(40):
+            rows.append(("a", float(t), 5.0 + (1.0 if t % 2 == 0 else -1.0)))
+            rows.append(("b", float(t), float(t)))
+            rows.append(("c", float(t), 3.0))
+        df = spark.createDataFrame(rows, "k string, ts double, v double")
+        got = {
+            (r["k"], r["lag"]): (r["n_pairs"], r["acf"])
+            for r in acf(df, "k", "ts", "v", max_lag=3).collect()
+        }
+        series = {"a": [], "b": [], "c": []}
+        for k, t, v in rows:
+            series[k].append(v)
+        for k, xs in series.items():
+            want = self._acf(xs, 3)
+            for lg in (1, 2, 3):
+                n_pairs, a = got[(k, lg)]
+                assert n_pairs == len(xs) - lg
+                if want[lg] is None:
+                    assert a is None, (k, lg)
+                else:
+                    assert a == pytest.approx(want[lg], abs=1e-9), (k, lg)
+        # the period-2 series alternates sign: negative at odd lags
+        assert got[("a", 1)][1] < -0.9 and got[("a", 2)][1] > 0.9
+        # zero-variance series -> NULL acf at every lag
+        assert all(got[("c", lg)][1] is None for lg in (1, 2, 3))
+
+    def test_nulls_dropped_and_short_series(self, spark):
+        from hyper_spark.operators.temporal import acf
+
+        rows = [("k", 1.0, 1.0), ("k", 2.0, None), ("k", 3.0, 2.0)]
+        df = spark.createDataFrame(rows, "k string, ts double, v double")
+        got = {
+            r["lag"]: (r["n_pairs"], r["acf"])
+            for r in acf(df, "k", "ts", "v", max_lag=2).collect()
+        }
+        # NULL row dropped: series = [1, 2]; lag1 has 1 pair, lag2 none
+        assert got[1][0] == 1 and got[2] == (0, None)
+
+    def test_guards_and_plan(self, spark):
+        import pytest as _pytest
+
+        from hyper_spark.operators.temporal import acf
+
+        df = spark.createDataFrame(
+            [("k", 1.0, 1.0)], "k string, ts double, v double"
+        )
+        with _pytest.raises(ValueError, match="max_lag"):
+            acf(df, "k", "ts", "v", max_lag=0)
+        qe = acf(df, "k", "ts", "v", max_lag=4)._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # one exchange total: window and groupBy share the key hash
+        assert plan.count("Exchange hashpartitioning") == 1
