@@ -4771,6 +4771,73 @@ def _q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return category_stats(events, ["day"], "event_type")
 
 
+def _q_moments_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments sketch (operators/moments.py, Gan et al. VLDB'18):
+    per-event_type p50/p90 of value estimated from k+3 power sums —
+    the smallest mergeable quantile state in the library (build/merge
+    pure SUM/MIN/MAX codegen; only the maxent Newton solve runs in an
+    Arrow batch). The estimate has no closed SQL form, so the gate is
+    bound-style (hll_users_within_bound's shape): exact n/min/max are
+    value-compared and the booleans assert the published rank-accuracy
+    contract |P(X <= est) - q| <= 0.02, which the oracle emits as TRUE."""
+    from hyper_spark.operators.moments import moments_by, moments_quantiles
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    sk = moments_by(ev, ["event_type"], "value", k=8)
+    est = moments_quantiles(sk, ["event_type"], [0.5, 0.9])
+    ranks = (
+        est.withColumnRenamed("value", "value_est")
+        .join(ev.select("event_type", "value"), on="event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("value_est"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("frac")
+        )
+    )
+    ok = ranks.groupBy("event_type").agg(
+        F.min(
+            F.when(F.abs(F.col("frac") - F.col("q")) <= 0.02, True).otherwise(False)
+        ).alias("rank_ok")
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count("value").alias("n_rows"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    return base.join(ok, on="event_type").select(
+        "event_type", "n_rows", "v_min", "v_max", "rank_ok"
+    )
+
+
+def _q_moments_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments sketch SQL-replayable read path (moments_stats) PLUS the
+    lossless merge: daily sketches are built first, merged to
+    event_type with moments_merge (sums add, min/max fold — the
+    resumable-fold contract), and mean/variance/skewness/kurtosis are
+    read off the merged power sums as pure Column arithmetic. The
+    oracle replays the IDENTICAL expression tree over SQL power sums —
+    value parity on the statistics themselves, which also proves the
+    day->type merge is exact."""
+    from hyper_spark.operators.moments import (
+        moments_by,
+        moments_merge,
+        moments_stats,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = moments_by(ev, ["event_type", "day"], "value", k=4, log_moments=False)
+    merged = moments_merge(daily, ["event_type"])
+    return moments_stats(merged).select(
+        "event_type", "n", "mean", "variance", "skewness", "kurtosis"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_distinct_users": _q_exact_distinct_users,
@@ -4948,6 +5015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_overlap_docs": _q_ngram_overlap,
         "contamination_summary_docs": _q_contamination_summary,
         "value_acf_daily": _q_value_acf_daily,
+        "moments_value_quantiles": _q_moments_value_quantiles,
+        "moments_stats_rollup": _q_moments_stats_rollup,
     }
 
 
@@ -6651,6 +6720,35 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, n, sv, ss, 3,
                        c3::BIGINT, c3, sp3, sc3, sl3 FROM g
             )
+        """,
+        "moments_value_quantiles": """
+            SELECT event_type, count(value)::BIGINT AS n_rows,
+                   min(value) AS v_min, max(value) AS v_max,
+                   true AS rank_ok
+            FROM events GROUP BY event_type
+        """,
+        "moments_stats_rollup": """
+            WITH s AS (
+                SELECT event_type, count(value)::BIGINT AS n,
+                       sum(value) AS m1, sum(pow(value, 2)) AS m2,
+                       sum(pow(value, 3)) AS m3, sum(pow(value, 4)) AS m4
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   m1 / n AS mean,
+                   m2 / n - (m1 / n) * (m1 / n) AS variance,
+                   CASE WHEN sqrt(m2 / n - (m1 / n) * (m1 / n)) > 0 THEN
+                       (m3 / n - 3 * (m1 / n) * (m2 / n)
+                        + 2 * (m1 / n) * (m1 / n) * (m1 / n))
+                       / pow(sqrt(m2 / n - (m1 / n) * (m1 / n)), 3)
+                   END AS skewness,
+                   CASE WHEN sqrt(m2 / n - (m1 / n) * (m1 / n)) > 0 THEN
+                       (m4 / n - 4 * (m1 / n) * (m3 / n)
+                        + 6 * (m1 / n) * (m1 / n) * (m2 / n)
+                        - 3 * (m1 / n) * (m1 / n) * (m1 / n) * (m1 / n))
+                       / pow(sqrt(m2 / n - (m1 / n) * (m1 / n)), 4)
+                   END AS kurtosis
+            FROM s
         """,
         "ngram_overlap_docs": f"""
             WITH {_overlap_cte_sql(3)}

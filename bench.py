@@ -117,6 +117,12 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.99], "tdigest"
         )
 
+    def q_moments_price_by_flag():
+        from hyper_spark.operators.moments import moments_by, moments_quantiles
+
+        sk = moments_by(lineitem, ["l_returnflag"], "l_extendedprice", k=8)
+        return moments_quantiles(sk, ["l_returnflag"], [0.5, 0.9, 0.99])
+
     def q_exact_dedup():
         return exact_dup_groups(docs)
 
@@ -503,6 +509,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "heavy_hitters_xxhash": q_heavy_hitters_xxh,
         "kll_price": q_kll_price,
         "tdigest_price_by_flag": q_tdigest_price_by_flag,
+        "moments_price_by_flag": q_moments_price_by_flag,
         "exact_dedup_docs": q_exact_dedup,
         "minhash_lsh_docs": q_minhash,
         "simhash_docs": q_simhash,
