@@ -4771,6 +4771,55 @@ def _q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return category_stats(events, ["day"], "event_type")
 
 
+def _q_tx_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-trajectory near-dup over the transcripts fixture: two
+    conversations are trajectory-duplicates when their TOOL-CALL sets
+    agree at Jaccard >= 0.8 (retry loops / templated agent runs). The
+    trajectory string per conversation feeds the prefix-filtered EXACT
+    set-similarity join (operators/ssjoin.py, AllPairs/PPJoin) in word
+    mode — recall-lossless, so the oracle is the verbatim exact-Jaccard
+    pair set in SQL. Conversations with < 3 distinct tools are screened
+    out (their tiny token sets make 0.8 trivially all-or-nothing)."""
+    from hyper_spark.operators.ssjoin import similarity_join
+
+    _ensure_pkg(spark)
+    tx = _tx(spark)
+    traj = (
+        tx.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws(" ", F.collect_list("tool")).alias("traj"),
+            F.countDistinct("tool").alias("nt"),
+        )
+        .filter(F.col("nt") >= 3)
+        .select("conv_id", "traj")
+    )
+    return similarity_join(
+        traj, id_col="conv_id", text_col="traj", threshold=0.8, tokens="words"
+    )
+
+
+def _q_tx_tool_reach_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Superspreader/tool-reach detection: the tools touching the most
+    DISTINCT conversations, served from per-tool theta sketches
+    (operators/theta_agg.py). At the fixture's cardinalities every
+    per-tool distinct count sits below k = 4096, where theta is EXACT
+    by contract — so the sketch top-5 equals the exact SQL top-5
+    value-for-value, demonstrating distinct-heavy-hitter queries that
+    at 10^12 turns would run from the same state as estimates."""
+    from hyper_spark.operators.theta_agg import theta_by, theta_estimate
+
+    _ensure_pkg(spark)
+    tx = _tx(spark)
+    sk = theta_by(tx.filter(F.col("tool").isNotNull()), ["tool"], "conv_id", k=4096)
+    return (
+        theta_estimate(sk, ["tool"])
+        .select("tool", F.col("estimate").cast("bigint").alias("n_convs"))
+        .orderBy(F.desc("n_convs"), "tool")
+        .limit(5)
+    )
+
+
 def _q_moments_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moments sketch (operators/moments.py, Gan et al. VLDB'18):
     per-event_type p50/p90 of value estimated from k+3 power sums —
@@ -5017,6 +5066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_acf_daily": _q_value_acf_daily,
         "moments_value_quantiles": _q_moments_value_quantiles,
         "moments_stats_rollup": _q_moments_stats_rollup,
+        "transcripts_trajectory_pairs": _q_tx_trajectory_pairs,
+        "transcripts_tool_reach_topk": _q_tx_tool_reach_topk,
     }
 
 
@@ -6721,6 +6772,43 @@ def oracle_sql() -> dict[str, str]:
                        c3::BIGINT, c3, sp3, sc3, sl3 FROM g
             )
         """,
+        "transcripts_trajectory_pairs": f"""
+            WITH traj AS (
+                SELECT conv_id, string_agg(tool, ' ') AS traj
+                FROM {_TX_GATE_SQL} WHERE tool IS NOT NULL
+                GROUP BY conv_id HAVING count(DISTINCT tool) >= 3
+            ),
+            nrm AS (
+                SELECT conv_id,
+                       {_NORM_SQL.format(col="traj")} AS t
+                FROM traj
+            ),
+            tok AS (
+                SELECT DISTINCT conv_id, unnest(string_split(t, ' ')) AS s
+                FROM nrm
+            ),
+            sizes AS (
+                SELECT conv_id, count(*) AS n FROM tok GROUP BY conv_id
+            ),
+            inter AS (
+                SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+                       count(*) AS i
+                FROM tok a JOIN tok b
+                  ON a.s = b.s AND a.conv_id < b.conv_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.conv_id = id_a
+            JOIN sizes sb ON sb.conv_id = id_b
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+        """,
+        "transcripts_tool_reach_topk": (
+            "SELECT tool, count(DISTINCT conv_id)::BIGINT AS n_convs "
+            f"FROM {_TX_GATE_SQL} WHERE tool IS NOT NULL "
+            "GROUP BY tool ORDER BY n_convs DESC, tool LIMIT 5"
+        ),
         "moments_value_quantiles": """
             SELECT event_type, count(value)::BIGINT AS n_rows,
                    min(value) AS v_min, max(value) AS v_max,
