@@ -4771,6 +4771,60 @@ def _q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return category_stats(events, ["day"], "event_type")
 
 
+def _q_sliding_moments_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window moments sketch (operators/sliding_moments.py):
+    k+3 doubles per (group, day-bucket) answer mean/variance AND
+    quantiles over ANY trailing window — here 7/31 days per event_type
+    at a pinned T. Window n/mean/variance are EXACT (power sums add
+    across buckets; the oracle replays the identical expression tree —
+    value parity, which also proves the window fold is lossless); the
+    quantile estimates carry the moments rank contract, asserted as
+    booleans |P(X <= est) - q| <= 0.02 that the oracle emits as TRUE."""
+    from hyper_spark.operators.sliding_moments import (
+        sliding_moments_quantiles,
+        sliding_moments_stats,
+        sliding_moments_table,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    t_ref = "2024-02-01 00:00:00"
+    windows = {"7d": "7 days", "31d": "31 days"}
+    state = sliding_moments_table(ev, "ts", ["event_type"], "value", k=8)
+    stats = sliding_moments_stats(state, ["event_type"], t_ref, windows).select(
+        "event_type", "window", "n",
+        F.col("mean").alias("v_mean"), F.col("variance").alias("v_var"),
+    )
+    est = sliding_moments_quantiles(
+        state, ["event_type"], t_ref, windows, [0.5, 0.9]
+    ).withColumnRenamed("value", "value_est")
+    wrows = None
+    for lab, days in (("7d", 7), ("31d", 31)):
+        part = ev.filter(
+            F.col("ts")
+            >= F.lit(t_ref).cast("timestamp") - F.expr(f"INTERVAL {days} DAYS")
+        ).select("event_type", "value").withColumn("window", F.lit(lab))
+        wrows = part if wrows is None else wrows.unionByName(part)
+    ranks = (
+        est.join(wrows, on=["event_type", "window"])
+        .groupBy("event_type", "window", "q")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("value_est"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("frac")
+        )
+    )
+    ok = ranks.groupBy("event_type", "window").agg(
+        F.min(
+            F.when(F.abs(F.col("frac") - F.col("q")) <= 0.02, True).otherwise(False)
+        ).alias("rank_ok")
+    )
+    return stats.join(ok, on=["event_type", "window"]).select(
+        "event_type", "window", "n", "v_mean", "v_var", "rank_ok"
+    )
+
+
 def _q_tx_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agent-trajectory near-dup over the transcripts fixture: two
     conversations are trajectory-duplicates when their TOOL-CALL sets
@@ -5068,6 +5122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments_stats_rollup": _q_moments_stats_rollup,
         "transcripts_trajectory_pairs": _q_tx_trajectory_pairs,
         "transcripts_tool_reach_topk": _q_tx_tool_reach_topk,
+        "sliding_moments_windows": _q_sliding_moments_windows,
     }
 
 
@@ -6809,6 +6864,23 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {_TX_GATE_SQL} WHERE tool IS NOT NULL "
             "GROUP BY tool ORDER BY n_convs DESC, tool LIMIT 5"
         ),
+        "sliding_moments_windows": """
+            WITH w AS (SELECT '7d' AS "window", 7 AS d
+                       UNION ALL SELECT '31d', 31),
+            r AS (
+                SELECT event_type, w."window", value
+                FROM events, w
+                WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - to_days(w.d)
+                  AND value IS NOT NULL
+            )
+            SELECT event_type, "window", count(*)::BIGINT AS n,
+                   sum(value) / count(*) AS v_mean,
+                   sum(pow(value, 2)) / count(*)
+                     - (sum(value) / count(*)) * (sum(value) / count(*))
+                     AS v_var,
+                   true AS rank_ok
+            FROM r GROUP BY event_type, "window"
+        """,
         "moments_value_quantiles": """
             SELECT event_type, count(value)::BIGINT AS n_rows,
                    min(value) AS v_min, max(value) AS v_max,
