@@ -4825,6 +4825,104 @@ def _q_sliding_moments_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_sliding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-moments build (streaming/
+    sliding_moments_stream.py): every state component is a NATIVE
+    windowed aggregate (COUNT/MIN/MAX/SUM(POW)) — JVM state store end
+    to end, no custom operator — so the streamed per-day state folds to
+    the same window statistics as the batch build. The gate streams the
+    events table through a file replay, queries the SINK with the batch
+    sliding_moments_stats path at a pinned T, and emits window n/mean
+    (value parity with the oracle's expression tree) plus a
+    matches_batch boolean (streamed vs batch stats, n bit-exact and
+    mean at 1e-9)."""
+    from hyper_spark.operators.sliding_moments import (
+        sliding_moments_stats,
+        sliding_moments_table,
+    )
+    from hyper_spark.streaming.sliding_moments_stream import (
+        streaming_sliding_moments,
+    )
+
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    t_ref = "2024-02-01 00:00:00"
+    windows = {"7d": "7 days", "31d": "31 days"}
+    ev = _read(spark, sf_dir, "events")
+    batch_state = sliding_moments_table(
+        ev, "ts", ["event_type"], "value", k=6, grain="1 day"
+    )
+    with tempfile.TemporaryDirectory(prefix="gate_smom_") as td:
+        src = f"{td}/src"
+        os.makedirs(src)
+        data = ev.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", "sentinel", 1.0)],
+            "ts string, event_type string, value double",
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+        for i, part in enumerate([data, sentinel]):  # sentinel LAST
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_sliding_moments(
+            stream, "ts", ["event_type"], "value", k=6, grain="1 day",
+            watermark="1 hour",
+        )
+        sink = f"{td}/sink"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{td}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(sink).filter(F.year("bucket_ts") < 2100)
+        streamed = {
+            (r["event_type"], r["window"]): r
+            for r in sliding_moments_stats(
+                got, ["event_type"], t_ref, windows
+            ).collect()
+        }
+    batch = {
+        (r["event_type"], r["window"]): r
+        for r in sliding_moments_stats(
+            batch_state, ["event_type"], t_ref, windows
+        ).collect()
+    }
+    matches = set(streamed) == set(batch) and all(
+        streamed[k]["n"] == batch[k]["n"]
+        and abs(streamed[k]["mean"] - batch[k]["mean"])
+        <= 1e-9 * max(1.0, abs(batch[k]["mean"]))
+        for k in batch
+    )
+    return spark.createDataFrame(
+        [
+            Row(
+                event_type=k[0],
+                window=k[1],
+                n=int(r["n"]),
+                v_mean=float(r["mean"]),
+                matches_batch=bool(matches),
+            )
+            for k, r in sorted(streamed.items())
+        ]
+    )
+
+
 def _q_tx_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agent-trajectory near-dup over the transcripts fixture: two
     conversations are trajectory-duplicates when their TOOL-CALL sets
@@ -5123,6 +5221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_trajectory_pairs": _q_tx_trajectory_pairs,
         "transcripts_tool_reach_topk": _q_tx_tool_reach_topk,
         "sliding_moments_windows": _q_sliding_moments_windows,
+        "streaming_sliding_moments_parity": _q_streaming_sliding_moments,
     }
 
 
@@ -6864,6 +6963,17 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {_TX_GATE_SQL} WHERE tool IS NOT NULL "
             "GROUP BY tool ORDER BY n_convs DESC, tool LIMIT 5"
         ),
+        "streaming_sliding_moments_parity": """
+            WITH w AS (SELECT '7d' AS "window", 7 AS d
+                       UNION ALL SELECT '31d', 31)
+            SELECT event_type, w."window", count(value)::BIGINT AS n,
+                   sum(value) / count(value) AS v_mean,
+                   true AS matches_batch
+            FROM events, w
+            WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - to_days(w.d)
+              AND value IS NOT NULL
+            GROUP BY event_type, w."window"
+        """,
         "sliding_moments_windows": """
             WITH w AS (SELECT '7d' AS "window", 7 AS d
                        UNION ALL SELECT '31d', 31),

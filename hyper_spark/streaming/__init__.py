@@ -15,6 +15,9 @@ from hyper_spark.streaming.decay_stream import (
 from hyper_spark.streaming.sliding_theta_stream import (
     streaming_sliding_theta_entries,
 )
+from hyper_spark.streaming.sliding_moments_stream import (
+    streaming_sliding_moments,
+)
 from hyper_spark.streaming.sliding_cms_stream import (
     streaming_sliding_cms_cells,
 )
@@ -47,5 +50,6 @@ __all__ = [
     "windowed_decayed_topk",
     "streaming_sliding_register_by",
     "streaming_sliding_cms_cells",
+    "streaming_sliding_moments",
     "streaming_sliding_theta_entries",
 ]
