@@ -34,6 +34,9 @@ __all__ = [
     "png_info",
     "make_jpeg_header",
     "jpeg_info",
+    "make_gif",
+    "parse_gif",
+    "gif_info",
     "resize_nn",
 ]
 
@@ -551,6 +554,193 @@ def make_gif_header(w: int, h: int, version: str = "89a") -> bytes:
         + b"\x00\x00\x00"  # packed, bg color, aspect
         + b"\x3b"  # trailer
     )
+
+
+# GIF LZW (GIF89a spec §22 + Appendix F): variable-width codes
+# LSB-first, CLEAR = 2^min, END = CLEAR+1, dictionary capped at 4096.
+# Pure public format — no codec library involved.
+
+
+def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width = min_code + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    nxt = end + 1
+    out_bits.append((clear, width))
+    buf = bytes([int(indices[0])])
+    for p in indices[1:]:
+        cand = buf + bytes([int(p)])
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        table[cand] = nxt
+        nxt += 1
+        # giflib-compatible width schedule: widen when the NEXT index
+        # to assign reaches 2^width (the decoder, one entry behind,
+        # widens at table size 2^width - 1 — same code-stream points)
+        if nxt == 1 << width and width < 12:
+            width += 1
+        if nxt == 4096:  # table full: reset (spec-sanctioned)
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            nxt = end + 1
+            width = min_code + 1
+        buf = bytes([int(p)])
+    out_bits.append((table[buf], width))
+    out_bits.append((end, width))
+    # pack LSB-first
+    acc = bitlen = 0
+    by = bytearray()
+    for code, w in out_bits:
+        acc |= code << bitlen
+        bitlen += w
+        while bitlen >= 8:
+            by.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    if bitlen:
+        by.append(acc & 0xFF)
+    return bytes(by)
+
+
+def _lzw_decode(data: bytes, min_code: int) -> np.ndarray:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    out = bytearray()
+    acc = bitlen = pos = 0
+    prev: bytes | None = None
+    while True:
+        while bitlen < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream (no END code)")
+            acc |= data[pos] << bitlen
+            pos += 1
+            bitlen += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bitlen -= width
+        if code == clear:
+            table = table[: end + 1]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return np.frombuffer(bytes(out), dtype=np.uint8)
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} beyond table")
+            # one entry behind the encoder: widen at 2^width - 1
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+
+
+def make_gif(arr: np.ndarray, version: str = "89a") -> bytes:
+    """Encode (h, w) grey or (h, w, 3) RGB uint8 (<= 256 distinct
+    colors) as a standard single-frame non-interlaced GIF with a global
+    palette and a REAL LZW-compressed raster — any viewer opens it;
+    `parse_gif` round-trips it exactly."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        rgb = np.stack([arr] * 3, axis=-1)
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        rgb = arr
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3), got {arr.shape}")
+    h, w = rgb.shape[:2]
+    flat = rgb.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <= 256 distinct colors, got {len(palette)}")
+    # palette size must be a power of two >= 2
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    min_code = max(2, bits)  # spec: LZW min code size >= 2
+    lzw = _lzw_encode(indices.astype(np.uint8), min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF" + version.encode("ascii")
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+        + table.tobytes()
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        + bytes([min_code]) + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def parse_gif(blob: bytes) -> np.ndarray:
+    """Full decode of the FIRST frame of a non-interlaced GIF to
+    (h, w, 3) uint8 — real LZW (variable-width codes, KwKwK case,
+    table reset), global or local palette, extensions skipped."""
+    w, h, _version = gif_info(blob)
+    pos = 10
+    packed = blob[pos]
+    pos += 3  # packed, bg, aspect
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, dtype=np.uint8, count=n * 3, offset=pos)
+        gct = gct.reshape(n, 3)
+        pos += n * 3
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image frame")
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", blob, pos + 1)
+        ipacked = blob[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                blob, dtype=np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame has no palette")
+        min_code = blob[pos]
+        pos += 1
+        data = bytearray()
+        while blob[pos] != 0:
+            ln = blob[pos]
+            data.extend(blob[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(data), min_code)
+        if len(idx) < iw * ih:
+            raise ValueError("LZW raster shorter than frame")
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx[: iw * ih]].reshape(ih, iw, 3).copy()
+    raise ValueError("GIF contains no image frame")
 
 
 def resize_nn(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -119,10 +119,16 @@ def audio_features(payload: bytes) -> np.ndarray:
 def image_features(payload: bytes) -> np.ndarray:
     """REAL image featurizer for PNG/PPM/PGM/BMP payloads: 16 floats =
     [log1p(width), log1p(height), aspect, mean R, G, B, std R, G, B,
-    7-bin luminance histogram (L1-normalized)]. PNG is a FULL decode
-    (stdlib zlib + unfilter, kernel/media.py::parse_png); RGBA drops
-    alpha, greyscale broadcasts to 3 channels."""
-    from hyper_spark.kernel.media import parse_bmp, parse_png, parse_ppm
+    7-bin luminance histogram (L1-normalized)]. PNG and GIF are FULL
+    decodes (stdlib zlib + unfilter, kernel/media.py::parse_png; real
+    LZW, kernel/media.py::parse_gif); RGBA drops alpha, greyscale
+    broadcasts to 3 channels."""
+    from hyper_spark.kernel.media import (
+        parse_bmp,
+        parse_gif,
+        parse_png,
+        parse_ppm,
+    )
 
     blob = bytes(payload)
     if blob[:2] == b"BM":
@@ -133,6 +139,8 @@ def image_features(payload: bytes) -> np.ndarray:
             arr = arr[:, :, :3]
         elif arr.ndim == 3:  # grey+alpha
             arr = arr[:, :, 0]
+    elif blob[:4] == b"GIF8":
+        arr = parse_gif(blob)
     else:
         arr = parse_ppm(blob)
     if arr.ndim == 2:
@@ -224,12 +232,12 @@ def video_frame_stats(
 
 
 def media_decoder(payload: bytes) -> np.ndarray:
-    """Dispatching featurizer: WAV → ``audio_features``, PNG/PPM/PGM/
-    BMP → ``image_features`` (all REAL pure-numpy decodes — PNG via
-    stdlib zlib), anything else → the byte-histogram fallback (JPEG
-    entropy decode and ogg/flac need external codecs — plug them in
-    via ``decoder=``). All branches emit 16 floats, so mixed-modality
-    columns share one schema."""
+    """Dispatching featurizer: WAV → ``audio_features``, PNG/GIF/PPM/
+    PGM/BMP → ``image_features`` (all REAL pure-numpy decodes — PNG via
+    stdlib zlib, GIF via the pure LZW decoder), anything else → the
+    byte-histogram fallback (JPEG entropy decode and ogg/flac need
+    external codecs — plug them in via ``decoder=``). All branches emit
+    16 floats, so mixed-modality columns share one schema."""
     import struct as _struct
     import zlib as _zlib
 
@@ -239,7 +247,11 @@ def media_decoder(payload: bytes) -> np.ndarray:
             return audio_features(blob)
         if blob[:9] == b"YUV4MPEG2":
             return video_features(blob)
-        if blob[:2] in (b"P5", b"P6", b"BM") or blob[:4] == b"\x89PNG":
+        if (
+            blob[:2] in (b"P5", b"P6", b"BM")
+            or blob[:4] == b"\x89PNG"
+            or blob[:4] == b"GIF8"
+        ):
             return image_features(blob)
     except (ValueError, _struct.error, IndexError, _zlib.error):
         # malformed payloads that pass the magic sniff raise more than

@@ -407,3 +407,56 @@ def test_media_info_flac_gif_branches(spark):
     assert got[0]["n_samples"] == 4410 and got[0]["bits"] == 16
     assert got[1]["format"] == "gif" and (got[1]["width"], got[1]["height"]) == (320, 200)
     assert got[2]["format"] == "unknown"
+
+
+def test_gif_full_roundtrip_and_lzw_spec_trace():
+    from hyper_spark.kernel.media import (
+        _lzw_decode,
+        _lzw_encode,
+        gif_info,
+        make_gif,
+        parse_gif,
+    )
+
+    # hand-derived spec trace (GIF89a §22, giflib width schedule):
+    # pixels [1,1,1,1,1] at min_code=2 -> codes CLEAR(4,w3), 1(w3),
+    # 6(w3, the KwKwK code), 6(w4 — table hit 2^3 entries), END(5,w4)
+    # -> LSB-first bytes 8C AD 00. Validates the variable-width timing
+    # against the published rules, not just self-consistency.
+    assert _lzw_encode(np.array([1, 1, 1, 1, 1], dtype=np.uint8), 2) == bytes(
+        [0x8C, 0xAD, 0x00]
+    )
+    assert list(_lzw_decode(bytes([0x8C, 0xAD, 0x00]), 2)) == [1, 1, 1, 1, 1]
+
+    rng = np.random.default_rng(3)
+    grey = (rng.integers(0, 5, (37, 53)) * 50).astype(np.uint8)
+    blob = make_gif(grey)
+    assert gif_info(blob) == (53, 37, "89a")
+    assert np.array_equal(parse_gif(blob)[:, :, 0], grey)
+    # max palette + long runs (KwKwK chains)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    rgb = pal[np.repeat(np.arange(256, dtype=np.uint8), 40).reshape(64, 160)]
+    assert np.array_equal(parse_gif(make_gif(rgb)), rgb)
+    # large random image forces 12-bit codes + a table-full CLEAR reset
+    big = rng.integers(0, 256, (300, 400)).astype(np.uint8)
+    assert np.array_equal(parse_gif(make_gif(big))[:, :, 0], big)
+    # guards
+    with pytest.raises(ValueError, match="256 distinct"):
+        make_gif(rng.integers(0, 256, (40, 40, 3)).astype(np.uint8))
+    with pytest.raises(ValueError, match="no image frame"):
+        from hyper_spark.kernel.media import make_gif_header
+
+        parse_gif(make_gif_header(4, 4))
+
+
+def test_media_decoder_routes_gif_to_image_features():
+    from hyper_spark.kernel.media import make_gif
+    from hyper_spark.operators.multimodal import image_features, media_decoder
+
+    img = (np.arange(1200, dtype=np.uint8).reshape(30, 40) % 200)
+    blob = make_gif(img)
+    feats = media_decoder(blob)
+    assert feats.shape == (16,)
+    assert np.allclose(feats, image_features(blob))
+    # truncated GIF falls back to the byte histogram, never raises
+    assert media_decoder(blob[:40]).shape == (16,)
