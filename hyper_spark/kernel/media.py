@@ -297,7 +297,7 @@ def _png_chunks(blob: bytes):
 
 def png_info(blob: bytes) -> tuple[int, int, int, int]:
     """(width, height, bit_depth, channels) from IHDR — header-only,
-    no decompression; works on any PNG including interlaced/16-bit
+    no decompression; works on any PNG including the 16-bit/palette
     ones `parse_png` rejects."""
     if blob[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -310,10 +310,11 @@ def png_info(blob: bytes) -> tuple[int, int, int, int]:
     return int(w), int(h), int(depth), _PNG_CHANNELS[color]
 
 
-def make_png(arr: np.ndarray) -> bytes:
+def make_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     """Encode (h, w) grey, (h, w, 3) RGB, or (h, w, 4) RGBA uint8 as a
-    standard non-interlaced PNG (filter 0 rows, one IDAT). Output is a
-    real PNG any viewer opens; `parse_png` round-trips it byte-exact."""
+    standard PNG (filter 0 rows, one IDAT), straight-scan or Adam7
+    (``interlace=True``). Output is a real PNG any viewer opens;
+    `parse_png` round-trips it exactly."""
     import zlib
 
     arr = np.asarray(arr, dtype=np.uint8)
@@ -326,8 +327,19 @@ def make_png(arr: np.ndarray) -> bytes:
     else:
         raise ValueError(f"expected (h,w), (h,w,3) or (h,w,4), got {arr.shape}")
     h, w = arr.shape[:2]
-    raw = arr.reshape(h, w * ch)
-    scanlines = b"".join(b"\x00" + raw[r].tobytes() for r in range(h))
+    cube = arr.reshape(h, w, ch)
+    if interlace:
+        parts = []
+        for r0, rs, c0, cs in _ADAM7:
+            sub = cube[r0::rs, c0::cs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            flat = sub.reshape(sub.shape[0], sub.shape[1] * ch)
+            parts.extend(b"\x00" + flat[r].tobytes() for r in range(len(flat)))
+        scanlines = b"".join(parts)
+    else:
+        raw = cube.reshape(h, w * ch)
+        scanlines = b"".join(b"\x00" + raw[r].tobytes() for r in range(h))
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return (
@@ -337,7 +349,7 @@ def make_png(arr: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -346,28 +358,14 @@ def make_png(arr: np.ndarray) -> bytes:
     )
 
 
-def parse_png(blob: bytes) -> np.ndarray:
-    """Full decode of a non-interlaced 8-bit PNG: (h, w) for greyscale,
-    (h, w, ch) otherwise. All five scanline filters (None/Sub/Up/
-    Average/Paeth) are implemented. None/Up are vectorized; Sub is a
-    per-lane cumsum (mod 256 distributes over addition, so the int64
-    cumsum masked at the end is exact); Average/Paeth carry a true
-    left+up recurrence and run as a per-byte loop over affected rows
-    only — filter-0 rows (what `make_png` emits) cost one memcpy."""
-    import zlib
-
-    w, h, depth, ch = png_info(blob)
-    if depth != 8:
-        raise ValueError(f"only 8-bit depth supported, got {depth}")
-    _, _, _, color = struct.unpack_from(">IIBB", blob, 16)
-    interlace = blob[16 + 12]
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
-    if color == 3:
-        raise ValueError("palette PNG not supported")
-    idat = b"".join(body for cid, body in _png_chunks(blob) if cid == b"IDAT")
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    stride = w * ch
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, ch: int) -> np.ndarray:
+    """Undo the five PNG scanline filters over ``h`` rows of
+    ``stride`` bytes each (input rows carry the leading filter byte).
+    None/Up are vectorized; Sub is a per-lane cumsum (mod 256
+    distributes over addition, so the int64 cumsum masked at the end
+    is exact); Average/Paeth carry a true left+up recurrence and run
+    as a per-byte loop over affected rows only — filter-0 rows (what
+    `make_png` emits) cost one memcpy."""
     if raw.size != h * (stride + 1):
         raise ValueError("IDAT size mismatch")
     rows = raw.reshape(h, stride + 1)
@@ -403,7 +401,51 @@ def parse_png(blob: bytes) -> np.ndarray:
                 acc[i] = (cur[i] + pred) & 0xFF
         else:
             raise ValueError(f"bad filter type {f} on row {r}")
-    px = out.astype(np.uint8).reshape(h, w, ch)
+    return out.astype(np.uint8)
+
+
+# Adam7 pass geometry (PNG spec §8.2): (row0, row_step, col0, col_step)
+_ADAM7 = (
+    (0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+    (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1),
+)
+
+
+def parse_png(blob: bytes) -> np.ndarray:
+    """Full decode of an 8-bit PNG, straight-scan OR Adam7-interlaced:
+    (h, w) for greyscale, (h, w, ch) otherwise. All five scanline
+    filters via `_png_unfilter`; interlaced images decode each of the
+    seven passes as an independent filtered sub-image (per the spec:
+    filters reset per pass) and scatter into place."""
+    import zlib
+
+    w, h, depth, ch = png_info(blob)
+    if depth != 8:
+        raise ValueError(f"only 8-bit depth supported, got {depth}")
+    _, _, _, color = struct.unpack_from(">IIBB", blob, 16)
+    interlace = blob[16 + 12]
+    if color == 3:
+        raise ValueError("palette PNG not supported")
+    idat = b"".join(body for cid, body in _png_chunks(blob) if cid == b"IDAT")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if interlace == 0:
+        px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    elif interlace == 1:
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for r0, rs, c0, cs in _ADAM7:
+            ph = (h - r0 + rs - 1) // rs
+            pw = (w - c0 + cs - 1) // cs
+            if ph == 0 or pw == 0:
+                continue
+            size = ph * (pw * ch + 1)
+            sub = _png_unfilter(raw[pos : pos + size], ph, pw * ch, ch)
+            pos += size
+            px[r0::rs, c0::cs] = sub.reshape(ph, pw, ch)
+        if pos != raw.size:
+            raise ValueError("IDAT size mismatch (interlaced)")
+    else:
+        raise ValueError(f"unknown interlace method {interlace}")
     return px[:, :, 0].copy() if ch == 1 else px.copy()
 
 

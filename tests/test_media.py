@@ -460,3 +460,33 @@ def test_media_decoder_routes_gif_to_image_features():
     assert np.allclose(feats, image_features(blob))
     # truncated GIF falls back to the byte histogram, never raises
     assert media_decoder(blob[:40]).shape == (16,)
+
+
+def test_png_adam7_interlaced_decode():
+    from hyper_spark.kernel.media import _ADAM7, make_png, parse_png
+
+    # the pass table must reproduce the PNG spec's own 8x8 figure
+    # (external check against the published geometry, not round-trip)
+    tile = np.zeros((8, 8), dtype=int)
+    for p, (r0, rs, c0, cs) in enumerate(_ADAM7, 1):
+        tile[r0::rs, c0::cs] = p
+    spec = np.array(
+        [
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+        ]
+    )
+    assert np.array_equal(tile, spec)
+
+    rng = np.random.default_rng(4)
+    # odd sizes exercise empty passes and ragged pass widths
+    for shape in [(13, 17), (13, 17, 3), (8, 8, 4), (1, 1), (9, 1, 3),
+                  (1, 9), (3, 3), (16, 16, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(parse_png(make_png(img, interlace=True)), img)
