@@ -5013,6 +5013,39 @@ def _q_moments_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_moments_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse read of the moments sketch (moments_ranks): estimated
+    rank P(value <= v) per event_type at fixed probe values — the SLO
+    question ("what fraction of events sit under v"), answered from
+    k+3 doubles. Exact fractions are value-compared (pure SQL) and the
+    booleans assert |est_rank - exact_frac| <= 0.02 (oracle TRUE)."""
+    from hyper_spark.operators.moments import moments_by, moments_ranks
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    probes = [25.0, 50.0, 100.0]
+    sk = moments_by(ev, ["event_type"], "value", k=8)
+    est = moments_ranks(sk, ["event_type"], probes)
+    exact = None
+    for v in probes:
+        part = ev.groupBy("event_type").agg(
+            (
+                F.sum(F.when(F.col("value") <= v, 1).otherwise(0))
+                / F.count("value")
+            ).alias("exact_frac")
+        ).withColumn("value", F.lit(v))
+        exact = part if exact is None else exact.unionByName(part)
+    return (
+        est.join(exact, on=["event_type", "value"])
+        .select(
+            "event_type",
+            "value",
+            "exact_frac",
+            (F.abs(F.col("rank") - F.col("exact_frac")) <= 0.02).alias("rank_ok"),
+        )
+    )
+
+
 def _q_moments_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moments sketch SQL-replayable read path (moments_stats) PLUS the
     lossless merge: daily sketches are built first, merged to
@@ -5217,6 +5250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_summary_docs": _q_contamination_summary,
         "value_acf_daily": _q_value_acf_daily,
         "moments_value_quantiles": _q_moments_value_quantiles,
+        "moments_value_ranks": _q_moments_value_ranks,
         "moments_stats_rollup": _q_moments_stats_rollup,
         "transcripts_trajectory_pairs": _q_tx_trajectory_pairs,
         "transcripts_tool_reach_topk": _q_tx_tool_reach_topk,
@@ -6996,6 +7030,15 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS v_min, max(value) AS v_max,
                    true AS rank_ok
             FROM events GROUP BY event_type
+        """,
+        "moments_value_ranks": """
+            WITH p AS (SELECT unnest([25.0, 50.0, 100.0]) AS value)
+            SELECT event_type, p.value,
+                   sum(CASE WHEN e.value <= p.value THEN 1 ELSE 0 END)
+                     / count(e.value)::DOUBLE AS exact_frac,
+                   true AS rank_ok
+            FROM events e, p
+            GROUP BY event_type, p.value
         """,
         "moments_stats_rollup": """
             WITH s AS (

@@ -42,6 +42,7 @@ __all__ = [
     "chebyshev_moments",
     "maxent_lambdas",
     "maxent_quantiles",
+    "maxent_cdf",
     "MAX_K",
 ]
 
@@ -178,12 +179,13 @@ def maxent_quantiles(
     return _solve_quantiles(n, mn, mx, sums, qs)
 
 
-def _solve_quantiles(
-    n: float, mn: float, mx: float, sums: np.ndarray, qs: np.ndarray
-) -> np.ndarray:
+def _fit_grid_cdf(
+    n: float, mn: float, mx: float, sums: np.ndarray
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fitted (grid x, CDF at x) on the SCALED domain [-1, 1], or None
+    when no moment prefix converges (caller falls back to uniform)."""
     sums = np.asarray(sums, dtype=np.float64)
     k = len(sums)
-    lam = None
     while k >= 2:
         mu = chebyshev_moments(n, mn, mx, sums[:k])
         # |E[T_j]| <= 1 for ANY distribution on [-1, 1]; a violation is
@@ -192,14 +194,56 @@ def _solve_quantiles(
         if np.all(np.isfinite(mu)) and float(np.abs(mu).max()) <= 1.0 + 1e-9:
             lam = maxent_lambdas(mu)
             if lam is not None:
-                break
+                x, w, t = _grid(k)
+                pdf = np.exp(np.clip(lam @ t, -300.0, 300.0)) * w
+                cdf = np.cumsum(pdf)
+                cdf /= cdf[-1]
+                return x, cdf
         k -= 2
-    if lam is None:  # uniform fallback
+    return None
+
+
+def _solve_quantiles(
+    n: float, mn: float, mx: float, sums: np.ndarray, qs: np.ndarray
+) -> np.ndarray:
+    fit = _fit_grid_cdf(n, mn, mx, sums)
+    if fit is None:  # uniform fallback
         y = 2.0 * qs - 1.0
     else:
-        x, w, t = _grid(k)
-        pdf = np.exp(np.clip(lam @ t, -300.0, 300.0)) * w
-        cdf = np.cumsum(pdf)
-        cdf /= cdf[-1]
+        x, cdf = fit
         y = np.interp(qs, cdf, x)
     return (y * (mx - mn) + mx + mn) / 2.0
+
+
+def maxent_cdf(
+    n: float,
+    mn: float,
+    mx: float,
+    sums: np.ndarray,
+    values: np.ndarray,
+    log_sums: np.ndarray | None = None,
+) -> np.ndarray:
+    """Estimated rank P(X <= v) for each v in ``values`` — the inverse
+    read of `maxent_quantiles`, sharing its fit, fallbacks, and the
+    log-domain heuristic (P(X <= v) = P(ln X <= ln v)). Values below
+    min clamp to 0, above max to 1; n == 0 yields NaN."""
+    values = np.asarray(values, dtype=np.float64)
+    if n <= 0:
+        return np.full(len(values), np.nan)
+    if mx == mn:
+        return np.where(values >= mn, 1.0, 0.0)
+    if log_sums is not None and mn > 0 and mx / mn > 2.0:
+        lo, hi, sums_d = math.log(mn), math.log(mx), log_sums
+        # nonpositive query values rank 0 in an all-positive sample
+        v = np.where(values > 0, np.log(np.maximum(values, 1e-300)), lo - 1.0)
+    else:
+        lo, hi, sums_d = mn, mx, sums
+        v = values
+    y = (2.0 * v - (hi + lo)) / (hi - lo)
+    fit = _fit_grid_cdf(n, lo, hi, sums_d)
+    if fit is None:  # uniform fallback
+        ranks = (y + 1.0) / 2.0
+    else:
+        x, cdf = fit
+        ranks = np.interp(y, x, cdf)
+    return np.clip(np.where(y < -1.0, 0.0, np.where(y > 1.0, 1.0, ranks)), 0.0, 1.0)

@@ -41,12 +41,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernel.moments import MAX_K, maxent_quantiles
+from ..kernel.moments import MAX_K, maxent_cdf, maxent_quantiles
 
 __all__ = [
     "moments_by",
     "moments_merge",
     "moments_quantiles",
+    "moments_ranks",
     "moments_stats",
 ]
 
@@ -161,6 +162,57 @@ def moments_quantiles(
                          "value": None if np.isnan(v) else float(v)}
                     )
             yield pd.DataFrame(out, columns=keys + ["q", "value"])
+
+    return sketch_df.select(*in_cols).mapInPandas(solve, schema)
+
+
+def moments_ranks(
+    sketch_df: DataFrame, keys: Sequence[str], values: Sequence[float]
+) -> DataFrame:
+    """Inverse read of `moments_quantiles`: estimated rank P(X <= v)
+    per group for each query value — DataFrame[*keys, value, rank].
+    Shares the maxent fit, fallbacks, and log-domain heuristic
+    (kernel/moments.py::maxent_cdf); same one-``mapInPandas`` shape as
+    the quantile eval. The SLO read: "what fraction of turns sit under
+    the 2-second budget", asked of the sketch alone."""
+    keys = list(keys)
+    k = _k_of(sketch_df)
+    values = [float(v) for v in values]
+    if not values:
+        raise ValueError("values must be a non-empty sequence")
+    has_log = "n_pos" in sketch_df.columns
+    in_cols = keys + ["n", "mn", "mx"] + [f"m{i}" for i in range(1, k + 1)]
+    if has_log:
+        in_cols += ["n_pos"] + [f"lm{i}" for i in range(1, k + 1)]
+    key_fields = [sketch_df.schema[kc] for kc in keys]
+    schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("value", T.DoubleType(), False),
+            T.StructField("rank", T.DoubleType(), True),
+        ]
+    )
+    varr = np.asarray(values, dtype=np.float64)
+
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                sums = np.array([d[f"m{i}"] for i in range(1, k + 1)])
+                lsums = None
+                if has_log and d["n_pos"] == d["n"]:
+                    lsums = np.array([d[f"lm{i}"] for i in range(1, k + 1)])
+                ranks = maxent_cdf(
+                    float(d["n"]), float(d["mn"]), float(d["mx"]),
+                    sums, varr, log_sums=lsums,
+                )
+                for v, r in zip(values, ranks):
+                    out.append(
+                        {**{kc: d[kc] for kc in keys}, "value": v,
+                         "rank": None if np.isnan(r) else float(r)}
+                    )
+            yield pd.DataFrame(out, columns=keys + ["value", "rank"])
 
     return sketch_df.select(*in_cols).mapInPandas(solve, schema)
 

@@ -150,3 +150,30 @@ def test_build_plan_is_python_free(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython",
                    "FlatMapGroupsInPandas", "MapInPandas"):
         assert marker not in plan
+
+
+def test_ranks_inverse_of_quantiles_and_bounds(spark):
+    rows = _rows(seed=17)
+    df = spark.createDataFrame(rows)
+    sk = moments_by(df, ["g"], "v", k=8)
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r.v)
+    # query each group's true quartiles: estimated rank ~ true rank
+    probe = {g: np.quantile(np.array(vs), [0.25, 0.5, 0.75]) for g, vs in by_g.items()}
+    vals = sorted({float(v) for vs in probe.values() for v in vs})
+    from hyper_spark.operators.moments import moments_ranks
+
+    got = moments_ranks(sk, ["g"], vals).collect()
+    for r in got:
+        data = np.asarray(by_g[r["g"]])
+        true = float(np.mean(data <= r["value"]))
+        # values outside a group's [min,max] clamp to 0/1 exactly
+        if r["value"] < data.min():
+            assert r["rank"] == 0.0
+        elif r["value"] > data.max():
+            assert r["rank"] == 1.0
+        else:
+            assert abs(r["rank"] - true) <= EPS
+    with pytest.raises(ValueError, match="non-empty"):
+        moments_ranks(sk, ["g"], [])
