@@ -4432,6 +4432,81 @@ def _q_png_jpeg_image_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL baseline JPEG decode, distributed: every 5th event
+    synthesizes a constant-color image (greyscale or RGB 4:2:0 —
+    colors/quality/dims are pure functions of event_id), encodes it
+    with the real Annex-K encoder (kernel/media.py::make_jpeg) and
+    decodes it back executor-side (parse_jpeg: Huffman + dequant +
+    IDCT + YCbCr). For constant images the decoded value has a CLOSED
+    FORM — 128 + floor(8(v-128)/q00 + ½)·q00/8 per channel, with the
+    libjpeg quality→q00 scaling — which the oracle recomputes in SQL,
+    bit-exactly (the codec computes DC as sum/8 and splits it out of
+    the IDCT, so constant blocks carry zero float noise; verified over
+    3000 (color, quality) combos in tests/test_media.py). A bug in
+    quant scaling, Huffman tables, zigzag, subsampling, or the color
+    transform mismatches every row."""
+    _ensure_pkg(spark)
+    from typing import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    events = (
+        _read(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(F.col("event_id") % 5 == 0)
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from hyper_spark.kernel.media import make_jpeg, parse_jpeg
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                q = 20 + eid % 60
+                if eid % 2 == 0:
+                    v = 16 + (eid * 37) % 224
+                    w, h = 8 * (1 + eid % 3), 16
+                    blob = make_jpeg(
+                        _np.full((h, w), v, _np.uint8), quality=q
+                    )
+                else:
+                    r, g, b = (eid * 53) % 256, (eid * 29) % 256, (eid * 17) % 256
+                    w, h = 16 * (1 + eid % 2), 16
+                    blob = make_jpeg(
+                        _np.full((h, w, 3), [r, g, b], _np.uint8),
+                        quality=q,
+                        subsample=True,
+                    )
+                arr = parse_jpeg(blob)
+                ch = 1 if arr.ndim == 2 else arr.shape[2]
+                px = arr.reshape(-1, ch)
+                uniform = bool((px == px[0]).all())
+                first = [int(x) for x in px[0]]
+                if ch == 1:
+                    first = first * 3
+                rows.append(
+                    [eid, "gray" if ch == 1 else "rgb420",
+                     arr.shape[1], arr.shape[0], ch,
+                     first[0], first[1], first[2], uniform]
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["event_id", "mode", "width", "height",
+                         "channels", "px_r", "px_g", "px_b", "uniform"],
+            )
+
+    schema = (
+        "event_id long, mode string, width int, height int, "
+        "channels int, px_r int, px_g int, px_b int, uniform boolean"
+    )
+    return events.mapInPandas(run, schema)
+
+
 def _q_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC resample of event values per type
     (operators/temporal.py::resample): one partial-aggregated groupBy,
@@ -5124,6 +5199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "pack_offsets_chunks": _q_pack_offsets_chunks,
         "incremental_dedup_new": _q_incremental_dedup_new,
+        "jpeg_decode_stats": _q_jpeg_decode_stats,
         "near_dedup_docs": _q_near_dedup_docs,
         "hll_users_by_type": _q_hll_users_by_type,
         "sql_sketch_build": _q_sql_sketch_build,
@@ -6359,6 +6435,77 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(off / 2048.0) AS BIGINT)
                    ) - CAST(floor(off / 2048.0) AS BIGINT) + 1 AS n_chunks
             FROM c
+        """,
+        "jpeg_decode_stats": """
+            WITH p AS (
+                SELECT event_id,
+                       20 + event_id % 60 AS q,
+                       event_id % 2 = 0 AS is_gray,
+                       CAST(16 + (event_id*37) % 224 AS DOUBLE) AS gv,
+                       CAST((event_id*53) % 256 AS DOUBLE) AS r,
+                       CAST((event_id*29) % 256 AS DOUBLE) AS g,
+                       CAST((event_id*17) % 256 AS DOUBLE) AS b
+                FROM events WHERE event_id % 5 = 0
+            ), s AS (
+                SELECT *,
+                       CASE WHEN q < 50
+                            THEN CAST(FLOOR(CAST(5000 AS DOUBLE) / q) AS BIGINT)
+                            ELSE 200 - 2*q END AS scale
+                FROM p
+            ), qt AS (
+                -- libjpeg quality scaling of the Annex-K [0,0] entries
+                -- (16 luma / 17 chroma); constant images only touch DC
+                SELECT *,
+                       LEAST(255, GREATEST(1, CAST(FLOOR(
+                           (16*scale + 50) / CAST(100 AS DOUBLE)) AS BIGINT))) AS qy,
+                       LEAST(255, GREATEST(1, CAST(FLOOR(
+                           (17*scale + 50) / CAST(100 AS DOUBLE)) AS BIGINT))) AS qc
+                FROM s
+            ), yc AS (
+                SELECT *,
+                       CASE WHEN is_gray THEN gv
+                            ELSE CAST(0.299 AS DOUBLE)*r
+                                 + CAST(0.587 AS DOUBLE)*g
+                                 + CAST(0.114 AS DOUBLE)*b END AS y,
+                       CAST(-0.168736 AS DOUBLE)*r
+                           - CAST(0.331264 AS DOUBLE)*g
+                           + CAST(0.5 AS DOUBLE)*b + 128 AS cb,
+                       CAST(0.5 AS DOUBLE)*r
+                           - CAST(0.418688 AS DOUBLE)*g
+                           - CAST(0.081312 AS DOUBLE)*b + 128 AS cr
+                FROM qt
+            ), rec AS (
+                -- decoded constant value: 128 + floor(8(v-128)/q + 1/2)*q/8
+                SELECT *,
+                       128 + FLOOR((8*(y - 128))/qy
+                           + CAST(0.5 AS DOUBLE))*qy/8 AS yp,
+                       128 + FLOOR((8*(cb - 128))/qc
+                           + CAST(0.5 AS DOUBLE))*qc/8 AS cbp,
+                       128 + FLOOR((8*(cr - 128))/qc
+                           + CAST(0.5 AS DOUBLE))*qc/8 AS crp
+                FROM yc
+            )
+            SELECT event_id,
+                   CASE WHEN is_gray THEN 'gray' ELSE 'rgb420' END AS mode,
+                   CAST(CASE WHEN is_gray THEN 8*(1 + event_id % 3)
+                             ELSE 16*(1 + event_id % 2) END AS INT) AS width,
+                   CAST(16 AS INT) AS height,
+                   CAST(CASE WHEN is_gray THEN 1 ELSE 3 END AS INT) AS channels,
+                   CAST(LEAST(255, GREATEST(0, FLOOR(
+                       CASE WHEN is_gray THEN yp
+                            ELSE yp + CAST(1.402 AS DOUBLE)*(crp - 128) END
+                       + CAST(0.5 AS DOUBLE)))) AS INT) AS px_r,
+                   CAST(LEAST(255, GREATEST(0, FLOOR(
+                       CASE WHEN is_gray THEN yp
+                            ELSE yp - CAST(0.344136 AS DOUBLE)*(cbp - 128)
+                                 - CAST(0.714136 AS DOUBLE)*(crp - 128) END
+                       + CAST(0.5 AS DOUBLE)))) AS INT) AS px_g,
+                   CAST(LEAST(255, GREATEST(0, FLOOR(
+                       CASE WHEN is_gray THEN yp
+                            ELSE yp + CAST(1.772 AS DOUBLE)*(cbp - 128) END
+                       + CAST(0.5 AS DOUBLE)))) AS INT) AS px_b,
+                   TRUE AS uniform
+            FROM rec
         """,
         "incremental_dedup_new": f"""
             WITH seen AS (

@@ -1,12 +1,15 @@
 """Pure-numpy media codecs for UNCOMPRESSED containers.
 
-This sandbox has no image/audio libraries, but the uncompressed
-container formats need none — WAV/PCM, PPM/PGM, and 24-bit BMP are
-header + raw samples, fully parseable with struct offsets and
-``np.frombuffer``. These are REAL decoders (byte-exact round-trip
-tested), not stand-ins; compressed formats (png/jpeg/ogg/flac) still
-need external codecs and stay pluggable via ``decode_features``'s
-``decoder=`` parameter.
+This sandbox has no image/audio libraries, but the dominant corpus
+formats are decodable without one: WAV/PCM, PPM/PGM, 24-bit BMP, and
+Y4M are header + raw samples (struct offsets + ``np.frombuffer``);
+PNG is stdlib zlib + the five scanline filters; GIF is a pure-python
+LZW; JPEG baseline is DCT + Annex-K Huffman in numpy (encoder AND
+decoder, 4:4:4 / 4:2:0, restart markers). These are REAL codecs
+(round-trip tested — byte-exact for the lossless ones, within
+quantization error for JPEG), not stand-ins; the remaining compressed
+audio formats (ogg, flac frames — header-only STREAMINFO parse) stay
+pluggable via ``decode_features``'s ``decoder=`` parameter.
 
 Encoders live here too: tests and gates synthesize deterministic
 payloads with them, so the decode path is verified against known
@@ -34,6 +37,8 @@ __all__ = [
     "png_info",
     "make_jpeg_header",
     "jpeg_info",
+    "make_jpeg",
+    "parse_jpeg",
     "make_gif",
     "parse_gif",
     "gif_info",
@@ -451,11 +456,10 @@ def parse_png(blob: bytes) -> np.ndarray:
 
 # -------------------------------------------------------------------- JPEG
 #
-# JPEG entropy decode genuinely needs a codec, but the metadata a
-# pipeline filters on (dimensions, channels, precision, progressive?)
-# lives in the SOF marker segment — a pure public-format parse
-# (ITU T.81 B.2.2). Header-level support; pixel featurization stays
-# pluggable via decode_features(decoder=...).
+# Metadata a pipeline filters on (dimensions, channels, precision,
+# progressive?) lives in the SOF marker segment — a pure public-format
+# parse (ITU T.81 B.2.2) that works on EVERY JPEG, including the
+# progressive ones the full decoder below (`parse_jpeg`) rejects.
 
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
@@ -495,10 +499,11 @@ def make_jpeg_header(
 ) -> bytes:
     """A structurally valid JPEG marker stream (SOI, JFIF APP0, DQT,
     SOF0/SOF2, SOS, minimal entropy bytes, EOI) carrying real
-    dimensions — what tests/gates use to exercise `jpeg_info` without
-    an encoder. NOT a decodable image (the entropy segment is a stub);
-    header parsing, which is all this engine claims for JPEG, treats it
-    exactly like a camera file."""
+    dimensions — what header-parse tests/gates use to exercise
+    `jpeg_info` on marker layouts `make_jpeg` never writes (e.g.
+    progressive SOF2). NOT a decodable image (the entropy segment is a
+    stub; `parse_jpeg` rejects it) — for decodable payloads use
+    `make_jpeg`."""
     app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     dqt = b"\x00" + bytes(64)
     comps = b"".join(
@@ -793,3 +798,602 @@ def resize_nn(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
     cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
     return arr[rows][:, cols].copy()
+
+
+# ------------------------------------------------- JPEG baseline codec
+#
+# FULL baseline-sequential JPEG (ITU T.81): encoder + decoder in pure
+# numpy + stdlib. Scope is the baseline process every camera/browser
+# writes by default — 8-bit samples, Huffman entropy coding with the
+# Annex K "typical" tables, 4:4:4 or 4:2:0 chroma, optional restart
+# markers. Progressive (SOF2), arithmetic coding, and 12-bit precision
+# raise ValueError (the multimodal operators then fall back to the
+# byte-histogram contract, and `jpeg_info` still reads dimensions).
+#
+# Reference behavior: the reference engine has no media path at all
+# (hyper is a sketch library); this exists for the training-data
+# pipeline, where JPEG is the dominant payload format. Quantization
+# scaling follows the libjpeg quality convention (public source,
+# jcparam.c) so `quality=` means what users expect.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1/K.2 base quantization tables (raster order).
+_JPEG_QBASE_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_JPEG_QBASE_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 "typical" Huffman tables: (bits[1..16], values).
+_JPEG_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+_JPEG_HUFF_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+for _bits, _vals in (_JPEG_HUFF_DC_LUM, _JPEG_HUFF_DC_CHR,
+                     _JPEG_HUFF_AC_LUM, _JPEG_HUFF_AC_CHR):
+    assert sum(_bits) == len(_vals), "Annex K table transcription error"
+
+
+def _jpeg_qtables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex K base tables scaled by the libjpeg quality convention
+    (jcparam.c): scale = 5000//q below 50 else 200-2q, entries
+    (base*scale+50)//100 clipped to 1..255. Returned in RASTER order."""
+    q = min(100, max(1, int(quality)))
+    scale = (5000 // q) if q < 50 else (200 - 2 * q)
+    out = []
+    for base in (_JPEG_QBASE_LUM, _JPEG_QBASE_CHR):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(8, 1).astype(np.float64)
+    n = np.arange(8).reshape(1, 8).astype(np.float64)
+    mat = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    mat[0, :] = 1.0 / np.sqrt(8.0)
+    return mat
+
+
+_DCT8 = _dct_matrix()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical T.81 C.2 assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[vi]] = (code, ln)
+            vi += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    """Huffman-encode one zigzagged quantized block (F.1.2); returns
+    the new DC predictor."""
+    dc = int(zz[0])
+    diff = dc - pred
+    size = int(abs(diff)).bit_length()
+    code, ln = dc_tab[size]
+    w.put(code, ln)
+    if size:
+        w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = int(nz[-1]) + 1 if nz.size else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tab[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        size = int(abs(v)).bit_length()
+        code, ln = ac_tab[(run << 4) | size]
+        w.put(code, ln)
+        w.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        w.put(code, ln)
+    return dc
+
+
+def _plane_qblocks(plane: np.ndarray, qtbl_raster: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) -> (H//8, W//8, 64)
+    quantized zigzag coefficients. DCT is one einsum over every block;
+    quantization is floor(x/q + 0.5) (half-up, mirrored by the SQL
+    oracle gates)."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    )
+    coef = np.einsum("ij,rcjk,lk->rcil", _DCT8, blocks, _DCT8)
+    # recompute DC as sum/8 (mathematically identical): np.sum's
+    # pairwise tree is EXACT for constant blocks, so flat-color areas
+    # quantize with zero float noise — the analytic-oracle gates and
+    # the SQL mirror rely on this being boundary-exact
+    coef[:, :, 0, 0] = blocks.sum(axis=(2, 3)) / 8.0
+    zz = coef.reshape(h // 8, w // 8, 64)[:, :, _ZIGZAG]
+    q = np.floor(zz / qtbl_raster[_ZIGZAG] + 0.5).astype(np.int64)
+    return np.clip(q, -2047, 2047)
+
+
+def make_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w) greyscale or (h, w, 3) RGB uint8 as a REAL
+    baseline-sequential JPEG (Annex K quant/Huffman tables, libjpeg
+    quality scaling, JFIF APP0). ``subsample=True`` writes 4:2:0
+    chroma (the camera default); ``restart_interval`` > 0 emits DRI +
+    RSTn markers every that-many MCUs. Output opens in any viewer;
+    `parse_jpeg` decodes it within quantization error."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and not (arr.ndim == 3 and arr.shape[2] == 3):
+        raise ValueError(f"expected (h,w) or (h,w,3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qlum, qchr = _jpeg_qtables(quality)
+
+    if gray:
+        comps = [(1, 1, 1, 0)]  # (id, hsamp, vsamp, qtab)
+    elif subsample:
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+
+    # pad the frame to the MCU grid by edge replication, then each
+    # component plane to its own 8-multiple block grid
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    ph = -(-h // mcu_h) * mcu_h
+    pw = -(-w // mcu_w) * mcu_w
+    qblocks = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        if hs < hmax or vs < vmax:  # box-average chroma downsample
+            fy, fx = vmax // vs, hmax // hs
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        qblocks.append(_plane_qblocks(p, qlum if tq == 0 else qchr))
+
+    dc_lum = _huff_codes(*_JPEG_HUFF_DC_LUM)
+    ac_lum = _huff_codes(*_JPEG_HUFF_AC_LUM)
+    dc_chr = _huff_codes(*_JPEG_HUFF_DC_CHR)
+    ac_chr = _huff_codes(*_JPEG_HUFF_AC_CHR)
+
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    n_mcux = pw // mcu_w
+    n_mcuy = ph // mcu_h
+    entropy_parts: list[bytes] = []
+    mcu_in_seg = 0
+    rst = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                bw.pad_to_byte()
+                entropy_parts.append(bytes(bw.buf))
+                entropy_parts.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                bw = _BitWriter()
+                preds = [0] * len(comps)
+                mcu_in_seg = 0
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dc_t, ac_t = (dc_lum, ac_lum) if tq == 0 else (dc_chr, ac_chr)
+                for a in range(vs):
+                    for b2 in range(hs):
+                        zz = qblocks[ci][my * vs + a, mx * hs + b2]
+                        preds[ci] = _encode_block(bw, zz, preds[ci], dc_t, ac_t)
+            mcu_in_seg += 1
+    bw.pad_to_byte()
+    entropy_parts.append(bytes(bw.buf))
+    entropy = b"".join(entropy_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht_body(tc: int, th: int, table: tuple) -> bytes:
+        bits, vals = table
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(qlum[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(qchr[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, dht_body(0, 0, _JPEG_HUFF_DC_LUM))
+    out += seg(0xC4, dht_body(1, 0, _JPEG_HUFF_AC_LUM))
+    if not gray:
+        out += seg(0xC4, dht_body(0, 1, _JPEG_HUFF_DC_CHR))
+        out += seg(0xC4, dht_body(1, 1, _JPEG_HUFF_AC_CHR))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        sos += bytes([cid, 0x00 if tq == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode via the T.81 F.2.2.3 mincode/maxcode
+    walk, built straight from a DHT segment's (bits, values)."""
+
+    def __init__(self, bits: list[int], vals: bytes) -> None:
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        vi = 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = vi
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                vi += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bit()
+            if code <= self.maxcode[ln]:
+                return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+class _BitReader:
+    """MSB-first reader over a destuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def bit(self) -> int:
+        if self.pos >= self.bits.size:
+            raise ValueError("entropy stream truncated")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.bits.size:
+            raise ValueError("entropy stream truncated")
+        out = 0
+        for b in self.bits[self.pos : self.pos + n]:
+            out = (out << 1) | int(b)
+        self.pos += n
+        return out
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the raw magnitude bits to a signed
+    coefficient."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def parse_jpeg(blob: bytes) -> np.ndarray:
+    """FULL baseline-sequential JPEG decode: (h, w) uint8 for
+    greyscale, (h, w, 3) RGB otherwise. Reads DQT/DHT/SOF0/DRI/SOS
+    from the stream (any tables, not just the ones `make_jpeg`
+    writes), entropy-decodes interleaved MCUs with arbitrary sampling
+    factors (4:4:4, 4:2:0, 4:2:2, ...), honors restart markers, and
+    reconstructs via dequant + vectorized IDCT + nearest upsample +
+    JFIF YCbCr->RGB. Progressive (SOF2) and non-8-bit streams raise
+    ValueError — callers fall back to header-only `jpeg_info`."""
+    if blob[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    comps: list[tuple[int, int, int, int]] = []
+    scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+    h = w = 0
+    dri = 0
+    pos = 2
+    n = len(blob)
+    while pos + 2 <= n:
+        if blob[pos] != 0xFF:
+            raise ValueError(f"marker desync at byte {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        size = struct.unpack_from(">H", blob, pos + 2)[0]
+        body = blob[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                zz = np.frombuffer(body, dtype=np.uint8,
+                                   count=64, offset=bp + 1).astype(np.int64)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = zz  # store in raster order
+                qt[tq] = tbl
+                bp += 65
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                huff[(tc, th)] = _HuffDecoder(
+                    bits, body[bp + 17 : bp + 17 + nv])
+                bp += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            bits8, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if bits8 != 8:
+                raise ValueError(f"{bits8}-bit precision not supported")
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in _JPEG_SOF:  # progressive/lossless/arithmetic
+            raise ValueError(f"non-baseline SOF marker 0x{marker:02x}")
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            by_id = {c[0]: i for i, c in enumerate(comps)}
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((by_id[cs], tt >> 4, tt & 0x0F))
+            pos += 2 + size
+            break
+        pos += 2 + size
+    else:
+        raise ValueError("no SOS marker found")
+    if not comps or h == 0 or w == 0:
+        raise ValueError("SOS before SOF")
+    for _, dc_id, ac_id in scan:
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("scan references a missing Huffman table")
+
+    # split the entropy stream into restart segments, destuffed
+    segments: list[bytes] = []
+    cur = bytearray()
+    while pos < n:
+        b = blob[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m2 = blob[pos + 1] if pos + 1 < n else 0xD9
+        if m2 == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m2 <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        elif m2 == 0xD9:
+            break
+        else:
+            raise ValueError(f"unexpected marker 0xff{m2:02x} in scan")
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    n_mcux = -(-w // (8 * hmax))
+    n_mcuy = -(-h // (8 * vmax))
+    grids = [
+        np.zeros((vs * n_mcuy, hs * n_mcux, 64), dtype=np.int64)
+        for _, hs, vs, _ in comps
+    ]
+
+    seg_i = 0
+    br = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    mcu_in_seg = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if dri and mcu_in_seg == dri:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing restart segment")
+                br = _BitReader(segments[seg_i])
+                preds = [0] * len(comps)
+                mcu_in_seg = 0
+            for ci, dc_id, ac_id in scan:
+                _, hs, vs, _ = comps[ci]
+                dc_t = huff[(0, dc_id)]
+                ac_t = huff[(1, ac_id)]
+                for a in range(vs):
+                    for b2 in range(hs):
+                        zz = grids[ci][my * vs + a, mx * hs + b2]
+                        size = dc_t.decode(br)
+                        preds[ci] += _extend(br.read(size), size)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = ac_t.decode(br)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.read(s), s)
+                            k += 1
+            mcu_in_seg += 1
+
+    planes = []
+    for (cid, hs, vs, tq), grid in zip(comps, grids):
+        if tq not in qt:
+            raise ValueError(f"missing quant table {tq}")
+        deq = grid * qt[tq][_ZIGZAG]
+        raster = np.zeros_like(deq)
+        raster[:, :, _ZIGZAG] = deq
+        gh, gw = grid.shape[:2]
+        blocks = raster.reshape(gh, gw, 8, 8).astype(np.float64)
+        # split the DC term out of the IDCT: a DC-only block then
+        # reconstructs as EXACTLY dc*q/8 + 128 (the AC einsum is a sum
+        # of exact zeros), mirroring the closed-form arithmetic the
+        # analytic gates/oracles compute — no float-boundary flips
+        dc = blocks[:, :, 0, 0] / 8.0
+        blocks[:, :, 0, 0] = 0.0
+        px = (
+            np.einsum("ji,rcjk,kl->rcil", _DCT8, blocks, _DCT8)
+            + dc[:, :, None, None]
+            + 128.0
+        )
+        plane = px.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        fy, fx = vmax // vs, hmax // hs
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        out = planes[0]
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)

@@ -121,11 +121,14 @@ def image_features(payload: bytes) -> np.ndarray:
     [log1p(width), log1p(height), aspect, mean R, G, B, std R, G, B,
     7-bin luminance histogram (L1-normalized)]. PNG and GIF are FULL
     decodes (stdlib zlib + unfilter, kernel/media.py::parse_png; real
-    LZW, kernel/media.py::parse_gif); RGBA drops alpha, greyscale
-    broadcasts to 3 channels."""
+    LZW, kernel/media.py::parse_gif); baseline JPEG is a FULL decode
+    too (DCT + Annex-K Huffman, kernel/media.py::parse_jpeg) — only
+    progressive JPEGs fall through to the caller's fallback; RGBA
+    drops alpha, greyscale broadcasts to 3 channels."""
     from hyper_spark.kernel.media import (
         parse_bmp,
         parse_gif,
+        parse_jpeg,
         parse_png,
         parse_ppm,
     )
@@ -133,6 +136,8 @@ def image_features(payload: bytes) -> np.ndarray:
     blob = bytes(payload)
     if blob[:2] == b"BM":
         arr = parse_bmp(blob)
+    elif blob[:3] == b"\xff\xd8\xff":
+        arr = parse_jpeg(blob)
     elif blob[:4] == b"\x89PNG":
         arr = parse_png(blob)
         if arr.ndim == 3 and arr.shape[2] >= 3:
@@ -232,10 +237,11 @@ def video_frame_stats(
 
 
 def media_decoder(payload: bytes) -> np.ndarray:
-    """Dispatching featurizer: WAV → ``audio_features``, PNG/GIF/PPM/
-    PGM/BMP → ``image_features`` (all REAL pure-numpy decodes — PNG via
-    stdlib zlib, GIF via the pure LZW decoder), anything else → the
-    byte-histogram fallback (JPEG entropy decode and ogg/flac need
+    """Dispatching featurizer: WAV → ``audio_features``, JPEG/PNG/GIF/
+    PPM/PGM/BMP → ``image_features`` (all REAL pure-numpy decodes —
+    PNG via stdlib zlib, GIF via the pure LZW decoder, baseline JPEG
+    via the numpy DCT+Huffman codec), anything else → the
+    byte-histogram fallback (progressive JPEG and ogg/flac frames need
     external codecs — plug them in via ``decoder=``). All branches emit
     16 floats, so mixed-modality columns share one schema."""
     import struct as _struct
@@ -251,6 +257,7 @@ def media_decoder(payload: bytes) -> np.ndarray:
             blob[:2] in (b"P5", b"P6", b"BM")
             or blob[:4] == b"\x89PNG"
             or blob[:4] == b"GIF8"
+            or blob[:3] == b"\xff\xd8\xff"
         ):
             return image_features(blob)
     except (ValueError, _struct.error, IndexError, _zlib.error):
@@ -362,17 +369,23 @@ def decode_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
-    decoder: Callable[[bytes], np.ndarray] = fake_decoder,
+    decoder: Callable[[bytes], np.ndarray] = media_decoder,
     feature_dim: int = 16,
     strict: bool = False,
 ) -> DataFrame:
     """One feature vector per payload via mapInPandas (Arrow-batched;
-    payload bytes cross into Python once, never to the driver)."""
+    payload bytes cross into Python once, never to the driver). The
+    default ``media_decoder`` REALLY decodes WAV/Y4M/JPEG/PNG/GIF/BMP/
+    PPM/PGM payloads (pure-numpy codecs, kernel/media.py) and falls
+    back to the byte histogram for anything else; pass ``decoder=`` to
+    swap in an external codec."""
     if strict:
         raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; pass a decoder= callable or use the "
-            "default fake_decoder for plumbing tests"
+            "strict mode asks for a real decode of EVERY payload; "
+            "progressive JPEG and compressed audio frames (ogg, flac) "
+            "still need external codecs not present in this "
+            "environment — pass a decoder= callable that handles them, "
+            "or accept the default's byte-histogram fallback"
         )
 
     schema = f"{id_col} long, features array<float>"

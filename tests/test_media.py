@@ -490,3 +490,113 @@ def test_png_adam7_interlaced_decode():
                   (1, 9), (3, 3), (16, 16, 3)]:
         img = rng.integers(0, 256, shape).astype(np.uint8)
         assert np.array_equal(parse_png(make_png(img, interlace=True)), img)
+
+
+# ------------------------------------------------- JPEG baseline codec
+
+
+def _smooth_rgb(h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (100 + 60 * np.sin(yy / 15.0) + 50 * np.cos(xx / 18.0)).astype(np.uint8)
+    return np.stack(
+        [base, (base * 0.8 + 30).astype(np.uint8), (base * 0.5 + 60).astype(np.uint8)],
+        axis=2,
+    )
+
+
+def test_jpeg_full_roundtrip_smooth():
+    from hyper_spark.kernel.media import make_jpeg, parse_jpeg
+
+    img = _smooth_rgb()
+    for q, tol in ((50, 12), (90, 5), (95, 4)):
+        dec = parse_jpeg(make_jpeg(img, quality=q))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol
+    # greyscale: quantization error only, no chroma path
+    dec = parse_jpeg(make_jpeg(img[:, :, 0], quality=90))
+    assert dec.shape == (48, 64)
+    assert np.abs(dec.astype(int) - img[:, :, 0].astype(int)).max() <= 2
+
+
+def test_jpeg_constant_block_exact_arithmetic():
+    # DC-only analytic check: a constant image decodes to EXACTLY
+    # 128 + floor(8(v-128)/q00 + .5)*q00/8 (floor(+.5), clipped) —
+    # validates the quant scaling, DCT norm, Huffman and zigzag wiring
+    # against theory, not just self-consistency
+    from hyper_spark.kernel.media import make_jpeg, parse_jpeg
+
+    for v, q in ((40, 30), (200, 75), (128, 10), (67, 92), (255, 25), (0, 55)):
+        dec = parse_jpeg(make_jpeg(np.full((16, 24), v, np.uint8), quality=q))
+        scale = (5000 // q) if q < 50 else (200 - 2 * q)
+        q00 = min(255, max(1, (16 * scale + 50) // 100))
+        dc = np.floor(8 * (v - 128) / q00 + 0.5)
+        exp = min(255, max(0, int(np.floor(128 + dc * q00 / 8.0 + 0.5))))
+        u = np.unique(dec)
+        assert u.size == 1 and u[0] == exp, (v, q, u, exp)
+
+
+def test_jpeg_subsample_and_restart_markers():
+    from hyper_spark.kernel.media import make_jpeg, parse_jpeg
+
+    img = _smooth_rgb(40, 56)
+    plain = parse_jpeg(make_jpeg(img, quality=88))
+    sub = parse_jpeg(make_jpeg(img, quality=88, subsample=True))
+    assert sub.shape == img.shape
+    assert np.abs(sub.astype(int) - img.astype(int)).max() <= 8
+    # restart markers change the byte stream but not the coefficients:
+    # decode must be bit-identical with and without them
+    rst = parse_jpeg(make_jpeg(img, quality=88, restart_interval=2))
+    assert np.array_equal(rst, plain)
+    rst420 = parse_jpeg(make_jpeg(img, quality=88, subsample=True, restart_interval=1))
+    assert np.array_equal(rst420, sub)
+    # odd dimensions exercise MCU padding + crop on both grids
+    odd = _smooth_rgb(19, 21)
+    assert parse_jpeg(make_jpeg(odd, quality=80, subsample=True)).shape == (19, 21, 3)
+    assert parse_jpeg(make_jpeg(odd[:, :, 0], quality=80)).shape == (19, 21)
+
+
+def test_jpeg_quality_scales_size():
+    from hyper_spark.kernel.media import make_jpeg
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    s10, s50, s90 = (len(make_jpeg(noise, quality=q)) for q in (10, 50, 90))
+    assert s10 < s50 < s90
+
+
+def test_jpeg_parse_rejects_non_baseline():
+    from hyper_spark.kernel.media import make_jpeg, make_jpeg_header, parse_jpeg
+
+    with pytest.raises(ValueError):  # progressive SOF2
+        parse_jpeg(make_jpeg_header(64, 48, 3, progressive=True))
+    with pytest.raises(ValueError):  # stub entropy segment, baseline SOF0
+        parse_jpeg(make_jpeg_header(64, 48, 3))
+    with pytest.raises(ValueError):  # truncated entropy stream
+        blob = make_jpeg(np.full((24, 24), 90, np.uint8), quality=85)
+        parse_jpeg(blob[: len(blob) // 2])
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        make_jpeg(np.zeros((0, 4), np.uint8))
+    with pytest.raises(ValueError):
+        make_jpeg(np.zeros((4, 4, 2), np.uint8))
+
+
+def test_jpeg_media_decoder_dispatch():
+    from hyper_spark.kernel.media import make_jpeg, make_jpeg_header
+    from hyper_spark.operators.multimodal import (
+        fake_decoder,
+        image_features,
+        media_decoder,
+    )
+
+    img = _smooth_rgb(32, 32)
+    blob = make_jpeg(img, quality=90)
+    feats = media_decoder(blob)
+    assert feats.shape == (16,)
+    assert np.allclose(feats, image_features(blob))
+    # decoded mean tracks the source image (real decode, not a hash)
+    assert abs(feats[3] - img[:, :, 0].mean() / 255.0) < 0.02
+    # progressive JPEG (undecodable) falls back to the byte histogram
+    stub = make_jpeg_header(64, 48, 3, progressive=True)
+    assert np.allclose(media_decoder(stub), fake_decoder(stub))
