@@ -4507,6 +4507,71 @@ def _q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.mapInPandas(run, schema)
 
 
+def _q_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL FLAC decode, distributed: every 7th event synthesizes a
+    deterministic integer sawtooth (mono or stereo with mid/side
+    decorrelation — every parameter a pure function of event_id),
+    encodes it with the real fixed-predictor + Rice encoder
+    (kernel/media.py::make_flac, multi-frame at block_size=1024) and
+    decodes it back executor-side (parse_flac: frame headers, Rice
+    residuals, CRC-8/16 verification). FLAC is LOSSLESS, so the oracle
+    recomputes first/last/min/max/sum of the decoded samples EXACTLY
+    by regenerating the same sawtooth with a SQL series — any bit
+    error anywhere in the codec breaks the equality."""
+    _ensure_pkg(spark)
+    from typing import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    events = (
+        _read(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(F.col("event_id") % 7 == 0)
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from hyper_spark.kernel.media import make_flac, parse_flac
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                n = 1000 + eid % 500
+                rate = 8000 + (eid % 4) * 4000
+                a = 3 + 2 * (eid % 4)
+                c = eid % 512
+                ch = 1 + eid % 2
+                i = _np.arange(n, dtype=_np.int64)
+                chans = [
+                    ((i * a + cc * 17 + c) % 512) - 256 for cc in range(ch)
+                ]
+                x = _np.stack(chans, axis=1)
+                blob = make_flac(
+                    x, rate, bits=16, block_size=1024,
+                    stereo="mid" if ch == 2 else "independent",
+                )
+                drate, dec = parse_flac(blob)
+                rows.append(
+                    [eid, drate, dec.shape[0], dec.shape[1],
+                     int(dec[0, 0]), int(dec[-1, 0]),
+                     int(dec.min()), int(dec.max()), int(dec.sum())]
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["event_id", "rate", "n_samples", "channels",
+                         "s_first", "s_last", "s_min", "s_max", "s_sum"],
+            )
+
+    schema = (
+        "event_id long, rate int, n_samples long, channels int, "
+        "s_first long, s_last long, s_min long, s_max long, s_sum long"
+    )
+    return events.mapInPandas(run, schema)
+
+
 def _q_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC resample of event values per type
     (operators/temporal.py::resample): one partial-aggregated groupBy,
@@ -5200,6 +5265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_offsets_chunks": _q_pack_offsets_chunks,
         "incremental_dedup_new": _q_incremental_dedup_new,
         "jpeg_decode_stats": _q_jpeg_decode_stats,
+        "flac_decode_stats": _q_flac_decode_stats,
         "near_dedup_docs": _q_near_dedup_docs,
         "hll_users_by_type": _q_hll_users_by_type,
         "sql_sketch_build": _q_sql_sketch_build,
@@ -6435,6 +6501,38 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(off / 2048.0) AS BIGINT)
                    ) - CAST(floor(off / 2048.0) AS BIGINT) + 1 AS n_chunks
             FROM c
+        """,
+        "flac_decode_stats": """
+            WITH p AS (
+                SELECT event_id,
+                       1000 + event_id % 500 AS n,
+                       CAST(8000 + (event_id % 4) * 4000 AS INT) AS rate,
+                       3 + 2 * (event_id % 4) AS a,
+                       event_id % 512 AS c,
+                       CAST(1 + event_id % 2 AS INT) AS ch
+                FROM events WHERE event_id % 7 = 0
+            ), samples AS (
+                -- regenerate the sawtooth the Spark side encodes:
+                -- FLAC is lossless, so decoded stats match EXACTLY
+                SELECT p.event_id, p.n, p.rate, p.ch, t.i, u.cc,
+                       ((t.i * p.a + u.cc * 17 + p.c) % 512) - 256 AS v
+                FROM p,
+                     UNNEST(generate_series(0, p.n - 1)) AS t(i),
+                     UNNEST(generate_series(0, p.ch - 1)) AS u(cc)
+            )
+            SELECT s.event_id,
+                   any_value(s.rate) AS rate,
+                   any_value(s.n) AS n_samples,
+                   any_value(s.ch) AS channels,
+                   -- channel-0 first/last have closed forms
+                   CAST(any_value(p.c % 512 - 256) AS BIGINT) AS s_first,
+                   CAST(any_value(((p.n - 1) * p.a + p.c) % 512 - 256)
+                       AS BIGINT) AS s_last,
+                   CAST(min(s.v) AS BIGINT) AS s_min,
+                   CAST(max(s.v) AS BIGINT) AS s_max,
+                   CAST(sum(s.v) AS BIGINT) AS s_sum
+            FROM samples s JOIN p ON s.event_id = p.event_id
+            GROUP BY s.event_id
         """,
         "jpeg_decode_stats": """
             WITH p AS (

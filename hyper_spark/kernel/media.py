@@ -7,9 +7,10 @@ PNG is stdlib zlib + the five scanline filters; GIF is a pure-python
 LZW; JPEG baseline is DCT + Annex-K Huffman in numpy (encoder AND
 decoder, 4:4:4 / 4:2:0, restart markers). These are REAL codecs
 (round-trip tested — byte-exact for the lossless ones, within
-quantization error for JPEG), not stand-ins; the remaining compressed
-audio formats (ogg, flac frames — header-only STREAMINFO parse) stay
-pluggable via ``decode_features``'s ``decoder=`` parameter.
+quantization error for JPEG), not stand-ins; FLAC gets a full
+lossless codec too (fixed predictors + Rice). Only perceptual audio
+(ogg/mp3/aac) still needs an external codec, pluggable via
+``decode_features``'s ``decoder=`` parameter.
 
 Encoders live here too: tests and gates synthesize deterministic
 payloads with them, so the decode path is verified against known
@@ -39,6 +40,8 @@ __all__ = [
     "jpeg_info",
     "make_jpeg",
     "parse_jpeg",
+    "make_flac",
+    "parse_flac",
     "make_gif",
     "parse_gif",
     "gif_info",
@@ -534,9 +537,9 @@ def make_jpeg_header(
 def flac_info(blob: bytes) -> tuple[int, int, int, int]:
     """(sample_rate, channels, bits, total_samples) from the FLAC
     STREAMINFO block (format spec §9.1: the first metadata block is
-    always STREAMINFO, 34 bytes). Header-only — no frame decode, which
-    is all this engine claims for FLAC (compressed audio codecs stay
-    pluggable)."""
+    always STREAMINFO, 34 bytes). Header-only — works on any FLAC,
+    including subframe types `parse_flac` (the full decoder below)
+    might reject."""
     if blob[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     btype = blob[4] & 0x7F
@@ -1397,3 +1400,475 @@ def parse_jpeg(blob: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------------- FLAC codec
+#
+# FULL FLAC (RFC 9639) in pure numpy + stdlib: encoder with the fixed
+# predictors (orders 0-4, per-subframe best-order selection) + Rice
+# residual coding; decoder additionally handles LPC subframes, all
+# four channel assignments (independent / left-side / right-side /
+# mid-side), Rice2 and escaped partitions, and verifies both frame
+# CRCs. Lossless: parse_flac(make_flac(x)) == x bit-exactly. The
+# reference engine has no audio path (hyper is a sketch library);
+# this serves the training-data pipeline, where FLAC is the standard
+# lossless audio payload.
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly 0x07, init 0 (RFC 9639 §9.1.1: frame header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 (RFC 9639 §9.3: whole-frame CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_coded(value: int) -> bytes:
+    """The UTF-8-style coded number FLAC frame headers carry (§9.1.5;
+    extended to 36 bits / 7 bytes)."""
+    if value < 0x80:
+        return bytes([value])
+    # capacity table: an n-byte form carries (7-n) + 6(n-1) bits
+    for nbytes, lead, cap in ((2, 0xC0, 11), (3, 0xE0, 16), (4, 0xF0, 21),
+                              (5, 0xF8, 26), (6, 0xFC, 31), (7, 0xFE, 36)):
+        if value < (1 << cap):
+            out = bytearray(nbytes)
+            for i in range(nbytes - 1, 0, -1):
+                out[i] = 0x80 | (value & 0x3F)
+                value >>= 6
+            out[0] = lead | value
+            return bytes(out)
+    raise ValueError("coded number exceeds 36 bits")
+
+
+def _utf8_decode(data: bytes, pos: int) -> tuple[int, int]:
+    b0 = data[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    n = 0
+    for bit in range(7, 0, -1):
+        if b0 & (1 << bit):
+            n += 1
+        else:
+            break
+    if n < 2 or n > 7:
+        raise ValueError("bad coded number")
+    value = b0 & ((1 << (7 - n)) - 1)
+    for i in range(1, n):
+        c = data[pos + i]
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad coded number continuation")
+        value = (value << 6) | (c & 0x3F)
+    return value, pos + n
+
+
+class _PlainBitWriter:
+    """MSB-first bit accumulator WITHOUT byte stuffing (FLAC frames)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a one (§8.8)
+
+    def pad_to_byte(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+
+_FLAC_BITS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110,
+                   32: 0b111}
+
+
+def _rice_cost(u: np.ndarray, k: int) -> int:
+    return int((u >> k).sum()) + u.size * (k + 1)
+
+
+def _best_rice_k(u: np.ndarray) -> int:
+    if u.size == 0:
+        return 0
+    best_k, best_c = 0, _rice_cost(u, 0)
+    for k in range(1, 19):
+        c = _rice_cost(u, k)
+        if c < best_c:
+            best_k, best_c = k, c
+        elif c > best_c * 2:
+            break
+    return best_k
+
+
+def _write_residual(bw: _PlainBitWriter, resid: np.ndarray) -> None:
+    """Rice-code a residual run: method 0 (4-bit params), partition
+    order 0 — one parameter per subframe, chosen by exact cost scan;
+    parameters that need >14 bits escape to raw (§9.2.7)."""
+    u = ((resid << 1) ^ (resid >> 63)).astype(np.uint64)  # zigzag
+    k = _best_rice_k(u.astype(np.int64))
+    bw.put(0, 2)  # coding method: rice, 4-bit parameters
+    bw.put(0, 4)  # partition order 0
+    if k > 14:
+        # signed v fits `width` bits iff its zigzag fits `width` bits
+        width = max(1, int(u.max()).bit_length())
+        if width > 31:
+            raise ValueError("residual too wide for escape partition")
+        bw.put(0b1111, 4)  # escape
+        bw.put(width, 5)
+        for v in resid:
+            bw.put(int(v), width)
+        return
+    bw.put(k, 4)
+    for uv in u.astype(np.int64):
+        bw.put_unary(int(uv) >> k)
+        bw.put(int(uv), k)
+
+
+def make_flac(
+    samples: np.ndarray,
+    rate: int,
+    bits: int = 16,
+    block_size: int = 4096,
+    stereo: str = "independent",
+) -> bytes:
+    """Encode integer PCM as a REAL FLAC stream: STREAMINFO + frames
+    of CONSTANT / best-order FIXED-predictor subframes with Rice-coded
+    residuals, frame-header CRC-8 and whole-frame CRC-16. ``samples``
+    is (n,) or (n, channels) int in [-2^(bits-1), 2^(bits-1));
+    ``stereo`` picks the channel assignment for 2-channel input
+    ('independent', 'left', 'right', 'mid' — the three decorrelation
+    modes are lossless by construction). parse_flac round-trips the
+    output bit-exactly."""
+    samples = np.asarray(samples, dtype=np.int64)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if n == 0 or not (1 <= ch <= 8):
+        raise ValueError("need (n>0, 1..8 channels)")
+    if bits not in _FLAC_BITS_CODE:
+        raise ValueError(f"unsupported bits/sample {bits}")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if samples.min() < lo or samples.max() > hi:
+        raise ValueError("samples out of range for bits/sample")
+    if stereo != "independent" and ch != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
+
+    out = bytearray(make_flac_header(rate, ch, bits, n))
+
+    def encode_subframe(bw: _PlainBitWriter, x: np.ndarray, width: int) -> None:
+        if np.all(x == x[0]):
+            bw.put(0, 1)
+            bw.put(0, 6)  # CONSTANT
+            bw.put(0, 1)  # no wasted bits
+            bw.put(int(x[0]), width)
+            return
+        best_o, best_r, best_c = 0, x, int(np.abs(x).sum())
+        for o in range(1, min(5, x.size)):
+            r = np.diff(x, o)
+            c = int(np.abs(r).sum())
+            if c < best_c:
+                best_o, best_r, best_c = o, r, c
+        u = (best_r << 1) ^ (best_r >> 63)
+        if int(u.max()).bit_length() > 31:
+            # residuals too wide for the 5-bit escape field (raw
+            # 32-bit audio with no predictable structure): VERBATIM
+            bw.put(0, 1)
+            bw.put(1, 6)
+            bw.put(0, 1)
+            for v in x:
+                bw.put(int(v), width)
+            return
+        bw.put(0, 1)
+        bw.put(0b001000 | best_o, 6)  # FIXED order o
+        bw.put(0, 1)
+        for wsample in x[:best_o]:
+            bw.put(int(wsample), width)
+        _write_residual(bw, best_r.astype(np.int64))
+
+    for f0 in range(0, n, block_size):
+        blk = samples[f0 : f0 + block_size]
+        bs = blk.shape[0]
+        if stereo == "independent":
+            chan_assign = ch - 1
+            chans = [(blk[:, c], bits) for c in range(ch)]
+        else:
+            left = blk[:, 0]
+            right = blk[:, 1]
+            side = left - right
+            if stereo == "left":
+                chan_assign, chans = 0b1000, [(left, bits), (side, bits + 1)]
+            elif stereo == "right":
+                chan_assign, chans = 0b1001, [(side, bits + 1), (right, bits)]
+            elif stereo == "mid":
+                mid = (left + right) >> 1
+                chan_assign, chans = 0b1010, [(mid, bits), (side, bits + 1)]
+            else:
+                raise ValueError(f"unknown stereo mode {stereo!r}")
+
+        hdr = bytearray(b"\xff\xf8")  # sync + fixed blocking strategy
+        hdr.append((0b0111 << 4) | 0b0000)  # 16-bit blocksize; rate: STREAMINFO
+        hdr.append((chan_assign << 4) | (_FLAC_BITS_CODE[bits] << 1))
+        hdr += _utf8_coded(f0 // block_size)
+        hdr += struct.pack(">H", bs - 1)
+        hdr.append(_crc8(bytes(hdr)))
+
+        bw = _PlainBitWriter()
+        for x, width in chans:
+            encode_subframe(bw, x.astype(np.int64), width)
+        bw.pad_to_byte()
+        frame = bytes(hdr) + bytes(bw.buf)
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+class _PlainBitReader:
+    """MSB-first reader for FLAC frames (no byte stuffing); tracks its
+    absolute byte offset so the frame CRC can be checked."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.bitpos = pos * 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.bitpos + n
+        if end > len(self.data) * 8:
+            raise ValueError("FLAC frame truncated")
+        out = 0
+        bp = self.bitpos
+        # byte-at-a-time: grab the bits spanning the window
+        first_byte, last_byte = bp >> 3, (end - 1) >> 3
+        chunk = int.from_bytes(self.data[first_byte : last_byte + 1], "big")
+        total_bits = (last_byte - first_byte + 1) * 8
+        out = (chunk >> (total_bits - (end - first_byte * 8))) & ((1 << n) - 1)
+        self.bitpos = end
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway unary code")
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.bitpos >> 3
+
+
+def _read_residual(br: _PlainBitReader, bs: int, order: int) -> np.ndarray:
+    """Decode a Rice-coded residual run: both methods (4/5-bit
+    parameters), any partition order, escaped raw partitions (§9.2.7)."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual coding method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if bs % nparts:
+        raise ValueError("block size not divisible by partition count")
+    out = np.empty(bs - order, dtype=np.int64)
+    w = 0
+    for p in range(nparts):
+        cnt = (bs >> porder) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("partition shorter than predictor order")
+        k = br.read(pbits)
+        if k == escape:
+            width = br.read(5)
+            for i in range(cnt):
+                out[w + i] = br.read_signed(width) if width else 0
+        else:
+            for i in range(cnt):
+                q = br.read_unary()
+                u = (q << k) | br.read(k)
+                out[w + i] = (u >> 1) ^ -(u & 1)  # un-zigzag
+        w += cnt
+    return out
+
+
+def _fixed_restore(warm: np.ndarray, resid: np.ndarray, order: int) -> np.ndarray:
+    """Invert the order-o fixed predictor: the residual is the o-th
+    difference of the signal, so reconstruction is o cumulative sums
+    seeded from the warmup samples — vectorized, no per-sample loop."""
+    if order == 0:
+        return resid.copy()
+    seq = resid.astype(np.int64)
+    for k in range(order, 0, -1):
+        seed = np.diff(warm, k - 1)[-1] if k > 1 else warm[-1]
+        seq = np.cumsum(np.concatenate([[seed], seq]))[1:]
+    return np.concatenate([warm, seq])
+
+
+def parse_flac(blob: bytes) -> tuple[int, np.ndarray]:
+    """FULL FLAC decode: (sample_rate, (n, channels) int64 samples) —
+    lossless, bit-exact. Walks the metadata blocks, then every frame:
+    header (coded number, blocksize/rate/bits codes, CRC-8 verified),
+    subframes of all four types (CONSTANT / VERBATIM / FIXED 0-4 /
+    LPC 1-32) with wasted-bits handling, Rice/Rice2/escaped residuals
+    at any partition order, the three stereo decorrelations, and the
+    whole-frame CRC-16."""
+    rate, ch, bits, total = flac_info(blob)
+    # skip metadata blocks (STREAMINFO first; last-block flag bit 7)
+    pos = 4
+    while True:
+        hdr = blob[pos]
+        size = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+
+    out = np.zeros((total, ch), dtype=np.int64)
+    filled = 0
+    n = len(blob)
+    while pos + 2 <= n and filled < total:
+        if not (blob[pos] == 0xFF and (blob[pos + 1] & 0xFC) == 0xF8):
+            raise ValueError(f"bad frame sync at byte {pos}")
+        frame_start = pos
+        bs_code = blob[pos + 2] >> 4
+        rate_code = blob[pos + 2] & 0x0F
+        chan_assign = blob[pos + 3] >> 4
+        bits_code = (blob[pos + 3] >> 1) & 0x7
+        _frameno, p2 = _utf8_decode(blob, pos + 4)
+        if bs_code == 0b0110:
+            bs = blob[p2] + 1
+            p2 += 1
+        elif bs_code == 0b0111:
+            bs = struct.unpack_from(">H", blob, p2)[0] + 1
+            p2 += 2
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError(f"reserved blocksize code {bs_code}")
+        if rate_code == 0b1100:
+            p2 += 1
+        elif rate_code in (0b1101, 0b1110):
+            p2 += 2
+        elif rate_code == 0b1111:
+            raise ValueError("invalid sample-rate code")
+        fbits = {0: bits, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(bits_code)
+        if fbits is None:
+            raise ValueError(f"reserved bits code {bits_code}")
+        if _crc8(blob[frame_start : p2]) != blob[p2]:
+            raise ValueError("frame header CRC-8 mismatch")
+        p2 += 1
+
+        if chan_assign <= 7:
+            nch = chan_assign + 1
+            widths = [fbits] * nch
+        elif chan_assign == 0b1000:   # left/side
+            nch, widths = 2, [fbits, fbits + 1]
+        elif chan_assign == 0b1001:   # right/side
+            nch, widths = 2, [fbits + 1, fbits]
+        elif chan_assign == 0b1010:   # mid/side
+            nch, widths = 2, [fbits, fbits + 1]
+        else:
+            raise ValueError(f"reserved channel assignment {chan_assign}")
+        if nch != ch:
+            raise ValueError("frame channel count != STREAMINFO")
+
+        br = _PlainBitReader(blob, p2)
+        chans = []
+        for width in widths:
+            if br.read(1):
+                raise ValueError("subframe padding bit set")
+            stype = br.read(6)
+            wasted = 0
+            if br.read(1):
+                wasted = 1 + br.read_unary()
+            width -= wasted
+            if stype == 0:  # CONSTANT
+                x = np.full(bs, br.read_signed(width), dtype=np.int64)
+            elif stype == 1:  # VERBATIM
+                x = np.fromiter(
+                    (br.read_signed(width) for _ in range(bs)),
+                    dtype=np.int64, count=bs)
+            elif 8 <= stype <= 12:  # FIXED order 0-4
+                order = stype - 8
+                warm = np.fromiter(
+                    (br.read_signed(width) for _ in range(order)),
+                    dtype=np.int64, count=order)
+                resid = _read_residual(br, bs, order)
+                x = _fixed_restore(warm, resid, order)
+            elif stype >= 32:  # LPC order 1-32
+                order = stype - 31
+                warm = [br.read_signed(width) for _ in range(order)]
+                prec = br.read(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid LPC precision escape")
+                shift = br.read_signed(5)
+                if shift < 0:
+                    raise ValueError("negative LPC shift")
+                coefs = [br.read_signed(prec) for _ in range(order)]
+                resid = _read_residual(br, bs, order)
+                x = np.empty(bs, dtype=np.int64)
+                x[:order] = warm
+                for i in range(order, bs):
+                    acc = 0
+                    for j in range(order):
+                        acc += coefs[j] * x[i - 1 - j]
+                    x[i] = resid[i - order] + (acc >> shift)
+            else:
+                raise ValueError(f"reserved subframe type {stype}")
+            chans.append(x << wasted)
+        br.align()
+        fpos = br.byte_pos()
+        if _crc16(blob[frame_start:fpos]) != struct.unpack_from(
+            ">H", blob, fpos
+        )[0]:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = fpos + 2
+
+        if chan_assign == 0b1000:   # left/side: r = l - s
+            left, side = chans
+            chans = [left, left - side]
+        elif chan_assign == 0b1001:  # right/side: l = r + s
+            side, right = chans
+            chans = [right + side, right]
+        elif chan_assign == 0b1010:  # mid/side
+            mid, side = chans
+            left = mid + ((side + (side & 1)) >> 1)
+            chans = [left, left - side]
+        take = min(bs, total - filled)
+        for c in range(ch):
+            out[filled : filled + take, c] = chans[c][:take]
+        filled += take
+    if filled < total:
+        raise ValueError("FLAC stream ends before total_samples")
+    return rate, out

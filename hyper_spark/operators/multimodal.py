@@ -90,14 +90,22 @@ def fake_decoder(payload: bytes) -> np.ndarray:
 
 
 def audio_features(payload: bytes) -> np.ndarray:
-    """REAL audio featurizer for PCM WAV payloads (kernel/media.py —
-    pure-numpy decode, no audio libraries): 16 floats =
-    [duration_s, rms, peak, zero_crossing_rate, log1p energy in 12
-    log-spaced rfft bands of the mono mix]. The spectral bands are a
-    genuine FFT featurization, not a stand-in."""
-    from hyper_spark.kernel.media import parse_wav
+    """REAL audio featurizer for PCM WAV *and* FLAC payloads
+    (kernel/media.py — pure-numpy decodes, no audio libraries): 16
+    floats = [duration_s, rms, peak, zero_crossing_rate, log1p energy
+    in 12 log-spaced rfft bands of the mono mix]. The spectral bands
+    are a genuine FFT featurization, not a stand-in; FLAC samples are
+    normalized to [-1, 1] by the STREAMINFO bit depth so both formats
+    featurize on the same scale."""
+    from hyper_spark.kernel.media import flac_info, parse_flac, parse_wav
 
-    rate, samples = parse_wav(bytes(payload))
+    blob = bytes(payload)
+    if blob[:4] == b"fLaC":
+        _rate, _ch, bits, _total = flac_info(blob)
+        rate, isamples = parse_flac(blob)
+        samples = isamples.astype(np.float64) / float(1 << (bits - 1))
+    else:
+        rate, samples = parse_wav(blob)
     mono = samples.mean(axis=1)
     n = mono.size
     if n == 0:
@@ -249,7 +257,7 @@ def media_decoder(payload: bytes) -> np.ndarray:
 
     blob = bytes(payload)
     try:
-        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        if (blob[:4] == b"RIFF" and blob[8:12] == b"WAVE") or blob[:4] == b"fLaC":
             return audio_features(blob)
         if blob[:9] == b"YUV4MPEG2":
             return video_features(blob)
@@ -335,8 +343,8 @@ def media_info(
                         w, h, ch, bits, _prog = jpeg_info(blob)
                         rec = [did, "jpeg", None, None, ch, bits, w, h]
                     elif blob[:4] == b"fLaC":
-                        # header-only STREAMINFO parse (compressed
-                        # audio frames stay pluggable, like JPEG)
+                        # STREAMINFO carries all the metadata fields —
+                        # no need to run the full frame decode here
                         rate, ch, bits, total = flac_info(blob)
                         rec = [did, "flac", rate, total, ch, bits,
                                None, None]
