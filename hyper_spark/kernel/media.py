@@ -1029,18 +1029,103 @@ def _plane_qblocks(plane: np.ndarray, qtbl_raster: np.ndarray) -> np.ndarray:
     return np.clip(q, -2047, 2047)
 
 
+def _enc_ac_first(bw: _BitWriter, vals: np.ndarray, ac_tab: dict,
+                  al: int) -> None:
+    """Progressive AC first scan for one block's band (G.1.2.2):
+    point-transformed coefficients, ZRL runs, EOB (run length 1 — the
+    standard Annex-K tables carry no EOBn>0 symbols)."""
+    t = np.where(vals >= 0, vals >> al, -((-vals) >> al))
+    nz = np.nonzero(t)[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    run = 0
+    for k in range(last):
+        v = int(t[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_tab[0xF0]
+            bw.put(c, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        c, ln = ac_tab[(run << 4) | size]
+        bw.put(c, ln)
+        bw.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < vals.size:
+        c, ln = ac_tab[0x00]
+        bw.put(c, ln)
+
+
+def _enc_ac_refine(bw: _BitWriter, vals: np.ndarray, ac_tab: dict,
+                   al: int) -> None:
+    """Progressive AC refinement for one block's band (G.1.2.3),
+    generated by SIMULATING the decoder's walk so correction bits for
+    nonzero-history coefficients land exactly where the reader
+    consumes them — per ZRL span, not bulk-flushed (the classic
+    desync trap when a >16 zero run interleaves refined
+    coefficients)."""
+    n = vals.size
+    absv = np.abs(vals.astype(np.int64))
+    hist = (absv >> (al + 1)) != 0
+    newly = ((absv >> al) == 1) & ~hist
+    sig = np.nonzero(newly)[0]
+    k = 0
+
+    def emit_zrl_span(j: int) -> int:
+        # the decoder's ZRL walk: correction bits at history
+        # positions, stop after the 16th zero-history position
+        z = 16
+        while True:
+            if hist[j]:
+                bw.put((int(absv[j]) >> al) & 1, 1)
+            else:
+                z -= 1
+                if z == 0:
+                    return j + 1
+            j += 1
+
+    for s in sig:
+        run = int(np.count_nonzero(~hist[k:s]))
+        while run >= 16:
+            c, ln = ac_tab[0xF0]
+            bw.put(c, ln)
+            k = emit_zrl_span(k)
+            run -= 16
+        c, ln = ac_tab[(run << 4) | 1]
+        bw.put(c, ln)
+        bw.put(1 if vals[s] > 0 else 0, 1)
+        # history bits for positions crossed up to (not incl.) s
+        for j in range(k, s):
+            if hist[j]:
+                bw.put((int(absv[j]) >> al) & 1, 1)
+        k = s + 1
+    if k < n:
+        c, ln = ac_tab[0x00]
+        bw.put(c, ln)
+        for j in range(k, n):
+            if hist[j]:
+                bw.put((int(absv[j]) >> al) & 1, 1)
+
+
 def make_jpeg(
     arr: np.ndarray,
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (h, w) greyscale or (h, w, 3) RGB uint8 as a REAL
-    baseline-sequential JPEG (Annex K quant/Huffman tables, libjpeg
-    quality scaling, JFIF APP0). ``subsample=True`` writes 4:2:0
-    chroma (the camera default); ``restart_interval`` > 0 emits DRI +
-    RSTn markers every that-many MCUs. Output opens in any viewer;
-    `parse_jpeg` decodes it within quantization error."""
+    """Encode (h, w) greyscale or (h, w, 3) RGB uint8 as a REAL JPEG
+    (Annex K quant/Huffman tables, libjpeg quality scaling, JFIF
+    APP0). ``subsample=True`` writes 4:2:0 chroma (the camera
+    default); ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that-many MCUs (sequential mode only); ``progressive=True`` writes
+    SOF2 with a six-scan script — interleaved DC first (Al=1) +
+    refinement, and per-component AC first (spectral band 1-63, Al=1)
+    + refinement — carrying the SAME quantized coefficients as the
+    sequential stream, so both decode to identical pixels. Output
+    opens in any viewer; `parse_jpeg` decodes it within quantization
+    error."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and not (arr.ndim == 3 and arr.shape[2] == 3):
@@ -1048,6 +1133,8 @@ def make_jpeg(
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if progressive and restart_interval:
+        raise ValueError("restart markers unsupported in progressive mode")
     qlum, qchr = _jpeg_qtables(quality)
 
     if gray:
@@ -1088,33 +1175,114 @@ def make_jpeg(
     dc_chr = _huff_codes(*_JPEG_HUFF_DC_CHR)
     ac_chr = _huff_codes(*_JPEG_HUFF_AC_CHR)
 
-    bw = _BitWriter()
-    preds = [0] * len(comps)
     n_mcux = pw // mcu_w
     n_mcuy = ph // mcu_h
-    entropy_parts: list[bytes] = []
-    mcu_in_seg = 0
-    rst = 0
-    for my in range(n_mcuy):
-        for mx in range(n_mcux):
-            if restart_interval and mcu_in_seg == restart_interval:
-                bw.pad_to_byte()
-                entropy_parts.append(bytes(bw.buf))
-                entropy_parts.append(bytes([0xFF, 0xD0 + (rst & 7)]))
-                rst += 1
-                bw = _BitWriter()
-                preds = [0] * len(comps)
-                mcu_in_seg = 0
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                dc_t, ac_t = (dc_lum, ac_lum) if tq == 0 else (dc_chr, ac_chr)
-                for a in range(vs):
-                    for b2 in range(hs):
-                        zz = qblocks[ci][my * vs + a, mx * hs + b2]
-                        preds[ci] = _encode_block(bw, zz, preds[ci], dc_t, ac_t)
-            mcu_in_seg += 1
-    bw.pad_to_byte()
-    entropy_parts.append(bytes(bw.buf))
-    entropy = b"".join(entropy_parts)
+
+    # (sos_body, entropy_bytes) per scan
+    scans: list[tuple[bytes, bytes]] = []
+
+    def sos_body(scan_comps: list[int], ss: int, se: int,
+                 ah: int, al: int) -> bytes:
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            cid, _hs, _vs, tq = comps[ci]
+            body += bytes([cid, 0x00 if tq == 0 else 0x11])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    if not progressive:
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        entropy_parts: list[bytes] = []
+        mcu_in_seg = 0
+        rst = 0
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                if restart_interval and mcu_in_seg == restart_interval:
+                    bw.pad_to_byte()
+                    entropy_parts.append(bytes(bw.buf))
+                    entropy_parts.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+                    rst += 1
+                    bw = _BitWriter()
+                    preds = [0] * len(comps)
+                    mcu_in_seg = 0
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    dc_t, ac_t = (
+                        (dc_lum, ac_lum) if tq == 0 else (dc_chr, ac_chr))
+                    for a in range(vs):
+                        for b2 in range(hs):
+                            zz = qblocks[ci][my * vs + a, mx * hs + b2]
+                            preds[ci] = _encode_block(
+                                bw, zz, preds[ci], dc_t, ac_t)
+                mcu_in_seg += 1
+        bw.pad_to_byte()
+        entropy_parts.append(bytes(bw.buf))
+        scans.append(
+            (sos_body(list(range(len(comps))), 0, 63, 0, 0),
+             b"".join(entropy_parts)))
+    else:
+        all_ci = list(range(len(comps)))
+
+        # scan 1: DC first, interleaved, Al=1 (point transform = >>)
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    dc_t = dc_lum if tq == 0 else dc_chr
+                    for a in range(vs):
+                        for b2 in range(hs):
+                            dcv = int(qblocks[ci][my * vs + a, mx * hs + b2][0]) >> 1
+                            diff = dcv - preds[ci]
+                            preds[ci] = dcv
+                            size = abs(diff).bit_length()
+                            c, ln = dc_t[size]
+                            bw.put(c, ln)
+                            if size:
+                                bw.put(diff if diff > 0 else
+                                       diff + (1 << size) - 1, size)
+        bw.pad_to_byte()
+        scans.append((sos_body(all_ci, 0, 0, 0, 1), bytes(bw.buf)))
+
+        # per-component AC first scans, band 1-63, Al=1
+        comp_blocks = []
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            ch_h = -(-(h * vs) // vmax)
+            ch_w = -(-(w * hs) // hmax)
+            comp_blocks.append((-(-ch_h // 8), -(-ch_w // 8)))
+            bh, bw_n = comp_blocks[ci]
+            ac_t = ac_lum if tq == 0 else ac_chr
+            bw = _BitWriter()
+            for by in range(bh):
+                for bx in range(bw_n):
+                    _enc_ac_first(
+                        bw, qblocks[ci][by, bx][1:], ac_t, 1)
+            bw.pad_to_byte()
+            scans.append((sos_body([ci], 1, 63, 0, 1), bytes(bw.buf)))
+
+        # DC refinement, interleaved, Ah=1 Al=0: one raw bit per block
+        bw = _BitWriter()
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    for a in range(vs):
+                        for b2 in range(hs):
+                            bw.put(
+                                int(qblocks[ci][my * vs + a, mx * hs + b2][0])
+                                & 1, 1)
+        bw.pad_to_byte()
+        scans.append((sos_body(all_ci, 0, 0, 1, 0), bytes(bw.buf)))
+
+        # per-component AC refinement scans, Ah=1 Al=0
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            bh, bw_n = comp_blocks[ci]
+            ac_t = ac_lum if tq == 0 else ac_chr
+            bw = _BitWriter()
+            for by in range(bh):
+                for bx in range(bw_n):
+                    _enc_ac_refine(
+                        bw, qblocks[ci][by, bx][1:], ac_t, 0)
+            bw.pad_to_byte()
+            scans.append((sos_body([ci], 1, 63, 1, 0), bytes(bw.buf)))
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -1131,7 +1299,7 @@ def make_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, hs, vs, tq in comps:
         sof += bytes([cid, (hs << 4) | vs, tq])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     out += seg(0xC4, dht_body(0, 0, _JPEG_HUFF_DC_LUM))
     out += seg(0xC4, dht_body(1, 0, _JPEG_HUFF_AC_LUM))
     if not gray:
@@ -1139,12 +1307,9 @@ def make_jpeg(
         out += seg(0xC4, dht_body(1, 1, _JPEG_HUFF_AC_CHR))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(comps)])
-    for cid, hs, vs, tq in comps:
-        sos += bytes([cid, 0x00 if tq == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += entropy
+    for body, entropy in scans:
+        out += seg(0xDA, body)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1212,32 +1377,240 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _jpeg_entropy_segments(blob: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Destuff one scan's entropy stream starting at ``pos``: returns
+    the restart segments and the offset of the marker that ended the
+    scan (EOI, the next SOS/DHT/..., anything non-RST)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    n = len(blob)
+    while pos < n:
+        b = blob[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m2 = blob[pos + 1] if pos + 1 < n else 0xD9
+        if m2 == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m2 <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # any real marker terminates the scan (EOI, SOS, DHT...)
+            break
+    segments.append(bytes(cur))
+    return segments, pos
+
+
+def _decode_scan(
+    grids: list[np.ndarray],
+    comps: list[tuple[int, int, int, int]],
+    scan: list[tuple[int, int, int]],
+    band: tuple[int, int, int, int],
+    huff: dict,
+    segments: list[bytes],
+    dri: int,
+    dims: tuple[int, int],
+) -> None:
+    """Decode ONE scan into the coefficient grids: sequential (the
+    whole band in one pass) or any progressive piece — DC first/refine
+    (interleaved or not), AC first/refine (spectral selection +
+    successive approximation, EOB runs, ZRL) per ITU T.81 F.2/G.2."""
+    ss, se, ah, al = band
+    h, w = dims
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    n_mcux = -(-w // (8 * hmax))
+    n_mcuy = -(-h // (8 * vmax))
+    interleaved = len(scan) > 1
+    sequential = ss == 0 and se == 63
+
+    if ss > 0 and interleaved:
+        raise ValueError("progressive AC scans must be single-component")
+
+    seg_i = 0
+    br = _BitReader(segments[0])
+    preds = [0] * len(scan)
+    state = {"eobrun": 0}
+
+    def dec_block_seq(zz, si, dc_t, ac_t):
+        size = dc_t.decode(br)
+        preds[si] += _extend(br.read(size), size)
+        zz[0] = preds[si]
+        k = 1
+        while k <= 63:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(br.read(s), s)
+            k += 1
+
+    def dec_block_dc_first(zz, si, dc_t):
+        size = dc_t.decode(br)
+        preds[si] += _extend(br.read(size), size)
+        zz[0] = preds[si] << al
+
+    def dec_block_dc_refine(zz):
+        if br.read(1):
+            zz[0] |= 1 << al
+
+    def dec_block_ac_first(zz, ac_t):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            zz[k] = _extend(br.read(s), s) << al
+            k += 1
+
+    def refine_nonzero(zz, k, p1, m1):
+        # correction bit for a coefficient already sent nonzero
+        if br.read(1) and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    def dec_block_ac_refine(zz, ac_t):
+        p1, m1 = 1 << al, -1 << al
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            for k in range(ss, se + 1):
+                if zz[k]:
+                    refine_nonzero(zz, k, p1, m1)
+            return
+        k = ss
+        while k <= se:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if br.read(1) else m1
+            else:
+                raise ValueError("bad AC refinement symbol")
+            while k <= se:
+                if zz[k]:
+                    refine_nonzero(zz, k, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+        # band tail after an EOB: remaining nonzero history still
+        # carries its correction bits in THIS block
+        for k2 in range(k + 1 if k > se else k, se + 1):
+            if zz[k2]:
+                refine_nonzero(zz, k2, p1, m1)
+
+    def dec_block(zz, si, dc_id, ac_id):
+        if sequential:
+            dec_block_seq(zz, si, huff[(0, dc_id)], huff[(1, ac_id)])
+        elif ss == 0 and ah == 0:
+            dec_block_dc_first(zz, si, huff[(0, dc_id)])
+        elif ss == 0:
+            dec_block_dc_refine(zz)
+        elif ah == 0:
+            dec_block_ac_first(zz, huff[(1, ac_id)])
+        else:
+            dec_block_ac_refine(zz, huff[(1, ac_id)])
+
+    def restart():
+        nonlocal seg_i, br
+        seg_i += 1
+        if seg_i >= len(segments):
+            raise ValueError("missing restart segment")
+        br = _BitReader(segments[seg_i])
+        preds[:] = [0] * len(scan)
+        state["eobrun"] = 0
+
+    if interleaved:
+        done = 0
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                if dri and done and done % dri == 0:
+                    restart()
+                for si, (ci, dc_id, ac_id) in enumerate(scan):
+                    _, hs, vs, _ = comps[ci]
+                    for a in range(vs):
+                        for b2 in range(hs):
+                            dec_block(
+                                grids[ci][my * vs + a, mx * hs + b2],
+                                si, dc_id, ac_id)
+                done += 1
+    else:
+        ci, dc_id, ac_id = scan[0]
+        _, hs, vs, _ = comps[ci]
+        cw = -(-(w * hs) // hmax)
+        chh = -(-(h * vs) // vmax)
+        bh, bw_ = -(-chh // 8), -(-cw // 8)
+        done = 0
+        for by in range(bh):
+            for bx in range(bw_):
+                if dri and done and done % dri == 0:
+                    restart()
+                dec_block(grids[ci][by, bx], 0, dc_id, ac_id)
+                done += 1
+
+
 def parse_jpeg(blob: bytes) -> np.ndarray:
-    """FULL baseline-sequential JPEG decode: (h, w) uint8 for
-    greyscale, (h, w, 3) RGB otherwise. Reads DQT/DHT/SOF0/DRI/SOS
-    from the stream (any tables, not just the ones `make_jpeg`
-    writes), entropy-decodes interleaved MCUs with arbitrary sampling
-    factors (4:4:4, 4:2:0, 4:2:2, ...), honors restart markers, and
-    reconstructs via dequant + vectorized IDCT + nearest upsample +
-    JFIF YCbCr->RGB. Progressive (SOF2) and non-8-bit streams raise
-    ValueError — callers fall back to header-only `jpeg_info`."""
+    """FULL JPEG decode — baseline-sequential AND progressive (SOF2
+    with spectral selection + successive approximation): (h, w) uint8
+    for greyscale, (h, w, 3) RGB otherwise. Reads DQT/DHT/SOF/DRI and
+    every SOS from the stream (any tables, not just the ones
+    `make_jpeg` writes), entropy-decodes interleaved or
+    single-component scans with arbitrary sampling factors, EOB runs,
+    refinement bits, and restart markers, and reconstructs via
+    dequant + vectorized IDCT + nearest upsample + JFIF YCbCr->RGB.
+    Arithmetic-coded, hierarchical, lossless, and non-8-bit streams
+    raise ValueError — callers fall back to header-only `jpeg_info`."""
     if blob[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     comps: list[tuple[int, int, int, int]] = []
-    scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+    grids: list[np.ndarray] = []
     h = w = 0
     dri = 0
+    n_scans = 0
     pos = 2
     n = len(blob)
     while pos + 2 <= n:
         if blob[pos] != 0xFF:
             raise ValueError(f"marker desync at byte {pos}")
         marker = blob[pos + 1]
-        if marker == 0xFF:
+        if marker == 0xFF:  # fill byte
             pos += 1
             continue
+        if marker == 0xD9:  # EOI
+            break
         if marker in _JPEG_STANDALONE:
             pos += 2
             continue
@@ -1264,106 +1637,54 @@ def parse_jpeg(blob: bytes) -> np.ndarray:
                 huff[(tc, th)] = _HuffDecoder(
                     bits, body[bp + 17 : bp + 17 + nv])
                 bp += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             bits8, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if bits8 != 8:
                 raise ValueError(f"{bits8}-bit precision not supported")
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in _JPEG_SOF:  # progressive/lossless/arithmetic
-            raise ValueError(f"non-baseline SOF marker 0x{marker:02x}")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            n_mcux = -(-w // (8 * hmax))
+            n_mcuy = -(-h // (8 * vmax))
+            grids = [
+                np.zeros((vs * n_mcuy, hs * n_mcux, 64), dtype=np.int64)
+                for _, hs, vs, _ in comps
+            ]
+        elif marker in _JPEG_SOF:  # arithmetic/lossless/hierarchical
+            raise ValueError(f"unsupported SOF marker 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", body, 0)[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if not comps or h == 0 or w == 0:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             by_id = {c[0]: i for i, c in enumerate(comps)}
+            scan = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((by_id[cs], tt >> 4, tt & 0x0F))
-            pos += 2 + size
-            break
-        pos += 2 + size
-    else:
-        raise ValueError("no SOS marker found")
-    if not comps or h == 0 or w == 0:
-        raise ValueError("SOS before SOF")
-    for _, dc_id, ac_id in scan:
-        if (0, dc_id) not in huff or (1, ac_id) not in huff:
-            raise ValueError("scan references a missing Huffman table")
-
-    # split the entropy stream into restart segments, destuffed
-    segments: list[bytes] = []
-    cur = bytearray()
-    while pos < n:
-        b = blob[pos]
-        if b != 0xFF:
-            cur.append(b)
-            pos += 1
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            for _, dc_id, ac_id in scan:
+                if ss == 0 and ah == 0 and (0, dc_id) not in huff:
+                    raise ValueError("scan references a missing DC table")
+                if (ss > 0 or se == 63) and ss <= se and se > 0 \
+                        and (1, ac_id) not in huff:
+                    raise ValueError("scan references a missing AC table")
+            segments, pos = _jpeg_entropy_segments(blob, pos + 2 + size)
+            _decode_scan(grids, comps, scan, (ss, se, ah, al), huff,
+                         segments, dri, (h, w))
+            n_scans += 1
             continue
-        m2 = blob[pos + 1] if pos + 1 < n else 0xD9
-        if m2 == 0x00:
-            cur.append(0xFF)
-            pos += 2
-        elif 0xD0 <= m2 <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            pos += 2
-        elif m2 == 0xD9:
-            break
-        else:
-            raise ValueError(f"unexpected marker 0xff{m2:02x} in scan")
-    segments.append(bytes(cur))
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    n_mcux = -(-w // (8 * hmax))
-    n_mcuy = -(-h // (8 * vmax))
-    grids = [
-        np.zeros((vs * n_mcuy, hs * n_mcux, 64), dtype=np.int64)
-        for _, hs, vs, _ in comps
-    ]
-
-    seg_i = 0
-    br = _BitReader(segments[0])
-    preds = [0] * len(comps)
-    mcu_in_seg = 0
-    for my in range(n_mcuy):
-        for mx in range(n_mcux):
-            if dri and mcu_in_seg == dri:
-                seg_i += 1
-                if seg_i >= len(segments):
-                    raise ValueError("missing restart segment")
-                br = _BitReader(segments[seg_i])
-                preds = [0] * len(comps)
-                mcu_in_seg = 0
-            for ci, dc_id, ac_id in scan:
-                _, hs, vs, _ = comps[ci]
-                dc_t = huff[(0, dc_id)]
-                ac_t = huff[(1, ac_id)]
-                for a in range(vs):
-                    for b2 in range(hs):
-                        zz = grids[ci][my * vs + a, mx * hs + b2]
-                        size = dc_t.decode(br)
-                        preds[ci] += _extend(br.read(size), size)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k <= 63:
-                            rs = ac_t.decode(br)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.read(s), s)
-                            k += 1
-            mcu_in_seg += 1
+        pos += 2 + size
+    if n_scans == 0:
+        raise ValueError("no SOS marker found")
 
     planes = []
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     for (cid, hs, vs, tq), grid in zip(comps, grids):
         if tq not in qt:
             raise ValueError(f"missing quant table {tq}")

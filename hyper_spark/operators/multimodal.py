@@ -5,24 +5,24 @@ metadata struct; all transforms are ``mapInPandas`` stages over Arrow
 batches so payload bytes stream through Python exactly once per stage and
 never materialize on the driver.
 
-Decode is REAL for every format whose compression is absent or in the
-stdlib — PCM WAV, PPM/PGM, 24-bit BMP (pure numpy), and PNG (stdlib
-zlib + unfilter; byte-exact round-trip tested) — feeding genuine
+Decode is REAL for the formats a training corpus actually carries —
+PCM WAV, PPM/PGM, 24-bit BMP, Y4M (pure numpy), PNG (stdlib zlib +
+unfilter), GIF (pure LZW), JPEG baseline AND progressive (numpy DCT +
+Annex-K Huffman), FLAC (fixed/LPC predictors + Rice) — feeding genuine
 featurizers (FFT band energies for audio, channel stats + luminance
-histogram for images). JPEG gets a real header parse (dimensions/
-channels/precision from the SOF marker) while its entropy decode, like
-ogg/flac, needs external codecs and remains pluggable via
-``decoder=``; payloads nothing accepts fall back to a deterministic
-byte histogram.
+histogram for images, motion proxies for video). Only perceptual audio
+(ogg/mp3/aac) and exotic JPEG modes (arithmetic-coded, hierarchical)
+still need external codecs, pluggable via ``decoder=``; payloads
+nothing accepts fall back to a deterministic byte histogram.
 
 * ``attach_payload_metadata`` — JVM-only: payload size, md5, magic-byte
   format sniffing
 * ``media_info`` — typed per-payload metadata from real header decodes
   (rate/samples/channels/bits | width/height)
 * ``decode_features`` — per-payload fixed-width feature vector;
-  ``media_decoder`` dispatches WAV/PPM/PGM/BMP to the real featurizers,
-  ``fake_decoder`` is the byte-histogram fallback; ``strict=True``
-  raises where a compressed-codec decoder would plug in.
+  ``media_decoder`` dispatches WAV/FLAC/JPEG/PNG/GIF/PPM/PGM/BMP/Y4M
+  to the real codecs, ``fake_decoder`` is the byte-histogram fallback;
+  ``strict=True`` raises where an external-codec decoder would plug in.
 * ``frame_sample`` — selects every nth chunk of a payload as "frames",
   the batch-shape analogue of video frame sampling.
 """
@@ -129,10 +129,12 @@ def image_features(payload: bytes) -> np.ndarray:
     [log1p(width), log1p(height), aspect, mean R, G, B, std R, G, B,
     7-bin luminance histogram (L1-normalized)]. PNG and GIF are FULL
     decodes (stdlib zlib + unfilter, kernel/media.py::parse_png; real
-    LZW, kernel/media.py::parse_gif); baseline JPEG is a FULL decode
-    too (DCT + Annex-K Huffman, kernel/media.py::parse_jpeg) — only
-    progressive JPEGs fall through to the caller's fallback; RGBA
-    drops alpha, greyscale broadcasts to 3 channels."""
+    LZW, kernel/media.py::parse_gif); JPEG is a FULL decode too —
+    baseline AND progressive (DCT + Annex-K Huffman, spectral
+    selection + successive approximation, kernel/media.py::parse_jpeg)
+    — only arithmetic-coded/hierarchical streams fall through to the
+    caller's fallback; RGBA drops alpha, greyscale broadcasts to 3
+    channels."""
     from hyper_spark.kernel.media import (
         parse_bmp,
         parse_gif,
@@ -246,12 +248,14 @@ def video_frame_stats(
 
 def media_decoder(payload: bytes) -> np.ndarray:
     """Dispatching featurizer: WAV → ``audio_features``, JPEG/PNG/GIF/
-    PPM/PGM/BMP → ``image_features`` (all REAL pure-numpy decodes —
-    PNG via stdlib zlib, GIF via the pure LZW decoder, baseline JPEG
-    via the numpy DCT+Huffman codec), anything else → the
-    byte-histogram fallback (progressive JPEG and ogg/flac frames need
-    external codecs — plug them in via ``decoder=``). All branches emit
-    16 floats, so mixed-modality columns share one schema."""
+    PPM/PGM/BMP → ``image_features``, FLAC → ``audio_features`` (all
+    REAL pure-numpy decodes — PNG via stdlib zlib, GIF via the pure
+    LZW decoder, JPEG baseline+progressive via the numpy DCT+Huffman
+    codec, FLAC via the Rice/LPC decoder), anything else → the
+    byte-histogram fallback (only perceptual audio — ogg/mp3/aac —
+    and exotic JPEG modes need external codecs; plug them in via
+    ``decoder=``). All branches emit 16 floats, so mixed-modality
+    columns share one schema."""
     import struct as _struct
     import zlib as _zlib
 
@@ -390,10 +394,11 @@ def decode_features(
     if strict:
         raise NotImplementedError(
             "strict mode asks for a real decode of EVERY payload; "
-            "progressive JPEG and compressed audio frames (ogg, flac) "
-            "still need external codecs not present in this "
-            "environment — pass a decoder= callable that handles them, "
-            "or accept the default's byte-histogram fallback"
+            "perceptual audio (ogg/mp3/aac) and exotic JPEG modes "
+            "(arithmetic-coded, hierarchical) still need external "
+            "codecs not present in this environment — pass a decoder= "
+            "callable that handles them, or accept the default's "
+            "byte-histogram fallback"
         )
 
     schema = f"{id_col} long, features array<float>"

@@ -567,7 +567,7 @@ def test_jpeg_quality_scales_size():
 def test_jpeg_parse_rejects_non_baseline():
     from hyper_spark.kernel.media import make_jpeg, make_jpeg_header, parse_jpeg
 
-    with pytest.raises(ValueError):  # progressive SOF2
+    with pytest.raises(ValueError):  # stub stream: SOF2 but no DHT
         parse_jpeg(make_jpeg_header(64, 48, 3, progressive=True))
     with pytest.raises(ValueError):  # stub entropy segment, baseline SOF0
         parse_jpeg(make_jpeg_header(64, 48, 3))
@@ -597,7 +597,8 @@ def test_jpeg_media_decoder_dispatch():
     assert np.allclose(feats, image_features(blob))
     # decoded mean tracks the source image (real decode, not a hash)
     assert abs(feats[3] - img[:, :, 0].mean() / 255.0) < 0.02
-    # progressive JPEG (undecodable) falls back to the byte histogram
+    # a header-only stub (no Huffman tables, fake entropy segment)
+    # falls back to the byte histogram
     stub = make_jpeg_header(64, 48, 3, progressive=True)
     assert np.allclose(media_decoder(stub), fake_decoder(stub))
 
@@ -733,3 +734,125 @@ def test_flac_audio_features_and_dispatch():
     assert np.allclose(media_decoder(make_flac(ints, 8000)), ff)
     # truncated FLAC falls back to the byte histogram, never raises
     assert media_decoder(make_flac(ints, 8000)[:60]).shape == (16,)
+
+
+def test_jpeg_progressive_matches_sequential():
+    # progressive and sequential streams carry the SAME quantized
+    # coefficients, so decodes must be bit-identical — this exercises
+    # DC first/refine, per-component spectral AC scans, successive
+    # approximation, ZRL-with-interleaved-history refinement
+    from hyper_spark.kernel.media import jpeg_info, make_jpeg, parse_jpeg
+
+    img = _smooth_rgb()
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    cases = [
+        (img[:, :, 0], {}),
+        (img, {}),
+        (img, {"subsample": True}),
+        (img, {"quality": 30}),
+        (noise, {"quality": 10}),
+        (noise, {"quality": 90}),
+        (rng.integers(0, 256, (19, 21, 3), dtype=np.uint8),
+         {"quality": 70, "subsample": True}),
+    ]
+    for arr, kw in cases:
+        prog_blob = make_jpeg(arr, progressive=True, **kw)
+        assert jpeg_info(prog_blob)[4] is True  # SOF2 flagged
+        seq = parse_jpeg(make_jpeg(arr, **kw))
+        assert np.array_equal(parse_jpeg(prog_blob), seq), kw
+    with pytest.raises(ValueError):  # restarts only in sequential mode
+        make_jpeg(img, progressive=True, restart_interval=2)
+
+
+def test_jpeg_progressive_eobrun_streams():
+    # make_jpeg only emits EOB runs of length 1 (Annex-K tables carry
+    # no EOBn>0 symbols); hand-craft a stream with a custom DHT whose
+    # EOB2 symbol (0x10) spans blocks, hitting the decoder's
+    # eobrun-at-entry paths in BOTH the AC-first skip and the
+    # AC-refine band-wide correction-bit walk
+    import struct as _struct
+
+    from hyper_spark.kernel.media import (
+        _BitWriter,
+        _huff_codes,
+        parse_jpeg,
+    )
+
+    # 32x8 grey = 4 blocks; q=1 so coefficients are the dequant values
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    dc_bits = [0, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(8))
+    ac_bits = [0, 2, 2, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    # EOB, EOB2, (0,1), (1,1), ZRL, (2,1), (0,2)
+    ac_vals = [0x00, 0x10, 0x01, 0x11, 0xF0, 0x21, 0x02]
+    dc_tab = _huff_codes(dc_bits, dc_vals)
+    ac_tab = _huff_codes(ac_bits, ac_vals)
+
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC2, _struct.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    )
+    # scan 1: DC first, Al=1 — all four DCs zero (size-0 symbol x4)
+    bw = _BitWriter()
+    for _ in range(4):
+        c, ln = dc_tab[0]
+        bw.put(c, ln)
+    bw.pad_to_byte()
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bytes(bw.buf)
+    # scan 2: AC first, band 1-63, Al=1.
+    #   block0: coef +2 at k=1 (t=1, size 1), then EOB2 with 1 extra
+    #   bit = 1 -> eobrun covers blocks 1 and 2 entirely
+    #   block3: coef -2 at k=1, then plain EOB
+    bw = _BitWriter()
+    c, ln = ac_tab[0x01]; bw.put(c, ln); bw.put(1, 1)   # +1 << Al = +2
+    c, ln = ac_tab[0x10]; bw.put(c, ln); bw.put(1, 1)   # EOBRUN = 2+1-1... (1<<1)-1+1 = 2
+    c, ln = ac_tab[0x01]; bw.put(c, ln); bw.put(0, 1)   # -1 << Al = -2
+    c, ln = ac_tab[0x00]; bw.put(c, ln)
+    bw.pad_to_byte()
+    sos_ac1 = seg(0xDA, bytes([1, 1, 0x10, 1, 63, 0x01])) + bytes(bw.buf)
+    # scan 3: AC refine, Ah=1 Al=0.
+    #   block0: newly-significant +1 at k=3 (run 1), correction bit 1
+    #   for the k=1 history coef (2 -> 3), then EOB2 spanning blocks
+    #   1-2 (no history there, no bits), block3 entered with eobrun=0:
+    #   plain EOB + correction bit 0 for its history coef (-2 stays)
+    bw = _BitWriter()
+    c, ln = ac_tab[0x11]; bw.put(c, ln)  # (run=1, size=1)
+    bw.put(1, 1)                         # sign: positive
+    bw.put(1, 1)                         # correction bit for k=1
+    c, ln = ac_tab[0x10]; bw.put(c, ln); bw.put(1, 1)  # EOB2
+    c, ln = ac_tab[0x00]; bw.put(c, ln)  # block3 EOB
+    bw.put(0, 1)                         # correction bit for k=1
+    bw.pad_to_byte()
+    sos_ac2 = seg(0xDA, bytes([1, 1, 0x10, 1, 63, 0x10])) + bytes(bw.buf)
+
+    blob = head + sos_dc + sos_ac1 + sos_ac2 + b"\xff\xd9"
+    dec = parse_jpeg(blob)
+    assert dec.shape == (8, 32)
+
+    # reference: same final coefficients through the SEQUENTIAL path
+    zz0 = np.zeros(64, np.int64); zz0[1] = 3   # 2 refined by bit 1
+    zz0[3] = 1                                  # newly significant
+    zz3 = np.zeros(64, np.int64); zz3[1] = -2  # bit 0: unchanged
+    from hyper_spark.kernel.media import _encode_block
+    bw = _BitWriter()
+    pred = 0
+    for zz in (zz0, np.zeros(64, np.int64), np.zeros(64, np.int64), zz3):
+        pred = _encode_block(bw, zz, pred, dc_tab, ac_tab)
+    bw.pad_to_byte()
+    seq_blob = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC0, _struct.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x00]))
+        + bytes(bw.buf)
+        + b"\xff\xd9"
+    )
+    assert np.array_equal(dec, parse_jpeg(seq_blob))
