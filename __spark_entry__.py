@@ -4572,6 +4572,37 @@ def _q_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.mapInPandas(run, schema)
 
 
+def _q_hamming_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming-distance self-join (operators/phash.py::
+    hamming_pairs — the pigeonhole multi-index behind image near-dedup)
+    vs the brute-force O(n²) SQL scan: 300 synthetic 64-bit hashes
+    derived arithmetically from event ids (groups of 3 share a base
+    hash XOR'd with 0/1/2, planting pairs at distance ≤ 2), pairs at
+    max_dist=3. The banded join must reproduce the exact brute-force
+    pair set with exact distances — recall-losslessness is the whole
+    contract."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.phash import hamming_pairs
+
+    events = _read(spark, sf_dir, "events")
+    u = (F.col("event_id") % 300).alias("u")
+    pool = events.select(u).distinct()
+    v = F.floor(F.col("u") / 3).cast("long")
+    c1 = (v * 24611 + 11) % 32768
+    c2 = (v * 40503 + 7) % 65536
+    c3 = (v * 52711 + 3) % 65536
+    c4 = (v * 10007 + 1) % 65536
+    h = (
+        F.shiftleft(c1, 48)
+        .bitwiseOR(F.shiftleft(c2, 32))
+        .bitwiseOR(F.shiftleft(c3, 16))
+        .bitwiseOR(c4)
+        .bitwiseXOR(F.col("u") % 3)
+    )
+    hashes = pool.select(F.col("u").alias("doc_id"), h.alias("phash"))
+    return hamming_pairs(hashes, max_dist=3).orderBy("id_a", "id_b")
+
+
 def _q_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC resample of event values per type
     (operators/temporal.py::resample): one partial-aggregated groupBy,
@@ -5266,6 +5297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_new": _q_incremental_dedup_new,
         "jpeg_decode_stats": _q_jpeg_decode_stats,
         "flac_decode_stats": _q_flac_decode_stats,
+        "hamming_pairs_events": _q_hamming_pairs_events,
         "near_dedup_docs": _q_near_dedup_docs,
         "hll_users_by_type": _q_hll_users_by_type,
         "sql_sketch_build": _q_sql_sketch_build,
@@ -6501,6 +6533,26 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(off / 2048.0) AS BIGINT)
                    ) - CAST(floor(off / 2048.0) AS BIGINT) + 1 AS n_chunks
             FROM c
+        """,
+        "hamming_pairs_events": """
+            WITH pool AS (
+                SELECT DISTINCT event_id % 300 AS u FROM events
+            ), hashes AS (
+                SELECT u,
+                       xor(
+                           (((u // 3) * 24611 + 11) % 32768 << 48)
+                           | (((u // 3) * 40503 + 7) % 65536 << 32)
+                           | (((u // 3) * 52711 + 3) % 65536 << 16)
+                           | (((u // 3) * 10007 + 1) % 65536),
+                           u % 3
+                       ) AS h
+                FROM pool
+            )
+            SELECT a.u AS id_a, b.u AS id_b,
+                   CAST(bit_count(xor(a.h, b.h)) AS INT) AS dist
+            FROM hashes a JOIN hashes b ON a.u < b.u
+            WHERE bit_count(xor(a.h, b.h)) <= 3
+            ORDER BY id_a, id_b
         """,
         "flac_decode_stats": """
             WITH p AS (
