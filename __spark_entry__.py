@@ -4603,6 +4603,70 @@ def _q_hamming_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(hashes, max_dist=3).orderBy("id_a", "id_b")
 
 
+def _q_audio_near_dedup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dedup end-to-end (operators/phash.py::
+    audio_near_dedup = audio_fingerprint → banded Hamming pairs →
+    connected components): 20 deterministic broadband clips, each in
+    three encodings — 16-bit WAV, half-gain WAV (re-quantized), and
+    lossless FLAC — synthesized and DECODED executor-side through the
+    repo's own codecs (kernel/media.py). Fingerprint distances are
+    locally pre-measured: within-group ≤ 12 bits, cross-group ≥ 19,
+    so at max_dist=15 the clusters are exactly the synthesis groups —
+    which the oracle states as pure id arithmetic (cluster = u−u%3,
+    keep = u%3=0) without running any audio code."""
+    _ensure_pkg(spark)
+    import pandas as _pd
+
+    from hyper_spark.operators.phash import audio_near_dedup
+
+    events = _read(spark, sf_dir, "events")
+    pool = events.select(
+        (F.col("event_id") % 60).alias("doc_id")
+    ).distinct()
+
+    def synth(batches):
+        import numpy as _np
+
+        from hyper_spark.kernel.media import make_flac, make_wav
+
+        rate, n = 8000, 16000
+
+        def clip(g: int) -> "_np.ndarray":
+            r = _np.random.default_rng(100 + g)
+            x = r.standard_normal(n)
+            k = _np.fft.rfft(x)
+            f = _np.linspace(0, 1, k.size)
+            shape = _np.exp(-((f - (0.1 + 0.03 * (g % 9))) ** 2) / 0.01)
+            y = _np.fft.irfft(k * shape, n)
+            t = _np.arange(n) / rate
+            env = 0.4 + 0.6 * _np.abs(
+                _np.sin(2 * _np.pi * (0.5 + 0.11 * g) * t + 0.3 * g)
+            )
+            y = y * env
+            return y / _np.abs(y).max() * 0.8
+
+        for pdf in batches:
+            payloads = []
+            for u in pdf["doc_id"]:
+                g, m = int(u) // 3, int(u) % 3
+                s16 = _np.clip(
+                    _np.round(clip(g) * 32767), -32768, 32767
+                ).astype(_np.int64)
+                if m == 0:
+                    blob = make_wav(s16 / 32768.0, rate)
+                elif m == 1:
+                    blob = make_wav(s16 / 32768.0 * 0.5, rate)
+                else:
+                    blob = make_flac(s16, rate)
+                payloads.append(bytearray(blob))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    corpus = pool.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_near_dedup(corpus, max_dist=15).orderBy("doc_id")
+
+
 def _q_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC resample of event values per type
     (operators/temporal.py::resample): one partial-aggregated groupBy,
@@ -5298,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_stats": _q_jpeg_decode_stats,
         "flac_decode_stats": _q_flac_decode_stats,
         "hamming_pairs_events": _q_hamming_pairs_events,
+        "audio_near_dedup_clips": _q_audio_near_dedup_clips,
         "near_dedup_docs": _q_near_dedup_docs,
         "hll_users_by_type": _q_hll_users_by_type,
         "sql_sketch_build": _q_sql_sketch_build,
@@ -6533,6 +6598,13 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(off / 2048.0) AS BIGINT)
                    ) - CAST(floor(off / 2048.0) AS BIGINT) + 1 AS n_chunks
             FROM c
+        """,
+        "audio_near_dedup_clips": """
+            SELECT u AS doc_id,
+                   u - (u % 3) AS cluster,
+                   (u % 3) = 0 AS keep
+            FROM (SELECT DISTINCT event_id % 60 AS u FROM events)
+            ORDER BY doc_id
         """,
         "hamming_pairs_events": """
             WITH pool AS (
