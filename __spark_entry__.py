@@ -4667,6 +4667,70 @@ def _q_audio_near_dedup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dedup(corpus, max_dist=15).orderBy("doc_id")
 
 
+def _q_video_near_dedup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dedup end-to-end (operators/phash.py::
+    video_near_dedup = temporal-mean pHash → banded Hamming pairs →
+    connected components): 15 deterministic panning clips, each as
+    the full Y4M stream, a 2×-frame-sampled copy, and an fps-retagged
+    copy — synthesized and decoded executor-side (kernel/media.py).
+    Locally pre-measured: within-group ≤ 10 bits, cross-group ≥ 18,
+    so at max_dist=13 the clusters are exactly the synthesis groups —
+    stated by the oracle as pure id arithmetic."""
+    _ensure_pkg(spark)
+    import pandas as _pd
+
+    from hyper_spark.operators.phash import video_near_dedup
+
+    events = _read(spark, sf_dir, "events")
+    pool = events.select(
+        (F.col("event_id") % 45).alias("doc_id")
+    ).distinct()
+
+    def synth(batches):
+        import numpy as _np
+
+        from hyper_spark.kernel.media import make_y4m
+
+        n, h, w = 32, 48, 64
+
+        def vid(g: int) -> "_np.ndarray":
+            r = _np.random.default_rng(g)
+            base = r.integers(0, 256, size=(h, w)).astype(_np.float64)
+            k = _np.fft.rfft2(base)
+            fy = _np.fft.fftfreq(h)[:, None]
+            fx = _np.fft.rfftfreq(w)[None, :]
+            base = _np.fft.irfft2(
+                k * _np.exp(-((fy**2 + fx**2) / 0.01)), s=(h, w)
+            )
+            base = (base - base.min()) / (_np.ptp(base) + 1e-9) * 255
+            frames = []
+            for t in range(n):
+                f = _np.roll(base, t * (1 + g % 3), axis=1) * (
+                    0.7 + 0.3 * _np.sin(2 * _np.pi * t / n + g)
+                )
+                frames.append(_np.clip(f, 0, 255))
+            return _np.stack(frames).astype(_np.uint8)
+
+        for pdf in batches:
+            payloads = []
+            for u in pdf["doc_id"]:
+                g, m = int(u) // 3, int(u) % 3
+                v = vid(g)
+                if m == 0:
+                    blob = make_y4m(v)
+                elif m == 1:
+                    blob = make_y4m(v[::2])
+                else:
+                    blob = make_y4m(v, fps=(30, 1))
+                payloads.append(bytearray(blob))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    corpus = pool.mapInPandas(synth, "doc_id long, payload binary")
+    return video_near_dedup(corpus, max_dist=13).orderBy("doc_id")
+
+
 def _q_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC resample of event values per type
     (operators/temporal.py::resample): one partial-aggregated groupBy,
@@ -5363,6 +5427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_decode_stats": _q_flac_decode_stats,
         "hamming_pairs_events": _q_hamming_pairs_events,
         "audio_near_dedup_clips": _q_audio_near_dedup_clips,
+        "video_near_dedup_clips": _q_video_near_dedup_clips,
         "near_dedup_docs": _q_near_dedup_docs,
         "hll_users_by_type": _q_hll_users_by_type,
         "sql_sketch_build": _q_sql_sketch_build,
@@ -6598,6 +6663,13 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(off / 2048.0) AS BIGINT)
                    ) - CAST(floor(off / 2048.0) AS BIGINT) + 1 AS n_chunks
             FROM c
+        """,
+        "video_near_dedup_clips": """
+            SELECT u AS doc_id,
+                   u - (u % 3) AS cluster,
+                   (u % 3) = 0 AS keep
+            FROM (SELECT DISTINCT event_id % 45 AS u FROM events)
+            ORDER BY doc_id
         """,
         "audio_near_dedup_clips": """
             SELECT u AS doc_id,
