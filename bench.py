@@ -497,6 +497,24 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             spark, z_path, zm, {"user_id": (100, 300), "value": (10.0, 60.0)}
         )
 
+    def q_hamming_pairs():
+        from hyper_spark.operators.phash import hamming_pairs
+
+        base = F.col("id") - (F.col("id") % 1000)
+        h = F.xxhash64(base.cast("string"))
+        twin = (
+            F.when(F.col("id") % 1000 == 1, F.lit(1))
+            .when(F.col("id") % 1000 == 2, F.lit(3))
+            .otherwise(F.lit(0))
+        )
+        rnd = F.when(
+            F.col("id") % 1000 > 2, F.xxhash64(F.col("id").cast("string"))
+        ).otherwise(h.bitwiseXOR(twin.cast("long")))
+        hashes = spark.range(0, 1_000_000, 1, 32).select(
+            F.col("id").alias("doc_id"), rnd.alias("phash")
+        )
+        return hamming_pairs(hashes, max_dist=3)
+
     return {
         "hll_orderkey": q_hll_orderkey,
         "hll_rollup_hour_day_week": q_hll_rollup,
@@ -550,6 +568,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "sliding_hll_users": q_sliding_hll,
         "sliding_cms_topk_users": q_sliding_cms_topk,
         "sliding_theta_week_overlap": q_sliding_theta_overlap,
+        "hamming_pairs_1m": q_hamming_pairs,
     }
 
 
