@@ -5441,6 +5441,39 @@ def _q_tuple_intersect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_tuple_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window tuple sketch (operators/sliding_tuple.py): one
+    per-day bucketed state answers, for ANY trailing window after the
+    fact, both the distinct-user count and the Horvitz-Thompson total
+    of sum(value) attributable to those users. k=64 under 150 users is
+    SATURATED in both windows, and hash_fn='md5' replays in SQL, so the
+    oracle recomputes per-window per-user sums, the 60-bit k-min walk,
+    theta, and both estimators — value parity on saturated estimates."""
+    from hyper_spark.operators.sliding_tuple import (
+        sliding_tuple_estimates,
+        sliding_tuple_table,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    state = sliding_tuple_table(
+        ev, "ts", ["event_type"], "user_id", "value",
+        k=64, grain="1 day", hash_fn="md5",
+    )
+    est = sliding_tuple_estimates(
+        state, ["event_type"], "2024-02-01 00:00:00",
+        {"7d": "7 days", "31d": "31 days"}, k=64,
+    )
+    return est.select(
+        "event_type",
+        "window",
+        F.col("n_entries").cast("long").alias("n_entries"),
+        F.round("distinct_est", 4).alias("distinct_est"),
+        F.round("sum_est", 4).alias("sum_est"),
+        "exact",
+    )
+
+
 # The driver's CORRECTNESS gate snapshots the FIRST 50 registry entries.
 # This window hand-picks which 50 get that external evidence each round:
 # two flagship anchors for cross-round continuity, then one representative
@@ -5696,6 +5729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_moments_parity": _q_streaming_sliding_moments,
         "tuple_sum_by_type": _q_tuple_sum_by_type,
         "tuple_intersect_values": _q_tuple_intersect_values,
+        "sliding_tuple_window_sums": _q_sliding_tuple_window_sums,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -8959,6 +8993,49 @@ def oracle_sql() -> dict[str, str]:
                          / (CASE WHEN n_entries >= 64
                             THEN 63.0 / (kth / 1152921504606846976.0)
                             ELSE n_entries::DOUBLE END), 4) AS mean_est,
+                   (n_entries < 64) AS exact
+            FROM agg
+        """,
+        "sliding_tuple_window_sums": """
+            WITH w AS (SELECT '7d' AS "window",
+                              TIMESTAMP '2024-01-25 00:00:00' AS cutoff
+                       UNION ALL SELECT '31d',
+                              TIMESTAMP '2024-01-01 00:00:00'),
+            per_user AS (
+                SELECT w."window", event_type, user_id,
+                       coalesce(sum(value), 0.0) AS summary
+                FROM events, w
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND ts >= w.cutoff
+                GROUP BY 1, 2, 3
+            ), hashed AS (
+                SELECT "window", event_type, summary,
+                       ('0x' || substring(
+                           md5(user_id::VARCHAR || ':t'), 1, 15))::BIGINT
+                           AS h
+                FROM per_user
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type, "window" ORDER BY h) AS rn
+                FROM hashed
+            ), kept AS (
+                SELECT * FROM ranked WHERE rn <= 64
+            ), agg AS (
+                SELECT event_type, "window",
+                       count(*) AS n_entries,
+                       max(h) AS kth,
+                       sum(summary) AS sum_all,
+                       sum(summary) FILTER (WHERE rn < 64) AS sum_below
+                FROM kept GROUP BY 1, 2
+            )
+            SELECT event_type, "window", n_entries,
+                   round(CASE WHEN n_entries >= 64
+                         THEN 63.0 / (kth / 1152921504606846976.0)
+                         ELSE n_entries::DOUBLE END, 4) AS distinct_est,
+                   round(CASE WHEN n_entries >= 64
+                         THEN coalesce(sum_below, 0.0)
+                              / (kth / 1152921504606846976.0)
+                         ELSE sum_all END, 4) AS sum_est,
                    (n_entries < 64) AS exact
             FROM agg
         """,

@@ -311,6 +311,18 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return theta_estimate(theta_by(events, [], "user_id", k=4096))
 
+    def q_tuple_sum_users():
+        from hyper_spark.operators.tuple_agg import (
+            tuple_estimates,
+            tuple_sketch_by,
+        )
+
+        return tuple_estimates(
+            tuple_sketch_by(events, ["event_type"], "user_id", "value", k=4096),
+            ["event_type"],
+            k=4096,
+        )
+
     from hyper_spark.sources.transcripts import write_transcripts
 
     tx_path = write_transcripts(spark, TRANSCRIPTS_CACHE, sf=SF)
@@ -548,6 +560,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "scrub_text_docs": q_scrub_text,
         "vocab_top_tokens": q_vocab_stats,
         "theta_users": q_theta_users,
+        "tuple_sum_users": q_tuple_sum_users,
         "ngram_lm_score_docs": q_ngram_lm,
         "export_shards_docs": q_export_shards,
         "semantic_dedup_embeddings": q_semantic_dedup,
