@@ -5474,6 +5474,122 @@ def _q_sliding_tuple_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_sliding_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-tuple build (streaming/sliding_tuple_stream.py):
+    per-bucket admission rows + per-batch summary deltas — a hash in a
+    bucket's final k-min was admitted on arrival and never evicted, so
+    every later value contribution is emitted, and
+    sliding_tuple_merge's delta-sum + re-trim reproduces the batch
+    sliding_tuple_table exactly. k=8192 sits above window distincts so
+    every figure is the oracle's exact SQL count/sum; `matches_batch`
+    asserts row parity of the estimates vs the batch-built state."""
+    from hyper_spark.operators.sliding_tuple import (
+        sliding_tuple_estimates,
+        sliding_tuple_merge,
+        sliding_tuple_table,
+    )
+    from hyper_spark.streaming.sliding_tuple_stream import (
+        streaming_sliding_tuple_entries,
+    )
+
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    t_ref = "2024-02-01 00:00:00"
+    windows = {"7d": "7 days", "31d": "31 days"}
+    k = 8192
+    ev = _read(spark, sf_dir, "events")
+    batch_state = sliding_tuple_table(
+        ev, "ts", ["event_type"], "user_id", "value", k=k, grain="1 day"
+    )
+    with tempfile.TemporaryDirectory(prefix="gate_stuple_sl_") as td:
+        src = f"{td}/src"
+        os.makedirs(src)
+        data = ev.select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "user_id",
+            "value",
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", "sentinel", 0, 0.0)],
+            "ts string, event_type string, user_id bigint, value double",
+        ).select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "user_id",
+            "value",
+        )
+        for i, part in enumerate([data, sentinel]):  # sentinel LAST
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_type string, user_id bigint,"
+                " value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_sliding_tuple_entries(
+            stream, "ts", ["event_type"], "user_id", "value", k=k,
+            grain="1 day", watermark="1 hour",
+        )
+        sink = f"{td}/sink"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{td}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(sink).filter(F.year("bucket_ts") < 2100)
+        merged = sliding_tuple_merge([got], ["event_type"])
+        cols = [
+            "event_type", "window",
+            F.col("n_entries").cast("long").alias("n_entries"),
+            F.round("distinct_est", 4).alias("distinct_est"),
+            F.round("sum_est", 4).alias("sum_est"),
+            "exact",
+        ]
+        streamed = sorted(
+            map(
+                tuple,
+                sliding_tuple_estimates(
+                    merged, ["event_type"], t_ref, windows
+                ).select(*cols).collect(),
+            )
+        )
+    batch = sorted(
+        map(
+            tuple,
+            sliding_tuple_estimates(
+                batch_state, ["event_type"], t_ref, windows
+            ).select(*cols).collect(),
+        )
+    )
+    matches = streamed == batch
+    return spark.createDataFrame(
+        [
+            Row(
+                event_type=t[0],
+                window=t[1],
+                n_entries=int(t[2]),
+                distinct_est=float(t[3]),
+                sum_est=float(t[4]),
+                exact=bool(t[5]),
+                matches_batch=bool(matches),
+            )
+            for t in streamed
+        ]
+    )
+
+
 # The driver's CORRECTNESS gate snapshots the FIRST 50 registry entries.
 # This window hand-picks which 50 get that external evidence each round:
 # two flagship anchors for cross-round continuity, then one representative
@@ -5730,6 +5846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuple_sum_by_type": _q_tuple_sum_by_type,
         "tuple_intersect_values": _q_tuple_intersect_values,
         "sliding_tuple_window_sums": _q_sliding_tuple_window_sums,
+        "streaming_sliding_tuple_parity": _q_streaming_sliding_tuple,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -8876,6 +8993,19 @@ def oracle_sql() -> dict[str, str]:
                    true AS exact, true AS matches_batch
             FROM events, w
             WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - to_days(w.d)
+            GROUP BY event_type, w."window"
+        """,
+        "streaming_sliding_tuple_parity": """
+            WITH w AS (SELECT '7d' AS "window", 7 AS d
+                       UNION ALL SELECT '31d', 31)
+            SELECT event_type, w."window",
+                   count(DISTINCT user_id)::BIGINT AS n_entries,
+                   count(DISTINCT user_id)::DOUBLE AS distinct_est,
+                   round(coalesce(sum(value), 0.0), 4) AS sum_est,
+                   true AS exact, true AS matches_batch
+            FROM events, w
+            WHERE user_id IS NOT NULL
+              AND ts >= TIMESTAMP '2024-02-01 00:00:00' - to_days(w.d)
             GROUP BY event_type, w."window"
         """,
         "sliding_theta_coarsen_aligned": """

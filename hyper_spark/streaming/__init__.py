@@ -15,6 +15,9 @@ from hyper_spark.streaming.decay_stream import (
 from hyper_spark.streaming.sliding_theta_stream import (
     streaming_sliding_theta_entries,
 )
+from hyper_spark.streaming.sliding_tuple_stream import (
+    streaming_sliding_tuple_entries,
+)
 from hyper_spark.streaming.sliding_moments_stream import (
     streaming_sliding_moments,
 )
@@ -52,4 +55,5 @@ __all__ = [
     "streaming_sliding_cms_cells",
     "streaming_sliding_moments",
     "streaming_sliding_theta_entries",
+    "streaming_sliding_tuple_entries",
 ]

@@ -93,19 +93,34 @@ def test_minhash_lsh_cache_lifecycle(spark, near_dup_docs):
     return), and the caller's documented ``.unpersist()`` restores the
     session to its baseline — no unbounded cache accumulation across
     calls."""
+    import time
+
     jsc = spark.sparkContext._jsc
 
     def n_persistent():
         return jsc.getPersistentRDDs().size()
 
+    def settled(expect=None):
+        # unpersist is async at the context level: poll until the count
+        # stabilizes (and matches `expect` when given) so leftovers from
+        # sibling tests' in-flight cleanup don't flake the equality
+        last = n_persistent()
+        for _ in range(40):
+            time.sleep(0.05)
+            cur = n_persistent()
+            if cur == last and (expect is None or cur == expect):
+                return cur
+            last = cur
+        return last
+
     spark.catalog.clearCache()
-    baseline = n_persistent()
+    baseline = settled()
     pairs = minhash_lsh_pairs(near_dup_docs, num_hashes=64, bands=16, threshold=0.5)
     # exactly one new cache entry: the materialized pair set itself
     assert n_persistent() == baseline + 1
     assert pairs.count() > 0
     pairs.unpersist()
-    assert n_persistent() == baseline
+    assert settled(expect=baseline) == baseline
 
 
 def test_minhash_max_bucket_star_join(spark, near_dup_docs):

@@ -179,6 +179,47 @@ def main() -> None:
                 )
 
             timed("sliding_dd_build_plus_month_drift", dd_drift)
+        if "tuple" in ops:
+            from pyspark.sql import functions as F
+
+            from hyper_spark.operators.sliding_tuple import (
+                sliding_tuple_estimates,
+                sliding_tuple_table,
+            )
+            from hyper_spark.operators.tuple_agg import (
+                tuple_estimates,
+                tuple_sketch_by,
+            )
+
+            val = df.withColumn("turn_len", F.length("text").cast("double"))
+            timed(
+                "tuple_build_plus_est_textlen_by_role",
+                lambda: tuple_estimates(
+                    tuple_sketch_by(
+                        val, ["role"], "conv_id", "turn_len", k=4096
+                    ),
+                    ["role"],
+                    k=4096,
+                ),
+            )
+            timed(
+                "sliding_tuple_build_textlen_by_role",
+                lambda: sliding_tuple_table(
+                    val, "ts", ["role"], "conv_id", "turn_len",
+                    k=4096, grain="1 day",
+                ),
+            )
+
+            def tuple_est():
+                state = sliding_tuple_table(
+                    val, "ts", ["role"], "conv_id", "turn_len",
+                    k=4096, grain="1 day",
+                )
+                return sliding_tuple_estimates(
+                    state, ["role"], T_REF, WINDOWS, k=4096
+                )
+
+            timed("sliding_tuple_build_plus_3window_est", tuple_est)
     finally:
         spark.stop()
     print(json.dumps({"metric": "sliding_scale_rows", "rows": n,
