@@ -3034,6 +3034,66 @@ def _q_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHANGE_SPLIT = "2024-01-16"  # events span 2024-01; halves the month
+
+
+def _q_heavy_changers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-change detection (operators/countsketch.py::cs_diff +
+    heavy_changers, Cormode-Muthukrishnan deltoids INFOCOM 2004):
+    which users' activity changed most between the first and second
+    half of the month, estimated from the two halves' STORED sketch
+    states alone via count-sketch linearity — no raw re-scan. The
+    oracle rebuilds both periods' signed counter tables, subtracts
+    them cell-wise (full outer join), and replays the median probe —
+    exact value parity on the signed change estimates, collisions
+    included (150 users into width 64)."""
+    from hyper_spark.operators.countsketch import cs_by, heavy_changers
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    split = F.lit(_CHANGE_SPLIT).cast("date")
+    a = ev.filter(F.to_date("ts") < split)
+    b = ev.filter(F.to_date("ts") >= split)
+    sk_a = cs_by(a, [], "user_id", depth=5, width=64, hash_fn="md5")
+    sk_b = cs_by(b, [], "user_id", depth=5, width=64, hash_fn="md5")
+    cands = spark.range(0, 20).select(F.col("id").alias("user_id"))
+    return heavy_changers(sk_a, sk_b, cands, "user_id", hash_fn="md5")
+
+
+def _q_change_norm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared L2 change norm between the month's halves
+    (operators/countsketch.py::cs_diff + cs_f2): sum over users of
+    (first-half count - second-half count)^2 estimated from the diff
+    sketch's AMS read — the drift diagnostic that, unlike PSI, needs
+    no key dictionary. exact_change travels along (one single-scan
+    signed groupBy) so the row shows estimate quality; the oracle
+    replays the counter subtraction, the tug-of-war median, AND the
+    exact norm."""
+    from hyper_spark.operators.countsketch import cs_by, cs_diff, cs_f2
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    split = F.lit(_CHANGE_SPLIT).cast("date")
+    a = ev.filter(F.to_date("ts") < split)
+    b = ev.filter(F.to_date("ts") >= split)
+    sk_a = cs_by(a, [], "user_id", depth=5, width=2048, hash_fn="md5")
+    sk_b = cs_by(b, [], "user_id", depth=5, width=2048, hash_fn="md5")
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.to_date("ts") < split, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("d")
+        )
+        .agg(F.sum(F.col("d") * F.col("d")).alias("s"))
+        .collect()[0]["s"]
+    )
+    return cs_f2(cs_diff(sk_a, sk_b)).withColumn(
+        "exact_change", F.lit(int(exact)).cast("long")
+    )
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -5803,6 +5863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_user_estimates": _q_countsketch_user_estimates,
         "ams_f2_users": _q_ams_f2_users,
         "ams_join_size": _q_ams_join_size,
+        "heavy_changers_users": _q_heavy_changers_users,
+        "change_norm_users": _q_change_norm_users,
         "streaming_dd_parity": _q_streaming_dd_parity,
         "decayed_event_trends": _q_decayed_event_trends,
         "decayed_topk_users": _q_decayed_topk_users,
@@ -6783,6 +6845,78 @@ WITH cells AS ({_cs_cells_cte_sql("events", "user_id", depth, width)}),
 per_row AS (SELECT i, sum(csum * csum) AS ss FROM cells GROUP BY i)
 SELECT median(ss)::BIGINT AS f2_est,
        (SELECT count(*) FROM events WHERE user_id IS NOT NULL) AS n
+FROM per_row"""
+
+
+def _cs_diff_cte_sql(depth: int, width: int) -> str:
+    """Both halves' signed counter tables subtracted cell-wise
+    (countsketch.py::cs_diff): full outer join on (i, bucket), missing
+    cells are 0."""
+    pa = (
+        "(SELECT * FROM events WHERE CAST(ts AS DATE) < "
+        f"DATE '{_CHANGE_SPLIT}') pa"
+    )
+    pb = (
+        "(SELECT * FROM events WHERE CAST(ts AS DATE) >= "
+        f"DATE '{_CHANGE_SPLIT}') pb"
+    )
+    return f"""
+ca AS ({_cs_cells_cte_sql(pa, "user_id", depth, width)}),
+cb AS ({_cs_cells_cte_sql(pb, "user_id", depth, width)}),
+diff AS (
+  SELECT coalesce(ca.i, cb.i) AS i,
+         coalesce(ca.bucket, cb.bucket) AS bucket,
+         coalesce(ca.csum, 0) - coalesce(cb.csum, 0) AS dsum
+  FROM ca FULL JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket
+)"""
+
+
+def _heavy_changers_oracle_sql(depth: int, width: int) -> str:
+    """heavy_changers_users: subtract the two halves' counter tables,
+    probe user_ids 0..19 with the same bucket/sign arithmetic, median
+    over rows, abs alongside."""
+    return f"""
+WITH {_cs_diff_cte_sql(depth, width)},
+cand AS (SELECT unnest(generate_series(0, 19)) AS user_id),
+probe AS (
+  SELECT cand.user_id, idx.i,
+         ('0x' || substring(md5('0:' || cand.user_id::VARCHAR),
+                            1 + 6 * (idx.i % 5), 6))::BIGINT % {width} AS bucket,
+         1 - 2 * (('0x' || substring(md5('s0:' || cand.user_id::VARCHAR),
+                                     idx.i + 1, 1))::BIGINT % 2) AS sign
+  FROM cand
+  CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1})) AS i) idx
+),
+est AS (
+  SELECT probe.user_id,
+         median(probe.sign * coalesce(diff.dsum, 0))::BIGINT AS change_est
+  FROM probe LEFT JOIN diff ON probe.i = diff.i AND probe.bucket = diff.bucket
+  GROUP BY probe.user_id
+)
+SELECT user_id, change_est, abs(change_est) AS abs_change FROM est"""
+
+
+def _change_norm_oracle_sql(depth: int, width: int) -> str:
+    """change_norm_users: AMS F2 of the diff sketch (median over rows
+    of sum_b dsum^2), signed n, and the exact squared L2 change norm."""
+    return f"""
+WITH {_cs_diff_cte_sql(depth, width)},
+per_row AS (SELECT i, sum(dsum * dsum) AS ss FROM diff GROUP BY i),
+exact AS (
+  SELECT coalesce(sum(d * d), 0) AS s FROM (
+    SELECT sum(CASE WHEN CAST(ts AS DATE) < DATE '{_CHANGE_SPLIT}'
+                    THEN 1 ELSE -1 END) AS d
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+  )
+)
+SELECT median(per_row.ss)::BIGINT AS f2_est,
+       (SELECT count(*) FROM events
+         WHERE user_id IS NOT NULL
+           AND CAST(ts AS DATE) < DATE '{_CHANGE_SPLIT}')
+     - (SELECT count(*) FROM events
+         WHERE user_id IS NOT NULL
+           AND CAST(ts AS DATE) >= DATE '{_CHANGE_SPLIT}') AS n,
+       (SELECT s FROM exact)::BIGINT AS exact_change
 FROM per_row"""
 
 
@@ -8814,6 +8948,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ams_f2_users": _cs_f2_oracle_sql(depth=5, width=64),
         "ams_join_size": _cs_join_size_oracle_sql(depth=5, width=4096),
+        "heavy_changers_users": _heavy_changers_oracle_sql(depth=5, width=64),
+        "change_norm_users": _change_norm_oracle_sql(depth=5, width=2048),
         "streaming_dd_parity": _dd_quantiles_oracle_sql(
             alpha=0.01,
             qs=(0.5, 0.99),

@@ -389,6 +389,18 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         rsk = cs_by(orders, [], "o_orderkey", depth=5, width=4096)
         return cs_inner_product(lsk, rsk)
 
+    def q_heavy_changers():
+        # deltoids from stored states: per-period sketches + linear diff
+        from hyper_spark.operators.countsketch import cs_by, heavy_changers
+
+        mid = F.lit("1998-06-01").cast("date")
+        a = lineitem.filter(F.to_date("l_shipdate") < mid)
+        b = lineitem.filter(F.to_date("l_shipdate") >= mid)
+        sk_a = cs_by(a, [], "l_suppkey", depth=5, width=4096)
+        sk_b = cs_by(b, [], "l_suppkey", depth=5, width=4096)
+        cands = spark.range(0, 1000).select(F.col("id").alias("l_suppkey"))
+        return heavy_changers(sk_a, sk_b, cands, "l_suppkey", k=20)
+
     def q_decayed_topk():
         from hyper_spark.operators.decay import decayed_topk
 
@@ -576,6 +588,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "dd_quantiles_price": q_dd_quantiles,
         "countsketch_f2_suppkey": q_countsketch_f2,
         "ams_join_size_orders": q_ams_join_size,
+        "heavy_changers_suppkey": q_heavy_changers,
         "decayed_topk_users": q_decayed_topk,
         "priority_sample_users": q_priority_sample,
         "sliding_hll_users": q_sliding_hll,

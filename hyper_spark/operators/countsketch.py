@@ -58,6 +58,8 @@ __all__ = [
     "cs_estimate",
     "cs_f2",
     "cs_inner_product",
+    "cs_diff",
+    "heavy_changers",
 ]
 
 CS_FIELDS = [
@@ -396,3 +398,125 @@ def cs_inner_product(
     return joined.mapInPandas(
         lambda batches: (compute(p) for p in batches if len(p)), out_schema
     )
+
+
+def cs_diff(
+    left: DataFrame, right: DataFrame, on: Sequence[str] = ()
+) -> DataFrame:
+    """Count sketch of the DIFFERENCE stream f_L - f_R, by linearity.
+
+    The count sketch is a linear projection of the frequency vector, so
+    subtracting counters element-wise yields exactly the sketch that
+    ``cs_by`` would build over the signed union "all of L, then all of
+    R with weight -1" (pytest-asserted bit-exact). That is what makes
+    retrospective change analysis possible from stored per-period
+    states alone: no re-scan of either period's raw rows. ``n`` is the
+    signed total weight n_L - n_R (the turnstile contract).
+
+    Grouped mode (``on``): full outer join, a side with no sketch for a
+    group is the zero sketch. Dimension/hash_fn mismatches raise.
+    Output schema is the cs_by state, so ``cs_estimate`` (point change
+    estimates), ``cs_f2`` (the squared L2 change norm
+    sum_v (f_L(v)-f_R(v))^2 — the drift diagnostic that, unlike PSI
+    over binned numerics, needs no key dictionary), and further
+    ``cs_diff``/``cs_merge`` algebra all apply unchanged."""
+    on = list(on)
+    sel = ["depth", "width", "n", "counters", "hash_fn"]
+    l = left.select(*on, *sel).toDF(*on, *[f"{c}_l" for c in sel])
+    r = right.select(*on, *sel).toDF(*on, *[f"{c}_r" for c in sel])
+    joined = l.join(r, on=on, how="full") if on else l.crossJoin(r)
+
+    out_schema = StructType(
+        ([left.schema[k] for k in on]) + CS_FIELDS
+    )
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in pdf.itertuples(index=False):
+            d = row._asdict()
+            have_l = d["counters_l"] is not None
+            have_r = d["counters_r"] is not None
+            if have_l and have_r:
+                if (d["depth_l"], d["width_l"]) != (d["depth_r"], d["width_r"]):
+                    raise ValueError(
+                        "count-sketch dimensions must match to diff"
+                    )
+                if d["hash_fn_l"] != d["hash_fn_r"]:
+                    raise ValueError(
+                        "count sketches built with different hash_fns "
+                        f"({d['hash_fn_l']!r} vs {d['hash_fn_r']!r}) do "
+                        "not bucket/sign-align"
+                    )
+            side = "_l" if have_l else "_r"
+            depth, width = int(d[f"depth{side}"]), int(d[f"width{side}"])
+            hf = d[f"hash_fn{side}"]
+            a = (
+                np.frombuffer(bytes(d["counters_l"]), dtype="<i8")
+                if have_l
+                else np.zeros(depth * width, dtype=np.int64)
+            )
+            b = (
+                np.frombuffer(bytes(d["counters_r"]), dtype="<i8")
+                if have_r
+                else np.zeros(depth * width, dtype=np.int64)
+            )
+            rec = {k: d[k] for k in on}
+            # outer-join NULL n arrives as NaN in pandas (float column)
+            n_l = 0 if pd.isna(d["n_l"]) else int(d["n_l"])
+            n_r = 0 if pd.isna(d["n_r"]) else int(d["n_r"])
+            rec.update(
+                depth=depth, width=width,
+                n=n_l - n_r,
+                counters=(a - b).astype("<i8").tobytes(),
+                hash_fn=hf,
+            )
+            out.append(rec)
+        return pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        lambda batches: (compute(p) for p in batches if len(p)), out_schema
+    )
+
+
+def heavy_changers(
+    cs_a: DataFrame,
+    cs_b: DataFrame,
+    candidates: DataFrame,
+    col: str,
+    threshold: int | None = None,
+    k: int | None = None,
+    alias: str = "change_est",
+    hash_fn: str = "xxhash64",
+    max_jvm_cells: int = 1 << 17,
+) -> DataFrame:
+    """Deltoids — keys whose frequency CHANGED most between two periods
+    (Cormode & Muthukrishnan, "What's New: Finding Significant
+    Differences in Network Data Streams", INFOCOM 2004) — estimated
+    from the two periods' stored sketch states alone via ``cs_diff``.
+
+    Per candidate the unbiased signed estimate of f_A(v) - f_B(v)
+    (``alias``) plus ``abs_change``; ``threshold`` keeps |change| >=
+    threshold, ``k`` keeps the top-k by |change| (deterministic
+    tie-break on the candidate value). Candidate sourcing at scale:
+    since f >= 0 on both sides, |f_A(v) - f_B(v)| <= max(f_A(v),
+    f_B(v)), so every key with true |change| >= T appears with count
+    >= T in at least one period — the union of the two periods'
+    exact-guarantee heavy hitters (cms_agg.heavy_hitters
+    guarantee=True at phi = T/n) is a COMPLETE candidate set; small
+    dimension dictionaries (tool names, event types) can be probed
+    directly. Global sketches only, like cs_estimate."""
+    est = cs_estimate(
+        cs_diff(cs_a, cs_b),
+        candidates,
+        col,
+        alias=alias,
+        max_jvm_cells=max_jvm_cells,
+        hash_fn=hash_fn,
+    ).withColumn("abs_change", F.abs(F.col(alias)))
+    if threshold is not None:
+        est = est.filter(F.col("abs_change") >= F.lit(int(threshold)))
+    if k is not None:
+        est = est.orderBy(
+            F.desc("abs_change"), F.col(col).cast("string")
+        ).limit(int(k))
+    return est
