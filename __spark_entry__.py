@@ -3060,6 +3060,39 @@ def _q_heavy_changers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_changers(sk_a, sk_b, cands, "user_id", hash_fn="md5")
 
 
+def _q_windowed_change_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed change detection from STORED per-day sketch states
+    (the operational shape at 10^12 turns: raw rows are gone, only
+    daily states remain): build one count sketch per day ONCE, then
+    answer 'what changed across the split' by cs_merge over each
+    side's days + cs_diff — by linearity this equals sketches built
+    directly over the periods, so the oracle is the same direct
+    cell-table replay as heavy_changers_users (width 128 here). The
+    gate therefore externally witnesses that the day-bucketed
+    build→merge→diff composition is lossless."""
+    from hyper_spark.operators.countsketch import (
+        cs_by,
+        cs_merge,
+        heavy_changers,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    daily = cs_by(
+        ev.withColumn("day", F.to_date("ts")),
+        ["day"],
+        "user_id",
+        depth=5,
+        width=128,
+        hash_fn="md5",
+    )
+    split = F.lit(_CHANGE_SPLIT).cast("date")
+    merged_a = cs_merge(daily.filter(F.col("day") < split), [])
+    merged_b = cs_merge(daily.filter(F.col("day") >= split), [])
+    cands = spark.range(0, 30).select(F.col("id").alias("user_id"))
+    return heavy_changers(merged_a, merged_b, cands, "user_id", hash_fn="md5")
+
+
 def _q_change_norm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Squared L2 change norm between the month's halves
     (operators/countsketch.py::cs_diff + cs_f2): sum over users of
@@ -5864,6 +5897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_users": _q_ams_f2_users,
         "ams_join_size": _q_ams_join_size,
         "heavy_changers_users": _q_heavy_changers_users,
+        "windowed_change_users": _q_windowed_change_users,
         "change_norm_users": _q_change_norm_users,
         "streaming_dd_parity": _q_streaming_dd_parity,
         "decayed_event_trends": _q_decayed_event_trends,
@@ -6871,13 +6905,17 @@ diff AS (
 )"""
 
 
-def _heavy_changers_oracle_sql(depth: int, width: int) -> str:
-    """heavy_changers_users: subtract the two halves' counter tables,
-    probe user_ids 0..19 with the same bucket/sign arithmetic, median
-    over rows, abs alongside."""
+def _heavy_changers_oracle_sql(
+    depth: int, width: int, n_cands: int = 20
+) -> str:
+    """heavy_changers_users / windowed_change_users: subtract the two
+    halves' counter tables (which by count-sketch linearity equal the
+    merge of per-day states on each side), probe user_ids 0..n_cands-1
+    with the same bucket/sign arithmetic, median over rows, abs
+    alongside."""
     return f"""
 WITH {_cs_diff_cte_sql(depth, width)},
-cand AS (SELECT unnest(generate_series(0, 19)) AS user_id),
+cand AS (SELECT unnest(generate_series(0, {n_cands - 1})) AS user_id),
 probe AS (
   SELECT cand.user_id, idx.i,
          ('0x' || substring(md5('0:' || cand.user_id::VARCHAR),
@@ -8949,6 +8987,9 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2_users": _cs_f2_oracle_sql(depth=5, width=64),
         "ams_join_size": _cs_join_size_oracle_sql(depth=5, width=4096),
         "heavy_changers_users": _heavy_changers_oracle_sql(depth=5, width=64),
+        "windowed_change_users": _heavy_changers_oracle_sql(
+            depth=5, width=128, n_cands=30
+        ),
         "change_norm_users": _change_norm_oracle_sql(depth=5, width=2048),
         "streaming_dd_parity": _dd_quantiles_oracle_sql(
             alpha=0.01,

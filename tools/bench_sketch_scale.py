@@ -115,6 +115,52 @@ def main() -> None:
                 )
 
             timed("ams_join_size_conv_id", plan)
+        if "change" in ops:
+            # heavy change: which tools' usage changed most between the
+            # two halves of the corpus timespan — deltoids from two
+            # stored sketch states via cs_diff linearity; the probe set
+            # (distinct tools) is collected untimed, as a standing
+            # dimension dictionary would be
+            from hyper_spark.operators.countsketch import (
+                cs_diff,
+                heavy_changers,
+            )
+
+            mid = df.select(
+                F.percentile_approx("ts", 0.5).alias("m")
+            ).collect()[0]["m"]
+            cands = (
+                df.filter(F.col("tool").isNotNull())
+                .select("tool")
+                .distinct()
+            )
+            cands.persist().count()
+
+            def change_plan():
+                a = df.filter(F.col("ts") < F.lit(mid))
+                b = df.filter(F.col("ts") >= F.lit(mid))
+                return heavy_changers(
+                    cs_by(a, [], "tool", depth=5, width=8192),
+                    cs_by(b, [], "tool", depth=5, width=8192),
+                    cands,
+                    "tool",
+                    k=20,
+                )
+
+            timed("heavy_changers_tool", change_plan)
+
+            def norm_plan():
+                a = df.filter(F.col("ts") < F.lit(mid))
+                b = df.filter(F.col("ts") >= F.lit(mid))
+                return cs_f2(
+                    cs_diff(
+                        cs_by(a, [], "conv_id", depth=5, width=8192),
+                        cs_by(b, [], "conv_id", depth=5, width=8192),
+                    )
+                )
+
+            timed("change_norm_conv_id", norm_plan)
+            cands.unpersist()
     finally:
         spark.stop()
     print(
