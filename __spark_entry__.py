@@ -3093,6 +3093,42 @@ def _q_windowed_change_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_changers(merged_a, merged_b, cands, "user_id", hash_fn="md5")
 
 
+def _q_user_churn_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user churn per event type between the month's halves —
+    the cardinality counterpart to heavy_changers' frequency deltoids:
+    lost = |users_A \\ users_B| and gained = |users_B \\ users_A| read
+    DIRECTLY from per-(type, period) theta states
+    (operators/theta_agg.py::theta_a_not_b_card), exact below k=4096 at
+    gate scale (150 users) so the oracle states both anti-join counts
+    in plain SQL. At 10^12 turns the same composition runs from stored
+    per-period states without touching raw rows."""
+    from hyper_spark.operators.theta_agg import theta_a_not_b_card, theta_by
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    # first-4-days vs last-4-days cohorts: far enough apart that churn
+    # is NONZERO per type (a half/half month split saturates to 0)
+    a = theta_by(
+        ev.filter(F.to_date("ts") < F.lit("2024-01-05").cast("date")),
+        ["event_type"],
+        "user_id",
+    )
+    b = theta_by(
+        ev.filter(F.to_date("ts") >= F.lit("2024-01-27").cast("date")),
+        ["event_type"],
+        "user_id",
+    )
+    lost = theta_a_not_b_card(a, b, on=["event_type"]).withColumnRenamed(
+        "a_not_b_card", "lost_users"
+    )
+    gained = theta_a_not_b_card(b, a, on=["event_type"]).withColumnRenamed(
+        "a_not_b_card", "gained_users"
+    )
+    return lost.join(gained, on=["event_type"]).select(
+        "event_type", "lost_users", "gained_users"
+    )
+
+
 def _q_change_norm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Squared L2 change norm between the month's halves
     (operators/countsketch.py::cs_diff + cs_f2): sum over users of
@@ -5898,6 +5934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_join_size": _q_ams_join_size,
         "heavy_changers_users": _q_heavy_changers_users,
         "windowed_change_users": _q_windowed_change_users,
+        "user_churn_by_type": _q_user_churn_by_type,
         "change_norm_users": _q_change_norm_users,
         "streaming_dd_parity": _q_streaming_dd_parity,
         "decayed_event_trends": _q_decayed_event_trends,
@@ -8990,6 +9027,34 @@ def oracle_sql() -> dict[str, str]:
         "windowed_change_users": _heavy_changers_oracle_sql(
             depth=5, width=128, n_cands=30
         ),
+        "user_churn_by_type": """
+WITH a AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND CAST(ts AS DATE) < DATE '2024-01-05'
+), b AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND CAST(ts AS DATE) >= DATE '2024-01-27'
+), lost AS (
+  SELECT event_type, count(*) AS lost_users FROM a
+  WHERE NOT EXISTS (SELECT 1 FROM b
+                    WHERE b.event_type = a.event_type
+                      AND b.user_id = a.user_id)
+  GROUP BY event_type
+), gained AS (
+  SELECT event_type, count(*) AS gained_users FROM b
+  WHERE NOT EXISTS (SELECT 1 FROM a
+                    WHERE a.event_type = b.event_type
+                      AND a.user_id = b.user_id)
+  GROUP BY event_type
+), types AS (
+  SELECT event_type FROM a INTERSECT SELECT event_type FROM b
+)
+SELECT types.event_type,
+       coalesce(lost.lost_users, 0)::DOUBLE AS lost_users,
+       coalesce(gained.gained_users, 0)::DOUBLE AS gained_users
+FROM types
+LEFT JOIN lost ON lost.event_type = types.event_type
+LEFT JOIN gained ON gained.event_type = types.event_type""",
         "change_norm_users": _change_norm_oracle_sql(depth=5, width=2048),
         "streaming_dd_parity": _dd_quantiles_oracle_sql(
             alpha=0.01,
