@@ -3093,6 +3093,82 @@ def _q_windowed_change_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_changers(merged_a, merged_b, cands, "user_id", hash_fn="md5")
 
 
+def _q_streaming_change_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change detection (streaming/cs_stream.py): per-day
+    count-sketch CELL tables built by Structured Streaming's NATIVE
+    windowed aggregation (signed sums — no custom state operator),
+    period states densified from the sink (cs_from_cells), change read
+    via cs_diff + heavy_changers. Because cell sums are integers and
+    order-insensitive, the streamed states are BIT-IDENTICAL to batch
+    builds — so the oracle is the SAME direct two-period cell-table
+    replay that gates heavy_changers_users (md5, width 64): exact
+    value parity on the signed change estimates, through a stream."""
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from hyper_spark.operators.countsketch import (
+        cs_from_cells,
+        heavy_changers,
+    )
+    from hyper_spark.streaming.cs_stream import streaming_cs_cells
+
+    events = _read(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="gate_csch_") as td:
+        src = f"{td}/src"
+        os.makedirs(src)
+        data = events.select(
+            F.col("ts").cast("timestamp").alias("ts"), "user_id"
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", 0)], "ts string, user_id long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        for i, part in enumerate([data, sentinel]):  # sentinel LAST
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        cells = streaming_cs_cells(
+            stream, "ts", [], "user_id", grain="1 day", depth=5,
+            width=64, watermark="1 hour", hash_fn="md5",
+        )
+        sink = f"{td}/sink"
+        q = (
+            cells.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{td}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        stored = (
+            spark.read.parquet(sink)
+            .filter(F.year("bucket_ts") < 2100)
+            .persist()
+        )
+        split = F.lit(_CHANGE_SPLIT).cast("date")
+        sk_a = cs_from_cells(
+            stored.filter(F.to_date("bucket_ts") < split), [], 5, 64, "md5"
+        )
+        sk_b = cs_from_cells(
+            stored.filter(F.to_date("bucket_ts") >= split), [], 5, 64, "md5"
+        )
+        cands = spark.range(0, 20).select(F.col("id").alias("user_id"))
+        out = heavy_changers(
+            sk_a, sk_b, cands, "user_id", hash_fn="md5"
+        ).collect()
+        stored.unpersist()
+    return spark.createDataFrame(
+        out, "user_id bigint, change_est bigint, abs_change bigint"
+    )
+
+
 def _q_user_churn_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user churn per event type between the month's halves —
     the cardinality counterpart to heavy_changers' frequency deltoids:
@@ -5935,6 +6011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_changers_users": _q_heavy_changers_users,
         "windowed_change_users": _q_windowed_change_users,
         "user_churn_by_type": _q_user_churn_by_type,
+        "streaming_change_parity": _q_streaming_change_parity,
         "change_norm_users": _q_change_norm_users,
         "streaming_dd_parity": _q_streaming_dd_parity,
         "decayed_event_trends": _q_decayed_event_trends,
@@ -9024,6 +9101,9 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2_users": _cs_f2_oracle_sql(depth=5, width=64),
         "ams_join_size": _cs_join_size_oracle_sql(depth=5, width=4096),
         "heavy_changers_users": _heavy_changers_oracle_sql(depth=5, width=64),
+        "streaming_change_parity": _heavy_changers_oracle_sql(
+            depth=5, width=64
+        ),
         "windowed_change_users": _heavy_changers_oracle_sql(
             depth=5, width=128, n_cands=30
         ),

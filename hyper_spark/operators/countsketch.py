@@ -59,6 +59,7 @@ __all__ = [
     "cs_f2",
     "cs_inner_product",
     "cs_diff",
+    "cs_from_cells",
     "heavy_changers",
 ]
 
@@ -155,16 +156,38 @@ def cs_by(
         )
     )
 
+    return cs_from_cells(cells, keys, depth, width, hash_fn)
+
+
+def cs_from_cells(
+    cells: DataFrame,
+    keys: Sequence[str],
+    depth: int,
+    width: int,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Densify relational cell rows DataFrame[*keys, row, bucket, csum,
+    wsum] into count-sketch states — cs_by's final stage, exposed as
+    the read side of ``streaming_cs_cells``: cell counters are plain
+    sums, so the SAME (row, bucket) appearing many times (e.g. once per
+    closed time bucket in a streaming sink) sums linearly before the
+    densify, which is exactly ``cs_merge`` of the per-bucket states.
+    ``n`` recovers as the wsum total of sketch row 0."""
+    keys = list(keys)
     out_schema = StructType(
-        ([df.schema[k] for k in keys] if keys else []) + CS_FIELDS
+        ([cells.schema[k] for k in keys] if keys else []) + CS_FIELDS
     )
 
     def densify(pdf: pd.DataFrame) -> pd.DataFrame:
         counters = np.zeros((depth, width), dtype=np.int64)
-        counters[
-            pdf["row"].to_numpy(dtype=np.int64),
-            pdf["bucket"].to_numpy(dtype=np.int64),
-        ] = pdf["csum"].to_numpy(dtype=np.int64)
+        np.add.at(
+            counters,
+            (
+                pdf["row"].to_numpy(dtype=np.int64),
+                pdf["bucket"].to_numpy(dtype=np.int64),
+            ),
+            pdf["csum"].to_numpy(dtype=np.int64),
+        )
         n = int(pdf.loc[pdf["row"] == 0, "wsum"].sum())
         out = {k: [pdf[k].iloc[0]] for k in keys}
         out.update(

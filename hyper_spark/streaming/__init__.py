@@ -24,6 +24,7 @@ from hyper_spark.streaming.sliding_moments_stream import (
 from hyper_spark.streaming.sliding_cms_stream import (
     streaming_sliding_cms_cells,
 )
+from hyper_spark.streaming.cs_stream import streaming_cs_cells
 from hyper_spark.streaming.sliding_hll_stream import (
     streaming_sliding_register_by,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "windowed_decayed_topk",
     "streaming_sliding_register_by",
     "streaming_sliding_cms_cells",
+    "streaming_cs_cells",
     "streaming_sliding_moments",
     "streaming_sliding_theta_entries",
     "streaming_sliding_tuple_entries",

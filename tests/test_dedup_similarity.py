@@ -113,14 +113,29 @@ def test_minhash_lsh_cache_lifecycle(spark, near_dup_docs):
             last = cur
         return last
 
+    def persistent_ids():
+        it = jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(int(str(it.next())))
+        return ids
+
     spark.catalog.clearCache()
-    baseline = settled()
+    settled()
+    # compare RDD id SETS, not counts: sibling tests' async unpersists
+    # can shrink the baseline mid-test and flake an equality on size
+    baseline_ids = persistent_ids()
     pairs = minhash_lsh_pairs(near_dup_docs, num_hashes=64, bands=16, threshold=0.5)
     # exactly one new cache entry: the materialized pair set itself
-    assert n_persistent() == baseline + 1
+    new_ids = persistent_ids() - baseline_ids
+    assert len(new_ids) == 1
     assert pairs.count() > 0
     pairs.unpersist()
-    assert settled(expect=baseline) == baseline
+    for _ in range(40):
+        if not (persistent_ids() & new_ids):
+            break
+        time.sleep(0.05)
+    assert not (persistent_ids() & new_ids)
 
 
 def test_minhash_max_bucket_star_join(spark, near_dup_docs):
