@@ -3205,6 +3205,48 @@ def _q_user_churn_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_retained_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE axis of the change suite (volume = count-sketch
+    deltoids, membership = theta churn, value = tuple sketches): per
+    event type, how much of the first-4-days value is attributable to
+    users RETAINED into the last 4 days — Σ A-summary over keys in
+    A∩B from two stored tuple states
+    (operators/tuple_agg.py::tuple_intersect_sum). k=256 over ≤150
+    users/side is below saturation, so the sketch answer is EXACT and
+    the oracle is the plain per-type semi-join aggregate."""
+    from hyper_spark.operators.tuple_agg import (
+        tuple_intersect_sum,
+        tuple_sketch_by,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    a = tuple_sketch_by(
+        ev.filter(F.to_date("ts") < F.lit("2024-01-05").cast("date")),
+        ["event_type"],
+        "user_id",
+        "value",
+        k=256,
+        hash_fn="md5",
+    )
+    b = tuple_sketch_by(
+        ev.filter(F.to_date("ts") >= F.lit("2024-01-27").cast("date")),
+        ["event_type"],
+        "user_id",
+        "value",
+        k=256,
+        hash_fn="md5",
+    )
+    out = tuple_intersect_sum(a, b, ["event_type"])
+    return out.select(
+        "event_type",
+        "n_common",
+        F.round("intersect_distinct_est", 4).alias("intersect_distinct_est"),
+        F.round("intersect_sum_est", 4).alias("intersect_sum_est"),
+        "exact",
+    )
+
+
 def _q_change_norm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Squared L2 change norm between the month's halves
     (operators/countsketch.py::cs_diff + cs_f2): sum over users of
@@ -6012,6 +6054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_change_users": _q_windowed_change_users,
         "user_churn_by_type": _q_user_churn_by_type,
         "streaming_change_parity": _q_streaming_change_parity,
+        "retained_value_by_type": _q_retained_value_by_type,
         "change_norm_users": _q_change_norm_users,
         "streaming_dd_parity": _q_streaming_dd_parity,
         "decayed_event_trends": _q_decayed_event_trends,
@@ -9104,6 +9147,23 @@ def oracle_sql() -> dict[str, str]:
         "streaming_change_parity": _heavy_changers_oracle_sql(
             depth=5, width=64
         ),
+        "retained_value_by_type": """
+WITH a AS (
+  SELECT event_type, user_id, sum(coalesce(value, 0)) AS s
+  FROM events
+  WHERE user_id IS NOT NULL AND CAST(ts AS DATE) < DATE '2024-01-05'
+  GROUP BY event_type, user_id
+), b AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND CAST(ts AS DATE) >= DATE '2024-01-27'
+)
+SELECT a.event_type,
+       count(*) AS n_common,
+       round(count(*)::DOUBLE, 4) AS intersect_distinct_est,
+       round(sum(a.s), 4) AS intersect_sum_est,
+       TRUE AS exact
+FROM a JOIN b ON a.event_type = b.event_type AND a.user_id = b.user_id
+GROUP BY a.event_type""",
         "windowed_change_users": _heavy_changers_oracle_sql(
             depth=5, width=128, n_cands=30
         ),
