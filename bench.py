@@ -652,20 +652,29 @@ def transcripts_throughput(spark: SparkSession) -> tuple[float, int, float, floa
     path = write_transcripts(spark, TRANSCRIPTS_CACHE, sf=SF)
     tx = spark.read.parquet(path)
     rows = tx.count()
-    t0 = time.perf_counter()
-    per_role = sketch_by(tx, ["role"], "conv_id", 14, strategy="explode")
-    merged = sketch_collect(union_sketches(per_role, []))
-    elapsed = time.perf_counter() - t0
-    assert merged.cardinality() > 0
+
+    def run(hash_fn: str) -> float:
+        # best-of-2 fresh plans, same protocol as the query table: at
+        # sf0.1 the job is seconds-scale and a single external load
+        # wave can invert the sha1-vs-xxhash ordering a calm run shows
+        reps = []
+        while len(reps) < 2 or (
+            len(reps) == 2 and max(reps) > 1.5 * min(reps)
+        ):
+            t0 = time.perf_counter()
+            per_role = sketch_by(
+                tx, ["role"], "conv_id", 14, strategy="explode",
+                hash_fn=hash_fn,
+            )
+            merged = sketch_collect(union_sketches(per_role, []))
+            reps.append(time.perf_counter() - t0)
+            assert merged.cardinality() > 0
+        return min(reps)
+
+    elapsed = run("sha1")
     # fast-hash variant of the same job (xxhash64 head — same bounds,
     # no reference byte parity; ~3x cheaper hash stage)
-    t0 = time.perf_counter()
-    per_role_x = sketch_by(
-        tx, ["role"], "conv_id", 14, strategy="explode", hash_fn="xxhash64"
-    )
-    merged_x = sketch_collect(union_sketches(per_role_x, []))
-    elapsed_x = time.perf_counter() - t0
-    assert merged_x.cardinality() > 0
+    elapsed_x = run("xxhash64")
     return elapsed, rows, rows / elapsed, rows / elapsed_x
 
 
