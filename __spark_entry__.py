@@ -1718,6 +1718,35 @@ def _q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distinct_spikes_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count anomaly (operators/anomaly.py::series_spikes):
+    the generic trailing-z scorer over a DERIVED series — here the
+    exact daily distinct-user count per event type (full SQL value
+    parity); the same call scores sketch-built distinct series read
+    off stored HLL states (pytest-covered composition, estimates are
+    deterministic). trailing=7, z>=2."""
+    from hyper_spark.operators.anomaly import series_spikes
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    out = series_spikes(
+        daily, "n_users", by=["event_type"], order_col="day",
+        trailing=7, z_threshold=2.0, alias="n_users",
+    )
+    return out.filter(F.col("z_score").isNotNull()).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_users",
+        "z_score",
+        "is_spike",
+    )
+
+
 def _q_rate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silence detection (operators/anomaly.py::rate_gaps): punch a
     recurring hole in events (drop hour 3 of every day) and report
@@ -6055,6 +6084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_churn_by_type": _q_user_churn_by_type,
         "streaming_change_parity": _q_streaming_change_parity,
         "retained_value_by_type": _q_retained_value_by_type,
+        "distinct_spikes_daily": _q_distinct_spikes_daily,
         "change_norm_users": _q_change_norm_users,
         "streaming_dd_parity": _q_streaming_dd_parity,
         "decayed_event_trends": _q_decayed_event_trends,
@@ -9164,6 +9194,27 @@ SELECT a.event_type,
        TRUE AS exact
 FROM a JOIN b ON a.event_type = b.event_type AND a.user_id = b.user_id
 GROUP BY a.event_type""",
+        "distinct_spikes_daily": """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         count(DISTINCT user_id)::DOUBLE AS n_users
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, d, n_users,
+         avg(n_users) OVER w AS m,
+         stddev_samp(n_users) OVER w AS s
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       n_users,
+       ((n_users - m) / s)::DOUBLE AS z_score,
+       (CASE WHEN (n_users - m) / s >= 2.0 THEN true ELSE false END)
+         AS is_spike
+FROM scored WHERE s > 0""",
         "windowed_change_users": _heavy_changers_oracle_sql(
             depth=5, width=128, n_cands=30
         ),

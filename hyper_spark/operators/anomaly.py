@@ -26,9 +26,57 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rate_spikes", "rate_gaps"]
+__all__ = ["rate_spikes", "rate_gaps", "series_spikes"]
 
 _BUCKETS = {"minute", "hour", "day", "week", "month"}
+
+
+def series_spikes(
+    series: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    order_col: str = "bucket",
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+    min_value: float | None = None,
+    alias: str = "value",
+) -> DataFrame:
+    """Trailing-baseline z-scores over an ARBITRARY per-group series —
+    rate_spikes' scoring stage exposed for series that are not raw
+    event counts: daily DISTINCT-user estimates read off stored HLL /
+    theta states, sketch-derived quantile series, drift norms. One
+    window pass per group ordered by ``order_col``; same contracts as
+    rate_spikes (baseline = trailing OBSERVED rows strictly before the
+    current one, first row never flags, σ=0 yields NULL z and never
+    flags; ``min_value`` optionally suppresses flags below a floor).
+    Output: DataFrame[*by, order_col, alias, baseline_mean,
+    baseline_std, z_score, is_spike]."""
+    if trailing < 2:
+        raise ValueError(
+            "trailing must be >= 2 (std of one point is undefined)"
+        )
+    by = list(by)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rowsBetween(-trailing, -1)
+    )
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    z = F.when(std > 0, (v - mean) / std)
+    flag = z.isNotNull() & (z >= F.lit(float(z_threshold)))
+    if min_value is not None:
+        flag = flag & (v >= F.lit(float(min_value)))
+    return series.select(
+        *by,
+        order_col,
+        v.alias(alias),
+        mean.alias("baseline_mean"),
+        std.alias("baseline_std"),
+        z.alias("z_score"),
+        flag.alias("is_spike"),
+    )
 
 
 def rate_spikes(
@@ -60,26 +108,19 @@ def rate_spikes(
         .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("bucket")
-        .rowsBetween(-trailing, -1)
-    )
-    mean = F.avg("n_events").over(w)
-    std = F.stddev_samp("n_events").over(w)
-    z = F.when(std > 0, (F.col("n_events") - mean) / std)
-    return counts.select(
-        *by,
-        "bucket",
+    scored = series_spikes(
+        counts,
         "n_events",
-        mean.alias("baseline_mean"),
-        std.alias("baseline_std"),
-        z.alias("z_score"),
-        (
-            z.isNotNull()
-            & (z >= F.lit(float(z_threshold)))
-            & (F.col("n_events") >= F.lit(int(min_events)))
-        ).alias("is_spike"),
+        by=by,
+        order_col="bucket",
+        trailing=trailing,
+        z_threshold=z_threshold,
+        min_value=float(min_events),
+        alias="n_events",
+    )
+    # rate_spikes' published schema keeps n_events an integer count
+    return scored.withColumn(
+        "n_events", F.col("n_events").cast("long")
     )
 
 

@@ -76,3 +76,60 @@ def test_gaps_found_exactly(spark):
         "g string, ts timestamp",
     )
     assert rate_gaps(dense, "ts", by=["g"]).count() == 0
+
+
+def test_series_spikes_generic_and_sketch_series(spark):
+    """series_spikes scores an arbitrary series (numpy-replay parity)
+    and wires a SKETCH-BUILT daily distinct series — the stored-state
+    monitoring composition: approx_distinct per day -> trailing z."""
+    import numpy as np
+
+    from hyper_spark.operators import approx_distinct, series_spikes
+
+    # 12 days, ~40 distinct users/day, day 9 planted with 160 distinct
+    rows = []
+    for d in range(12):
+        # small day-to-day variance so the baseline sigma is nonzero
+        n = 160 if d == 9 else 38 + (d * 7) % 5
+        for u in range(n):
+            rows.append(
+                (
+                    f"2024-05-{d + 1:02d} {u % 24:02d}:00:00",
+                    (d * 1000 + u) if d == 9 else u,
+                )
+            )
+    df = spark.createDataFrame(rows, "ts string, user_id long").select(
+        F.to_timestamp("ts").alias("ts"), "user_id"
+    )
+    daily = approx_distinct(
+        df.withColumn("day", F.to_date("ts")), ["day"], "user_id", p=14
+    )
+    scored = series_spikes(
+        daily, "estimate", order_col="day", trailing=5, z_threshold=3.0
+    ).collect()
+    flagged = [r["day"].day for r in scored if r["is_spike"]]
+    assert flagged == [10]  # 2024-05-10 is the planted day
+
+    # numpy replay of the scoring on the same series (value parity)
+    ordered = sorted(scored, key=lambda x: x["day"])
+    vals = [r["value"] for r in ordered]
+    for i, r in enumerate(ordered):
+        base = vals[max(0, i - 5):i]
+        if len(base) >= 2 and float(np.std(base, ddof=1)) > 0:
+            z = (vals[i] - float(np.mean(base))) / float(
+                np.std(base, ddof=1)
+            )
+            assert r["z_score"] == pytest.approx(z, rel=1e-9)
+        else:
+            assert r["z_score"] is None
+
+    # min_value floor suppresses flags; guard fires
+    assert not any(
+        r["is_spike"]
+        for r in series_spikes(
+            daily, "estimate", order_col="day", trailing=5,
+            z_threshold=3.0, min_value=1e9,
+        ).collect()
+    )
+    with pytest.raises(ValueError, match="trailing"):
+        series_spikes(daily, "estimate", order_col="day", trailing=1)
