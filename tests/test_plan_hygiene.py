@@ -226,3 +226,32 @@ def test_round5_op_plan_shapes(spark):
     rep = plan_report(ranks)
     assert rep["python_stages"] == []
     assert "Join" not in ranks._jdf.queryExecution().executedPlan().toString()
+
+
+def test_change_family_plan_shapes(spark):
+    """Scale-critical plan guards for the change-detection family."""
+    from hyper_spark.operators.anomaly import series_spikes
+    from hyper_spark.plans.report import assert_plan
+    from hyper_spark.streaming.cs_stream import streaming_cs_cells
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i, float(i % 7)) for i in range(300)],
+        "k string, i long, v double",
+    )
+    series = df.groupBy("k", (F.col("i") % 10).alias("b")).agg(
+        F.sum("v").alias("val")
+    )
+    # series_spikes: the trailing window adds at most one exchange on
+    # top of the series build and stays pure Catalyst
+    assert_plan(
+        series_spikes(series, "val", by=["k"], order_col="b", trailing=3),
+        max_exchanges=2, no_python=True,
+    )
+    # streaming_cs_cells (bounded mode): one windowed aggregate — a
+    # single exchange, zero Python in the distributed plan
+    ts_df = spark.createDataFrame(
+        [(f"2024-01-{1 + i % 9:02d} 00:00:00", f"u{i % 11}") for i in range(200)],
+        "ts string, u string",
+    ).select(F.to_timestamp("ts").alias("ts"), "u")
+    cells = streaming_cs_cells(ts_df, "ts", [], "u", depth=3, width=32)
+    assert_plan(cells, max_exchanges=1, no_python=True)
