@@ -3234,6 +3234,61 @@ def _q_user_churn_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_change_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL heavy-change pipeline (hyper_spark.sql::
+    register_sql_construction cs_bucket/cs_sign): both periods' signed
+    cell tables, the FULL-JOIN linear diff, and the median change
+    probe as ONE Spark SQL statement — the bodies inline into
+    whole-stage codegen, zero Python anywhere. The oracle is the same
+    direct two-period replay that gates heavy_changers_users, so this
+    row witnesses that the SQL surface and the DataFrame operators
+    compute the identical thing."""
+    _ensure_pkg(spark)
+    from hyper_spark.sql import register_sql_construction
+
+    register_sql_construction(spark)
+    events = _read(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__sqlch_events")
+    cells = (
+        "SELECT i, cs_bucket(CAST(user_id AS STRING), i, 64) AS bucket, "
+        "SUM(cs_sign(CAST(user_id AS STRING), i)) AS csum "
+        "FROM __sqlch_events "
+        "CROSS JOIN (SELECT explode(sequence(0, 4)) AS i) "
+        "WHERE user_id IS NOT NULL AND {pred} "
+        "GROUP BY i, cs_bucket(CAST(user_id AS STRING), i, 64)"
+    )
+    pred_a = f"CAST(ts AS DATE) < DATE '{_CHANGE_SPLIT}'"
+    pred_b = f"CAST(ts AS DATE) >= DATE '{_CHANGE_SPLIT}'"
+    return spark.sql(
+        f"""
+        WITH ca AS ({cells.format(pred=pred_a)}),
+        cb AS ({cells.format(pred=pred_b)}),
+        diff AS (
+          SELECT coalesce(ca.i, cb.i) AS i,
+                 coalesce(ca.bucket, cb.bucket) AS bucket,
+                 coalesce(ca.csum, 0) - coalesce(cb.csum, 0) AS dsum
+          FROM ca FULL JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket
+        ),
+        probe AS (
+          SELECT c.id AS user_id, i.i,
+                 cs_bucket(CAST(c.id AS STRING), i.i, 64) AS bucket,
+                 cs_sign(CAST(c.id AS STRING), i.i) AS sign
+          FROM range(0, 20) c
+          CROSS JOIN (SELECT explode(sequence(0, 4)) AS i) i
+        ),
+        est AS (
+          SELECT probe.user_id,
+                 CAST(median(probe.sign * coalesce(diff.dsum, 0)) AS BIGINT)
+                   AS change_est
+          FROM probe LEFT JOIN diff
+            ON probe.i = diff.i AND probe.bucket = diff.bucket
+          GROUP BY probe.user_id
+        )
+        SELECT user_id, change_est, abs(change_est) AS abs_change FROM est
+        """
+    )
+
+
 def _q_retained_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VALUE axis of the change suite (volume = count-sketch
     deltoids, membership = theta churn, value = tuple sketches): per
@@ -6084,6 +6139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_churn_by_type": _q_user_churn_by_type,
         "streaming_change_parity": _q_streaming_change_parity,
         "retained_value_by_type": _q_retained_value_by_type,
+        "sql_change_build": _q_sql_change_build,
         "distinct_spikes_daily": _q_distinct_spikes_daily,
         "change_norm_users": _q_change_norm_users,
         "streaming_dd_parity": _q_streaming_dd_parity,
@@ -9194,6 +9250,7 @@ SELECT a.event_type,
        TRUE AS exact
 FROM a JOIN b ON a.event_type = b.event_type AND a.user_id = b.user_id
 GROUP BY a.event_type""",
+        "sql_change_build": _heavy_changers_oracle_sql(depth=5, width=64),
         "distinct_spikes_daily": """
 WITH c AS (
   SELECT event_type, CAST(ts AS DATE) AS d,

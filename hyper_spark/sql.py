@@ -389,6 +389,34 @@ def register_sql_construction(
         f"RETURNS DOUBLE RETURN {_sql_beta_body()}"
     )
     names.append(full)
+
+    # Count-sketch construction + read (operators/countsketch.py, md5
+    # convention): bucket = 24-bit md5 window i%5 of md5('{i DIV 5}:'||v)
+    # mod width, sign = 1 - 2*parity of hex digit i%32 of
+    # md5('s{i DIV 32}:'||v). Both inline into codegen, so a SQL-only
+    # consumer can build signed cell tables (GROUP BY i,
+    # cs_bucket(v, i, w) ... SUM(cs_sign(v, i))), DIFF two periods'
+    # cells with a FULL JOIN (count-sketch linearity), and read change
+    # estimates back with MEDIAN over rows — the whole heavy-change
+    # pipeline in one SQL statement, zero Python anywhere (gated
+    # value-identical to cs_by + cs_diff + heavy_changers).
+    cs_bodies = {
+        f"{prefix}cs_bucket": (
+            "(v STRING, i INT, width INT) RETURNS BIGINT RETURN "
+            "pmod(CAST(conv(substring(md5(concat("
+            "CAST(i DIV 5 AS STRING), ':', v)), "
+            "1 + 6 * pmod(i, 5), 6), 16, 10) AS BIGINT), width)"
+        ),
+        f"{prefix}cs_sign": (
+            "(v STRING, i INT) RETURNS BIGINT RETURN "
+            "1 - 2 * pmod(CAST(conv(substring(md5(concat("
+            "'s', CAST(i DIV 32 AS STRING), ':', v)), "
+            "pmod(i, 32) + 1, 1), 16, 10) AS BIGINT), 2)"
+        ),
+    }
+    for full, sig in cs_bodies.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {full}{sig}")
+        names.append(full)
     return names
 
 

@@ -201,3 +201,75 @@ def test_heavy_changers_jvm_path(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert out.count() == 5
+
+
+def test_sql_change_pipeline_matches_operators(spark):
+    """The SQL surface's cs_bucket/cs_sign reproduce the md5 operator
+    columns exactly, and the WHOLE heavy-change pipeline — two periods'
+    cell builds, FULL-JOIN diff, median probe — runs as one SQL
+    statement value-identical to cs_by + cs_diff + heavy_changers."""
+    from pyspark.sql import functions as F
+
+    from hyper_spark.operators.cms_agg import cms_bucket_col
+    from hyper_spark.operators.countsketch import cs_sign_col
+    from hyper_spark.sql import register_sql_construction
+
+    names = register_sql_construction(spark)
+    assert {"cs_bucket", "cs_sign"} <= set(names)
+
+    vals = spark.createDataFrame([Row(v=f"item{i}") for i in range(150)])
+    vals.createOrReplaceTempView("__csql_vals")
+    for i in (0, 3, 4):
+        got = spark.sql(
+            f"SELECT v, cs_bucket(v, {i}, 64) AS b, cs_sign(v, {i}) AS s "
+            "FROM __csql_vals"
+        ).collect()
+        want = vals.select(
+            "v",
+            cms_bucket_col(F.col("v"), i, 64, "md5").alias("b"),
+            cs_sign_col(F.col("v"), i, "md5").alias("s"),
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    a = spark.createDataFrame(period_rows(21, 1200, 35))
+    b = spark.createDataFrame(period_rows(22, 1000, 35))
+    a.createOrReplaceTempView("__csql_a")
+    b.createOrReplaceTempView("__csql_b")
+    cands = spark.createDataFrame([Row(item=f"item{i}") for i in range(35)])
+    cands.createOrReplaceTempView("__csql_cands")
+    cells = (
+        "SELECT i, cs_bucket(item, i, 64) AS bucket, "
+        "SUM(cs_sign(item, i)) AS csum "
+        "FROM {src} CROSS JOIN (SELECT explode(sequence(0, 4)) AS i) "
+        "WHERE item IS NOT NULL GROUP BY i, cs_bucket(item, i, 64)"
+    )
+    sql_out = spark.sql(
+        f"""
+        WITH ca AS ({cells.format(src='__csql_a')}),
+        cb AS ({cells.format(src='__csql_b')}),
+        diff AS (
+          SELECT coalesce(ca.i, cb.i) AS i,
+                 coalesce(ca.bucket, cb.bucket) AS bucket,
+                 coalesce(ca.csum, 0) - coalesce(cb.csum, 0) AS dsum
+          FROM ca FULL JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket
+        ),
+        probe AS (
+          SELECT c.item, i.i, cs_bucket(c.item, i.i, 64) AS bucket,
+                 cs_sign(c.item, i.i) AS sign
+          FROM __csql_cands c
+          CROSS JOIN (SELECT explode(sequence(0, 4)) AS i) i
+        )
+        SELECT probe.item,
+               CAST(median(probe.sign * coalesce(diff.dsum, 0)) AS BIGINT)
+                 AS change_est
+        FROM probe LEFT JOIN diff
+          ON probe.i = diff.i AND probe.bucket = diff.bucket
+        GROUP BY probe.item
+        """
+    ).collect()
+    sk_a = cs_by(a, [], "item", depth=5, width=64, hash_fn="md5")
+    sk_b = cs_by(b, [], "item", depth=5, width=64, hash_fn="md5")
+    ops = heavy_changers(sk_a, sk_b, cands, "item", hash_fn="md5").collect()
+    assert {r["item"]: r["change_est"] for r in sql_out} == {
+        r["item"]: r["change_est"] for r in ops
+    }
