@@ -1718,6 +1718,37 @@ def _q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_last_seen_within_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency from one stored state (operators/tuple_agg.py::
+    tuple_sketch_by summary='max' + tuple_threshold_count): per event
+    type, how many DISTINCT users were last seen on or after Jan 21 —
+    the max-summary tuple sketch carries each sampled user's exact
+    last-seen day, and the HT threshold count reads retention without
+    touching raw rows again. k=256 over ≤150 users is below
+    saturation, so the answer is exact and the oracle is the plain
+    per-type max(ts) count."""
+    from hyper_spark.operators.tuple_agg import (
+        tuple_sketch_by,
+        tuple_threshold_count,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    day_no = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+    ).cast("double")
+    st = tuple_sketch_by(
+        ev.filter(F.col("ts").isNotNull()),
+        ["event_type"],
+        "user_id",
+        day_no,
+        k=256,
+        hash_fn="md5",
+        summary="max",
+    )
+    return tuple_threshold_count(st, ["event_type"], 20.0)
+
+
 def _q_distinct_spikes_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count anomaly (operators/anomaly.py::series_spikes):
     the generic trailing-z scorer over a DERIVED series — here the
@@ -6140,6 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_change_parity": _q_streaming_change_parity,
         "retained_value_by_type": _q_retained_value_by_type,
         "sql_change_build": _q_sql_change_build,
+        "last_seen_within_users": _q_last_seen_within_users,
         "distinct_spikes_daily": _q_distinct_spikes_daily,
         "change_norm_users": _q_change_norm_users,
         "streaming_dd_parity": _q_streaming_dd_parity,
@@ -9251,6 +9283,24 @@ SELECT a.event_type,
 FROM a JOIN b ON a.event_type = b.event_type AND a.user_id = b.user_id
 GROUP BY a.event_type""",
         "sql_change_build": _heavy_changers_oracle_sql(depth=5, width=64),
+        "last_seen_within_users": """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+           AS last_day
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, user_id
+)
+SELECT event_type,
+       count(*) AS n_entries,
+       sum(CASE WHEN last_day >= 20 THEN 1 ELSE 0 END)::BIGINT
+         AS n_passing,
+       sum(CASE WHEN last_day >= 20 THEN 1 ELSE 0 END)::DOUBLE
+         AS count_est,
+       TRUE AS exact
+FROM per_user
+GROUP BY event_type""",
         "distinct_spikes_daily": """
 WITH c AS (
   SELECT event_type, CAST(ts AS DATE) AS d,

@@ -71,8 +71,11 @@ __all__ = [
     "tuple_merge",
     "tuple_estimates",
     "tuple_intersect_sum",
+    "tuple_threshold_count",
     "theta_rse",
 ]
+
+_SUMMARY_AGGS = {"sum": F.sum, "min": F.min, "max": F.max}
 
 _TWO60 = float(1 << 60)
 _TWO63 = float(1 << 63)
@@ -107,21 +110,42 @@ def tuple_sketch_by(
     val_col: str | Column,
     k: int = 4096,
     hash_fn: str = "xxhash64",
+    summary: str = "sum",
 ) -> DataFrame:
     """Build per-group tuple sketches: DataFrame[*keys, h, summary,
     k, hash_fn] — the k smallest distinct key-hashes, each carrying
-    the key's EXACT sum of ``val_col`` (NULL values count as 0; NULL
-    keys are skipped, the sketch_by contract)."""
+    the key's EXACT aggregate of ``val_col``. ``summary`` picks the
+    per-key monoid (DataSketches Tuple's pluggable-summary idea):
+
+    - ``'sum'`` (default): NULL values count as 0 (so an all-NULL key
+      still carries 0.0) — feeds the HT subset-sum reads
+      (tuple_estimates / tuple_intersect_sum);
+    - ``'min'`` / ``'max'``: NULL values are skipped (an all-NULL key
+      carries NULL summary) — first-seen / LAST-SEEN per distinct key
+      when ``val_col`` is an event time, feeding
+      ``tuple_threshold_count`` recency reads. Unlike sum, min/max
+      merges are IDEMPOTENT, so overlapping shards are safe.
+
+    NULL keys are skipped (the sketch_by contract). Merge and read
+    calls must be told the same ``summary`` mode; the state schema is
+    shared across modes (the sliding/streaming family's schema)."""
     if k < 3:
         raise ValueError("k must be >= 3")
+    if summary not in _SUMMARY_AGGS:
+        raise ValueError(
+            f"summary must be one of {sorted(_SUMMARY_AGGS)}; got {summary!r}"
+        )
     keys = list(keys)
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     valc = F.col(val_col) if isinstance(val_col, str) else val_col
+    agg = _SUMMARY_AGGS[summary](F.col("__v"))
+    if summary == "sum":
+        agg = F.coalesce(agg, F.lit(0.0))
     per_key = (
         df.filter(idc.isNotNull())
         .select(*keys, idc.alias("__id"), valc.cast("double").alias("__v"))
         .groupBy(*keys, "__id")
-        .agg(F.coalesce(F.sum("__v"), F.lit(0.0)).alias("summary"))
+        .agg(agg.alias("summary"))
         .select(
             *keys, _hash_col(F.col("__id"), hash_fn).alias("h"), "summary"
         )
@@ -140,25 +164,37 @@ def _meta(state: DataFrame) -> tuple[int, str]:
     return int(metas[0]["k"]), metas[0]["hash_fn"]
 
 
-def tuple_merge(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
-    """Merge row-disjoint shard/checkpoint states: same-key summaries
-    SUM (the CMS counter contract — each underlying row must appear
-    in exactly one shard; self-merge double counts), then re-trim to
-    the k smallest per group. Lossless: the merged hash set equals the
-    direct build of the combined input exactly (each retained hash is
-    in every shard-of-appearance's k-min, so no partial is missing);
+def tuple_merge(
+    states: Sequence[DataFrame],
+    keys: Sequence[str],
+    summary: str = "sum",
+) -> DataFrame:
+    """Merge shard/checkpoint states with the build's ``summary``
+    monoid, then re-trim to the k smallest per group. ``'sum'`` is the
+    CMS counter contract — shards must partition the underlying ROWS
+    (self-merge double counts); ``'min'``/``'max'`` are IDEMPOTENT
+    (theta's union semantics — overlapping shards and self-merge are
+    safe). Lossless either way: the merged hash set equals the direct
+    build of the combined input exactly (each retained hash is in
+    every shard-of-appearance's k-min, so no partial is missing); sum
     summaries agree up to double addition ORDER — bit-identical for
-    integer-valued summaries, ~1e-12 relative otherwise
-    (pytest-asserted both ways)."""
+    integer-valued summaries — and min/max summaries exactly
+    (pytest-asserted)."""
     if not states:
         raise ValueError("no states to merge")
+    if summary not in _SUMMARY_AGGS:
+        raise ValueError(
+            f"summary must be one of {sorted(_SUMMARY_AGGS)}; got {summary!r}"
+        )
     keys = list(keys)
     u = states[0]
     for s in states[1:]:
         u = u.unionByName(s)
     k, hash_fn = _meta(u)
-    summed = u.groupBy(*keys, "h").agg(F.sum("summary").alias("summary"))
-    return _kmin(summed, keys, k).select(
+    combined = u.groupBy(*keys, "h").agg(
+        _SUMMARY_AGGS[summary]("summary").alias("summary")
+    )
+    return _kmin(combined, keys, k).select(
         "*", F.lit(k).alias("k"), F.lit(hash_fn).alias("hash_fn")
     )
 
@@ -205,6 +241,62 @@ def tuple_estimates(
         F.when(
             distinct_est > 0, sum_est / distinct_est
         ).alias("mean_est"),
+        (~sat).alias("exact"),
+    )
+
+
+def tuple_threshold_count(
+    state: DataFrame,
+    keys: Sequence[str],
+    threshold: float,
+    cmp: str = ">=",
+    k: int | None = None,
+    alias: str = "count_est",
+) -> DataFrame:
+    """HT estimate of the number of DISTINCT keys whose summary passes
+    the threshold: DataFrame[*keys, n_entries, n_passing, count_est,
+    exact]. Per-key summaries are exact (sampling is only across
+    keys), so the passing indicator is exact per retained entry and
+    ``count(passing entries below theta)/theta`` is the unbiased
+    Horvitz–Thompson subset count — valid for EVERY summary mode:
+    'max' over an event-time answers "distinct users LAST SEEN on or
+    after T" (recency/retention from one stored state), 'sum' answers
+    "distinct users with total spend >= X". Below saturation the
+    entry set is complete and the count is exact. NULL summaries
+    (min/max mode keys with no observed value) never pass."""
+    ops = {
+        ">=": lambda c: c >= F.lit(float(threshold)),
+        ">": lambda c: c > F.lit(float(threshold)),
+        "<=": lambda c: c <= F.lit(float(threshold)),
+        "<": lambda c: c < F.lit(float(threshold)),
+    }
+    if cmp not in ops:
+        raise ValueError(f"cmp must be one of {sorted(ops)}; got {cmp!r}")
+    keys = list(keys)
+    if k is None:
+        k, hash_fn = _meta(state)
+    else:
+        _, hash_fn = _meta(state)
+    passing = ops[cmp](F.col("summary"))
+    pre = state.withColumn("__kth", F.max("h").over(_group_window(keys)))
+    agg = pre.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.first("__kth").alias("__kth"),
+        F.sum(passing.cast("long")).alias("n_passing"),
+        F.sum(
+            (passing & (F.col("h") < F.col("__kth"))).cast("long")
+        ).alias("__pass_below"),
+    )
+    theta = _theta(F.col("__kth"), hash_fn)
+    sat = F.col("n_entries") >= k
+    est = F.when(
+        sat, F.col("__pass_below").cast("double") / theta
+    ).otherwise(F.col("n_passing").cast("double"))
+    return agg.select(
+        *keys,
+        "n_entries",
+        "n_passing",
+        est.alias(alias),
         (~sat).alias("exact"),
     )
 

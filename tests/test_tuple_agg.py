@@ -227,3 +227,60 @@ def test_plan_is_python_free(spark):
             "MapInPandas",
         ):
             assert marker not in plan
+
+
+def test_summary_modes_min_max(spark):
+    """min/max summary modes: exact-regime parity with groupBy truth,
+    NULL-skip contract (all-NULL key carries NULL), idempotent merge
+    over OVERLAPPING shards (unlike sum), and threshold counts."""
+    from hyper_spark.operators.tuple_agg import tuple_threshold_count
+
+    rows = [("u%d" % (i % 20), float(i)) for i in range(200)]
+    rows += [("nullkey", None), ("nullkey", None)]
+    df = spark.createDataFrame(rows, "uid string, v double")
+
+    for mode, fn in (("min", min), ("max", max)):
+        st = tuple_sketch_by(df, [], "uid", "v", k=64, summary=mode)
+        got = {r["h"]: r["summary"] for r in st.collect()}
+        truth = {}
+        for u, v in rows:
+            if v is not None:
+                truth[u] = fn(truth.get(u, v), v)
+        # xxhash ids are opaque; compare the summary multiset + count
+        assert len(got) == 21  # 20 keys + nullkey
+        assert sorted(v for v in got.values() if v is not None) == sorted(
+            truth.values()
+        )
+        assert sum(1 for v in got.values() if v is None) == 1  # nullkey
+
+        # idempotent merge: the SAME state twice -> unchanged
+        merged = tuple_merge([st, st], [], summary=mode)
+        assert sorted(
+            (r["h"], r["summary"]) for r in merged.collect()
+        ) == sorted((h, s) for h, s in got.items())
+
+    # last-seen threshold (max mode): uid u's max v is 180+u, so
+    # threshold 190 keeps exactly uids 10..19
+    st = tuple_sketch_by(df, [], "uid", "v", k=64, summary="max")
+    out = tuple_threshold_count(st, [], 190.0).collect()[0]
+    assert out["exact"] and out["n_passing"] == 10
+    assert out["count_est"] == 10.0
+    # NULL summaries never pass
+    low = tuple_threshold_count(st, [], -1e9).collect()[0]
+    assert low["n_passing"] == 20  # nullkey excluded
+
+    # saturated regime: HT count within the theta RSE envelope
+    big = spark.createDataFrame(
+        [(f"w{i}", float(i)) for i in range(5000)], "uid string, v double"
+    )
+    stb = tuple_sketch_by(big, [], "uid", "v", k=256, summary="max")
+    est = tuple_threshold_count(stb, [], 2500.0).collect()[0]
+    assert not est["exact"]
+    rse = theta_rse(256)
+    assert abs(est["count_est"] - 2500.0) <= 4 * rse * 2500.0
+
+    # guards
+    with pytest.raises(ValueError, match="summary must be"):
+        tuple_sketch_by(df, [], "uid", "v", k=8, summary="avg")
+    with pytest.raises(ValueError, match="cmp must be"):
+        tuple_threshold_count(st, [], 1.0, cmp="!=")
