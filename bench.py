@@ -401,6 +401,22 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         cands = spark.range(0, 1000).select(F.col("id").alias("l_suppkey"))
         return heavy_changers(sk_a, sk_b, cands, "l_suppkey", k=20)
 
+    def q_tuple_last_seen():
+        # recency read from one max-summary tuple state
+        from hyper_spark.operators.tuple_agg import (
+            tuple_sketch_by,
+            tuple_threshold_count,
+        )
+
+        day_no = F.datediff(
+            F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date")
+        ).cast("double")
+        st = tuple_sketch_by(
+            lineitem, ["l_returnflag"], "l_suppkey", day_no,
+            k=4096, summary="max",
+        )
+        return tuple_threshold_count(st, ["l_returnflag"], 2000.0)
+
     def q_decayed_topk():
         from hyper_spark.operators.decay import decayed_topk
 
@@ -589,6 +605,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "countsketch_f2_suppkey": q_countsketch_f2,
         "ams_join_size_orders": q_ams_join_size,
         "heavy_changers_suppkey": q_heavy_changers,
+        "tuple_last_seen_suppkey": q_tuple_last_seen,
         "decayed_topk_users": q_decayed_topk,
         "priority_sample_users": q_priority_sample,
         "sliding_hll_users": q_sliding_hll,
