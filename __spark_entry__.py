@@ -6016,6 +6016,70 @@ _DRIVER_WINDOW = [
 ]
 
 
+def _q_mg_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frequent-items summary, exact regime
+    (operators/frequent.py::mg_by + mg_topk): k=64 Misra-Gries over 5
+    event types never compresses, so every counter is the exact count,
+    err = 0, and the full top list replays verbatim in SQL — the
+    deterministic complement to the count-min heavy hitters."""
+    from hyper_spark.operators.frequent import mg_by, mg_topk
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    st = mg_by(ev, [], "event_type", k=64)
+    return mg_topk(st, [])
+
+
+def _q_mg_bound_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries SATURATED-regime contract (operators/frequent.py):
+    k=16 over ~150 users forces compression; the gate checks the
+    published deterministic guarantees against exact counts computed
+    in-plan — every retained counter c satisfies c <= f <= c + err,
+    and every item with f > err is retained (completeness). n (total
+    counted weight, exactly accounted by the sentinel row) is the
+    SQL value-parity anchor; the booleans are the contract."""
+    from hyper_spark.operators.frequent import mg_by, mg_summary
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    st = mg_by(ev, [], "user_id", k=16)
+    s = mg_summary(st, []).select("n", "err")
+    exact = ev.filter(F.col("user_id").isNotNull()).groupBy(
+        F.col("user_id").cast("string").alias("item")
+    ).agg(F.count(F.lit(1)).cast("double").alias("f"))
+    retained = st.filter(F.col("item").isNotNull()).select("item", "c")
+    joined = exact.join(retained, "item", "left").crossJoin(F.broadcast(s))
+    return joined.agg(
+        F.first("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("c").isNotNull(),
+                (F.col("c") <= F.col("f"))
+                & (F.col("f") <= F.col("c") + F.col("err") + F.lit(1e-9)),
+            ).otherwise(F.lit(True))
+        ).alias("all_within_bounds"),
+        F.min(
+            F.when(
+                F.col("f") > F.col("err"), F.col("c").isNotNull()
+            ).otherwise(F.lit(True))
+        ).alias("complete"),
+    )
+
+
+def _q_mg_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries rollup losslessness (operators/frequent.py::
+    mg_merge with a key SUBSET): per-day states fold to the global
+    summary; in the exact regime the fold is bit-identical to the
+    direct build, so the merged counters replay as plain GROUP BY
+    counts — the resumable-aggregation contract for the MG family."""
+    from hyper_spark.operators.frequent import mg_by, mg_merge, mg_topk
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = mg_by(ev, ["day"], "event_type", k=64)
+    return mg_topk(mg_merge([daily], []), [])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     table = {
         "exact_distinct_users": _q_exact_distinct_users,
@@ -6218,6 +6282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuple_intersect_values": _q_tuple_intersect_values,
         "sliding_tuple_window_sums": _q_sliding_tuple_window_sums,
         "streaming_sliding_tuple_parity": _q_streaming_sliding_tuple,
+        "mg_topk_event_types": _q_mg_topk_event_types,
+        "mg_bound_users": _q_mg_bound_users,
+        "mg_rollup_daily": _q_mg_rollup_daily,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -9794,5 +9861,35 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
             )
             SELECT event_type, user_id, decayed_count
             FROM ranked WHERE rk <= 3
+        """,
+        "mg_topk_event_types": """
+            WITH t AS (
+                SELECT event_type AS item,
+                       CAST(count(*) AS DOUBLE) AS count_lo
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1
+            ), tot AS (
+                SELECT CAST(count(event_type) AS DOUBLE) AS n FROM events
+            )
+            SELECT item, count_lo, count_lo AS count_hi, n,
+                   TRUE AS exact
+            FROM t, tot
+        """,
+        "mg_bound_users": """
+            SELECT CAST(count(user_id) AS DOUBLE) AS n,
+                   TRUE AS all_within_bounds,
+                   TRUE AS complete
+            FROM events
+        """,
+        "mg_rollup_daily": """
+            WITH t AS (
+                SELECT event_type AS item,
+                       CAST(count(*) AS DOUBLE) AS count_lo
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1
+            ), tot AS (
+                SELECT CAST(count(event_type) AS DOUBLE) AS n FROM events
+            )
+            SELECT item, count_lo, count_lo AS count_hi, n,
+                   TRUE AS exact
+            FROM t, tot
         """,
     }

@@ -417,6 +417,13 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         )
         return tuple_threshold_count(st, ["l_returnflag"], 2000.0)
 
+    def q_mg_topk():
+        # deterministic frequent-items summary over 600k lineitem rows
+        from hyper_spark.operators.frequent import mg_by, mg_topk
+
+        st = mg_by(lineitem, ["l_returnflag"], "l_suppkey", k=128)
+        return mg_topk(st, ["l_returnflag"], limit=20)
+
     def q_decayed_topk():
         from hyper_spark.operators.decay import decayed_topk
 
@@ -606,6 +613,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "ams_join_size_orders": q_ams_join_size,
         "heavy_changers_suppkey": q_heavy_changers,
         "tuple_last_seen_suppkey": q_tuple_last_seen,
+        "mg_topk_suppkey": q_mg_topk,
         "decayed_topk_users": q_decayed_topk,
         "priority_sample_users": q_priority_sample,
         "sliding_hll_users": q_sliding_hll,
