@@ -919,6 +919,39 @@ def _q_ssjoin_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_join(docs, threshold=0.5, other=right)
 
 
+def _q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q-gram prefix-filtered EXACT Levenshtein self-join (operators/
+    editjoin.py, Gravano VLDB'01 count filter + Ed-Join VLDB'08 prefix
+    shape): every doc pair within edit distance 5 on the raw text,
+    with the exact distance. Oracle recomputes with DuckDB's own
+    levenshtein over the length-filtered pair space."""
+    from hyper_spark.operators.editjoin import edit_distance_join
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    res = edit_distance_join(docs, max_dist=5, q=2)
+    return res.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _q_edit_distance_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus (R-S) edit-distance join — character-level
+    decontamination (typo-level copies the token-set joins cannot
+    rank): every (train doc, eval doc) pair within distance 5, eval
+    set = doc_id % 7 == 0, gram-frequency order shared over the
+    union. Includes the dist-0 diagonal by construction."""
+    from hyper_spark.operators.editjoin import edit_distance_join
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    right = docs.filter(F.col("doc_id") % 7 == 0)
+    res = edit_distance_join(docs, max_dist=5, q=2, other=right)
+    return res.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster closure over the exact n-gram pair graph: large-star /
     small-star components (hyper_spark.operators.graph) vs a DuckDB
@@ -6285,6 +6318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_topk_event_types": _q_mg_topk_event_types,
         "mg_bound_users": _q_mg_bound_users,
         "mg_rollup_daily": _q_mg_rollup_daily,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "edit_distance_decontaminate": _q_edit_distance_decontaminate,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -9891,5 +9926,23 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
             SELECT item, count_lo, count_lo AS count_hi, n,
                    TRUE AS exact
             FROM t, tot
+        """,
+        "edit_distance_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.text, b.text) AS dist
+            FROM documents a
+            JOIN documents b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.text) - length(b.text)) <= 5
+            WHERE levenshtein(a.text, b.text) <= 5
+        """,
+        "edit_distance_decontaminate": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.text, b.text) AS dist
+            FROM documents a
+            JOIN documents b
+              ON b.doc_id % 7 = 0
+             AND abs(length(a.text) - length(b.text)) <= 5
+            WHERE levenshtein(a.text, b.text) <= 5
         """,
     }

@@ -221,6 +221,11 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return similarity_join(docs, threshold=0.5)
 
+    def q_edit_join():
+        from hyper_spark.operators.editjoin import edit_distance_join
+
+        return edit_distance_join(docs, max_dist=5, q=2)
+
     def q_sliding_dd():
         from hyper_spark.operators.sliding_dd import (
             sliding_dd_quantiles,
@@ -588,6 +593,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "zorder_range_scan": q_zorder_scan,
         "near_dedup_docs": q_near_dedup,
         "ssjoin_prefix_docs": q_ssjoin_prefix,
+        "edit_join_docs": q_edit_join,
         "sliding_dd_quantiles": q_sliding_dd,
         "gopher_filter_docs": q_gopher_filter,
         "incremental_near_dedup_docs": q_incremental_near_dedup,

@@ -1,0 +1,248 @@
+"""Exact edit-distance (Levenshtein) similarity join via q-gram prefix
+filtering — self-join and cross-corpus (R-S) modes.
+
+Finds EVERY pair of strings with Levenshtein distance <= ``max_dist``,
+following Gravano et al., "Approximate String Joins in a Database
+(Almost) for Free" (VLDB'01, the q-gram count filter) and Xiao, Wang &
+Lin, "Ed-Join: an efficient algorithm for similarity joins with edit
+distance constraints" (VLDB'08, the prefix-filter shape). This is the
+CHARACTER-level complement of operators/ssjoin.py's token-set join:
+ssjoin answers "mostly the same tokens, any order"; this answers
+"nearly the same string" — typo-level duplicates, templated IDs,
+OCR/transcription noise — with an exact metric a token-set Jaccard
+cannot express.
+
+Filter chain (each stage recall-LOSSLESS; proofs in comments):
+
+1. **q-gram count bound**: one edit operation changes at most ``q``
+   of a string's overlapping q-grams (a substitution rewrites the q
+   grams covering its position; an insert/delete rewrites <= q grams
+   and only SHIFTS the rest, which as a multiset is identity), so
+   ed(a,b) <= d forces the gram multisets to share >= max(Ga,Gb) - q*d
+   occurrences (Ga = len(a)-q+1).
+2. **prefix filter**: order every string's gram occurrences by the
+   global (document frequency, gram) total order and index only the
+   first min(Ga, q*d+1) of them. Two multisets with required overlap
+   o >= 1 must share a gram VALUE inside both prefixes — if the
+   prefixes were value-disjoint, the >= o shared occurrences would
+   all sit in the two (o-1)-sized suffixes, and the global order
+   makes that contradictory (a shared value in a's suffix is larger
+   than all of a's prefix, hence larger than any shared value in b's
+   prefix, and vice versa). o = max(Ga,Gb) - q*d >= 1 whenever either
+   string has more than q*d grams.
+3. **short pool**: strings with Ga <= q*d grams (length <= q*d+q-1,
+   including the gram-less length < q) get no guarantee from (1), so
+   they pair amongst themselves by a length-band equi-join instead
+   (|len(a)-len(b)| <= d is necessary for ed <= d). A short x long
+   pair still satisfies o >= 1 — the long side supplies it — so the
+   gram join covers it; the pool is short x short only, and "short"
+   is a constant-bounded length (q=2, d=3 -> <= 9 chars), so the
+   band join's per-length group is the only skew surface and its
+   membership is structurally tiny relative to the corpus.
+4. **exact verification**: texts join back for DEDUPLICATED surviving
+   candidates only; ``F.levenshtein(a, b, max_dist)`` is Spark's
+   banded O(d*len) JVM kernel (returns -1 above the threshold), so
+   the expensive unbanded DP never runs.
+
+100-TB shape: one shuffle for global gram frequencies (over the UNION
+of both corpora in R-S mode — the order must be shared), one groupBy
+to sort each string's grams, an equi-join on slim
+``(id, len, gram)`` prefix entries (texts never ride the candidate
+join — the minhash "bare band entries" lesson), candidate dedup in the
+counting groupBy itself, and a verification join that carries texts
+for survivors only. All stages are JVM codegen — no Python anywhere in
+the plan.
+
+Reference scope note: the reference engine (GameAnalytics/hyper) has no
+string-join surface; this operator is part of the engine's
+training-data-pipeline extension (SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hyper_spark.operators.util import spread
+
+__all__ = ["edit_distance_join"]
+
+
+def _strings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, s, len) with NULL texts dropped (ed(NULL, x) is undefined;
+    callers wanting NULL-as-empty can coalesce upstream)."""
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .withColumn("len", F.length("s"))
+    )
+
+
+def _grams(strings: DataFrame, q: int) -> DataFrame:
+    """(id, len, gram) — one row per q-gram OCCURRENCE (multiset kept:
+    the count bound is about occurrences, so duplicates must survive).
+    sequence(1, n) with n < 1 would generate a DESCENDING range, hence
+    the explicit empty-array guard for strings shorter than q."""
+    n_grams = F.col("len") - F.lit(q - 1)
+    positions = F.when(
+        n_grams >= 1, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        strings.select(
+            "id",
+            "len",
+            F.explode(
+                F.transform(
+                    positions, lambda i: F.col("s").substr(i, F.lit(q))
+                )
+            ).alias("gram"),
+        )
+    )
+
+
+def _prefix_entries(
+    grams: DataFrame, dfreq: DataFrame, q: int, d: int
+) -> DataFrame:
+    """Slim (id, len, gram) rows for the first min(G, q*d+1) gram
+    occurrences of each string under the global rarest-first
+    (df_count, gram) order. Struct sort is field-lexicographic, so one
+    sort_array gives the total order; ties between equal grams are
+    between identical values and cannot affect the prefix lemma."""
+    plen = F.lit(q * d + 1)
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("id", "len")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df_count", "gram"))).alias(
+                "__ord"
+            )
+        )
+        .select(
+            "id",
+            "len",
+            F.explode(F.slice(F.col("__ord.gram"), F.lit(1), plen)).alias(
+                "gram"
+            ),
+        )
+    )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    q: int = 2,
+    other: DataFrame | None = None,
+    other_id_col: str | None = None,
+    other_text_col: str | None = None,
+) -> DataFrame:
+    """All pairs with exact Levenshtein distance <= ``max_dist``.
+
+    Self-join (default): DataFrame[id_a, id_b, dist] with id_a < id_b.
+    Cross-corpus mode (``other`` given): id_a comes from ``df``, id_b
+    from ``other``, every qualifying cross pair is returned (the two
+    id namespaces are independent; a doc present in both corpora
+    matches itself at dist 0), and the global gram-frequency order is
+    computed over the UNION of both corpora so both prefix indexes
+    follow one shared total order.
+
+    ``dist`` is the exact integer Levenshtein distance (ANSI-SQL
+    reproducible — the driver oracle recomputes it with DuckDB's
+    ``levenshtein``). ``q`` trades candidate selectivity against
+    prefix length q*max_dist+1; q=2 is the Ed-Join default for short-
+    to-medium strings.
+
+    CALLER CONTRACT (the ssjoin one): the returned DataFrame is
+    eagerly materialized and **persisted** — the string table feeds
+    the gram build, the short pool, AND two verification sides, so an
+    uncached lineage would re-run the scan four times. The big
+    intermediate caches are released before return; call
+    ``.unpersist()`` on the (small) result when done with it."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    d = int(max_dist)
+    cross = other is not None
+
+    # cached: feeds grams, the short pool, and both verify sides.
+    strs_a = _strings(df, id_col, text_col).persist()
+    strs_b = strs_a
+    if cross:
+        strs_b = _strings(
+            other, other_id_col or id_col, other_text_col or text_col
+        ).persist()
+
+    grams_a = _grams(strs_a, q)
+    grams_b = grams_a if not cross else _grams(strs_b, q)
+    dfreq = (
+        (grams_a.unionByName(grams_b) if cross else grams_a)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+    )
+
+    a = _prefix_entries(grams_a, dfreq, q, d).select(
+        F.col("id").alias("id_a"), F.col("len").alias("la"), "gram"
+    )
+    b = (
+        a.select(
+            F.col("id_a").alias("id_b"), F.col("la").alias("lb"), "gram"
+        )
+        if not cross
+        else _prefix_entries(grams_b, dfreq, q, d).select(
+            F.col("id").alias("id_b"), F.col("len").alias("lb"), "gram"
+        )
+    )
+    # length filter: ed <= d forces |la - lb| <= d
+    length_ok = F.abs(F.col("la") - F.col("lb")) <= F.lit(d)
+    pair_ok = length_ok if cross else length_ok & (
+        F.col("id_a") < F.col("id_b")
+    )
+    gram_cand = a.join(b, "gram").filter(pair_ok).select("id_a", "id_b")
+
+    # short pool: strings with G <= q*d grams pair by length band.
+    # Probe emits every length in [len-d, len+d]; index keys its own
+    # length — self mode therefore sees each unordered pair once per
+    # orientation and the id_a < id_b filter keeps exactly one.
+    smax = q * d + q - 1
+    short_a = strs_a.filter(F.col("len") <= F.lit(smax))
+    short_b = short_a if not cross else strs_b.filter(
+        F.col("len") <= F.lit(smax)
+    )
+    probe = short_a.select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.sequence(F.col("len") - F.lit(d), F.col("len") + F.lit(d))
+        ).alias("__band"),
+    )
+    index = short_b.select(F.col("id").alias("id_b"), F.col("len").alias("__band"))
+    short_cand = probe.join(index, "__band").select("id_a", "id_b")
+    if not cross:
+        short_cand = short_cand.filter(F.col("id_a") < F.col("id_b"))
+
+    # candidate dedup in the counting groupBy (one exchange), then
+    # exact banded verification over texts joined back for survivors.
+    cand = (
+        gram_cand.unionByName(short_cand)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .drop("__c")
+    )
+    sa = strs_a.select(F.col("id").alias("id_a"), F.col("s").alias("__sa"))
+    sb = strs_b.select(F.col("id").alias("id_b"), F.col("s").alias("__sb"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "dist", F.levenshtein(F.col("__sa"), F.col("__sb"), d)
+        )
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    ).persist()
+    verified.count()  # materialize, then drop the string-table caches
+    strs_a.unpersist()
+    if cross:
+        strs_b.unpersist()
+    return verified
