@@ -5645,6 +5645,41 @@ def _q_tx_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tx_turn_path_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-AWARE trajectory near-dup: long agent runs (>= 25 turns)
+    whose turn-token paths (role:tool per turn, stable turn order)
+    are within 3 token EDITS — retries / forks of the same run that
+    the set-Jaccard trajectory gate cannot rank (it ignores order and
+    repetition). operators/editjoin.py::token_edit_distance_join —
+    q=1 unigram count bound + d+1 rarest-token prefixes + Arrow-batched
+    banded DP for survivors. Oracle packs each distinct turn token to
+    one unicode char in SQL and replays with DuckDB's levenshtein —
+    token-sequence edit distance == char edit distance on the packed
+    strings."""
+    from hyper_spark.operators.editjoin import token_edit_distance_join
+
+    _ensure_pkg(spark)
+    tx = _tx(spark)
+    tk = F.concat_ws(":", F.col("role"), F.coalesce(F.col("tool"), F.lit("-")))
+    seqs = (
+        tx.select("conv_id", "turn_idx", tk.alias("tk"))
+        .groupBy("conv_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("turn_idx", "tk"))).alias(
+                "__ord"
+            )
+        )
+        .select("conv_id", F.col("__ord.tk").alias("toks"))
+        .filter(F.size("toks") >= 25)
+    )
+    res = token_edit_distance_join(
+        seqs, id_col="conv_id", tokens_col="toks", max_dist=3
+    )
+    return res.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _q_tx_tool_reach_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Superspreader/tool-reach detection: the tools touching the most
     DISTINCT conversations, served from per-tool theta sketches
@@ -6320,6 +6355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_rollup_daily": _q_mg_rollup_daily,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "edit_distance_decontaminate": _q_edit_distance_decontaminate,
+        "transcripts_turn_path_pairs": _q_tx_turn_path_pairs,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -9944,5 +9980,32 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
               ON b.doc_id % 7 = 0
              AND abs(length(a.text) - length(b.text)) <= 5
             WHERE levenshtein(a.text, b.text) <= 5
+        """,
+        "transcripts_turn_path_pairs": f"""
+            WITH tok AS (
+                SELECT conv_id, turn_idx,
+                       role || ':' || coalesce(tool, '-') AS tk
+                FROM {_TX_GATE_SQL}
+            ),
+            -- DuckDB's levenshtein is BYTE-based, so the packing must
+            -- stay single-byte: ASCII 33..126 (94 slots; the turn-token
+            -- vocab is role x tool, ~60 at this fixture)
+            vocab AS (
+                SELECT tk, dense_rank() OVER (ORDER BY tk)::INT AS cid
+                FROM (SELECT DISTINCT tk FROM tok)
+            ),
+            seq AS (
+                SELECT conv_id,
+                       string_agg(chr(32 + v.cid), ''
+                                  ORDER BY t.turn_idx) AS p
+                FROM tok t JOIN vocab v USING (tk)
+                GROUP BY conv_id HAVING count(*) >= 25
+            )
+            SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+                   levenshtein(a.p, b.p) AS dist
+            FROM seq a JOIN seq b
+              ON a.conv_id < b.conv_id
+             AND abs(length(a.p) - length(b.p)) <= 3
+            WHERE levenshtein(a.p, b.p) <= 3
         """,
     }

@@ -60,12 +60,14 @@ training-data-pipeline extension (SURVEY.md "beyond the reference").
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from hyper_spark.operators.util import spread
 
-__all__ = ["edit_distance_join"]
+__all__ = ["edit_distance_join", "token_edit_distance_join"]
 
 
 def _strings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -245,4 +247,190 @@ def edit_distance_join(
     strs_a.unpersist()
     if cross:
         strs_b.unpersist()
+    return verified
+
+
+def banded_token_lev(x, y, dmax: int) -> int:
+    """Token-sequence Levenshtein, banded to |i-j| <= dmax (Ukkonen's
+    O(dmax * len) diagonal band — cells outside the band cannot sit on
+    any path of cost <= dmax). Returns -1 when the distance exceeds
+    ``dmax``. Pure python on two sequences; the join calls it only for
+    deduplicated candidate survivors."""
+    n, m = len(x), len(y)
+    if abs(n - m) > dmax:
+        return -1
+    big = dmax + 1
+    prev = {j: j for j in range(0, min(m, dmax) + 1)}
+    for i in range(1, n + 1):
+        lo, hi = max(1, i - dmax), min(m, i + dmax)
+        cur = {}
+        if i <= dmax:
+            cur[0] = i
+        xi = x[i - 1]
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev.get(j, big) + 1,
+                cur.get(j - 1, big) + 1,
+                prev.get(j - 1, big) + (0 if xi == y[j - 1] else 1),
+            )
+        if not cur or min(cur.values()) > dmax:
+            return -1
+        prev = cur
+    out = prev.get(m, big)
+    return out if out <= dmax else -1
+
+
+def _seqs(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
+    """(id, toks, n) with NULL arrays dropped and NULL elements
+    filtered (a NULL token is not a token; callers wanting a
+    placeholder can coalesce upstream)."""
+    return (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.col(tokens_col), lambda t: t.isNotNull()
+            ).alias("toks"),
+        )
+        .filter(F.col("toks").isNotNull())
+        .withColumn("n", F.size("toks"))
+    )
+
+
+def _token_prefix_entries(seqs: DataFrame, dfreq: DataFrame, d: int) -> DataFrame:
+    """Slim (id, n, tok) rows for each sequence's min(n, d+1) globally
+    rarest token OCCURRENCES — the q=1 instance of the prefix filter:
+    one token edit removes at most one occurrence from the multiset,
+    so ed <= d forces a shared occurrence inside both (d+1)-prefixes
+    whenever max(n_a, n_b) > d."""
+    return (
+        seqs.select("id", "n", F.explode("toks").alias("tok"))
+        .join(dfreq, "tok")
+        .groupBy("id", "n")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df_count", "tok"))).alias(
+                "__ord"
+            )
+        )
+        .select(
+            "id",
+            "n",
+            F.explode(
+                F.slice(F.col("__ord.tok"), F.lit(1), F.lit(d + 1))
+            ).alias("tok"),
+        )
+    )
+
+
+def token_edit_distance_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_dist: int = 2,
+    other: DataFrame | None = None,
+    other_id_col: str | None = None,
+    other_tokens_col: str | None = None,
+) -> DataFrame:
+    """All pairs of token SEQUENCES within Levenshtein distance
+    ``max_dist``, where an edit inserts, deletes, or substitutes one
+    whole token — the ORDER-AWARE complement of ssjoin's token-set
+    Jaccard (which cannot distinguish "same steps, different order"
+    from "same steps"), and the token-level analogue of the character
+    join above. The natural unit for agent-trajectory analysis: turn
+    paths (role:tool per turn) within d edits are retries / forks of
+    the same run.
+
+    Input is an ``array<string>`` column (the caller owns
+    tokenization — turn tokens, words, whatever). Self-join returns
+    [id_a, id_b, dist] with id_a < id_b; cross mode mirrors
+    ``edit_distance_join``.
+
+    Filter chain: the q=1 instance of the module's gram machinery —
+    one token edit perturbs the unigram multiset by at most one
+    occurrence, so ed <= d forces >= max(n_a, n_b) - d shared
+    occurrences; prefix = the d+1 globally rarest occurrences;
+    sequences with n <= d tokens pair by the length-band pool.
+    Verification is the ONE Python stage in the module: Spark has no
+    array Levenshtein, so survivors (already deduplicated, texts
+    joined back) run ``banded_token_lev`` — Ukkonen-banded
+    O(d * len) — inside an Arrow-batched pandas UDF. Candidates never
+    touch Python; only verified-pair volume does.
+
+    CALLER CONTRACT: result persisted (same as edit_distance_join);
+    unpersist when done."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    d = int(max_dist)
+    cross = other is not None
+
+    @pandas_udf("int")
+    def _dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [banded_token_lev(list(x), list(y), d) for x, y in zip(a, b)],
+            dtype="int32",
+        )
+
+    seqs_a = _seqs(df, id_col, tokens_col).persist()
+    seqs_b = seqs_a
+    if cross:
+        seqs_b = _seqs(
+            other, other_id_col or id_col, other_tokens_col or tokens_col
+        ).persist()
+
+    toks_a = seqs_a.select(F.explode("toks").alias("tok"))
+    all_toks = (
+        toks_a.unionByName(seqs_b.select(F.explode("toks").alias("tok")))
+        if cross
+        else toks_a
+    )
+    dfreq = all_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_count"))
+
+    a = _token_prefix_entries(seqs_a, dfreq, d).select(
+        F.col("id").alias("id_a"), F.col("n").alias("na"), "tok"
+    )
+    b = (
+        a.select(F.col("id_a").alias("id_b"), F.col("na").alias("nb"), "tok")
+        if not cross
+        else _token_prefix_entries(seqs_b, dfreq, d).select(
+            F.col("id").alias("id_b"), F.col("n").alias("nb"), "tok"
+        )
+    )
+    length_ok = F.abs(F.col("na") - F.col("nb")) <= F.lit(d)
+    pair_ok = length_ok if cross else length_ok & (
+        F.col("id_a") < F.col("id_b")
+    )
+    gram_cand = a.join(b, "tok").filter(pair_ok).select("id_a", "id_b")
+
+    short_a = seqs_a.filter(F.col("n") <= F.lit(d))
+    short_b = short_a if not cross else seqs_b.filter(F.col("n") <= F.lit(d))
+    probe = short_a.select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.sequence(F.col("n") - F.lit(d), F.col("n") + F.lit(d))
+        ).alias("__band"),
+    )
+    index = short_b.select(F.col("id").alias("id_b"), F.col("n").alias("__band"))
+    short_cand = probe.join(index, "__band").select("id_a", "id_b")
+    if not cross:
+        short_cand = short_cand.filter(F.col("id_a") < F.col("id_b"))
+
+    cand = (
+        gram_cand.unionByName(short_cand)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .drop("__c")
+    )
+    sa = seqs_a.select(F.col("id").alias("id_a"), F.col("toks").alias("__ta"))
+    sb = seqs_b.select(F.col("id").alias("id_b"), F.col("toks").alias("__tb"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", _dist(F.col("__ta"), F.col("__tb")))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    ).persist()
+    verified.count()
+    seqs_a.unpersist()
+    if cross:
+        seqs_b.unpersist()
     return verified
