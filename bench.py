@@ -224,7 +224,9 @@ def bench_queries(spark: SparkSession, sf_dir: str):
     def q_edit_join():
         from hyper_spark.operators.editjoin import edit_distance_join
 
-        return edit_distance_join(docs, max_dist=5, q=2)
+        # q=4: the recommended vocab-selectivity setting (same pairs as
+        # q=2, 5.1 s vs 7.5 s at sf0.1 — see BENCH/BASELINE.md)
+        return edit_distance_join(docs, max_dist=5, q=4)
 
     def q_sliding_dd():
         from hyper_spark.operators.sliding_dd import (
