@@ -919,6 +919,24 @@ def _q_ssjoin_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_join(docs, threshold=0.5, other=right)
 
 
+def _q_snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/snm.py, Hernández &
+    Stolfo SIGMOD'95): candidate pairs within a 4-wide sliding window
+    over the global (20-char text prefix, doc_id) sort order — the
+    arbitrary-domain-key blocker next to LSH and prefix filtering.
+    TeraSort-shape rank (range partition + parallel local row_number +
+    broadcast prefix bases), exactly-once block-join pairing. Oracle =
+    the verbatim row_number + rank-distance self-join in SQL."""
+    from hyper_spark.operators.snm import sorted_neighborhood_pairs
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    res = sorted_neighborhood_pairs(
+        docs, key=F.substring(F.col("text"), 1, 20), window=4
+    )
+    return res.select("id_a", "id_b", "rank_a", "rank_b")
+
+
 def _q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q-gram prefix-filtered EXACT Levenshtein self-join (operators/
     editjoin.py, Gravano VLDB'01 count filter + Ed-Join VLDB'08 prefix
@@ -6356,6 +6374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "edit_distance_decontaminate": _q_edit_distance_decontaminate,
         "transcripts_turn_path_pairs": _q_tx_turn_path_pairs,
+        "snm_candidate_pairs": _q_snm_candidate_pairs,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -10007,5 +10026,18 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
               ON a.conv_id < b.conv_id
              AND abs(length(a.p) - length(b.p)) <= 3
             WHERE levenshtein(a.p, b.p) <= 3
+        """,
+        "snm_candidate_pairs": """
+            WITH r AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY substr(text, 1, 20), doc_id
+                       ) - 1 AS rnk
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.rnk AS rank_a, b.rnk AS rank_b
+            FROM r a JOIN r b
+              ON b.rnk > a.rnk AND b.rnk - a.rnk <= 3
         """,
     }
