@@ -221,6 +221,13 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return similarity_join(docs, threshold=0.5)
 
+    def q_snm_pairs():
+        from hyper_spark.operators.snm import sorted_neighborhood_pairs
+
+        return sorted_neighborhood_pairs(
+            docs, key=F.substring(F.col("text"), 1, 20), window=4
+        )
+
     def q_edit_join():
         from hyper_spark.operators.editjoin import edit_distance_join
 
@@ -596,6 +603,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "near_dedup_docs": q_near_dedup,
         "ssjoin_prefix_docs": q_ssjoin_prefix,
         "edit_join_docs": q_edit_join,
+        "snm_pairs_docs": q_snm_pairs,
         "sliding_dd_quantiles": q_sliding_dd,
         "gopher_filter_docs": q_gopher_filter,
         "incremental_near_dedup_docs": q_incremental_near_dedup,
