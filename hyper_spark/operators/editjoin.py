@@ -297,15 +297,43 @@ def _seqs(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
     )
 
 
-def _token_prefix_entries(seqs: DataFrame, dfreq: DataFrame, d: int) -> DataFrame:
-    """Slim (id, n, tok) rows for each sequence's min(n, d+1) globally
-    rarest token OCCURRENCES — the q=1 instance of the prefix filter:
-    one token edit removes at most one occurrence from the multiset,
-    so ed <= d forces a shared occurrence inside both (d+1)-prefixes
-    whenever max(n_a, n_b) > d."""
+def _token_grams(seqs: DataFrame, q: int) -> DataFrame:
+    """(id, n, tok) — one row per token q-GRAM occurrence (q
+    consecutive tokens joined with an unprintable separator; q=1 is
+    the plain unigram stream). Multiset kept. ``n`` stays the TOKEN
+    count — the length filter and short pool reason about token
+    edits, not gram counts."""
+    if q == 1:
+        return seqs.select("id", "n", F.explode("toks").alias("tok"))
+    n_grams = F.col("n") - F.lit(q - 1)
+    positions = F.when(
+        n_grams >= 1, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    return seqs.select(
+        "id",
+        "n",
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i, F.lit(q)), "\x00"
+                ),
+            )
+        ).alias("tok"),
+    )
+
+
+def _token_prefix_entries(
+    grams: DataFrame, dfreq: DataFrame, q: int, d: int
+) -> DataFrame:
+    """Slim (id, n, tok) rows for each sequence's min(G, q*d+1)
+    globally rarest gram OCCURRENCES — the same prefix lemma as the
+    character join, over token q-grams: one token edit perturbs at
+    most q gram occurrences, so ed <= d forces a shared occurrence
+    inside both (q*d+1)-prefixes whenever either side has more than
+    q*d grams."""
     return (
-        seqs.select("id", "n", F.explode("toks").alias("tok"))
-        .join(dfreq, "tok")
+        grams.join(dfreq, "tok")
         .groupBy("id", "n")
         .agg(
             F.sort_array(F.collect_list(F.struct("df_count", "tok"))).alias(
@@ -316,7 +344,7 @@ def _token_prefix_entries(seqs: DataFrame, dfreq: DataFrame, d: int) -> DataFram
             "id",
             "n",
             F.explode(
-                F.slice(F.col("__ord.tok"), F.lit(1), F.lit(d + 1))
+                F.slice(F.col("__ord.tok"), F.lit(1), F.lit(q * d + 1))
             ).alias("tok"),
         )
     )
@@ -327,6 +355,7 @@ def token_edit_distance_join(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     max_dist: int = 2,
+    q: int = 1,
     other: DataFrame | None = None,
     other_id_col: str | None = None,
     other_tokens_col: str | None = None,
@@ -345,11 +374,17 @@ def token_edit_distance_join(
     [id_a, id_b, dist] with id_a < id_b; cross mode mirrors
     ``edit_distance_join``.
 
-    Filter chain: the q=1 instance of the module's gram machinery —
-    one token edit perturbs the unigram multiset by at most one
-    occurrence, so ed <= d forces >= max(n_a, n_b) - d shared
-    occurrences; prefix = the d+1 globally rarest occurrences;
-    sequences with n <= d tokens pair by the length-band pool.
+    Filter chain: the module's gram machinery over token q-grams (q
+    consecutive tokens; default q=1 = unigrams) — one token edit
+    perturbs at most q gram occurrences, so ed <= d forces
+    >= max(G_a, G_b) - q*d shared occurrences; prefix = the q*d+1
+    globally rarest gram occurrences; sequences below the gram-count
+    guarantee (n <= q*d + q - 1 tokens) pair by the length-band pool.
+    ``q`` is the vocab-selectivity knob exactly as in the character
+    join: templated turn-token vocabs (|V| ~ 64) drown q=1 in
+    frequent-gram candidates at ~100k sequences, while q=2's |V|^2
+    bigram space restores selectivity (measured in
+    BENCH/BASELINE.md).
     Verification is the ONE Python stage in the module: Spark has no
     array Levenshtein, so survivors (already deduplicated, texts
     joined back) run ``banded_token_lev`` — Ukkonen-banded
@@ -360,6 +395,8 @@ def token_edit_distance_join(
     unpersist when done."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
     d = int(max_dist)
     cross = other is not None
 
@@ -377,21 +414,21 @@ def token_edit_distance_join(
             other, other_id_col or id_col, other_tokens_col or tokens_col
         ).persist()
 
-    toks_a = seqs_a.select(F.explode("toks").alias("tok"))
-    all_toks = (
-        toks_a.unionByName(seqs_b.select(F.explode("toks").alias("tok")))
-        if cross
-        else toks_a
+    grams_a = _token_grams(seqs_a, q)
+    grams_b = grams_a if not cross else _token_grams(seqs_b, q)
+    dfreq = (
+        (grams_a.unionByName(grams_b) if cross else grams_a)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df_count"))
     )
-    dfreq = all_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_count"))
 
-    a = _token_prefix_entries(seqs_a, dfreq, d).select(
+    a = _token_prefix_entries(grams_a, dfreq, q, d).select(
         F.col("id").alias("id_a"), F.col("n").alias("na"), "tok"
     )
     b = (
         a.select(F.col("id_a").alias("id_b"), F.col("na").alias("nb"), "tok")
         if not cross
-        else _token_prefix_entries(seqs_b, dfreq, d).select(
+        else _token_prefix_entries(grams_b, dfreq, q, d).select(
             F.col("id").alias("id_b"), F.col("n").alias("nb"), "tok"
         )
     )
@@ -401,8 +438,11 @@ def token_edit_distance_join(
     )
     gram_cand = a.join(b, "tok").filter(pair_ok).select("id_a", "id_b")
 
-    short_a = seqs_a.filter(F.col("n") <= F.lit(d))
-    short_b = short_a if not cross else seqs_b.filter(F.col("n") <= F.lit(d))
+    smax = q * d + q - 1
+    short_a = seqs_a.filter(F.col("n") <= F.lit(smax))
+    short_b = short_a if not cross else seqs_b.filter(
+        F.col("n") <= F.lit(smax)
+    )
     probe = short_a.select(
         F.col("id").alias("id_a"),
         F.explode(

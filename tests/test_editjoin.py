@@ -233,12 +233,14 @@ def _brute_tokens(rows, d):
     return sorted(out)
 
 
-@pytest.mark.parametrize("d", [0, 1, 2])
-def test_token_brute_force_parity(spark, token_corpus, d):
+@pytest.mark.parametrize("d,q", [(0, 1), (1, 1), (2, 1), (1, 2), (2, 3)])
+def test_token_brute_force_parity(spark, token_corpus, d, q):
+    """Output is q-invariant (recall-lossless at any gram width) and
+    matches the brute-force DP at every (d, q)."""
     got = sorted(
         (r["id_a"], r["id_b"], r["dist"])
         for r in token_edit_distance_join(
-            token_corpus, tokens_col="toks", max_dist=d
+            token_corpus, tokens_col="toks", max_dist=d, q=q
         ).collect()
     )
     assert got == _brute_tokens(token_corpus.collect(), d)
