@@ -919,6 +919,22 @@ def _q_ssjoin_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_join(docs, threshold=0.5, other=right)
 
 
+def _q_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse TF-IDF cosine join (operators/cosjoin.py, the
+    original AllPairs WWW'07 workload): every doc pair with
+    cosine(tfidf(a), tfidf(b)) >= 0.9 under raw-tf x ln(N/df)
+    weighting, L2-normalized — the weighted-term similarity axis next
+    to set Jaccard / edit distance / embedding cosine. Two-sided
+    rarest-first prefix join bounded by the running suffix-of-maxw
+    sum; oracle recomputes the identical weighting and dot products
+    verbatim in SQL."""
+    from hyper_spark.operators.cosjoin import cosine_similarity_join
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return cosine_similarity_join(docs, threshold=0.9, tokens="words")
+
+
 def _q_snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (operators/snm.py, Hernández &
     Stolfo SIGMOD'95): candidate pairs within a 4-wide sliding window
@@ -6375,6 +6391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_decontaminate": _q_edit_distance_decontaminate,
         "transcripts_turn_path_pairs": _q_tx_turn_path_pairs,
         "snm_candidate_pairs": _q_snm_candidate_pairs,
+        "cosine_pairs_docs": _q_cosine_pairs_docs,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -10026,6 +10043,46 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
               ON a.conv_id < b.conv_id
              AND abs(length(a.p) - length(b.p)) <= 3
             WHERE levenshtein(a.p, b.p) <= 3
+        """,
+        "cosine_pairs_docs": f"""
+            WITH nrm AS (
+                SELECT doc_id, {_NORM_SQL.format(col="text")} AS t
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, u.tok FROM (
+                    SELECT doc_id,
+                           list_filter(string_split(t, ' '),
+                                       x -> x <> '') AS L
+                    FROM nrm
+                ), unnest(L) AS u(tok)
+            ),
+            tf AS (
+                SELECT doc_id, tok, count(*)::DOUBLE AS tf
+                FROM tok GROUP BY 1, 2
+            ),
+            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+            dfr AS (
+                SELECT tok, count(*)::DOUBLE AS dft FROM tf GROUP BY 1
+            ),
+            w AS (
+                SELECT doc_id, tok, tf * ln(n.n / dfr.dft) AS w
+                FROM tf JOIN dfr USING (tok), n
+            ),
+            nn AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nn
+                FROM w GROUP BY 1 HAVING sum(w * w) > 0
+            ),
+            u AS (
+                SELECT w.doc_id, tok, w / nn AS w
+                FROM w JOIN nn USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   sum(a.w * b.w) AS cosine
+            FROM u a JOIN u b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING sum(a.w * b.w) >= 0.9
         """,
         "snm_candidate_pairs": """
             WITH r AS (

@@ -221,6 +221,11 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return similarity_join(docs, threshold=0.5)
 
+    def q_cosine_join():
+        from hyper_spark.operators.cosjoin import cosine_similarity_join
+
+        return cosine_similarity_join(docs, threshold=0.9, tokens="words")
+
     def q_snm_pairs():
         from hyper_spark.operators.snm import sorted_neighborhood_pairs
 
@@ -604,6 +609,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "ssjoin_prefix_docs": q_ssjoin_prefix,
         "edit_join_docs": q_edit_join,
         "snm_pairs_docs": q_snm_pairs,
+        "cosine_join_docs": q_cosine_join,
         "sliding_dd_quantiles": q_sliding_dd,
         "gopher_filter_docs": q_gopher_filter,
         "incremental_near_dedup_docs": q_incremental_near_dedup,
