@@ -2998,6 +2998,43 @@ def _q_priority_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "est_sum", "n_sample_hits")
 
 
+def _q_varopt_sample_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VarOpt-style fixed-size weighted sample (operators/varopt.py::
+    varopt_sample_by — threshold tau from top-k waterfilling, heavies
+    kept exact, systematic PPS over the md5-shuffled light line,
+    Cohen-Duffield-Kaplan-Lund-Thorup SODA 2009 inclusion
+    probabilities). Count weights make every intermediate integer-
+    exact, so the oracle rebuilds weights, tau, the layout cumsum, the
+    grid offset, and the picked set in SQL — full state parity
+    including the adjusted-weight doubles."""
+    from hyper_spark.operators.varopt import varopt_sample_by
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    return varopt_sample_by(
+        ev, "user_id", k=8, by=["event_type"], seed=0
+    ).select("event_type", "user_id", "w", "adjusted", "tau")
+
+
+def _q_varopt_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VarOpt subset-sum estimation: one k=32 sample per event_type
+    answers the post-hoc query 'how many events came from even
+    user_ids' via sum(adjusted) over matching sampled items —
+    Horvitz-Thompson unbiased without rescanning. The oracle replays
+    sample AND estimator in SQL: value parity on the estimates."""
+    from hyper_spark.operators.varopt import (
+        varopt_sample_by,
+        varopt_subset_sum,
+    )
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    s = varopt_sample_by(ev, "user_id", k=32, by=["event_type"], seed=0)
+    return varopt_subset_sum(
+        s, F.col("user_id") % 2 == 0, by=["event_type"]
+    ).select("event_type", "est_sum", "n_sample_hits")
+
+
 def _q_streaming_decay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming forward decay (streaming/decay_stream.py): per-day
     window-anchored partial sums built by Structured Streaming's NATIVE
@@ -6346,6 +6383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_decay_parity": _q_streaming_decay_parity,
         "priority_sample_users": _q_priority_sample_users,
         "priority_subset_sum_events": _q_priority_subset_sum,
+        "varopt_sample_users": _q_varopt_sample_users,
+        "varopt_subset_sum_events": _q_varopt_subset_sum,
         "sliding_hll_users": _q_sliding_hll_users,
         "streaming_sliding_hll_parity": _q_streaming_sliding_hll,
         "hll_beta_within_bound": _q_hll_beta_within_bound,
@@ -9931,6 +9970,129 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
                        AS n_sample_hits
             FROM samp WHERE rn <= 32
             GROUP BY event_type
+        """,
+        "varopt_sample_users": """
+            WITH wtab AS (
+                SELECT event_type, user_id, count(*)::BIGINT AS w
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY event_type, user_id
+            ), tot AS (
+                SELECT event_type, sum(w)::BIGINT AS tw,
+                       count(*) AS n
+                FROM wtab GROUP BY event_type
+            ), ranked AS (
+                SELECT w.*, t.tw, t.n,
+                       row_number() OVER (
+                           PARTITION BY w.event_type
+                           ORDER BY w.w DESC, w.user_id) AS rn,
+                       sum(w.w) OVER (
+                           PARTITION BY w.event_type
+                           ORDER BY w.w DESC, w.user_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM wtab w JOIN tot t USING (event_type)
+            ), cand AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY event_type ORDER BY rn) AS rr
+                FROM ranked
+                WHERE rn <= 8 AND n > 8
+                  AND w * (8 - rn + 1) <= tw - cum + w
+            ), tau_tab AS (
+                SELECT event_type,
+                       (tw - cum + w)::DOUBLE
+                           / (8 - rn + 1)::DOUBLE AS tau
+                FROM cand WHERE rr = 1
+            ), tagged AS (
+                SELECT w.event_type, w.user_id, w.w,
+                       coalesce(t.tau, 0.0) AS tau
+                FROM wtab w LEFT JOIN tau_tab t USING (event_type)
+            ), heavies AS (
+                SELECT event_type, user_id, w::DOUBLE AS w,
+                       w::DOUBLE AS adjusted, tau
+                FROM tagged WHERE tau = 0.0 OR w > tau
+            ), laid AS (
+                SELECT *,
+                       sum(w) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ('0x' || substring(
+                               md5(user_id::VARCHAR || ':0'), 1, 8)
+                               )::BIGINT, user_id
+                           ROWS UNBOUNDED PRECEDING) AS c,
+                       ((('0x' || substring(
+                           md5(event_type || ':0:off'), 1, 8))::BIGINT
+                           + 1) / 4294967296.0) * tau AS u0
+                FROM tagged WHERE tau > 0.0 AND w <= tau
+            ), picked AS (
+                SELECT event_type, user_id, w::DOUBLE AS w,
+                       tau AS adjusted, tau
+                FROM laid
+                WHERE floor((c::DOUBLE - u0) / tau)
+                    > floor((c::DOUBLE - w - u0) / tau)
+            )
+            SELECT * FROM heavies UNION ALL SELECT * FROM picked
+        """,
+        "varopt_subset_sum_events": """
+            WITH wtab AS (
+                SELECT event_type, user_id, count(*)::BIGINT AS w
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY event_type, user_id
+            ), tot AS (
+                SELECT event_type, sum(w)::BIGINT AS tw,
+                       count(*) AS n
+                FROM wtab GROUP BY event_type
+            ), ranked AS (
+                SELECT w.*, t.tw, t.n,
+                       row_number() OVER (
+                           PARTITION BY w.event_type
+                           ORDER BY w.w DESC, w.user_id) AS rn,
+                       sum(w.w) OVER (
+                           PARTITION BY w.event_type
+                           ORDER BY w.w DESC, w.user_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM wtab w JOIN tot t USING (event_type)
+            ), cand AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY event_type ORDER BY rn) AS rr
+                FROM ranked
+                WHERE rn <= 32 AND n > 32
+                  AND w * (32 - rn + 1) <= tw - cum + w
+            ), tau_tab AS (
+                SELECT event_type,
+                       (tw - cum + w)::DOUBLE
+                           / (32 - rn + 1)::DOUBLE AS tau
+                FROM cand WHERE rr = 1
+            ), tagged AS (
+                SELECT w.event_type, w.user_id, w.w,
+                       coalesce(t.tau, 0.0) AS tau
+                FROM wtab w LEFT JOIN tau_tab t USING (event_type)
+            ), heavies AS (
+                SELECT event_type, user_id, w::DOUBLE AS adjusted
+                FROM tagged WHERE tau = 0.0 OR w > tau
+            ), laid AS (
+                SELECT *,
+                       sum(w) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ('0x' || substring(
+                               md5(user_id::VARCHAR || ':0'), 1, 8)
+                               )::BIGINT, user_id
+                           ROWS UNBOUNDED PRECEDING) AS c,
+                       ((('0x' || substring(
+                           md5(event_type || ':0:off'), 1, 8))::BIGINT
+                           + 1) / 4294967296.0) * tau AS u0
+                FROM tagged WHERE tau > 0.0 AND w <= tau
+            ), picked AS (
+                SELECT event_type, user_id, tau AS adjusted
+                FROM laid
+                WHERE floor((c::DOUBLE - u0) / tau)
+                    > floor((c::DOUBLE - w - u0) / tau)
+            ), samp AS (
+                SELECT * FROM heavies UNION ALL SELECT * FROM picked
+            )
+            SELECT event_type,
+                   coalesce(sum(CASE WHEN user_id % 2 = 0
+                       THEN adjusted END), 0.0) AS est_sum,
+                   count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+                       AS n_sample_hits
+            FROM samp GROUP BY event_type
         """,
         "streaming_decay_parity": """
             WITH p AS (
