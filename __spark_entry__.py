@@ -5523,6 +5523,23 @@ def _q_tx_tool_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_ngrams(tx, "conv_id", "turn_idx", "tool", n=3, min_count=2)
 
 
+def _q_tx_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent GAPPED tool subsequences over the transcripts fixture
+    (operators/seqmine.py::frequent_sequences, PrefixSpan semantics):
+    which multi-step tool playbooks recur across conversations, with
+    arbitrary chatter between the steps — the workflows contiguous
+    n-grams (state_ngrams) cannot see. Unbounded gap, so greedy
+    earliest-completion projection == exists-subsequence containment
+    and the DuckDB oracle is a plain ordered self-join enumeration."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.seqmine import frequent_sequences
+
+    tx = _tx(spark)
+    return frequent_sequences(
+        tx, "turn_idx", "tool", ["conv_id"], min_support=100, max_len=3
+    )
+
+
 def _q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day categorical diversity of event_type: exact entropy /
     Gini impurity / majority share from one bounded two-stage
@@ -6241,6 +6258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_covariance_bound": _q_fd_covariance_bound,
         "transcripts_tool_transitions": _q_tx_tool_transitions,
         "transcripts_tool_trigrams": _q_tx_tool_trigrams,
+        "transcripts_frequent_sequences": _q_tx_frequent_sequences,
         "event_type_entropy": _q_event_type_entropy,
         "transcripts_tool_cooccurrence": _q_tx_tool_cooccurrence,
         "theta_pairwise_users": _q_theta_pairwise_users,
@@ -9187,6 +9205,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT from_state, to_state, count(*)::BIGINT AS n
             FROM pairs GROUP BY from_state, to_state
+        """,
+        "transcripts_frequent_sequences": f"""
+            WITH turns AS (
+                SELECT conv_id, turn_idx, tool
+                FROM {_TX_GATE_SQL} WHERE tool IS NOT NULL
+            ),
+            l1 AS (
+                SELECT tool AS pattern, 1 AS length,
+                       count(DISTINCT conv_id)::BIGINT AS support
+                FROM turns GROUP BY tool
+                HAVING count(DISTINCT conv_id) >= 100
+            ),
+            l2 AS (
+                SELECT a.tool || '→' || b.tool AS pattern, 2 AS length,
+                       count(DISTINCT a.conv_id)::BIGINT AS support
+                FROM turns a
+                JOIN turns b ON a.conv_id = b.conv_id
+                            AND b.turn_idx > a.turn_idx
+                GROUP BY a.tool, b.tool
+                HAVING count(DISTINCT a.conv_id) >= 100
+            ),
+            l3 AS (
+                SELECT a.tool || '→' || b.tool || '→' || c.tool AS pattern,
+                       3 AS length,
+                       count(DISTINCT a.conv_id)::BIGINT AS support
+                FROM turns a
+                JOIN turns b ON a.conv_id = b.conv_id
+                            AND b.turn_idx > a.turn_idx
+                JOIN turns c ON b.conv_id = c.conv_id
+                            AND c.turn_idx > b.turn_idx
+                GROUP BY a.tool, b.tool, c.tool
+                HAVING count(DISTINCT a.conv_id) >= 100
+            )
+            SELECT * FROM l1
+            UNION ALL SELECT * FROM l2
+            UNION ALL SELECT * FROM l3
         """,
         "transcripts_tool_trigrams": f"""
             WITH seq AS (

@@ -365,6 +365,16 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return bm25_topk(docs, "spark merge vector", top_k=10)
 
+    def q_frequent_sequences():
+        from hyper_spark.operators.seqmine import frequent_sequences
+
+        tx = spark.read.parquet(tx_path)
+        # same 4%-of-convs support floor as the sf0.01 gate (100/2500)
+        sup = max(2, int(0.04 * 250_000 * SF))
+        return frequent_sequences(
+            tx, "turn_idx", "tool", ["conv_id"], min_support=sup, max_len=3
+        )
+
     def q_conversation_stats():
         from hyper_spark.operators.conversations import conversation_stats
 
@@ -626,6 +636,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "tool_cooccurrence": q_tool_cooccurrence,
         "bm25_search_docs": q_bm25_search,
         "conversation_stats": q_conversation_stats,
+        "frequent_sequences_tools": q_frequent_sequences,
         "rolling_features_events": q_rolling_features,
         "resample_ohlc_events": q_resample_ohlc,
         "kmeans_profile_embeddings": q_kmeans,
