@@ -5540,6 +5540,46 @@ def _q_tx_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user busy-time coverage treating each event as an interval
+    [ts, ts + value seconds] (operators/intervals.py::interval_coverage):
+    overlap counted once via the gaps-and-islands sweep — one window
+    shuffle, replayed verbatim by the oracle's window SQL."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.intervals import interval_coverage
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("double").alias("s"),
+            (F.col("ts").cast("timestamp").cast("double") + F.col("value")).alias("e"),
+        )
+    )
+    return interval_coverage(ev, ["user_id"], "s", "e")
+
+
+def _q_max_concurrency_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user peak simultaneous open intervals under half-open
+    [s, e) semantics (operators/intervals.py::max_concurrency): the
+    +1/-1 event sweep with ends-before-starts tie order, peak + its
+    earliest instant from one partitioning."""
+    _ensure_pkg(spark)
+    from hyper_spark.operators.intervals import max_concurrency
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("double").alias("s"),
+            (F.col("ts").cast("timestamp").cast("double") + F.col("value")).alias("e"),
+        )
+    )
+    return max_concurrency(ev, ["user_id"], "s", "e")
+
+
 def _q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day categorical diversity of event_type: exact entropy /
     Gini impurity / majority share from one bounded two-stage
@@ -6259,6 +6299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_tool_transitions": _q_tx_tool_transitions,
         "transcripts_tool_trigrams": _q_tx_tool_trigrams,
         "transcripts_frequent_sequences": _q_tx_frequent_sequences,
+        "interval_coverage_users": _q_interval_coverage_users,
+        "max_concurrency_users": _q_max_concurrency_users,
         "event_type_entropy": _q_event_type_entropy,
         "transcripts_tool_cooccurrence": _q_tx_tool_cooccurrence,
         "theta_pairwise_users": _q_theta_pairwise_users,
@@ -9205,6 +9247,72 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT from_state, to_state, count(*)::BIGINT AS n
             FROM pairs GROUP BY from_state, to_state
+        """,
+        "interval_coverage_users": """
+            WITH iv AS (
+                SELECT user_id, epoch(ts) AS s, epoch(ts) + value AS e
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND epoch(ts) + value >= epoch(ts)
+            ),
+            flagged AS (
+                SELECT user_id, s, e,
+                       CASE WHEN max(e) OVER w IS NULL
+                                 OR s > max(e) OVER w
+                            THEN 1 ELSE 0 END AS new_span
+                FROM iv
+                WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+            ),
+            islands AS (
+                SELECT user_id, s, e,
+                       sum(new_span) OVER (
+                           PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS isl
+                FROM flagged
+            ),
+            spans AS (
+                SELECT user_id, isl, min(s) AS ss, max(e) AS se,
+                       count(*) AS n
+                FROM islands GROUP BY user_id, isl
+            )
+            SELECT user_id,
+                   sum(se - ss) AS covered,
+                   count(*)::BIGINT AS n_spans,
+                   sum(n)::BIGINT AS n_intervals,
+                   max(se - ss) AS longest_span
+            FROM spans GROUP BY user_id
+        """,
+        "max_concurrency_users": """
+            WITH iv AS (
+                SELECT user_id, epoch(ts) AS s, epoch(ts) + value AS e
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND epoch(ts) + value >= epoch(ts)
+            ),
+            ev AS (
+                SELECT user_id, s AS t, 1 AS d FROM iv
+                UNION ALL
+                SELECT user_id, e AS t, -1 AS d FROM iv
+            ),
+            run AS (
+                SELECT user_id, t,
+                       sum(d) OVER (
+                           PARTITION BY user_id ORDER BY t, d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS open
+                FROM ev
+            ),
+            peaked AS (
+                SELECT user_id, t, open,
+                       max(open) OVER (PARTITION BY user_id) AS peak
+                FROM run
+            )
+            SELECT user_id, max(peak)::BIGINT AS peak,
+                   min(t) AS peak_at
+            FROM peaked WHERE open = peak GROUP BY user_id
         """,
         "transcripts_frequent_sequences": f"""
             WITH turns AS (

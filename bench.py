@@ -365,6 +365,30 @@ def bench_queries(spark: SparkSession, sf_dir: str):
 
         return bm25_topk(docs, "spark merge vector", top_k=10)
 
+    def q_interval_coverage():
+        from pyspark.sql import functions as FF
+
+        from hyper_spark.operators.intervals import interval_coverage
+
+        iv = events.select(
+            "user_id",
+            FF.col("ts").cast("timestamp").cast("double").alias("s"),
+            (FF.col("ts").cast("timestamp").cast("double") + FF.col("value")).alias("e"),
+        )
+        return interval_coverage(iv, ["user_id"], "s", "e")
+
+    def q_max_concurrency():
+        from pyspark.sql import functions as FF
+
+        from hyper_spark.operators.intervals import max_concurrency
+
+        iv = events.select(
+            "user_id",
+            FF.col("ts").cast("timestamp").cast("double").alias("s"),
+            (FF.col("ts").cast("timestamp").cast("double") + FF.col("value")).alias("e"),
+        )
+        return max_concurrency(iv, ["user_id"], "s", "e")
+
     def q_frequent_sequences():
         from hyper_spark.operators.seqmine import frequent_sequences
 
@@ -637,6 +661,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "bm25_search_docs": q_bm25_search,
         "conversation_stats": q_conversation_stats,
         "frequent_sequences_tools": q_frequent_sequences,
+        "interval_coverage_users": q_interval_coverage,
+        "max_concurrency_users": q_max_concurrency,
         "rolling_features_events": q_rolling_features,
         "resample_ohlc_events": q_resample_ohlc,
         "kmeans_profile_embeddings": q_kmeans,
