@@ -809,6 +809,30 @@ def _q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_bound_df(spark, events, "value", "kll")
 
 
+def _q_req_tail_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REQ sketch (kernel/req.py, Cormode et al. PODS 2021) tail
+    quantiles: rank error must shrink PROPORTIONALLY to distance from
+    the max — |est_rank − q| ≤ 0.15·(1 − q) (+ a 5/n discreteness
+    floor), a bound KLL cannot meet at q=0.999 (tests/test_req.py
+    asserts the head-to-head). Build/merge is the same mapInPandas
+    partial + groupBy state-merge shape as kll_by; raw values never
+    shuffle."""
+    from hyper_spark.operators.quantiles import quantiles_by
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    qs = [0.5, 0.9, 0.99, 0.999]
+    got = quantiles_by(events, [], "value", qs, method="req").collect()[0]
+    n = events.count()
+    rows = []
+    for q in qs:
+        est = got[f"q_{int(q * 1000):04d}"]
+        rank = events.filter(F.col("value") <= est).count() / n
+        bound = max(0.15 * (1 - q), 5.0 / n)
+        rows.append(Row(q=float(q), within_rel=bool(abs(rank - q) <= bound)))
+    return spark.createDataFrame(rows)
+
+
 def _q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     events = _read(spark, sf_dir, "events")
@@ -6166,6 +6190,7 @@ _DRIVER_WINDOW = [
     "compaction_roundtrip",
     "rate_gaps_hourly",
     "numeric_drift_value",
+    "req_tail_quantiles",
     "bpe_merges_docs",
     "fd_covariance_bound",
     "theta_pairwise_users",
@@ -6289,6 +6314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_spikes_hourly": _q_rate_spikes,
         "rate_gaps_hourly": _q_rate_gaps,
         "numeric_drift_value": _q_numeric_drift,
+        "req_tail_quantiles": _q_req_tail_quantiles,
         "compaction_roundtrip": _q_compaction_roundtrip,
         "bpe_merges_docs": _q_bpe_merges,
         "mixture_plan_docs": _q_mixture_plan,
@@ -8271,6 +8297,10 @@ def oracle_sql() -> dict[str, str]:
         "kll_value_quantiles": (
             "SELECT * FROM (VALUES (0.1::DOUBLE, true), (0.5::DOUBLE, true), "
             "(0.9::DOUBLE, true), (0.99::DOUBLE, true)) AS t(q, within_eps)"
+        ),
+        "req_tail_quantiles": (
+            "SELECT * FROM (VALUES (0.5::DOUBLE, true), (0.9::DOUBLE, true), "
+            "(0.99::DOUBLE, true), (0.999::DOUBLE, true)) AS t(q, within_rel)"
         ),
         "tdigest_value_quantiles": (
             "SELECT * FROM (VALUES (0.1::DOUBLE, true), (0.5::DOUBLE, true), "

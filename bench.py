@@ -112,6 +112,11 @@ def bench_queries(spark: SparkSession, sf_dir: str):
     def q_kll_price():
         return quantiles_by(lineitem, [], "l_extendedprice", [0.5, 0.9, 0.99], "kll")
 
+    def q_req_price_tail():
+        return quantiles_by(
+            lineitem, [], "l_extendedprice", [0.99, 0.999, 0.9999], "req"
+        )
+
     def q_tdigest_price_by_flag():
         return quantiles_by(
             lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.99], "tdigest"
@@ -626,6 +631,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "heavy_hitters_suppkey": q_heavy_hitters,
         "heavy_hitters_xxhash": q_heavy_hitters_xxh,
         "kll_price": q_kll_price,
+        "req_price_tail": q_req_price_tail,
         "tdigest_price_by_flag": q_tdigest_price_by_flag,
         "moments_price_by_flag": q_moments_price_by_flag,
         "exact_dedup_docs": q_exact_dedup,

@@ -31,16 +31,25 @@ from pyspark.sql.types import (
 )
 
 from hyper_spark.kernel.kll import KllSketch
+from hyper_spark.kernel.req import ReqSketch
 from hyper_spark.kernel.tdigest import TDigest
 
 __all__ = [
     "kll_by",
     "tdigest_by",
+    "req_by",
     "quantiles_by",
     "sketch_quantiles",
     "sketch_ranks",
     "ranks_by",
 ]
+
+_KINDS = {
+    "kll": lambda p: KllSketch(int(p)),
+    "tdigest": lambda p: TDigest(p),
+    "req": lambda p: ReqSketch(int(p)),
+}
+_CLASSES = {"kll": KllSketch, "tdigest": TDigest, "req": ReqSketch}
 
 _GROUP_COL = "__q_group"
 
@@ -56,7 +65,7 @@ def _build_fn(kind: str, param: float, keys: Sequence[str], col: str):
         acc: dict[tuple, object] = {}
 
         def new_sketch():
-            return KllSketch(int(param)) if kind == "kll" else TDigest(param)
+            return _KINDS[kind](param)
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -85,7 +94,7 @@ def _build_fn(kind: str, param: float, keys: Sequence[str], col: str):
 
 def _merge_fn(kind: str, keys: Sequence[str]):
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        cls = KllSketch if kind == "kll" else TDigest
+        cls = _CLASSES[kind]
         sketches = [cls.from_dict(json.loads(s)) for s in pdf["state"]]
         out_sk = sketches[0]
         for s in sketches[1:]:
@@ -128,6 +137,19 @@ def tdigest_by(
     return _sketch_by(df, list(keys), col, "tdigest", delta)
 
 
+def req_by(
+    df: DataFrame, keys: Sequence[str], col: str | Column, k: int = 32
+) -> DataFrame:
+    """One REQ sketch per group (kernel/req.py — RELATIVE rank error,
+    exact-grade at the upper tail): DataFrame[*keys, kind, n, state].
+
+    Use instead of ``kll_by`` when the question is a tail SLO (p99.9+
+    turn latency over 10^12 turns): KLL's ± eps·n uniform band swamps
+    the tail; REQ's band shrinks proportionally to distance from the
+    max. Same build/merge shape — the raw column never shuffles."""
+    return _sketch_by(df, list(keys), col, "req", k)
+
+
 def sketch_quantiles(
     sketch_df: DataFrame, qs: Sequence[float], keys: Sequence[str] = ()
 ) -> DataFrame:
@@ -142,7 +164,7 @@ def sketch_quantiles(
 
     def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
         kind = pdf["kind"].iloc[0]
-        cls = KllSketch if kind == "kll" else TDigest
+        cls = _CLASSES[kind]
         sk = cls.from_dict(json.loads(pdf["state"].iloc[0]))
         for s in pdf["state"].iloc[1:]:
             sk = sk.merge(cls.from_dict(json.loads(s)))
@@ -163,8 +185,8 @@ def sketch_ranks(
     """The inverse of ``sketch_quantiles``: the CDF at each probe
     value — DataFrame[*keys, value, rank] (long format, one row per
     (group, value)), where ``rank`` is the estimated fraction of items
-    ≤ value. KLL states only: its rank estimator carries the same
-    ±O(1/k) normalized-rank guarantee as its quantiles; t-digest is a
+    ≤ value. KLL states (uniform ±O(1/k) rank bound) and REQ states
+    (relative bound, tight at high ranks) only: t-digest is a
     quantile-domain structure and would silently degrade near the
     median, so it is refused rather than mis-served.
 
@@ -186,14 +208,15 @@ def sketch_ranks(
 
     def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
         kind = pdf["kind"].iloc[0]
-        if kind != "kll":
+        if kind not in ("kll", "req"):
             raise ValueError(
-                f"sketch_ranks needs KLL states (got {kind!r}); t-digest "
-                "does not expose a bounded-error rank"
+                f"sketch_ranks needs KLL or REQ states (got {kind!r}); "
+                "t-digest does not expose a bounded-error rank"
             )
-        sk = KllSketch.from_dict(json.loads(pdf["state"].iloc[0]))
+        cls = _CLASSES[kind]
+        sk = cls.from_dict(json.loads(pdf["state"].iloc[0]))
         for s in pdf["state"].iloc[1:]:
-            sk = sk.merge(KllSketch.from_dict(json.loads(s)))
+            sk = sk.merge(cls.from_dict(json.loads(s)))
         out = {k: [pdf[k].iloc[0]] * len(values) for k in keys}
         out["value"] = values
         out["rank"] = [float(sk.rank(v)) for v in values]
@@ -229,6 +252,8 @@ def quantiles_by(
         sk = kll_by(df, keys, col, int(param or 200))
     elif method == "tdigest":
         sk = tdigest_by(df, keys, col, float(param or 200.0))
+    elif method == "req":
+        sk = req_by(df, keys, col, int(param or 32))
     else:
         raise ValueError(f"unknown method {method!r}")
     return sketch_quantiles(sk, qs, keys)
