@@ -5393,6 +5393,17 @@ def _q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_distinct_sample_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform sample of the DISTINCT user set (operators/sampling.py::
+    distinct_sample — KMV bottom-n over md5, hot keys appear once,
+    hash prefilter keeps the dedup exchange at ~oversample×n rows).
+    Deterministic, so the oracle replays the exact same 40 users."""
+    from hyper_spark.operators.sampling import distinct_sample
+
+    events = _read(spark, sf_dir, "events")
+    return distinct_sample(events, "user_id", 40, seed=0, oversample=8.0)
+
+
 def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis–Spirakis A-ES):
     longer documents (weight = n_chars) sample proportionally more, yet
@@ -6352,6 +6363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_exact": _q_knn_join_exact,
         "hash_split_assignments": _q_hash_split_assignments,
         "hash_sample_docs": _q_hash_sample_docs,
+        "distinct_sample_users": _q_distinct_sample_users,
         "stratified_sample_langs": _q_stratified_sample_langs,
         "deterministic_sample_top": _q_deterministic_sample_top,
         "weighted_sample_docs": _q_weighted_sample_docs,
@@ -7659,6 +7671,11 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_docs": (
             "SELECT doc_id FROM documents "
             f"WHERE {draw(7)} < '{_hex_threshold(0.2)}'"
+        ),
+        "distinct_sample_users": (
+            "SELECT user_id FROM ("
+            "SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) "
+            "ORDER BY substring(md5(user_id || ':0'), 1, 8), user_id LIMIT 40"
         ),
         "stratified_sample_langs": (
             "SELECT doc_id, lang FROM documents WHERE "

@@ -33,6 +33,7 @@ __all__ = [
     "hash_split",
     "hash_sample",
     "deterministic_sample",
+    "distinct_sample",
 ]
 
 _HASH_BITS = 32
@@ -215,3 +216,60 @@ def deterministic_sample(
     if hash_col:
         return out.withColumnRenamed("__h", hash_col)
     return out.drop("__h")
+
+
+def distinct_sample(
+    df: DataFrame,
+    on: str | Sequence[str],
+    n: int,
+    seed: str | int = 0,
+    oversample: float = 8.0,
+) -> DataFrame:
+    """Exact-``n`` uniform sample of the DISTINCT key set — "give me
+    500 random users", not 500 random rows (where heavy users would
+    dominate). ``deterministic_sample`` cannot answer this: equal keys
+    share a hash, so its bottom-n can be n copies of one hot key.
+
+    KMV property: the n smallest ``md5(key||':'||seed)`` values over
+    the distinct set are a uniform without-replacement sample of it,
+    and a pure function of (keys, seed) — re-runs, re-partitions, and
+    the DuckDB oracle all reproduce the same set row-for-row. Ties
+    break on the key string (md5 collisions on distinct keys ~2^-32).
+
+    Scale shape: when the estimated distinct count is large, a hash
+    PREFILTER (``__h < threshold`` with ``oversample × n`` expected
+    survivors) runs inside whole-stage codegen at the scan, so the
+    dedup exchange carries ~8n candidate rows instead of every
+    distinct key — the difference between a metadata-sized shuffle
+    and a 10^10-key shuffle at transcript scale. Survivorship below n
+    is a Chernoff-tail event (P < e^{-n}); the guard re-runs without
+    the filter rather than returning short, so the output is exact-n
+    whenever n distinct keys exist. One approx_count_distinct pass
+    decides whether the prefilter is safe to engage.
+
+    NULL keys are excluded (a NULL is not a sampleable identity) —
+    the oracle mirrors with ``WHERE key IS NOT NULL``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    base = df.select(*keys).na.drop()
+    # \x1f separator: unambiguous multi-column key ("a:b","c" vs "a","b:c")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys])
+    h = split_hash_col(key, seed)
+
+    def bottom_n(tagged: DataFrame) -> DataFrame:
+        return (
+            tagged.dropDuplicates(keys)
+            .orderBy(F.col("__h"), key)
+            .limit(n)
+            .drop("__h")
+        )
+
+    tagged = base.withColumn("__h", h)
+    est = base.agg(F.approx_count_distinct(F.struct(*keys))).collect()[0][0]
+    if est > oversample * n:
+        frac = min(1.0, oversample * n / est)
+        pre = tagged.filter(F.col("__h") < F.lit(_hex_threshold(frac)))
+        sample = bottom_n(pre)
+        if sample.count() >= n:
+            return sample
+    return bottom_n(tagged)

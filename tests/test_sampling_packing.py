@@ -11,6 +11,7 @@ from hyper_spark.operators.dedup import incremental_dedup
 from hyper_spark.operators.packing import chunk_stats, pack_offsets
 from hyper_spark.operators.sampling import (
     deterministic_sample,
+    distinct_sample,
     hash_sample,
     hash_split,
     split_hash_col,
@@ -488,3 +489,54 @@ def test_load_table_parquet_wins_over_catalog(spark, sf_correct):
         assert "user_id" in ev.columns  # the parquet table, not the fake
     finally:
         spark.sql("DROP TABLE IF EXISTS events")
+
+
+def test_distinct_sample_uniform_over_distinct_set(spark):
+    """Bottom-n of md5 over the DISTINCT keys, regardless of row
+    multiplicity — the hot key appears at most once."""
+    rows = [(i % 200, "x") for i in range(5000)]  # 200 keys, heavy dups
+    rows += [(0, "hot")] * 2000  # key 0 is 10% of all rows
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = sorted(r["k"] for r in distinct_sample(df, "k", 30, seed=3).collect())
+    expected = sorted(
+        sorted(range(200), key=lambda k: (_draw(str(k), "3"), str(k)))[:30]
+    )
+    assert got == expected
+    assert len(set(got)) == 30
+
+
+def test_distinct_sample_prefilter_matches_unfiltered(spark):
+    """The hash-threshold scale path selects the identical set as the
+    plain bottom-n (the filter can only prune keys above the n-th)."""
+    df = spark.createDataFrame([(i,) for i in range(20000)], ["k"])
+    pre = distinct_sample(df, "k", 25, seed=1, oversample=4.0)
+    full = distinct_sample(df, "k", 25, seed=1, oversample=1e9)
+    assert sorted(r["k"] for r in pre.collect()) == sorted(
+        r["k"] for r in full.collect()
+    )
+
+
+def test_distinct_sample_row_multiplicity_invariant(spark):
+    a = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    b = a.unionByName(a).unionByName(a)  # 3x duplication
+    sa = sorted(r["k"] for r in distinct_sample(a, "k", 20, seed=7).collect())
+    sb = sorted(r["k"] for r in distinct_sample(b, "k", 20, seed=7).collect())
+    assert sa == sb
+
+
+def test_distinct_sample_multicol_and_nulls(spark):
+    rows = [("u1", "click"), ("u1", "view"), (None, "click"), ("u2", None)]
+    rows += [(f"u{i}", "view") for i in range(3, 50)]
+    df = spark.createDataFrame(rows, ["u", "e"])
+    got = distinct_sample(df, ["u", "e"], 10, seed=0).collect()
+    assert len(got) == 10
+    assert all(r["u"] is not None and r["e"] is not None for r in got)
+    # deterministic: second run identical
+    again = distinct_sample(df, ["u", "e"], 10, seed=0).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_distinct_sample_n_exceeds_distinct(spark):
+    df = spark.createDataFrame([(i % 5,) for i in range(100)], ["k"])
+    got = distinct_sample(df, "k", 50).collect()
+    assert sorted(r["k"] for r in got) == [0, 1, 2, 3, 4]
