@@ -150,6 +150,19 @@ def req_by(
     return _sketch_by(df, list(keys), col, "req", k)
 
 
+def _q_name(q: float) -> str:
+    """Column name for probe ``q``: ``q_0500`` for 3-decimal probes
+    (stable with every existing oracle), extended with exactly the
+    digits needed for finer ones — ``q_09999`` for 0.9999. The old
+    unconditional ``int(q*1000)`` collapsed 0.999 and 0.9999 onto one
+    name, which REQ tail probes (its whole point) always hit."""
+    for k in range(3, 10):
+        scaled = q * 10**k
+        if abs(scaled - round(scaled)) < 1e-6:
+            return f"q_{int(round(scaled)):0{k + 1}d}"
+    return f"q_{int(q * 1e9):010d}"
+
+
 def sketch_quantiles(
     sketch_df: DataFrame, qs: Sequence[float], keys: Sequence[str] = ()
 ) -> DataFrame:
@@ -157,7 +170,9 @@ def sketch_quantiles(
     ``q_<percent>`` columns."""
     keys = list(keys)
     qs = list(qs)
-    fields = [StructField(f"q_{int(q * 1000):04d}", DoubleType(), True) for q in qs]
+    fields = [StructField(_q_name(q), DoubleType(), True) for q in qs]
+    if len({f.name for f in fields}) != len(fields):
+        raise ValueError(f"duplicate quantile probes: {qs}")
     schema = StructType(
         ([sketch_df.schema[k] for k in keys] if keys else []) + fields
     )

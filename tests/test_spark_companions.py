@@ -798,3 +798,28 @@ def test_cooccurrence_max_per_key_excludes_megakey(spark):
 
     with _pytest.raises(ValueError):
         cooccurrence(df, "k", "v", max_per_key=1)
+
+
+def test_quantile_tail_probe_names_distinct(spark):
+    """0.999 and 0.9999 must land in DIFFERENT columns (the old
+    int(q*1000) name collapsed them — exactly the probes REQ exists
+    for) while 3-decimal probes keep their historical names."""
+    from hyper_spark.operators.quantiles import _q_name, req_by
+
+    assert _q_name(0.5) == "q_0500"
+    assert _q_name(0.9) == "q_0900"
+    assert _q_name(0.999) == "q_0999"
+    assert _q_name(0.9999) == "q_09999"
+    assert _q_name(0.99999) == "q_099999"
+
+    df = spark.range(100000).select((F.col("id") + 1).cast("double").alias("v"))
+    sk = req_by(df, [], "v", 32)
+    row = sketch_quantiles(sk, [0.5, 0.999, 0.9999]).collect()[0]
+    assert set(row.asDict()) == {"q_0500", "q_0999", "q_09999"}
+    # REQ tail estimates are near-exact: distinct probes, distinct values
+    assert row["q_09999"] > row["q_0999"] > row["q_0500"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sketch_quantiles(sk, [0.5, 0.5]).collect()
