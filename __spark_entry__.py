@@ -2253,6 +2253,25 @@ def _q_dd_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "q", "est")
 
 
+def _q_dd_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED DDSketch quantiles (operators/ddsketch.py::dd_by with
+    weight=, dd_quantiles weighted=True): per-lang doc-length quantiles
+    weighted by the length itself — "the median CHARACTER of the corpus
+    lives in a document of ~est chars", the token-mass view a training
+    pipeline actually budgets by (a p50 over documents says nothing
+    about where the token mass is). Bucket mass = SUM(weight) instead
+    of COUNT; first bucket whose cumulative mass reaches q*W. Whole
+    lifecycle still JVM codegen; the oracle replays the identical
+    bucket walk with the same masses."""
+    from hyper_spark.operators.ddsketch import dd_quantiles_by
+
+    _ensure_pkg(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return dd_quantiles_by(
+        docs, ["lang"], "n_chars", [0.5, 0.9], alpha=0.01, weight="n_chars"
+    ).select("lang", "q", "est")
+
+
 def _q_streaming_dd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DDSketch (streaming/dd_stream.py): per-day windowed
     bucket tables built by Structured Streaming's NATIVE windowed
@@ -6463,6 +6482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_event_types": _q_pagerank_event_types,
         "dd_sketch_events": _q_dd_sketch_events,
         "dd_value_quantiles": _q_dd_value_quantiles,
+        "dd_weighted_quantiles": _q_dd_weighted_quantiles,
         "countsketch_user_estimates": _q_countsketch_user_estimates,
         "ams_f2_users": _q_ams_f2_users,
         "ams_join_size": _q_ams_join_size,
@@ -7416,6 +7436,65 @@ hits AS (
            PARTITION BY {g}, q ORDER BY sr, sb) AS rk
   FROM cum CROSS JOIN (VALUES {qvals}) AS qs(q)
   WHERE cum >= floor(q * (n - 1)) + 1
+)
+SELECT {g}, q, {est} AS est FROM hits WHERE rk = 1"""
+
+
+def _dd_weighted_quantiles_oracle_sql(
+    alpha: float,
+    qs: tuple[float, ...],
+    table: str,
+    col: str,
+    weight: str,
+    group_expr: str,
+    group_alias: str,
+) -> str:
+    """Replays the WEIGHTED dd_quantiles walk: bucket mass =
+    SUM(weight), first bucket (global value order) whose cumulative
+    mass reaches q * total_mass. Rows with non-positive weight carry
+    no mass (ddsketch.py::dd_by weight contract)."""
+    import math as _math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = _math.log(gamma)
+    qvals = ", ".join(f"({q!r}::DOUBLE)" for q in qs)
+    g = group_alias
+    est = (
+        f"CASE store WHEN '0' THEN 0.0 "
+        f"WHEN '+' THEN 2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0) "
+        f"ELSE -2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0) END"
+    )
+    return f"""
+WITH sk AS (
+  SELECT {group_expr} AS {g},
+         CASE WHEN {col} > 0 THEN '+'
+              WHEN {col} < 0 THEN '-' ELSE '0' END AS store,
+         CASE WHEN {col} <> 0
+              THEN ceil(ln(abs({col})) / {lg!r})::BIGINT
+              ELSE 0 END AS bucket,
+         sum(({weight})::DOUBLE) AS bucket_count
+  FROM {table} WHERE {col} IS NOT NULL AND {weight} > 0
+  GROUP BY 1, 2, 3
+),
+ord AS (
+  SELECT *,
+         CASE store WHEN '-' THEN -1 WHEN '0' THEN 0 ELSE 1 END AS sr,
+         CASE WHEN store = '-' THEN -bucket ELSE bucket END AS sb
+  FROM sk
+),
+cum AS (
+  SELECT *,
+         sum(bucket_count) OVER (
+           PARTITION BY {g} ORDER BY sr, sb) AS cum,
+         sum(bucket_count) OVER (PARTITION BY {g}) AS n
+  FROM ord
+),
+hits AS (
+  SELECT {g}, q, store, bucket,
+         row_number() OVER (
+           PARTITION BY {g}, q ORDER BY sr, sb) AS rk
+  FROM cum CROSS JOIN (VALUES {qvals}) AS qs(q)
+  WHERE cum >= q * n
 )
 SELECT {g}, q, {est} AS est FROM hits WHERE rk = 1"""
 
@@ -9677,6 +9756,15 @@ def oracle_sql() -> dict[str, str]:
         "dd_sketch_events": _dd_sketch_oracle_sql(alpha=0.01),
         "dd_value_quantiles": _dd_quantiles_oracle_sql(
             alpha=0.01, qs=(0.5, 0.9, 0.99)
+        ),
+        "dd_weighted_quantiles": _dd_weighted_quantiles_oracle_sql(
+            alpha=0.01,
+            qs=(0.5, 0.9),
+            table="documents",
+            col="n_chars",
+            weight="n_chars",
+            group_expr="lang",
+            group_alias="lang",
         ),
         "countsketch_user_estimates": _cs_estimates_oracle_sql(
             depth=5, width=64

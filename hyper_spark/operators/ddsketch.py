@@ -86,7 +86,11 @@ def dd_bucket_col(col: Column, alpha: float) -> tuple[Column, Column]:
 
 
 def dd_by(
-    df: DataFrame, keys: Sequence[str], col: str | Column, alpha: float = 0.01
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    alpha: float = 0.01,
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """One DDSketch per group: DataFrame[*keys, store, bucket, count].
 
@@ -95,15 +99,33 @@ def dd_by(
     quantile evaluation all stay in Catalyst (and the state is readable
     by any SQL engine — the oracle recomputes it verbatim). NULLs are
     skipped, matching the null contract of sketch_by/cms_by.
+
+    ``weight`` turns the sketch into a WEIGHTED quantile state: bucket
+    mass = SUM(weight) instead of COUNT — "of all TOKENS, what document
+    length did the median token see", not "of all documents". Still
+    pure integer/double aggregation: same shuffle bound (stores ×
+    buckets rows per partition), same lossless merge, same bit-identical
+    result at any parallelism. Rows with NULL or non-positive weight
+    contribute nothing (a weight is a mass, not a signed delta — use
+    the count-sketch family for turnstile semantics). Evaluate with
+    ``dd_quantiles(..., weighted=True)``.
     """
     c = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
     store, bucket = dd_bucket_col(c, alpha)
+    base = df.filter(c.isNotNull())
+    cols = [store.alias("store"), bucket.alias("bucket")]
+    if weight is None:
+        mass = F.count(F.lit(1))
+    else:
+        w = F.col(weight) if isinstance(weight, str) else weight
+        base = base.filter(w > 0)
+        cols.append(w.cast("double").alias("__w"))
+        mass = F.sum("__w")
     return (
-        df.filter(c.isNotNull())
-        .select(*keys, store.alias("store"), bucket.alias("bucket"))
+        base.select(*keys, *cols)
         .groupBy(*keys, "store", "bucket")
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(mass.alias("count"))
     )
 
 
@@ -166,6 +188,7 @@ def dd_quantiles(
     qs: Sequence[float],
     keys: Sequence[str] = (),
     alpha: float = 0.01,
+    weighted: bool = False,
 ) -> DataFrame:
     """Evaluate quantiles from bucket rows: DataFrame[*keys, q, est]
     (long format). ``alpha`` must match the build.
@@ -174,6 +197,11 @@ def dd_quantiles(
     value order, whose cumulative count covers rank+1 items. Implemented
     as one cumulative-sum window + a broadcast probe of the (tiny) qs
     literal + a min-struct aggregate — all codegen, no Python.
+
+    ``weighted=True`` (for states built with ``dd_by(..., weight=...)``)
+    switches to the mass convention: the answer is the first bucket
+    whose cumulative weight reaches ``q × total_weight`` — the integer
+    rank formula is meaningless when counts are continuous masses.
     """
     gamma = _gamma(alpha)
     keys = list(keys)
@@ -198,10 +226,14 @@ def dd_quantiles(
     )
     spark = sketch_df.sparkSession
     probes = spark.createDataFrame([(q,) for q in qs], "q double")
-    hits = ranked.join(F.broadcast(probes)).filter(
-        F.col("__cum")
-        >= F.floor(F.col("q") * (F.col("__n") - 1)).cast("long") + 1
-    )
+    if weighted:
+        covers = F.col("__cum") >= F.col("q") * F.col("__n")
+    else:
+        covers = (
+            F.col("__cum")
+            >= F.floor(F.col("q") * (F.col("__n") - 1)).cast("long") + 1
+        )
+    hits = ranked.join(F.broadcast(probes)).filter(covers)
     est = (
         F.when(F.col("store") == "0", F.lit(0.0))
         .when(
@@ -230,11 +262,13 @@ def dd_quantiles_by(
     qs: Sequence[float] = (0.5, 0.9, 0.99),
     alpha: float = 0.01,
     max_buckets: int | None = None,
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """End-to-end grouped relative-error quantiles: build, optionally
     collapse to ``max_buckets``, evaluate. One shuffle for the build,
-    one window pass for the eval."""
-    sk = dd_by(df, keys, col, alpha)
+    one window pass for the eval. ``weight`` gives mass-weighted
+    quantiles ("half of all tokens live in docs longer than X")."""
+    sk = dd_by(df, keys, col, alpha, weight=weight)
     if max_buckets is not None:
         sk = dd_collapse(sk, keys, max_buckets)
-    return dd_quantiles(sk, qs, keys, alpha)
+    return dd_quantiles(sk, qs, keys, alpha, weighted=weight is not None)

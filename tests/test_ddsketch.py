@@ -199,3 +199,84 @@ def test_sql_construction_matches_dd_by(spark):
         "SELECT dd_bucket_value('-', 3L, 0.01) AS v"
     ).collect()[0]["v"]
     assert neg == -2.0 * gamma**3 / (gamma + 1.0)
+
+
+def exact_weighted_quantile(values, weights, q):
+    """First value (ascending) whose cumulative weight reaches q*W."""
+    order = np.argsort(np.asarray(values, dtype=np.float64), kind="stable")
+    vs = np.asarray(values, dtype=np.float64)[order]
+    ws = np.asarray(weights, dtype=np.float64)[order]
+    cum = np.cumsum(ws)
+    return float(vs[int(np.searchsorted(cum, q * cum[-1]))])
+
+
+def test_weighted_quantiles_within_bound(spark):
+    """|est - x_q^w| <= alpha * x_q^w against the exact weighted
+    quantile — the paper's guarantee holds per unit of MASS, since a
+    weight w is indistinguishable from w unit rows in the same bucket."""
+    rng = np.random.default_rng(11)
+    vals = np.exp(rng.normal(3.0, 1.5, 3000))
+    ws = rng.integers(1, 500, 3000).astype(float)
+    df = spark.createDataFrame(
+        [Row(v=float(v), w=float(w)) for v, w in zip(vals, ws)]
+    )
+    got = {
+        r["q"]: r["est"]
+        for r in dd_quantiles_by(df, [], "v", QS, ALPHA, weight="w").collect()
+    }
+    for q in QS:
+        truth = exact_weighted_quantile(vals, ws, q)
+        assert abs(got[q] - truth) <= ALPHA * abs(truth) + 1e-12, (q, got[q], truth)
+
+
+def test_weighted_mass_dominates_median(spark):
+    """One heavy row outweighs a thousand light ones: the weighted
+    median sits at the heavy value while the unweighted sits at 1."""
+    rows = [Row(v=1.0, w=1.0)] * 1000 + [Row(v=1000.0, w=5000.0)]
+    df = spark.createDataFrame(rows)
+    wq = dd_quantiles_by(df, [], "v", [0.5], ALPHA, weight="w").collect()[0]["est"]
+    uq = dd_quantiles_by(df, [], "v", [0.5], ALPHA).collect()[0]["est"]
+    assert abs(wq - 1000.0) <= ALPHA * 1000.0
+    assert abs(uq - 1.0) <= ALPHA * 1.0
+
+
+def test_weighted_equals_row_expansion(spark):
+    """Integer weights ARE duplicate rows: the weighted bucket table
+    matches dd_by on the physically-expanded frame exactly (masses as
+    doubles), so merge/collapse algebra carries over unchanged."""
+    rows = [Row(v=2.5, w=3), Row(v=40.0, w=1), Row(v=2.5, w=2), Row(v=-7.0, w=4)]
+    df = spark.createDataFrame(rows)
+    expanded = spark.createDataFrame(
+        [Row(v=r.v) for r in rows for _ in range(r.w)]
+    )
+    got = {
+        (r["store"], r["bucket"]): r["count"]
+        for r in dd_by(df, [], "v", ALPHA, weight="w").collect()
+    }
+    want = {
+        (r["store"], r["bucket"]): float(r["count"])
+        for r in dd_by(expanded, [], "v", ALPHA).collect()
+    }
+    assert got == want
+
+
+def test_weighted_skips_null_and_nonpositive_weights(spark):
+    rows = [
+        Row(v=5.0, w=2.0),
+        Row(v=9.0, w=0.0),      # zero mass: no contribution
+        Row(v=9.0, w=-3.0),     # negative mass: refused (filtered)
+        Row(v=9.0, w=None),     # unknown mass: skipped
+        Row(v=None, w=4.0),     # null value: skipped as always
+    ]
+    sk = dd_by(spark.createDataFrame(rows), [], "v", ALPHA, weight="w").collect()
+    assert len(sk) == 1 and sk[0]["count"] == 2.0
+
+
+def test_weighted_plan_is_python_free(spark):
+    from hyper_spark.plans import assert_plan
+
+    df = spark.range(1000).select(
+        (F.col("id") + 1.0).alias("v"), (F.col("id") % 7 + 1.0).alias("w")
+    )
+    out = dd_quantiles_by(df, [], "v", [0.5, 0.99], ALPHA, weight="w")
+    assert_plan(out, no_python=True)
