@@ -2272,6 +2272,38 @@ def _q_dd_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "q", "est")
 
 
+def _q_dd_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch CDF probes (operators/ddsketch.py::dd_ranks): the
+    fraction of events per type with value <= 5/50/200, read from the
+    stored bucket table — FULL value parity, unlike the KLL ranks gate
+    which can only bound-check (the DD walk is exactly SQL-replayable,
+    probe buckets computed with the same Catalyst arithmetic as the
+    build so they cannot drift)."""
+    from hyper_spark.operators.ddsketch import dd_by, dd_ranks
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    sk = dd_by(ev, ["event_type"], "value", alpha=0.01)
+    return dd_ranks(sk, [5.0, 50.0, 200.0], ["event_type"], alpha=0.01).select(
+        "event_type", "value", F.col("rank").alias("rank_est")
+    )
+
+
+def _q_dd_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trimmed mean from DDSketch state (operators/ddsketch.py::
+    dd_trimmed_mean): mean of the 5%-95% mass band of value per
+    event_type — the outlier-proof center AVG can't give, computed
+    from the bucket table without re-touching raw rows. Oracle replays
+    the identical band arithmetic (per-bucket clipped mass x bucket
+    representative), so estimates match to the bit."""
+    from hyper_spark.operators.ddsketch import dd_by, dd_trimmed_mean
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    sk = dd_by(ev, ["event_type"], "value", alpha=0.01)
+    return dd_trimmed_mean(sk, 0.05, 0.95, ["event_type"], alpha=0.01)
+
+
 def _q_streaming_dd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DDSketch (streaming/dd_stream.py): per-day windowed
     bucket tables built by Structured Streaming's NATIVE windowed
@@ -6483,6 +6515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_sketch_events": _q_dd_sketch_events,
         "dd_value_quantiles": _q_dd_value_quantiles,
         "dd_weighted_quantiles": _q_dd_weighted_quantiles,
+        "dd_value_ranks": _q_dd_value_ranks,
+        "dd_trimmed_mean": _q_dd_trimmed_mean,
         "countsketch_user_estimates": _q_countsketch_user_estimates,
         "ams_f2_users": _q_ams_f2_users,
         "ams_join_size": _q_ams_join_size,
@@ -7497,6 +7531,87 @@ hits AS (
   WHERE cum >= q * n
 )
 SELECT {g}, q, {est} AS est FROM hits WHERE rk = 1"""
+
+
+def _dd_ranks_oracle_sql(alpha: float, probes: tuple[float, ...]) -> str:
+    """Replays dd_ranks: probe (psr, psb) from the same ceil(ln/ln)
+    arithmetic, rank = max cumulative mass at or below the probe's
+    bucket over total mass (0 when nothing is below)."""
+    import math as _math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = _math.log(gamma)
+    pvals = ", ".join(f"({p!r}::DOUBLE)" for p in probes)
+    return f"""
+WITH sk AS ({_dd_bucket_cte_sql(alpha)}),
+ord AS (
+  SELECT *,
+         CASE store WHEN '-' THEN -1 WHEN '0' THEN 0 ELSE 1 END AS sr,
+         CASE WHEN store = '-' THEN -bucket ELSE bucket END AS sb
+  FROM sk
+),
+cum AS (
+  SELECT *,
+         sum(bucket_count) OVER (
+           PARTITION BY event_type ORDER BY sr, sb) AS cum
+  FROM ord
+),
+probes AS (
+  SELECT v AS value,
+         CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS psr,
+         CASE WHEN v <> 0
+              THEN (CASE WHEN v < 0 THEN -1 ELSE 1 END)
+                   * ceil(ln(abs(v)) / {lg!r})::BIGINT
+              ELSE 0 END AS psb
+  FROM (VALUES {pvals}) AS t(v)
+),
+le AS (
+  SELECT event_type, value, max(cum) AS le
+  FROM cum JOIN probes ON (sr < psr OR (sr = psr AND sb <= psb))
+  GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(bucket_count) AS n FROM sk GROUP BY 1)
+SELECT tot.event_type, p.value,
+       (coalesce(le.le, 0) / tot.n)::DOUBLE AS rank_est
+FROM tot CROSS JOIN probes p
+LEFT JOIN le ON le.event_type = tot.event_type AND le.value = p.value"""
+
+
+def _dd_trimmed_mean_oracle_sql(alpha: float, lo: float, hi: float) -> str:
+    """Replays dd_trimmed_mean: per-bucket clipped mass inside the
+    [lo*n, hi*n] band, mass-weighted average of bucket reps."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    est = (
+        f"CASE store WHEN '0' THEN 0.0 "
+        f"WHEN '+' THEN 2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0) "
+        f"ELSE -2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0) END"
+    )
+    return f"""
+WITH sk AS ({_dd_bucket_cte_sql(alpha)}),
+ord AS (
+  SELECT *,
+         CASE store WHEN '-' THEN -1 WHEN '0' THEN 0 ELSE 1 END AS sr,
+         CASE WHEN store = '-' THEN -bucket ELSE bucket END AS sb
+  FROM sk
+),
+cum AS (
+  SELECT *,
+         sum(bucket_count) OVER (
+           PARTITION BY event_type ORDER BY sr, sb) AS cum,
+         sum(bucket_count) OVER (PARTITION BY event_type) AS n
+  FROM ord
+),
+amt AS (
+  SELECT *,
+         greatest(0.0::DOUBLE,
+                  least(cum::DOUBLE, {hi!r}::DOUBLE * n)
+                  - greatest((cum - bucket_count)::DOUBLE,
+                             {lo!r}::DOUBLE * n)) AS amt
+  FROM cum
+)
+SELECT event_type,
+       sum(({est}) * amt) / sum(amt) AS trimmed_mean
+FROM amt GROUP BY 1"""
 
 
 def _cs_cells_cte_sql(table: str, col: str, depth: int, width: int) -> str:
@@ -9756,6 +9871,12 @@ def oracle_sql() -> dict[str, str]:
         "dd_sketch_events": _dd_sketch_oracle_sql(alpha=0.01),
         "dd_value_quantiles": _dd_quantiles_oracle_sql(
             alpha=0.01, qs=(0.5, 0.9, 0.99)
+        ),
+        "dd_value_ranks": _dd_ranks_oracle_sql(
+            alpha=0.01, probes=(5.0, 50.0, 200.0)
+        ),
+        "dd_trimmed_mean": _dd_trimmed_mean_oracle_sql(
+            alpha=0.01, lo=0.05, hi=0.95
         ),
         "dd_weighted_quantiles": _dd_weighted_quantiles_oracle_sql(
             alpha=0.01,

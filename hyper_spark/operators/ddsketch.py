@@ -55,6 +55,8 @@ __all__ = [
     "dd_collapse",
     "dd_quantiles",
     "dd_quantiles_by",
+    "dd_ranks",
+    "dd_trimmed_mean",
 ]
 
 _STORE_ORDER = {"-": -1, "0": 0, "+": 1}
@@ -251,6 +253,142 @@ def dd_quantiles(
             F.min_by(
                 F.col("__est"), F.struct(F.col("__sr"), F.col("__sb"))
             ).alias("est")
+        )
+    )
+
+
+def dd_ranks(
+    sketch_df: DataFrame,
+    values: Sequence[float],
+    keys: Sequence[str] = (),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """The inverse read — CDF probes from the bucket table:
+    DataFrame[*keys, value, rank] where ``rank`` is the estimated
+    fraction of mass ≤ value ("what share of turns finished under
+    500 ms"). Convention: the probe's own bucket counts as ≤ (every
+    item there is within ``alpha`` of the probe in value, so the rank
+    error is at most that bucket's mass — the value-domain analogue of
+    quantiles.py::sketch_ranks' rank guarantee).
+
+    The probe's (store, bucket) is computed with the SAME Catalyst
+    expressions as the build (dd_bucket_col on a literal frame), so
+    probe bucketing can never drift from data bucketing. Works
+    unchanged on weighted states — ``rank`` is then a mass fraction.
+    All codegen: one window pass + a broadcast probe join.
+    """
+    keys = list(keys)
+    values = [float(v) for v in values]
+    if not values:
+        raise ValueError("no probe values")
+    store_rank, signed_bucket = _order_cols()
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(store_rank, signed_bucket)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = sketch_df.select(
+        *keys,
+        store_rank.alias("__sr"),
+        signed_bucket.alias("__sb"),
+        F.sum("count").over(w_cum).alias("__cum"),
+    )
+    spark = sketch_df.sparkSession
+    pstore, pbucket = dd_bucket_col(F.col("value"), alpha)
+    probes = spark.createDataFrame([(v,) for v in values], "value double").select(
+        "value",
+        F.when(pstore == "-", F.lit(-1))
+        .when(pstore == "0", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("__psr"),
+        F.when(pstore == "-", -pbucket).otherwise(pbucket).alias("__psb"),
+    )
+    le = (
+        ranked.join(
+            F.broadcast(probes),
+            (F.col("__sr") < F.col("__psr"))
+            | ((F.col("__sr") == F.col("__psr")) & (F.col("__sb") <= F.col("__psb"))),
+        )
+        .groupBy(*keys, "value")
+        .agg(F.max("__cum").alias("__le"))
+    )
+    totals = sketch_df.groupBy(*keys).agg(F.sum("count").alias("__n"))
+    out = totals.join(F.broadcast(probes.select("value"))).join(
+        le, [*keys, "value"], "left"
+    )
+    return out.select(
+        *keys,
+        "value",
+        (F.coalesce(F.col("__le"), F.lit(0)) / F.col("__n")).alias("rank"),
+    )
+
+
+def dd_trimmed_mean(
+    sketch_df: DataFrame,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    keys: Sequence[str] = (),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Robust mean of the mass between rank fractions ``lo`` and
+    ``hi``: DataFrame[*keys, trimmed_mean] — the outlier-proof center
+    a plain AVG can't give on heavy-tailed latencies, read straight
+    from the stored bucket table without touching raw rows.
+
+    Per bucket, the portion inside the [lo·n, hi·n] mass band is
+    ``max(0, min(cum, hi·n) − max(cum − count, lo·n))``; the estimate
+    is the mass-weighted average of bucket representatives over those
+    portions (each representative within ``alpha`` of everything in
+    its bucket, so the trimmed mean inherits the relative bound up to
+    edge-bucket granularity). ``lo=0, hi=1`` degrades to the sketch's
+    full mean. Weighted states work unchanged. One window pass + one
+    aggregate, zero Python.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    gamma = _gamma(alpha)
+    keys = list(keys)
+    store_rank, signed_bucket = _order_cols()
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(store_rank, signed_bucket)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    rows = sketch_df.select(
+        *keys,
+        "store",
+        "bucket",
+        F.col("count").alias("__c"),
+        F.sum("count").over(w_cum).alias("__cum"),
+        F.sum("count").over(w_all).alias("__n"),
+    )
+    est = (
+        F.when(F.col("store") == "0", F.lit(0.0))
+        .when(
+            F.col("store") == "+",
+            F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0),
+        )
+        .otherwise(
+            F.lit(-2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0)
+        )
+    )
+    amount = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("__cum").cast("double"), F.lit(hi) * F.col("__n"))
+        - F.greatest(
+            (F.col("__cum") - F.col("__c")).cast("double"),
+            F.lit(lo) * F.col("__n"),
+        ),
+    )
+    return (
+        rows.withColumn("__amt", amount)
+        .withColumn("__est", est)
+        .groupBy(*keys)
+        .agg(
+            (F.sum(F.col("__est") * F.col("__amt")) / F.sum("__amt")).alias(
+                "trimmed_mean"
+            )
         )
     )
 

@@ -280,3 +280,96 @@ def test_weighted_plan_is_python_free(spark):
     )
     out = dd_quantiles_by(df, [], "v", [0.5, 0.99], ALPHA, weight="w")
     assert_plan(out, no_python=True)
+
+
+def test_dd_ranks_within_bucket_mass(spark):
+    """|est_rank - exact_rank| <= mass(probe's bucket)/n: items below
+    the probe's bucket are certainly <= the probe; only the probe's own
+    bucket is ambiguous."""
+    rows = lognormal_rows()
+    df = spark.createDataFrame(rows)
+    from hyper_spark.operators.ddsketch import dd_ranks
+
+    sk = dd_by(df, ["g"], "v", ALPHA)
+    probes = [5.0, 20.0, 150.0, 3000.0]
+    got = {(r["g"], r["value"]): r["rank"] for r in dd_ranks(sk, probes, ["g"], ALPHA).collect()}
+    gamma = (1 + ALPHA) / (1 - ALPHA)
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r.v)
+    for g, vs in by_g.items():
+        xs = np.asarray(vs)
+        for p in probes:
+            pj = math.ceil(math.log(p) / math.log(gamma))
+            bucket_mass = np.mean(
+                np.ceil(np.log(xs) / math.log(gamma)).astype(int) == pj
+            )
+            exact = float(np.mean(xs <= p))
+            assert abs(got[(g, p)] - exact) <= bucket_mass + 1e-12
+
+
+def test_dd_ranks_edges_and_signs(spark):
+    from hyper_spark.operators.ddsketch import dd_ranks
+
+    df = spark.createDataFrame(
+        [Row(v=-10.0), Row(v=-1.0), Row(v=0.0), Row(v=2.0), Row(v=100.0)]
+    )
+    sk = dd_by(df, [], "v", ALPHA)
+    got = {r["value"]: r["rank"] for r in dd_ranks(sk, [-100.0, 0.0, 1e9], [], ALPHA).collect()}
+    assert got[-100.0] == 0.0          # below everything
+    assert got[0.0] == 0.6             # -10, -1, 0 are <= 0
+    assert got[1e9] == 1.0             # above everything
+
+
+def test_dd_ranks_weighted_mass_fraction(spark):
+    from hyper_spark.operators.ddsketch import dd_ranks
+
+    df = spark.createDataFrame([Row(v=1.0, w=1.0), Row(v=1000.0, w=9.0)])
+    sk = dd_by(df, [], "v", ALPHA, weight="w")
+    got = {r["value"]: r["rank"] for r in dd_ranks(sk, [5.0], [], ALPHA).collect()}
+    assert got[5.0] == 0.1             # 10% of the MASS is <= 5
+
+
+def test_dd_trimmed_mean_robust_center(spark):
+    """5-95% trimmed mean tracks the exact trimmed mean on heavy-tailed
+    data (alpha relative + edge-bucket granularity), while ignoring an
+    injected outlier that wrecks the plain mean."""
+    from hyper_spark.operators.ddsketch import dd_trimmed_mean
+
+    rng = np.random.default_rng(5)
+    vals = np.exp(rng.normal(3.0, 1.0, 4000)).tolist() + [1e12]
+    df = spark.createDataFrame([Row(v=float(v)) for v in vals])
+    est = dd_trimmed_mean(dd_by(df, [], "v", ALPHA), 0.05, 0.95, [], ALPHA).collect()[0][
+        "trimmed_mean"
+    ]
+    xs = np.sort(np.asarray(vals))
+    n = len(xs)
+    exact = float(xs[int(math.ceil(0.05 * n)) : int(math.floor(0.95 * n))].mean())
+    assert abs(est - exact) <= 0.03 * exact  # alpha + edge-bucket slack
+    assert est < np.mean(vals) / 1000        # the outlier is gone
+
+
+def test_dd_trimmed_mean_full_band_is_sketch_mean(spark):
+    from hyper_spark.operators.ddsketch import dd_trimmed_mean
+
+    rng = np.random.default_rng(9)
+    vals = np.exp(rng.normal(2.0, 0.8, 2000))
+    df = spark.createDataFrame([Row(v=float(v)) for v in vals])
+    est = dd_trimmed_mean(dd_by(df, [], "v", ALPHA), 0.0, 1.0, [], ALPHA).collect()[0][
+        "trimmed_mean"
+    ]
+    exact = float(np.mean(vals))
+    assert abs(est - exact) <= ALPHA * exact  # every rep within alpha
+
+    with pytest.raises(ValueError):
+        dd_trimmed_mean(dd_by(df, [], "v", ALPHA), 0.9, 0.1)
+
+
+def test_dd_readers_plan_python_free(spark):
+    from hyper_spark.operators.ddsketch import dd_ranks, dd_trimmed_mean
+    from hyper_spark.plans import assert_plan
+
+    df = spark.range(1000).select((F.col("id") + 1.0).alias("v"))
+    sk = dd_by(df, [], "v", ALPHA)
+    assert_plan(dd_ranks(sk, [10.0, 100.0], [], ALPHA), no_python=True)
+    assert_plan(dd_trimmed_mean(sk, 0.1, 0.9, [], ALPHA), no_python=True)
