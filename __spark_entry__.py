@@ -2272,6 +2272,26 @@ def _q_dd_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "q", "est")
 
 
+def _q_dd_decayed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed quantiles: weighted DDSketch (ddsketch.py::dd_by
+    weight=) with the decay.py convention 2^-((t_ref - t)/half_life) as
+    the mass — "p90 of value as it stands TODAY", old events fading at
+    a 7-day half-life instead of a hard window cliff. Pure composition
+    of two existing primitives, still all codegen; decay at DAY grain
+    (integer datediff to the pinned 2024-02-01 reference — ts is
+    TIMESTAMP_NTZ, so date arithmetic keeps timezones out entirely and
+    the weight doubles are bit-identical between engines)."""
+    from hyper_spark.operators.ddsketch import dd_quantiles_by
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    days = F.datediff(F.lit("2024-02-01").cast("date"), F.to_date("ts"))
+    w = F.pow(F.lit(2.0), -days.cast("double") / F.lit(7.0))
+    return dd_quantiles_by(
+        ev, ["event_type"], "value", [0.5, 0.9], alpha=0.01, weight=w
+    ).select("event_type", "q", "est")
+
+
 def _q_dd_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch CDF probes (operators/ddsketch.py::dd_ranks): the
     fraction of events per type with value <= 5/50/200, read from the
@@ -6517,6 +6537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_weighted_quantiles": _q_dd_weighted_quantiles,
         "dd_value_ranks": _q_dd_value_ranks,
         "dd_trimmed_mean": _q_dd_trimmed_mean,
+        "dd_decayed_quantiles": _q_dd_decayed_quantiles,
         "countsketch_user_estimates": _q_countsketch_user_estimates,
         "ams_f2_users": _q_ams_f2_users,
         "ams_join_size": _q_ams_join_size,
@@ -9871,6 +9892,18 @@ def oracle_sql() -> dict[str, str]:
         "dd_sketch_events": _dd_sketch_oracle_sql(alpha=0.01),
         "dd_value_quantiles": _dd_quantiles_oracle_sql(
             alpha=0.01, qs=(0.5, 0.9, 0.99)
+        ),
+        "dd_decayed_quantiles": _dd_weighted_quantiles_oracle_sql(
+            alpha=0.01,
+            qs=(0.5, 0.9),
+            table="events",
+            col="value",
+            weight=(
+                "power(2.0, -(date_diff('day', ts::DATE, DATE '2024-02-01')"
+                "::DOUBLE / 7.0))"
+            ),
+            group_expr="event_type",
+            group_alias="event_type",
         ),
         "dd_value_ranks": _dd_ranks_oracle_sql(
             alpha=0.01, probes=(5.0, 50.0, 200.0)
