@@ -434,6 +434,17 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99]
         )
 
+    def q_dd_robust_reads():
+        # weighted build + trimmed mean + CDF probes, all from one state
+        from hyper_spark.operators.ddsketch import dd_by, dd_ranks, dd_trimmed_mean
+
+        sk = dd_by(
+            lineitem, ["l_returnflag"], "l_extendedprice", weight="l_quantity"
+        )
+        tm = dd_trimmed_mean(sk, 0.05, 0.95, ["l_returnflag"])
+        rk = dd_ranks(sk, [1000.0, 10000.0], ["l_returnflag"])
+        return tm.join(rk, "l_returnflag")
+
     def q_countsketch_f2():
         from hyper_spark.operators.countsketch import cs_by, cs_f2
 
@@ -674,6 +685,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "kmeans_profile_embeddings": q_kmeans,
         "logreg_quality_docs": q_logreg,
         "dd_quantiles_price": q_dd_quantiles,
+        "dd_robust_reads": q_dd_robust_reads,
         "countsketch_f2_suppkey": q_countsketch_f2,
         "ams_join_size_orders": q_ams_join_size,
         "heavy_changers_suppkey": q_heavy_changers,
