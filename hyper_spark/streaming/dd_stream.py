@@ -41,9 +41,16 @@ def streaming_windowed_dd_by(
     window: str = "1 hour",
     watermark: str = "10 minutes",
     slide: str | None = None,
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """Streaming DDSketch bucket rows per (keys, tumbling window):
     DataFrame[*keys, window_start, window_end, store, bucket, count].
+
+    ``weight`` mirrors ddsketch.py::dd_by: bucket mass = SUM(weight)
+    (still a native windowed agg — a streaming sum instead of a
+    streaming count), non-positive/NULL weights contribute nothing,
+    and the sink stays directly queryable by ``windowed_dd_quantiles``
+    with ``weighted=True`` passed through to ``dd_quantiles``.
 
     Append-mode rows are final (emitted at watermark passage); late
     rows inside the watermark fold in exactly (counts add); older rows
@@ -63,16 +70,21 @@ def streaming_windowed_dd_by(
         if slide is not None
         else F.window(F.col(ts_col), window)
     )
+    base = df.withWatermark(ts_col, watermark).filter(c.isNotNull())
+    if weight is None:
+        mass = F.count(F.lit(1))
+    else:
+        w = F.col(weight) if isinstance(weight, str) else weight
+        base = base.filter(w > 0)
+        mass = F.sum(w.cast("double"))
     return (
-        df.withWatermark(ts_col, watermark)
-        .filter(c.isNotNull())
-        .groupBy(
+        base.groupBy(
             *keys,
             win.alias("__w"),
             store.alias("store"),
             bucket.alias("bucket"),
         )
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(mass.alias("count"))
         .select(
             *keys,
             F.col("__w.start").alias("window_start"),
@@ -89,11 +101,14 @@ def windowed_dd_quantiles(
     qs: Sequence[float],
     keys: Sequence[str] = (),
     alpha: float = 0.01,
+    weighted: bool = False,
 ) -> DataFrame:
     """Batch quantile evaluation over a windowed-bucket sink (the
     output of ``streaming_windowed_dd_by`` written to a table):
     DataFrame[*keys, window_start, window_end, q, est]. ``alpha`` must
-    match the build."""
+    match the build; pass ``weighted=True`` for sinks built with
+    ``weight=``."""
     return dd_quantiles(
-        sink_df, qs, [*keys, "window_start", "window_end"], alpha
+        sink_df, qs, [*keys, "window_start", "window_end"], alpha,
+        weighted=weighted,
     )

@@ -39,7 +39,10 @@ def _typed(spark, rows):
     )
 
 
-def _replay(spark, tmp_path, df, sentinel_df, files=3):
+def _replay(
+    spark, tmp_path, df, sentinel_df, files=3,
+    schema="ts timestamp, g string, v double",
+):
     """Write df as several files + the sentinel LAST (explicitly
     sequenced — parallel writes can commit the sentinel first and
     watermark-drop everything), return the file-stream DataFrame."""
@@ -58,7 +61,7 @@ def _replay(spark, tmp_path, df, sentinel_df, files=3):
         for f in glob.glob(f"{d}/*.parquet"):
             shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
     return (
-        spark.readStream.schema("ts timestamp, g string, v double")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
@@ -207,3 +210,74 @@ def test_sliding_windows_cover_each_row_k_times(spark):
     ).select("g", "store", "bucket", "count")
     assert got.subtract(direct).count() == 0
     assert direct.subtract(got).count() == 0
+
+
+def test_streaming_weighted_matches_batch_weighted(spark, tmp_path):
+    """weight= in the streaming build: sink bucket MASSES equal the
+    batch weighted dd_by of the same rows per window, and the weighted
+    quantile read answers the exact weighted per-window quantile
+    within alpha."""
+    rows = []
+    for h in range(2):
+        for i in range(300):
+            rows.append(
+                Row(
+                    ts=f"2024-05-01 {h:02d}:{i % 60:02d}:{(11 * i) % 60:02d}",
+                    g=f"g{i % 2}",
+                    v=float(1 + (i * 53) % 400),
+                    w=float(1 + i % 9),
+                )
+            )
+    df = spark.createDataFrame(rows).select(
+        F.col("ts").cast("timestamp").alias("ts"), "g", "v", "w"
+    )
+    sentinel = spark.createDataFrame(
+        [Row(ts="2100-01-01 00:00:00", g="g0", v=1.0, w=1.0)]
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "g", "v", "w")
+    stream = _replay(
+        spark, tmp_path, df, sentinel,
+        schema="ts timestamp, g string, v double, w double",
+    )
+    out = streaming_windowed_dd_by(
+        stream, "ts", ["g"], "v", alpha=ALPHA,
+        window="1 hour", watermark="4 hours", weight="w",
+    )
+    sink = str(tmp_path / "wsink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(sink).filter(F.year("window_start") < 2100)
+    ref = streaming_windowed_dd_by(
+        df, "ts", ["g"], "v", alpha=ALPHA, window="1 hour", weight="w"
+    )
+    assert got.subtract(ref).count() == 0
+    assert ref.subtract(got).count() == 0
+
+    ests = {
+        (r["g"], r["window_start"], r["q"]): r["est"]
+        for r in windowed_dd_quantiles(
+            got, [0.5], ["g"], ALPHA, weighted=True
+        ).collect()
+    }
+    groups = {}
+    for r in df.collect():
+        key = (r["g"], r["ts"].replace(minute=0, second=0))
+        groups.setdefault(key, []).append((r["v"], r["w"]))
+    assert len(ests) == len(groups)
+    for (g, ws), vw in groups.items():
+        vw.sort()
+        total = sum(w for _, w in vw)
+        cum = 0.0
+        for v, w in vw:
+            cum += w
+            if cum >= 0.5 * total:
+                exact = v
+                break
+        est = ests[(g, ws, 0.5)]
+        assert abs(est - exact) <= ALPHA * abs(exact) + 1e-12
