@@ -2292,6 +2292,29 @@ def _q_dd_decayed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "q", "est")
 
 
+def _q_user_activity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity activity distribution — "the p99 user of each event
+    type produces N events": two-level aggregation where level 1 is
+    the per-(user, type) count shuffle and level 2 is a DDSketch over
+    those counts (bucket rows only — the second exchange carries
+    ~stores×buckets integers per type regardless of user count, the
+    10^12-turn shape). Mass convention (weight=1.0) so the oracle
+    replays the exact walk."""
+    from hyper_spark.operators.ddsketch import dd_quantiles_by
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return dd_quantiles_by(
+        counts, ["event_type"], "n", [0.5, 0.9, 0.99], alpha=0.01,
+        weight=F.lit(1.0),
+    ).select("event_type", "q", "est")
+
+
 def _q_dd_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch CDF probes (operators/ddsketch.py::dd_ranks): the
     fraction of events per type with value <= 5/50/200, read from the
@@ -6538,6 +6561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_value_ranks": _q_dd_value_ranks,
         "dd_trimmed_mean": _q_dd_trimmed_mean,
         "dd_decayed_quantiles": _q_dd_decayed_quantiles,
+        "user_activity_quantiles": _q_user_activity_quantiles,
         "countsketch_user_estimates": _q_countsketch_user_estimates,
         "ams_f2_users": _q_ams_f2_users,
         "ams_join_size": _q_ams_join_size,
@@ -9902,6 +9926,18 @@ def oracle_sql() -> dict[str, str]:
                 "power(2.0, -(date_diff('day', ts::DATE, DATE '2024-02-01')"
                 "::DOUBLE / 7.0))"
             ),
+            group_expr="event_type",
+            group_alias="event_type",
+        ),
+        "user_activity_quantiles": _dd_weighted_quantiles_oracle_sql(
+            alpha=0.01,
+            qs=(0.5, 0.9, 0.99),
+            table=(
+                "(SELECT user_id, event_type, count(*)::DOUBLE AS n "
+                "FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2) t"
+            ),
+            col="n",
+            weight="1.0",
             group_expr="event_type",
             group_alias="event_type",
         ),
