@@ -434,6 +434,17 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99]
         )
 
+    def q_activity_quantiles():
+        # two-level: per-(custkey) order counts, then DD over the counts —
+        # the level-2 exchange is bucket rows, independent of entity count
+        from hyper_spark.operators.ddsketch import dd_quantiles_by
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        counts = orders.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
+        return dd_quantiles_by(counts, [], "n", [0.5, 0.9, 0.99], weight=F.lit(1.0))
+
     def q_dd_robust_reads():
         # weighted build + trimmed mean + CDF probes, all from one state
         from hyper_spark.operators.ddsketch import dd_by, dd_ranks, dd_trimmed_mean
@@ -686,6 +697,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "logreg_quality_docs": q_logreg,
         "dd_quantiles_price": q_dd_quantiles,
         "dd_robust_reads": q_dd_robust_reads,
+        "activity_quantiles": q_activity_quantiles,
         "countsketch_f2_suppkey": q_countsketch_f2,
         "ams_join_size_orders": q_ams_join_size,
         "heavy_changers_suppkey": q_heavy_changers,
