@@ -5498,6 +5498,18 @@ def _q_distinct_sample_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_sample(events, "user_id", 40, seed=0, oversample=8.0)
 
 
+def _q_distinct_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified distinct sampling (operators/sampling.py::
+    distinct_sample_by): 10 uniformly-drawn distinct doc_ids PER
+    LANGUAGE — per-stratum KMV bottom-n, deterministic, per-group
+    codegen hash prefilter on the scale path. The oracle replays the
+    identical per-stratum window walk."""
+    from hyper_spark.operators.sampling import distinct_sample_by
+
+    docs = _read(spark, sf_dir, "documents")
+    return distinct_sample_by(docs, "lang", "doc_id", 10, seed=0)
+
+
 def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis–Spirakis A-ES):
     longer documents (weight = n_chars) sample proportionally more, yet
@@ -6458,6 +6470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_assignments": _q_hash_split_assignments,
         "hash_sample_docs": _q_hash_sample_docs,
         "distinct_sample_users": _q_distinct_sample_users,
+        "distinct_sample_by_lang": _q_distinct_sample_by_lang,
         "stratified_sample_langs": _q_stratified_sample_langs,
         "deterministic_sample_top": _q_deterministic_sample_top,
         "weighted_sample_docs": _q_weighted_sample_docs,
@@ -7915,6 +7928,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id FROM ("
             "SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) "
             "ORDER BY substring(md5(user_id || ':0'), 1, 8), user_id LIMIT 40"
+        ),
+        "distinct_sample_by_lang": (
+            "SELECT lang, doc_id FROM ("
+            "  SELECT lang, doc_id, row_number() OVER ("
+            "    PARTITION BY lang"
+            "    ORDER BY substring(md5(doc_id || ':0'), 1, 8),"
+            "             doc_id::VARCHAR) AS rn"
+            "  FROM (SELECT DISTINCT lang, doc_id FROM documents"
+            "        WHERE doc_id IS NOT NULL) d"
+            ") WHERE rn <= 10"
         ),
         "stratified_sample_langs": (
             "SELECT doc_id, lang FROM documents WHERE "

@@ -34,6 +34,7 @@ __all__ = [
     "hash_sample",
     "deterministic_sample",
     "distinct_sample",
+    "distinct_sample_by",
 ]
 
 _HASH_BITS = 32
@@ -273,3 +274,85 @@ def distinct_sample(
         if sample.count() >= n:
             return sample
     return bottom_n(tagged)
+
+
+def distinct_sample_by(
+    df: DataFrame,
+    group: str | Sequence[str],
+    on: str | Sequence[str],
+    n: int,
+    seed: str | int = 0,
+    oversample: float = 8.0,
+) -> DataFrame:
+    """Stratified ``distinct_sample``: up to ``n`` uniformly-sampled
+    DISTINCT keys PER GROUP ("10 random documents per language") —
+    small strata return their full distinct set, never padded.
+
+    Same KMV property per stratum (the n smallest md5 draws over that
+    group's distinct keys), so the draw is deterministic and
+    SQL-replayable: ``row_number() OVER (PARTITION BY group ORDER BY
+    md5, key) <= n``.
+
+    Scale shape: the per-group hash PREFILTER thresholds come from one
+    grouped ``approx_count_distinct`` pass (driver state = one row per
+    stratum — strata are assumed enumerable, the usual case for
+    lang/source/role dimensions). Groups below ``oversample × n``
+    distinct keys keep threshold 1.0 (exactness unthreatened); large
+    groups prune to ~``oversample × n`` expected survivors inside
+    codegen before the distinct exchange and the window sort. A
+    post-check re-runs unfiltered if ANY prefiltered stratum came up
+    short (P < e^-n per stratum) — exact-n whenever the stratum has n
+    distinct keys. NULL keys are excluded; NULL-valued group columns
+    form their own stratum (a missing dimension is still a stratum).
+    """
+    from pyspark.sql.window import Window
+
+    groups = [group] if isinstance(group, str) else list(group)
+    keys = [on] if isinstance(on, str) else list(on)
+    base = df.select(*groups, *keys).na.drop(subset=keys)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys])
+    tagged = base.withColumn("__h", split_hash_col(key, seed))
+
+    def top_per_group(t: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*groups).orderBy(F.col("__h"), key)
+        return (
+            t.dropDuplicates([*groups, *keys])
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__h", "__rn")
+        )
+
+    ests = (
+        base.groupBy(*groups)
+        .agg(F.approx_count_distinct(F.struct(*keys)).alias("__est"))
+        .collect()
+    )
+    fracs = [
+        tuple(r[g] for g in groups)
+        + (min(1.0, oversample * n / r["__est"]),)
+        for r in ests
+        if r["__est"] > oversample * n
+    ]
+    if not fracs:
+        return top_per_group(tagged)
+    spark = df.sparkSession
+    th = spark.createDataFrame(
+        [(*g_frac[:-1], _hex_threshold(g_frac[-1])) for g_frac in fracs],
+        base.select(*groups).schema.add("__th", "string"),
+    )
+    pre = tagged.join(F.broadcast(th), groups, "left").filter(
+        F.col("__th").isNull() | (F.col("__h") < F.col("__th"))
+    ).drop("__th")
+    sample = top_per_group(pre).persist()
+    # left join FROM the threshold table: a prefiltered stratum with
+    # zero surviving keys is absent from the counts and must still
+    # trip the fallback
+    short = (
+        th.join(sample.groupBy(*groups).count(), groups, "left")
+        .filter(F.coalesce(F.col("count"), F.lit(0)) < n)
+        .count()
+    )
+    if short == 0:
+        return sample
+    sample.unpersist()
+    return top_per_group(tagged)

@@ -540,3 +540,52 @@ def test_distinct_sample_n_exceeds_distinct(spark):
     df = spark.createDataFrame([(i % 5,) for i in range(100)], ["k"])
     got = distinct_sample(df, "k", 50).collect()
     assert sorted(r["k"] for r in got) == [0, 1, 2, 3, 4]
+
+
+def test_distinct_sample_by_per_group_bottom_n(spark):
+    """Each stratum independently gets the bottom-n of md5 over ITS
+    distinct keys; small strata return their full distinct set."""
+    from hyper_spark.operators.sampling import distinct_sample_by
+
+    rows = [(f"g{i % 3}", i) for i in range(300)]       # 100 keys per stratum
+    rows += [("tiny", 9000 + i) for i in range(4)]      # stratum below n
+    df = spark.createDataFrame(rows, ["g", "k"])
+    got = {}
+    for r in distinct_sample_by(df, "g", "k", 10, seed=2).collect():
+        got.setdefault(r["g"], []).append(r["k"])
+    for g in ("g0", "g1", "g2"):
+        members = [i for i in range(300) if f"g{i % 3}" == g]
+        expect = sorted(members, key=lambda k: (_draw(str(k), "2"), str(k)))[:10]
+        assert sorted(got[g]) == sorted(expect)
+    assert sorted(got["tiny"]) == [9000, 9001, 9002, 9003]
+
+
+def test_distinct_sample_by_prefilter_matches_unfiltered(spark):
+    from hyper_spark.operators.sampling import distinct_sample_by
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", i) for i in range(20000)], ["g", "k"]
+    )
+    pre = distinct_sample_by(df, "g", "k", 15, seed=4, oversample=4.0)
+    full = distinct_sample_by(df, "g", "k", 15, seed=4, oversample=1e9)
+    assert sorted(map(tuple, pre.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_distinct_sample_by_multiplicity_and_null_group(spark):
+    from hyper_spark.operators.sampling import distinct_sample_by
+
+    rows = [("a", i) for i in range(50)] + [(None, i) for i in range(50, 90)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    tripled = df.unionByName(df).unionByName(df)
+    keyf = lambda t: (t[0] is None, t[0] or "", t[1])  # None-safe sort
+    one = sorted(
+        map(tuple, distinct_sample_by(df, "g", "k", 8, seed=1).collect()),
+        key=keyf,
+    )
+    three = sorted(
+        map(tuple, distinct_sample_by(tripled, "g", "k", 8, seed=1).collect()),
+        key=keyf,
+    )
+    assert one == three
+    assert len(one) == 16  # 8 from 'a', 8 from the NULL stratum
+    assert sum(1 for g, _ in one if g is None) == 8
