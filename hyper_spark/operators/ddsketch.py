@@ -104,12 +104,16 @@ def dd_by(
 
     ``weight`` turns the sketch into a WEIGHTED quantile state: bucket
     mass = SUM(weight) instead of COUNT — "of all TOKENS, what document
-    length did the median token see", not "of all documents". Still
-    pure integer/double aggregation: same shuffle bound (stores ×
-    buckets rows per partition), same lossless merge, same bit-identical
-    result at any parallelism. Rows with NULL or non-positive weight
-    contribute nothing (a weight is a mass, not a signed delta — use
-    the count-sketch family for turnstile semantics). Evaluate with
+    length did the median token see", not "of all documents". Same
+    shuffle bound (stores × buckets rows per partition) and lossless
+    merge; note the bit-identical-at-any-parallelism property is for
+    INTEGER counts — double masses sum in partition order, so two
+    builds can differ in the last ULP (quantile answers only change in
+    the measure-zero event that q×total lands exactly on a cumulative
+    boundary). Rows with NULL, NaN, or non-positive weight contribute
+    nothing (a weight is a mass, not a signed delta — use the
+    count-sketch family for turnstile semantics; NaN > 0 is TRUE in
+    Spark SQL, so it is excluded explicitly). Evaluate with
     ``dd_quantiles(..., weighted=True)``.
     """
     c = F.col(col) if isinstance(col, str) else col
@@ -121,8 +125,9 @@ def dd_by(
         mass = F.count(F.lit(1))
     else:
         w = F.col(weight) if isinstance(weight, str) else weight
-        base = base.filter(w > 0)
-        cols.append(w.cast("double").alias("__w"))
+        wd = w.cast("double")
+        base = base.filter((wd > 0) & ~F.isnan(wd))
+        cols.append(wd.alias("__w"))
         mass = F.sum("__w")
     return (
         base.select(*keys, *cols)
@@ -153,6 +158,22 @@ def _order_cols() -> tuple[Column, Column]:
         F.col("store") == "-", -F.col("bucket")
     ).otherwise(F.col("bucket"))
     return store_rank, signed_bucket
+
+
+def _rep_col(gamma: float) -> Column:
+    """Bucket representative: 0 for the zero store, ±2γ^i/(γ+1)
+    otherwise — within alpha of everything in the bucket. Shared by
+    every reader so the convention cannot drift between them."""
+    return (
+        F.when(F.col("store") == "0", F.lit(0.0))
+        .when(
+            F.col("store") == "+",
+            F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0),
+        )
+        .otherwise(
+            F.lit(-2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0)
+        )
+    )
 
 
 def dd_collapse(
@@ -229,25 +250,23 @@ def dd_quantiles(
     spark = sketch_df.sparkSession
     probes = spark.createDataFrame([(q,) for q in qs], "q double")
     if weighted:
-        covers = F.col("__cum") >= F.col("q") * F.col("__n")
+        # masses are doubles summed in two different orders (__cum is
+        # the ordered running sum, __n the partition sum) — at q=1.0 a
+        # last-ULP gap between them would drop the row, so the last
+        # bucket (running max of a positive-mass cumsum) always covers
+        maxcum = F.max(F.col("__cum")).over(Window.partitionBy(*keys))
+        ranked = ranked.withColumn("__maxcum", maxcum)
+        covers = (F.col("__cum") >= F.col("q") * F.col("__n")) | (
+            (F.col("q") >= 1.0) & (F.col("__cum") == F.col("__maxcum"))
+        )
     else:
         covers = (
             F.col("__cum")
             >= F.floor(F.col("q") * (F.col("__n") - 1)).cast("long") + 1
         )
     hits = ranked.join(F.broadcast(probes)).filter(covers)
-    est = (
-        F.when(F.col("store") == "0", F.lit(0.0))
-        .when(
-            F.col("store") == "+",
-            F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0),
-        )
-        .otherwise(
-            F.lit(-2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0)
-        )
-    )
     return (
-        hits.withColumn("__est", est)
+        hits.withColumn("__est", _rep_col(gamma))
         .groupBy(*keys, "q")
         .agg(
             F.min_by(
@@ -363,16 +382,6 @@ def dd_trimmed_mean(
         F.sum("count").over(w_cum).alias("__cum"),
         F.sum("count").over(w_all).alias("__n"),
     )
-    est = (
-        F.when(F.col("store") == "0", F.lit(0.0))
-        .when(
-            F.col("store") == "+",
-            F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0),
-        )
-        .otherwise(
-            F.lit(-2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0)
-        )
-    )
     amount = F.greatest(
         F.lit(0.0),
         F.least(F.col("__cum").cast("double"), F.lit(hi) * F.col("__n"))
@@ -383,7 +392,7 @@ def dd_trimmed_mean(
     )
     return (
         rows.withColumn("__amt", amount)
-        .withColumn("__est", est)
+        .withColumn("__est", _rep_col(gamma))
         .groupBy(*keys)
         .agg(
             (F.sum(F.col("__est") * F.col("__amt")) / F.sum("__amt")).alias(

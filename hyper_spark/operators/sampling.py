@@ -22,6 +22,7 @@ is sort+limit (TakeOrdered) globally or one window shuffle per group.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -284,9 +285,12 @@ def distinct_sample(
     if est > oversample * n:
         frac = min(1.0, oversample * n / est)
         pre = tagged.filter(F.col("__h") < F.lit(_hex_threshold(frac)))
-        sample = bottom_n(pre)
-        if sample.count() >= n:
-            return sample
+        # materialize the ≤ n sample rows ONCE: a count()-then-return
+        # would execute the scan for the guard and the caller's first
+        # action would silently re-run the whole thing
+        rows = bottom_n(pre).collect()
+        if len(rows) >= n:
+            return df.sparkSession.createDataFrame(rows, base.schema)
     return bottom_n(tagged)
 
 
@@ -354,19 +358,28 @@ def distinct_sample_by(
         [(*g_frac[:-1], _hex_threshold(g_frac[-1])) for g_frac in fracs],
         base.select(*groups).schema.add("__th", "string"),
     )
-    pre = tagged.join(F.broadcast(th), groups, "left").filter(
-        F.col("__th").isNull() | (F.col("__h") < F.col("__th"))
-    ).drop("__th")
-    sample = top_per_group(pre).persist()
-    # left join FROM the threshold table: a prefiltered stratum with
-    # zero surviving keys is absent from the counts and must still
-    # trip the fallback
-    short = (
-        th.join(sample.groupBy(*groups).count(), groups, "left")
-        .filter(F.coalesce(F.col("count"), F.lit(0)) < n)
-        .count()
+    # eqNullSafe join: a NULL stratum is a real stratum, and a plain
+    # name join (NULL != NULL) would never prune it AND would make the
+    # shortfall check fire on every run, silently killing the scale path
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{g}").eqNullSafe(F.col(f"th.{g}")) for g in groups],
     )
-    if short == 0:
-        return sample
-    sample.unpersist()
+    pre = (
+        tagged.alias("t")
+        .join(F.broadcast(th.alias("th")), cond, "left")
+        .filter(F.col("__th").isNull() | (F.col("__h") < F.col("__th")))
+        .select("t.*")
+    )
+    # materialize the ≤ n-per-stratum rows once (same enumerable-strata
+    # assumption as the threshold collect) and check shortfall locally —
+    # no persist lifetime to manage, no second execution of the scan
+    rows = top_per_group(pre).collect()
+    got = {}
+    for r in rows:
+        g = tuple(r[g_] for g_ in groups)
+        got[g] = got.get(g, 0) + 1
+    prefiltered = {tuple(g_frac[:-1]) for g_frac in fracs}
+    if all(got.get(g, 0) >= n for g in prefiltered):
+        return spark.createDataFrame(rows, base.schema)
     return top_per_group(tagged)

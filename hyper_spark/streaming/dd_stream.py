@@ -75,8 +75,11 @@ def streaming_windowed_dd_by(
         mass = F.count(F.lit(1))
     else:
         w = F.col(weight) if isinstance(weight, str) else weight
-        base = base.filter(w > 0)
-        mass = F.sum(w.cast("double"))
+        wd = w.cast("double")
+        # NaN > 0 is TRUE in Spark SQL; one NaN mass would permanently
+        # poison its window's final (append-mode) bucket row
+        base = base.filter((wd > 0) & ~F.isnan(wd))
+        mass = F.sum(wd)
     return (
         base.groupBy(
             *keys,

@@ -373,3 +373,28 @@ def test_dd_readers_plan_python_free(spark):
     sk = dd_by(df, [], "v", ALPHA)
     assert_plan(dd_ranks(sk, [10.0, 100.0], [], ALPHA), no_python=True)
     assert_plan(dd_trimmed_mean(sk, 0.1, 0.9, [], ALPHA), no_python=True)
+
+
+def test_weighted_nan_weight_excluded(spark):
+    """NaN > 0 is TRUE in Spark SQL; an unguarded filter would let one
+    NaN mass poison the cumulative sums and silently drop the whole
+    group from the quantile output."""
+    rows = [Row(v=float(1 + i % 20), w=1.0) for i in range(100)]
+    rows.append(Row(v=5.0, w=float("nan")))
+    df = spark.createDataFrame(rows)
+    sk = dd_by(df, [], "v", ALPHA, weight="w")
+    total = sum(r["count"] for r in sk.collect())
+    assert total == 100.0  # the NaN row contributed nothing
+    got = dd_quantiles_by(df, [], "v", [0.5, 1.0], ALPHA, weight="w").collect()
+    assert len(got) == 2 and all(r["est"] == r["est"] for r in got)  # no NaN
+
+
+def test_weighted_q1_returns_max_bucket(spark):
+    """q=1.0 on a weighted state must always answer the top bucket even
+    though masses are doubles (the covers guard, not float luck)."""
+    df = spark.createDataFrame(
+        [Row(v=1.0, w=0.1)] * 7 + [Row(v=900.0, w=0.3)] * 3
+    )
+    got = {r["q"]: r["est"] for r in
+           dd_quantiles_by(df, [], "v", [1.0], ALPHA, weight="w").collect()}
+    assert abs(got[1.0] - 900.0) <= ALPHA * 900.0

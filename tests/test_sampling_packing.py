@@ -606,3 +606,23 @@ def test_distinct_sample_est_distinct_single_scan_same_set(spark):
         for r in distinct_sample(df, "k", 25, seed=5, est_distinct=3e9).collect()
     )
     assert auto == given == wrong
+
+
+def test_distinct_sample_by_null_stratum_prefilter_engages(spark):
+    """A LARGE NULL stratum must be prunable (eqNullSafe join) and must
+    not trip the shortfall fallback — sample matches unfiltered."""
+    from hyper_spark.operators.sampling import distinct_sample_by
+
+    rows = [(None, i) for i in range(5000)] + [("a", i) for i in range(5000, 5050)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    keyf = lambda t: (t[0] is None, t[0] or "", t[1])
+    pre = sorted(
+        map(tuple, distinct_sample_by(df, "g", "k", 10, seed=3, oversample=4.0).collect()),
+        key=keyf,
+    )
+    full = sorted(
+        map(tuple, distinct_sample_by(df, "g", "k", 10, seed=3, oversample=1e12).collect()),
+        key=keyf,
+    )
+    assert pre == full
+    assert sum(1 for g, _ in pre if g is None) == 10
