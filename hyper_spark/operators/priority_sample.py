@@ -64,20 +64,19 @@ def priority_sample_by(
         raise ValueError(f"k must be >= 1, got {k}")
     bys = list(by)
     it = F.col(item)
-    w_agg = (
-        F.count(F.lit(1)).cast("double")
-        if weight is None
-        else F.sum(
-            (F.col(weight) if isinstance(weight, str) else weight).cast(
-                "double"
-            )
+    base = df.filter(it.isNotNull())
+    if weight is None:
+        w_agg = F.count(F.lit(1)).cast("double")
+    else:
+        wd = (F.col(weight) if isinstance(weight, str) else weight).cast(
+            "double"
         )
-    )
-    weighted = (
-        df.filter(it.isNotNull())
-        .groupBy(*bys, it.alias(item))
-        .agg(w_agg.alias("w"))
-    )
+        # NaN > 0 is TRUE in Spark SQL: one NaN row would otherwise
+        # make its whole item's summed weight NaN and poison the
+        # priority ordering — exclude invalid masses at the row level
+        base = base.filter((wd > 0) & ~F.isnan(wd))
+        w_agg = F.sum(wd)
+    weighted = base.groupBy(*bys, it.alias(item)).agg(w_agg.alias("w"))
     q = (F.col("w") / uniform_draw_col(item, seed)).alias("priority")
     scored = weighted.select(*bys, item, "w", q)
     if not bys:

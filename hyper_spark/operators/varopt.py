@@ -98,22 +98,18 @@ def varopt_sample_by(
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     count_path = weight is None
-    w_agg = (
-        F.count(F.lit(1))
-        if count_path
-        else F.sum(
-            (F.col(weight) if isinstance(weight, str) else weight).cast(
-                "double"
-            )
+    base = df.filter(it.isNotNull())
+    if count_path:
+        w_agg = F.count(F.lit(1))
+    else:
+        wd = (F.col(weight) if isinstance(weight, str) else weight).cast(
+            "double"
         )
-    )
-    weighted = (
-        df.filter(it.isNotNull())
-        .groupBy(*bys, it.alias(item))
-        .agg(w_agg.alias("w"))
-    )
-    if not count_path:
-        weighted = weighted.filter(F.col("w") > 0)
+        # NaN > 0 is TRUE in Spark SQL: row-level exclusion, or one NaN
+        # row poisons its item's summed weight, then tau and W
+        base = base.filter((wd > 0) & ~F.isnan(wd))
+        w_agg = F.sum(wd)
+    weighted = base.groupBy(*bys, it.alias(item)).agg(w_agg.alias("w"))
 
     # one tiny row per group: total weight + item count (the only
     # full-group facts tau needs beyond the top-k weights)

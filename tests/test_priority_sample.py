@@ -158,3 +158,21 @@ def test_grouped_prune_partitioning_invariance(spark):
     ).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
     assert len(one) == 60
+
+
+def test_nan_weight_rows_excluded(spark):
+    from pyspark.sql import Row
+
+    from hyper_spark.operators.priority_sample import priority_sample_by
+
+    clean = [Row(g="a", item=f"i{j}", w=float(1 + j % 5)) for j in range(40)]
+    dirty = clean + [Row(g="a", item="i3", w=float("nan"))]
+    ref = sorted(
+        (r["item"], r["w"]) for r in
+        priority_sample_by(spark.createDataFrame(clean), "item", "w", k=8, by=["g"]).collect()
+    )
+    got = sorted(
+        (r["item"], r["w"]) for r in
+        priority_sample_by(spark.createDataFrame(dirty), "item", "w", k=8, by=["g"]).collect()
+    )
+    assert got == ref

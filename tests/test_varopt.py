@@ -196,3 +196,23 @@ def test_guards_and_plan(spark):
         df, "item", weight="w", k=8, seed=0
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nan_weight_rows_excluded(spark):
+    """A NaN-weight row must not poison its item's summed weight (NaN
+    passes `> 0` in Spark SQL) — the sample equals the clean-data run."""
+    from pyspark.sql import Row
+
+    from hyper_spark.operators.varopt import varopt_sample_by
+
+    clean = [Row(g="a", item=f"i{j}", w=float(1 + j % 5)) for j in range(40)]
+    dirty = clean + [Row(g="a", item="i3", w=float("nan"))]
+    ref = sorted(
+        (r["item"], r["w"]) for r in
+        varopt_sample_by(spark.createDataFrame(clean), "item", "w", k=8, by=["g"]).collect()
+    )
+    got = sorted(
+        (r["item"], r["w"]) for r in
+        varopt_sample_by(spark.createDataFrame(dirty), "item", "w", k=8, by=["g"]).collect()
+    )
+    assert got == ref
