@@ -57,28 +57,43 @@ def sliding_dd_table(
     col: str | Column,
     alpha: float = 0.01,
     grain: str = "1 day",
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """Build the sliding state: DataFrame[*keys, bucket_ts, store,
     bucket, cnt, alpha] — per (group, grain-bucket) DDSketch bucket
     counts (ddsketch.py arithmetic exactly). NULLs are skipped; alpha
-    rides as lineage so mixed states fail the query loudly."""
+    rides as lineage so mixed states fail the query loudly.
+
+    ``weight`` mirrors ddsketch.py::dd_by — cnt becomes the summed
+    mass (NULL/NaN/non-positive weights contribute nothing), and any-
+    window reads stay lossless because masses add exactly like counts;
+    query with ``sliding_dd_quantiles(..., weighted=True)``."""
     c = F.col(col) if isinstance(col, str) else col
     keys = list(keys)
     t = F.col(ts_col).cast("timestamp")
     store, bucket = dd_bucket_col(c, alpha)
+    base = df.filter(c.isNotNull() & t.isNotNull())
+    cols = [
+        F.window(F.col(ts_col), grain).start.cast("timestamp").alias(
+            "bucket_ts"
+        ),
+        store.alias("store"),
+        bucket.alias("bucket"),
+    ]
+    if weight is None:
+        mass = F.count(F.lit(1))
+    else:
+        w = F.col(weight) if isinstance(weight, str) else weight
+        wd = w.cast("double")
+        base = base.filter((wd > 0) & ~F.isnan(wd))
+        cols.append(wd.alias("__w"))
+        mass = F.sum("__w")
     return (
-        df.filter(c.isNotNull() & t.isNotNull())
-        .select(
-            *keys,
-            F.window(F.col(ts_col), grain).start.cast("timestamp").alias(
-                "bucket_ts"
-            ),
-            store.alias("store"),
-            bucket.alias("bucket"),
-        )
+        base.select(*keys, *cols)
         .groupBy(*keys, "bucket_ts", "store", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("*", F.lit(float(alpha)).alias("alpha"))
+        .agg(mass.alias("cnt"))
+        .select(*keys, "bucket_ts", "store", "bucket", "cnt",
+                F.lit(float(alpha)).alias("alpha"))
     )
 
 
@@ -150,6 +165,7 @@ def sliding_dd_quantiles(
     windows: Mapping[str, str],
     qs: Sequence[float] = (0.5, 0.9, 0.99),
     alpha: float | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Quantiles per (group, trailing window) queried at ``t_ref``:
     DataFrame[*keys, window, q, est]. ``windows`` maps label ->
@@ -201,7 +217,10 @@ def sliding_dd_quantiles(
                 F.col("__x.count").alias("count"))
         .filter(F.col("count") > 0)
     )
-    return dd_quantiles(stacked, list(qs), keys=[*keys, "window"], alpha=alpha)
+    return dd_quantiles(
+        stacked, list(qs), keys=[*keys, "window"], alpha=alpha,
+        weighted=weighted,
+    )
 
 
 def sliding_dd_drift(

@@ -225,3 +225,50 @@ def test_drift_cross_range(spark):
             cb += B[g].get(sk, 0)
             ks = max(ks, abs(ca / na - cb / nb))
         assert got[g]["ks"] == pytest.approx(ks, abs=1e-12), g
+
+
+def test_weighted_sliding_windows_match_direct_weighted_builds(spark):
+    """weight= in the sliding state: each trailing window's quantiles
+    equal the direct weighted DDSketch of that window's raw rows
+    (mass addition is lossless, exactly like counts)."""
+    from pyspark.sql import Row
+
+    from hyper_spark.operators.ddsketch import dd_quantiles_by
+    from hyper_spark.operators.sliding_dd import (
+        sliding_dd_quantiles,
+        sliding_dd_table,
+    )
+
+    rows = []
+    for d in range(10):
+        for i in range(120):
+            rows.append(
+                Row(
+                    ts=f"2024-03-{d + 1:02d} 06:00:00",
+                    g=f"g{i % 2}",
+                    v=float(1 + (i * 31 + d * 7) % 300),
+                    w=float(1 + (i + d) % 6),
+                )
+            )
+    df = spark.createDataFrame(rows).select(
+        F.col("ts").cast("timestamp").alias("ts"), "g", "v", "w"
+    )
+    state = sliding_dd_table(df, "ts", ["g"], "v", alpha=0.01, weight="w")
+    got = {
+        (r["g"], r["window"], r["q"]): r["est"]
+        for r in sliding_dd_quantiles(
+            state, ["g"], "2024-03-11 00:00:00",
+            {"3d": "3 days", "7d": "7 days"}, [0.5, 0.9],
+            alpha=0.01, weighted=True,
+        ).collect()
+    }
+    for label, days in (("3d", 3), ("7d", 7)):
+        span = df.filter(F.col("ts") >= f"2024-03-{11 - days:02d} 00:00:00")
+        direct = {
+            (r["g"], r["q"]): r["est"]
+            for r in dd_quantiles_by(
+                span, ["g"], "v", [0.5, 0.9], alpha=0.01, weight="w"
+            ).collect()
+        }
+        for (g, q), est in direct.items():
+            assert got[(g, label, q)] == est, (g, label, q)
