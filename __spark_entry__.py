@@ -2315,6 +2315,22 @@ def _q_user_activity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "q", "est")
 
 
+def _q_dd_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-readable histogram straight from the DDSketch state
+    (operators/ddsketch.py::dd_histogram): explicit (lo, hi] bar
+    bounds + per-group mass share per event_type — the dashboard read,
+    no raw re-scan. Full value parity: bounds are γ-powers of the
+    bucket index, fracs are window shares, both replayed in SQL."""
+    from hyper_spark.operators.ddsketch import dd_by, dd_histogram
+
+    _ensure_pkg(spark)
+    ev = _read(spark, sf_dir, "events")
+    sk = dd_by(ev, ["event_type"], "value", alpha=0.01)
+    return dd_histogram(sk, ["event_type"], alpha=0.01).select(
+        "event_type", "lo", "hi", F.col("count").alias("bar_count"), "frac"
+    )
+
+
 def _q_dd_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch CDF probes (operators/ddsketch.py::dd_ranks): the
     fraction of events per type with value <= 5/50/200, read from the
@@ -6574,6 +6590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_value_ranks": _q_dd_value_ranks,
         "dd_trimmed_mean": _q_dd_trimmed_mean,
         "dd_decayed_quantiles": _q_dd_decayed_quantiles,
+        "dd_histogram_events": _q_dd_histogram_events,
         "user_activity_quantiles": _q_user_activity_quantiles,
         "countsketch_user_estimates": _q_countsketch_user_estimates,
         "ams_f2_users": _q_ams_f2_users,
@@ -7589,6 +7606,26 @@ hits AS (
   WHERE cum >= q * n
 )
 SELECT {g}, q, {est} AS est FROM hits WHERE rk = 1"""
+
+
+def _dd_histogram_oracle_sql(alpha: float) -> str:
+    """Replays dd_histogram: bar bounds are γ-powers of the bucket
+    index (mirrored for the '-' store, [0,0] for zeros), frac is the
+    bar's share of its group's mass."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return f"""
+WITH sk AS ({_dd_bucket_cte_sql(alpha)})
+SELECT event_type,
+       CASE store WHEN '0' THEN 0.0
+            WHEN '+' THEN power({gamma!r}, bucket - 1)
+            ELSE -power({gamma!r}, bucket) END AS lo,
+       CASE store WHEN '0' THEN 0.0
+            WHEN '+' THEN power({gamma!r}, bucket)
+            ELSE -power({gamma!r}, bucket - 1) END AS hi,
+       bucket_count AS bar_count,
+       (bucket_count / sum(bucket_count)
+          OVER (PARTITION BY event_type))::DOUBLE AS frac
+FROM sk"""
 
 
 def _dd_ranks_oracle_sql(alpha: float, probes: tuple[float, ...]) -> str:
@@ -9964,6 +10001,7 @@ def oracle_sql() -> dict[str, str]:
             group_expr="event_type",
             group_alias="event_type",
         ),
+        "dd_histogram_events": _dd_histogram_oracle_sql(alpha=0.01),
         "dd_value_ranks": _dd_ranks_oracle_sql(
             alpha=0.01, probes=(5.0, 50.0, 200.0)
         ),

@@ -57,6 +57,7 @@ __all__ = [
     "dd_quantiles_by",
     "dd_ranks",
     "dd_trimmed_mean",
+    "dd_histogram",
 ]
 
 _STORE_ORDER = {"-": -1, "0": 0, "+": 1}
@@ -399,6 +400,50 @@ def dd_trimmed_mean(
                 "trimmed_mean"
             )
         )
+    )
+
+
+def dd_histogram(
+    sketch_df: DataFrame,
+    keys: Sequence[str] = (),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """The bucket table as a human-readable histogram:
+    DataFrame[*keys, lo, hi, count, frac] ordered by value — what a
+    dashboard plots straight from the stored state, no raw re-scan.
+    Positive bucket i covers (γ^(i-1), γ^i]; negatives mirror with
+    (−γ^i, −γ^(i-1)]; the zero store is the degenerate [0, 0] bar.
+    ``frac`` is the bucket's share of the group mass (works on
+    weighted states too). Pure codegen: one window for the totals.
+    """
+    gamma = _gamma(alpha)
+    keys = list(keys)
+    store_rank, signed_bucket = _order_cols()
+    w_all = Window.partitionBy(*keys)
+    pos_lo = F.pow(F.lit(gamma), F.col("bucket") - 1)
+    pos_hi = F.pow(F.lit(gamma), F.col("bucket"))
+    lo = (
+        F.when(F.col("store") == "0", F.lit(0.0))
+        .when(F.col("store") == "+", pos_lo)
+        .otherwise(-pos_hi)
+    )
+    hi = (
+        F.when(F.col("store") == "0", F.lit(0.0))
+        .when(F.col("store") == "+", pos_hi)
+        .otherwise(-pos_lo)
+    )
+    return (
+        sketch_df.select(
+            *keys,
+            lo.alias("lo"),
+            hi.alias("hi"),
+            "count",
+            (F.col("count") / F.sum("count").over(w_all)).alias("frac"),
+            store_rank.alias("__sr"),
+            signed_bucket.alias("__sb"),
+        )
+        .orderBy(*keys, "__sr", "__sb")
+        .drop("__sr", "__sb")
     )
 
 

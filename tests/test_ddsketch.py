@@ -398,3 +398,21 @@ def test_weighted_q1_returns_max_bucket(spark):
     got = {r["q"]: r["est"] for r in
            dd_quantiles_by(df, [], "v", [1.0], ALPHA, weight="w").collect()}
     assert abs(got[1.0] - 900.0) <= ALPHA * 900.0
+
+
+def test_dd_histogram_bounds_and_mass(spark):
+    """Every value lands strictly inside its bar's (lo, hi]; fracs sum
+    to 1 per group; bars come out in ascending value order."""
+    from hyper_spark.operators.ddsketch import dd_histogram
+
+    rows = [Row(g="a", v=float(v)) for v in (-50.0, -2.0, 0.0, 3.0, 3.1, 700.0)]
+    df = spark.createDataFrame(rows)
+    bars = dd_histogram(dd_by(df, ["g"], "v", ALPHA), ["g"], ALPHA).collect()
+    assert abs(sum(b["frac"] for b in bars) - 1.0) < 1e-12
+    los = [b["lo"] for b in bars]
+    assert los == sorted(los)
+    for v in (-50.0, -2.0, 3.0, 3.1, 700.0):
+        holding = [b for b in bars if b["lo"] < v <= b["hi"]]
+        assert len(holding) == 1, v
+    zero = [b for b in bars if b["lo"] == 0.0 and b["hi"] == 0.0]
+    assert len(zero) == 1 and zero[0]["count"] == 1
