@@ -2137,6 +2137,43 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.4, method="brute").select("vec_id")
 
 
+def _q_semantic_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus embedding contamination pairs
+    (operators/dedup.py::embedding_join_pairs): eval = vec_id < 20,
+    train = the rest, cosine >= 0.4 — the semantic sibling of the
+    n-gram `decontaminate_docs` gate. Pins ``method='brute'`` (exact
+    recall) per the semantic_dedup gate policy; the capped LSH path is
+    pytest-covered. Cosine VALUES are excluded from the output (engine
+    float formatting differs; the pair set is the contract)."""
+    from hyper_spark.operators.dedup import embedding_join_pairs
+
+    _ensure_pkg(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_join_pairs(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        threshold=0.4,
+        method="brute",
+    ).select("id_l", "id_r")
+
+
+def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic leakage guard (operators/dedup.py::semantic_decontaminate):
+    training vectors surviving after dropping everything cosine-≥-0.4
+    close to the eval split. Brute pair path (exact recall) so the
+    survivor set is deterministic; one anti join returns survivors."""
+    from hyper_spark.operators.dedup import semantic_decontaminate
+
+    _ensure_pkg(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        threshold=0.4,
+        method="brute",
+    ).select("vec_id")
+
+
 def _q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (operators/clustering.py::kmeans_profile)
     under the determinism contract that lets an ITERATIVE algorithm meet
@@ -6658,6 +6695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_turn_path_pairs": _q_tx_turn_path_pairs,
         "snm_candidate_pairs": _q_snm_candidate_pairs,
         "cosine_pairs_docs": _q_cosine_pairs_docs,
+        "semantic_contamination_pairs": _q_semantic_contamination_pairs,
+        "semantic_decontaminate_embeddings": _q_semantic_decontaminate,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -10806,5 +10845,21 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
                    a.rnk AS rank_a, b.rnk AS rank_b
             FROM r a JOIN r b
               ON b.rnk > a.rnk AND b.rnk - a.rnk <= 3
+        """,
+        "semantic_contamination_pairs": """
+            SELECT a.vec_id AS id_l, b.vec_id AS id_r
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id >= 20 AND b.vec_id < 20
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "semantic_decontaminate_embeddings": """
+            SELECT a.vec_id
+            FROM embeddings a
+            WHERE a.vec_id >= 20 AND NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id < 20
+                  AND list_cosine_similarity(a.embedding, b.embedding)
+                      >= 0.4
+            )
         """,
     }

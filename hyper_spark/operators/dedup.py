@@ -67,6 +67,8 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_pairs",
+    "embedding_join_pairs",
+    "semantic_decontaminate",
     "cosine_col",
     "substring_dup_spans",
     "strip_dup_spans",
@@ -1257,6 +1259,178 @@ def embedding_pairs(
     entries.unpersist()
     vecs.unpersist()
     return verified
+
+
+def embedding_join_pairs(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 11,
+    max_bucket: int | None = None,
+    per_left_cap: int | None = None,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs ACROSS two embedding corpora:
+    (id_l, id_r, cosine) — the embedding-space sibling of
+    ``minhash_join_pairs`` (which answers the same cross-corpus
+    question in n-gram space). The canonical use is SEMANTIC
+    decontamination: which training vectors are paraphrase-level
+    copies of an eval/benchmark set that exact and n-gram screens
+    miss (the gap Abbas et al. 2023 §SemDeDup and the GPT-3 appendix-C
+    protocol both call out).
+
+    Scale shape (left = the 100-TB training corpus, right = the small
+    eval set): BOTH sides hash with the SAME hyperplane stack
+    (`_hyperplane_buckets_udf(dim, n_planes, n_tables, seed)`), so
+    bucket codes are comparable. Right-side bare (id, table, bucket)
+    entries — thousands of 24 B rows — BROADCAST into the bucket
+    join, so the left corpus is touched by exactly ONE vector pass
+    (the bucket UDF) plus one id-keyed join back for the surviving
+    candidates; misses die map-side without a shuffle, exactly the
+    ``ngram_overlap`` doctrine. The left corpus is never cached.
+
+    Skew/volume guards, both measured on the minhash cross-join path
+    (precision stays 1.0 — exact cosine verification — only recall
+    through capped paths is heuristic):
+
+    - ``max_bucket`` caps RIGHT-side buckets: an eval bucket with more
+      than ``max_bucket`` members contributes only its min-id
+      representative (near-identical eval entries collide together;
+      matching the representative is existence-equivalent).
+    - ``per_left_cap`` keeps the ``per_left_cap`` strongest candidate
+      rights per left vector, ranked by colliding-table count (a true
+      neighbor collides in several tables, a chance collision in one)
+      then id_r — the existence-semantics cap for decontamination,
+      same rationale as ``minhash_join_pairs(per_left_cap=)``.
+
+    ``method='brute'`` is the exact-recall audit path (full cross
+    join; gate/oracle scale only). Returns the LSH-path result
+    eagerly materialized + persisted (caller calls ``.unpersist()``
+    when done); the brute path returns lazily."""
+    cos = lambda a, b: cosine_col(a.cast("array<double>"), b.cast("array<double>"))  # noqa: E731
+    if method == "brute":
+        left = left_df.select(
+            F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l")
+        )
+        right = right_df.select(
+            F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r")
+        )
+        return (
+            left.crossJoin(F.broadcast(right))
+            .withColumn("cosine", cos(F.col("v_l"), F.col("v_r")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_l", "id_r", F.round("cosine", 6).alias("cosine"))
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+    if dim is None:
+        first = left_df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty left embedding DataFrame")
+        dim = first["d"]
+    all_buckets = _hyperplane_buckets_udf(dim, n_planes, n_tables, seed)
+
+    def entries_of(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.posexplode(all_buckets(F.col(vec_col))).alias("table", "bucket"),
+        )
+
+    # right side is small: persist entries and vectors so the bucket
+    # UDF and the eval scan run once, not once per downstream join
+    er = entries_of(right_df, "r").persist()
+    vr = right_df.select(
+        F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r")
+    ).persist()
+    join_r = er
+    if max_bucket is not None:
+        sizes = er.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("__bs")
+        )
+        small = sizes.filter(F.col("__bs") <= max_bucket).drop("__bs")
+        big = sizes.filter(F.col("__bs") > max_bucket).drop("__bs")
+        reps = (
+            er.join(big, on=["table", "bucket"], how="leftsemi")
+            .groupBy("table", "bucket")
+            .agg(F.min("id_r").alias("id_r"))
+        )
+        join_r = er.join(
+            small, on=["table", "bucket"], how="leftsemi"
+        ).unionByName(reps)
+    # ONE pass over the left corpus; broadcast right entries so the
+    # bucket join is map-side (no left shuffle)
+    collisions = entries_of(left_df, "l").join(
+        F.broadcast(join_r), on=["table", "bucket"]
+    ).select("id_l", "id_r")
+    if per_left_cap is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("id_l").orderBy(
+            F.col("__nt").desc(), F.col("id_r")
+        )
+        candidates = (
+            collisions.groupBy("id_l", "id_r")
+            .agg(F.count(F.lit(1)).alias("__nt"))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= per_left_cap)
+            .select("id_l", "id_r")
+        )
+    else:
+        # no distinct on raw candidates (multi-table duplicates ride
+        # through the screen and are deduped post-screen, where the
+        # set is small — the measured minhash/self-join lesson)
+        candidates = collisions
+    verified = (
+        candidates.join(
+            left_df.select(
+                F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l")
+            ),
+            on="id_l",
+        )
+        .join(F.broadcast(vr), on="id_r")
+        .withColumn("cosine", cos(F.col("v_l"), F.col("v_r")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_l", "id_r", F.round("cosine", 6).alias("cosine"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    verified = verified.persist()
+    verified.count()  # materialize, then release the eval-side caches
+    er.unpersist()
+    vr.unpersist()
+    return verified
+
+
+def semantic_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    **pair_kwargs,
+) -> DataFrame:
+    """Remove training rows whose EMBEDDING is cosine-≥-threshold close
+    to any eval/benchmark vector — the semantic leakage guard that
+    catches paraphrased eval copies `decontaminate` (n-gram space)
+    cannot see. Same contract shape as `decontaminate`: returns the
+    surviving train rows LAZILY; only the tiny contaminated-id set
+    stays persisted (anchoring the result's lineage so the pair
+    pipeline never re-runs). The train corpus itself is never cached —
+    one bucket pass + one id-keyed anti join touch it."""
+    pairs = embedding_join_pairs(
+        train_df, eval_df, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, **pair_kwargs,
+    )
+    contaminated = (
+        pairs.select(F.col("id_l").alias(id_col)).distinct().persist()
+    )
+    contaminated.count()  # materialize ids, then drop the pair cache
+    pairs.unpersist()
+    return train_df.join(F.broadcast(contaminated), on=id_col, how="left_anti")
 
 
 # ------------------------------------------------- substring duplication

@@ -17,11 +17,13 @@ from hyper_spark.functions.text import (
     token_count_col,
 )
 from hyper_spark.operators.dedup import (
+    embedding_join_pairs,
     embedding_pairs,
     exact_dedup,
     exact_dup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_decontaminate,
     simhash_pairs,
 )
 from hyper_spark.operators.multimodal import (
@@ -373,6 +375,111 @@ def test_embedding_pairs_synthetic_duplicates(spark):
     found = {(r["id_a"], r["id_b"]) for r in got}
     for i in range(30):
         assert (i * 2, i * 2 + 1) in found
+
+
+def test_embedding_join_pairs_brute_vs_lsh(spark, sf_correct):
+    """Cross-corpus pairs: LSH ⊆ brute (exact verification), recall
+    bounded below at 6 tables on the testdata split."""
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    eval_side = emb.filter(F.col("vec_id") < 20)
+    train_side = emb.filter(F.col("vec_id") >= 20)
+    brute = {
+        (r["id_l"], r["id_r"])
+        for r in embedding_join_pairs(
+            train_side, eval_side, threshold=0.4, method="brute"
+        ).collect()
+    }
+    lsh_df = embedding_join_pairs(
+        train_side, eval_side, threshold=0.4, method="lsh",
+        n_planes=4, n_tables=12,
+    )
+    lsh = {(r["id_l"], r["id_r"]) for r in lsh_df.collect()}
+    lsh_df.unpersist()
+    assert lsh <= brute
+    if brute:
+        # 0.4-cosine pairs are the hardest LSH case: per-table
+        # collision prob (1 - θ/π)^4 ≈ 0.16, 12 tables ⇒ ~0.87
+        # theoretical recall; deterministic given the seed
+        assert len(lsh) / len(brute) >= 0.5
+
+
+def test_embedding_join_pairs_caps(spark):
+    """max_bucket (right-side star rep) and per_left_cap (existence
+    semantics) both preserve the CONTAMINATED-LEFT-ID set on a dense
+    eval cluster while cutting candidate volume."""
+    rng = np.random.default_rng(17)
+    center = rng.standard_normal(32)
+    eval_rows = [
+        Row(vec_id=i, embedding=[float(x) for x in center + 0.02 * rng.standard_normal(32)])
+        for i in range(30)  # near-identical eval family: buckets overflow
+    ]
+    train_rows = [
+        Row(vec_id=100 + i, embedding=[float(x) for x in center + 0.02 * rng.standard_normal(32)])
+        for i in range(10)  # contaminated
+    ] + [
+        Row(vec_id=200 + i, embedding=[float(x) for x in rng.standard_normal(32)])
+        for i in range(50)  # clean
+    ]
+    eval_df = spark.createDataFrame(eval_rows)
+    train_df = spark.createDataFrame(train_rows)
+    brute_ids = {
+        r["id_l"]
+        for r in embedding_join_pairs(
+            train_df, eval_df, threshold=0.9, method="brute"
+        ).collect()
+    }
+    assert brute_ids == {100 + i for i in range(10)}
+    capped = embedding_join_pairs(
+        train_df, eval_df, threshold=0.9, method="lsh",
+        n_tables=6, max_bucket=4, per_left_cap=2,
+    )
+    rows = capped.collect()
+    capped.unpersist()
+    got_ids = {r["id_l"] for r in rows}
+    assert got_ids <= brute_ids  # precision 1.0 (exact verification)
+    assert got_ids == brute_ids  # existence recall survives both caps
+    # per_left_cap bounds the verified pair volume per left id
+    from collections import Counter
+
+    per_left = Counter(r["id_l"] for r in rows)
+    assert max(per_left.values()) <= 2
+
+
+def test_semantic_decontaminate(spark, sf_correct):
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    eval_side = emb.filter(F.col("vec_id") < 20)
+    train_side = emb.filter(F.col("vec_id") >= 20)
+    # numpy oracle for the contaminated set
+    pdf = emb.orderBy("vec_id").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    ids = pdf["vec_id"].to_numpy()
+    eval_mask = ids < 20
+    contaminated = {
+        int(ids[i])
+        for i in np.nonzero(~eval_mask)[0]
+        if (cos[i, eval_mask] >= 0.4).any()
+    }
+    survivors = {
+        r["vec_id"]
+        for r in semantic_decontaminate(
+            train_side, eval_side, threshold=0.4, method="brute"
+        ).select("vec_id").collect()
+    }
+    expected = {int(i) for i in ids if i >= 20} - contaminated
+    assert survivors == expected
+    # LSH path: recall < 1 ⇒ it can only UNDER-drop (supset of brute
+    # survivors) and never removes a clean doc
+    lsh_survivors = {
+        r["vec_id"]
+        for r in semantic_decontaminate(
+            train_side, eval_side, threshold=0.4, method="lsh",
+            n_planes=6, n_tables=6,
+        ).select("vec_id").collect()
+    }
+    assert survivors <= lsh_survivors
+    assert lsh_survivors <= {int(i) for i in ids if i >= 20}
 
 
 # --------------------------------------------------------------- knn
