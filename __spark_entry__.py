@@ -1887,6 +1887,40 @@ def _q_rate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting
+    (operators/anomaly.py::burn_rate_alerts): error-event ratio over
+    trailing 6 h / 24 h WALL-CLOCK windows against a 0.75 availability
+    objective; alert only when both windows burn the full budget —
+    the SRE-workbook policy over the events stream. Pure codegen (one
+    bucketed aggregate + one dual-frame window pass); the oracle is
+    the same RANGE-frame SQL in DuckDB."""
+    from hyper_spark.operators.anomaly import burn_rate_alerts
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events")
+    out = burn_rate_alerts(
+        events,
+        F.col("event_type") == "error",
+        time_col="ts",
+        bucket="hour",
+        objective=0.75,
+        short_buckets=6,
+        long_buckets=24,
+        factor=1.0,
+    )
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_total",
+        "n_bad",
+        "err_short",
+        "err_long",
+        "burn_short",
+        "burn_long",
+        "is_alert",
+    )
+
+
 def _q_plan_report_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan introspection as a public API
     (plans/report.py::plan_report): report the flagship sketch-build
@@ -6697,6 +6731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_docs": _q_cosine_pairs_docs,
         "semantic_contamination_pairs": _q_semantic_contamination_pairs,
         "semantic_decontaminate_embeddings": _q_semantic_decontaminate,
+        "slo_burn_hourly": _q_slo_burn_hourly,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -10861,5 +10896,33 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
                   AND list_cosine_similarity(a.embedding, b.embedding)
                       >= 0.4
             )
+        """,
+        "slo_burn_hourly": """
+            WITH c AS (
+                SELECT date_trunc('hour', ts) AS bucket,
+                       count(*) AS n_total,
+                       sum(CASE WHEN event_type = 'error' THEN 1
+                                ELSE 0 END)::BIGINT AS n_bad
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), r AS (
+                SELECT bucket, n_total, n_bad,
+                       sum(n_bad) OVER ws * 1.0
+                           / sum(n_total) OVER ws AS es,
+                       sum(n_bad) OVER wl * 1.0
+                           / sum(n_total) OVER wl AS el
+                FROM c
+                WINDOW ws AS (ORDER BY bucket RANGE BETWEEN
+                              INTERVAL 5 HOUR PRECEDING AND CURRENT ROW),
+                       wl AS (ORDER BY bucket RANGE BETWEEN
+                              INTERVAL 23 HOUR PRECEDING AND CURRENT ROW)
+            )
+            SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   n_total, n_bad,
+                   round(es, 6) AS err_short,
+                   round(el, 6) AS err_long,
+                   round(es / 0.25, 6) AS burn_short,
+                   round(el / 0.25, 6) AS burn_long,
+                   (es >= 0.25 AND el >= 0.25) AS is_alert
+            FROM r
         """,
     }

@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rate_spikes", "rate_gaps", "series_spikes"]
+__all__ = ["rate_spikes", "rate_gaps", "series_spikes", "burn_rate_alerts"]
 
 _BUCKETS = {"minute", "hour", "day", "week", "month"}
 
@@ -166,3 +166,97 @@ def rate_gaps(
         )
         .filter(F.col("missed_buckets") > 0)
     )
+
+
+_BUCKET_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def burn_rate_alerts(
+    df: DataFrame,
+    bad,
+    time_col: str = "ts",
+    by: Sequence[str] = (),
+    bucket: str = "hour",
+    objective: float = 0.999,
+    short_buckets: int = 6,
+    long_buckets: int = 24,
+    factor: float = 1.0,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE-workbook
+    alerting policy, Beyer et al. 2018 ch.5): per (group, bucket),
+    error ratio over a SHORT and a LONG trailing wall-clock window,
+    each divided by the error budget ``1 - objective``; an alert fires
+    only when BOTH windows burn at ≥ ``factor``× budget — the long
+    window suppresses one-bucket blips, the short window makes the
+    alert reset quickly once the incident ends.
+
+    ``bad`` is a boolean Column (or SQL string) marking an
+    SLO-violating event. Windows are WALL-CLOCK (``RANGE`` frames over
+    the bucket epoch, width ``N buckets × bucket seconds``), not
+    observed-row frames: a silent period inside the window simply
+    contributes no events, so gaps don't stretch the window the way a
+    ROWS frame would — the complementary design choice to
+    ``rate_spikes`` (whose trailing BASELINE deliberately skips silent
+    buckets) because a burn rate is a ratio over elapsed time, not a
+    deviation from typical traffic.
+
+    Distributed shape (the same one-aggregate doctrine as
+    rate_spikes): one time-bucketed groupBy bounds the shuffle at
+    |groups × buckets|; both rolling ratios come from ONE window pass
+    (two frames share the partition/ordering); everything is
+    whole-stage codegen — no Python, no second scan.
+
+    Output: DataFrame[*by, bucket, n_total, n_bad, err_short,
+    err_long, burn_short, burn_long, is_alert].
+    """
+    if bucket not in _BUCKET_SECONDS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKET_SECONDS)}")
+    if not 0.0 < objective < 1.0:
+        raise ValueError(f"objective must be in (0, 1), got {objective}")
+    if short_buckets < 1 or long_buckets < short_buckets:
+        raise ValueError(
+            "need 1 <= short_buckets <= long_buckets, got "
+            f"{short_buckets}/{long_buckets}"
+        )
+    by = list(by)
+    if isinstance(bad, str):
+        bad = F.expr(bad)
+    sec = _BUCKET_SECONDS[bucket]
+    budget = 1.0 - objective
+    counts = (
+        df.filter(F.col(time_col).isNotNull())
+        .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(bad.cast("long")).alias("n_bad"),
+        )
+        .withColumn("__sec", F.unix_timestamp("bucket"))
+    )
+
+    def rolling(n_buckets: int):
+        w = (
+            Window.partitionBy(*by)
+            .orderBy("__sec")
+            .rangeBetween(-(n_buckets - 1) * sec, 0)
+        )
+        return (
+            F.sum("n_bad").over(w) / F.sum("n_total").over(w)
+        )
+
+    err_s = rolling(short_buckets)
+    err_l = rolling(long_buckets)
+    out = counts.select(
+        *by,
+        "bucket",
+        "n_total",
+        "n_bad",
+        F.round(err_s, 6).alias("err_short"),
+        F.round(err_l, 6).alias("err_long"),
+        F.round(err_s / F.lit(budget), 6).alias("burn_short"),
+        F.round(err_l / F.lit(budget), 6).alias("burn_long"),
+        (
+            (err_s >= F.lit(factor * budget))
+            & (err_l >= F.lit(factor * budget))
+        ).alias("is_alert"),
+    )
+    return out

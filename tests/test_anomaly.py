@@ -133,3 +133,95 @@ def test_series_spikes_generic_and_sketch_series(spark):
     )
     with pytest.raises(ValueError, match="trailing"):
         series_spikes(daily, "estimate", order_col="day", trailing=1)
+
+
+# ------------------------------------------------------------ burn rate
+
+
+def _burn_events(spark):
+    """Hour buckets with 10 events each: hours 0-9 healthy (1 bad),
+    hours 10-12 incident (8 bad), hours 13-20 healthy again. A 3-hour
+    silent gap separates hours 20 and 24 (bucket 21-23 empty)."""
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for h in list(range(21)) + [24]:
+        n_bad = 8 if 10 <= h <= 12 else 1
+        for i in range(10):
+            rows.append(
+                (base + dt.timedelta(hours=h, seconds=i), i < n_bad)
+            )
+    return spark.createDataFrame(rows, "ts timestamp, is_bad boolean")
+
+
+def test_burn_rate_dual_window(spark):
+    from hyper_spark.operators.anomaly import burn_rate_alerts
+
+    out = {
+        r["bucket"]: r
+        for r in burn_rate_alerts(
+            _burn_events(spark),
+            F.col("is_bad"),
+            time_col="ts",
+            bucket="hour",
+            objective=0.75,   # budget 0.25
+            short_buckets=3,
+            long_buckets=12,
+            factor=1.0,
+        ).collect()
+    }
+    base = dt.datetime(2024, 3, 1)
+    # healthy steady state: err 0.1 in both windows, no alert
+    r9 = out[base + dt.timedelta(hours=9)]
+    assert r9["err_short"] == pytest.approx(0.1)
+    assert r9["err_long"] == pytest.approx(0.1)
+    assert not r9["is_alert"]
+    # incident hour 12: short window = hours 10..12 all bad-heavy
+    # (err 0.8); long window hours 1..12 = (9*1+3*8)/120 = 0.275
+    r12 = out[base + dt.timedelta(hours=12)]
+    assert r12["err_short"] == pytest.approx(0.8)
+    assert r12["err_long"] == pytest.approx(0.275)
+    assert r12["is_alert"]  # both windows >= 0.25 budget
+    # hour 11: short = hours 9..11 = (1+8+8)/30 ~ 0.567, but long =
+    # hours 0..11 = (10*1+2*8)/120 ~ 0.217 < 0.25 -> suppressed
+    r11 = out[base + dt.timedelta(hours=11)]
+    assert r11["err_short"] == pytest.approx(17 / 30)
+    assert not r11["is_alert"]
+    # burn = err / budget
+    assert r12["burn_short"] == pytest.approx(0.8 / 0.25)
+
+
+def test_burn_rate_wallclock_gap(spark):
+    """The RANGE frame is wall-clock: after the 3-hour silence, hour
+    24's short window (3 buckets wide) covers hours 22-24 — only hour
+    24 has data, so the silent hours neither stretch the window back
+    to hour 20 (a ROWS frame would) nor contribute rows."""
+    from hyper_spark.operators.anomaly import burn_rate_alerts
+
+    out = {
+        r["bucket"]: r
+        for r in burn_rate_alerts(
+            _burn_events(spark),
+            "is_bad",
+            time_col="ts",
+            bucket="hour",
+            objective=0.75,
+            short_buckets=3,
+            long_buckets=12,
+        ).collect()
+    }
+    r24 = out[dt.datetime(2024, 3, 1) + dt.timedelta(hours=24)]
+    # only hour 24's own 10 events (1 bad) are inside the 3h frame
+    assert r24["err_short"] == pytest.approx(0.1)
+    assert r24["n_total"] == 10
+
+
+def test_burn_rate_validation(spark):
+    from hyper_spark.operators.anomaly import burn_rate_alerts
+
+    df = _burn_events(spark)
+    with pytest.raises(ValueError):
+        burn_rate_alerts(df, "is_bad", bucket="fortnight")
+    with pytest.raises(ValueError):
+        burn_rate_alerts(df, "is_bad", objective=1.0)
+    with pytest.raises(ValueError):
+        burn_rate_alerts(df, "is_bad", short_buckets=8, long_buckets=4)
