@@ -642,6 +642,33 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         )
         return hamming_pairs(hashes, max_dist=3)
 
+    def q_slo_burn():
+        from hyper_spark.operators.anomaly import burn_rate_alerts
+
+        return burn_rate_alerts(
+            events,
+            F.col("event_type") == "error",
+            time_col="ts",
+            bucket="hour",
+            objective=0.75,
+            short_buckets=6,
+            long_buckets=24,
+        )
+
+    def q_semantic_decon():
+        from hyper_spark.operators.dedup import semantic_decontaminate
+
+        return semantic_decontaminate(
+            emb.filter(F.col("vec_id") >= 20),
+            emb.filter(F.col("vec_id") < 20),
+            threshold=0.4,
+            method="lsh",
+            n_planes=8,
+            n_tables=4,
+            max_bucket=100,
+            per_left_cap=4,
+        )
+
     return {
         "hll_orderkey": q_hll_orderkey,
         "hll_rollup_hour_day_week": q_hll_rollup,
@@ -709,6 +736,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "sliding_cms_topk_users": q_sliding_cms_topk,
         "sliding_theta_week_overlap": q_sliding_theta_overlap,
         "hamming_pairs_1m": q_hamming_pairs,
+        "slo_burn_hourly": q_slo_burn,
+        "semantic_decontaminate_lsh": q_semantic_decon,
     }
 
 
