@@ -1921,6 +1921,90 @@ def _q_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_burn_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLO burn-rate (streaming/burn_stream.py): the bucket
+    counters are built by Structured Streaming's native windowed
+    count/sum (JVM state store, watermark expiry), the dual-window
+    alert table by ``burn_rate_read`` over the sink — and because the
+    counters are plain sums, the result must equal the batch
+    ``burn_rate_alerts`` (and its SQL oracle) EXACTLY, row for row.
+    Same parameters as the ``slo_burn_hourly`` gate; a far-future
+    sentinel flushes the final windows."""
+    _ensure_pkg(spark)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from hyper_spark.operators.anomaly import burn_rate_read
+    from hyper_spark.streaming.burn_stream import streaming_bucket_counts
+
+    events = _read(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="gate_burnstream_") as td:
+        src = f"{td}/src"
+        os.makedirs(src)
+        data = events.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        sentinel = spark.createDataFrame(
+            [("2100-01-01 00:00:00", "sentinel")],
+            "ts string, event_type string",
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        # sequenced files: the sentinel must replay LAST (see the
+        # streaming_windowed_topk gate)
+        for i, part in enumerate([data, sentinel]):
+            part.coalesce(1).write.mode("overwrite").parquet(f"{td}/p{i}")
+            for f in _glob.glob(f"{td}/p{i}/*.parquet"):
+                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        counts = streaming_bucket_counts(
+            stream,
+            F.col("event_type") == "error",
+            ts_col="ts",
+            bucket="hour",
+            watermark="1 hour",
+        )
+        name = "gate_burnstream_sink"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        stored = spark.table(name).filter(
+            F.col("bucket") < F.lit("2099-01-01").cast("timestamp")
+        )
+        out = burn_rate_read(
+            stored,
+            bucket="hour",
+            objective=0.75,
+            short_buckets=6,
+            long_buckets=24,
+            factor=1.0,
+        )
+        rows = out.select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n_total",
+            "n_bad",
+            "err_short",
+            "err_long",
+            "burn_short",
+            "burn_long",
+            "is_alert",
+        ).collect()
+    return spark.createDataFrame(
+        rows,
+        "bucket string, n_total bigint, n_bad bigint, err_short double, "
+        "err_long double, burn_short double, burn_long double, "
+        "is_alert boolean",
+    )
+
+
 def _q_plan_report_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan introspection as a public API
     (plans/report.py::plan_report): report the flagship sketch-build
@@ -6732,6 +6816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination_pairs": _q_semantic_contamination_pairs,
         "semantic_decontaminate_embeddings": _q_semantic_decontaminate,
         "slo_burn_hourly": _q_slo_burn_hourly,
+        "streaming_burn_parity": _q_streaming_burn_parity,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -10898,6 +10983,34 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
             )
         """,
         "slo_burn_hourly": """
+            WITH c AS (
+                SELECT date_trunc('hour', ts) AS bucket,
+                       count(*) AS n_total,
+                       sum(CASE WHEN event_type = 'error' THEN 1
+                                ELSE 0 END)::BIGINT AS n_bad
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), r AS (
+                SELECT bucket, n_total, n_bad,
+                       sum(n_bad) OVER ws * 1.0
+                           / sum(n_total) OVER ws AS es,
+                       sum(n_bad) OVER wl * 1.0
+                           / sum(n_total) OVER wl AS el
+                FROM c
+                WINDOW ws AS (ORDER BY bucket RANGE BETWEEN
+                              INTERVAL 5 HOUR PRECEDING AND CURRENT ROW),
+                       wl AS (ORDER BY bucket RANGE BETWEEN
+                              INTERVAL 23 HOUR PRECEDING AND CURRENT ROW)
+            )
+            SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   n_total, n_bad,
+                   round(es, 6) AS err_short,
+                   round(el, 6) AS err_long,
+                   round(es / 0.25, 6) AS burn_short,
+                   round(el / 0.25, 6) AS burn_long,
+                   (es >= 0.25 AND el >= 0.25) AS is_alert
+            FROM r
+        """,
+        "streaming_burn_parity": """
             WITH c AS (
                 SELECT date_trunc('hour', ts) AS bucket,
                        count(*) AS n_total,

@@ -26,7 +26,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rate_spikes", "rate_gaps", "series_spikes", "burn_rate_alerts"]
+__all__ = [
+    "rate_spikes",
+    "rate_gaps",
+    "series_spikes",
+    "burn_rate_alerts",
+    "burn_rate_read",
+]
 
 _BUCKETS = {"minute", "hour", "day", "week", "month"}
 
@@ -221,8 +227,6 @@ def burn_rate_alerts(
     by = list(by)
     if isinstance(bad, str):
         bad = F.expr(bad)
-    sec = _BUCKET_SECONDS[bucket]
-    budget = 1.0 - objective
     counts = (
         df.filter(F.col(time_col).isNotNull())
         .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
@@ -230,8 +234,52 @@ def burn_rate_alerts(
             F.count(F.lit(1)).alias("n_total"),
             F.sum(bad.cast("long")).alias("n_bad"),
         )
-        .withColumn("__sec", F.unix_timestamp("bucket"))
     )
+    return burn_rate_read(
+        counts,
+        by=by,
+        bucket=bucket,
+        objective=objective,
+        short_buckets=short_buckets,
+        long_buckets=long_buckets,
+        factor=factor,
+    )
+
+
+def burn_rate_read(
+    counts: DataFrame,
+    by: Sequence[str] = (),
+    bucket: str = "hour",
+    objective: float = 0.999,
+    short_buckets: int = 6,
+    long_buckets: int = 24,
+    factor: float = 1.0,
+) -> DataFrame:
+    """The read stage of ``burn_rate_alerts``, exposed for STORED
+    bucket-counter tables: input DataFrame[*by, bucket (timestamp),
+    n_total, n_bad] — exactly what the batch bucketizer above and
+    ``streaming/burn_stream.py::streaming_bucket_counts`` both
+    produce. Counters are plain sums, so rows from incremental /
+    streaming builds merge losslessly before this read (the stored-
+    state + reader split used across the library, e.g. dd_histogram
+    over the DDSketch bucket table). If the store can hold the same
+    (group, bucket) twice — e.g. one row per streaming run — sum
+    n_total/n_bad per (group, bucket) first; the read assumes one row
+    per bucket. Same output schema and semantics as
+    ``burn_rate_alerts``."""
+    if bucket not in _BUCKET_SECONDS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKET_SECONDS)}")
+    if not 0.0 < objective < 1.0:
+        raise ValueError(f"objective must be in (0, 1), got {objective}")
+    if short_buckets < 1 or long_buckets < short_buckets:
+        raise ValueError(
+            "need 1 <= short_buckets <= long_buckets, got "
+            f"{short_buckets}/{long_buckets}"
+        )
+    by = list(by)
+    sec = _BUCKET_SECONDS[bucket]
+    budget = 1.0 - objective
+    counts = counts.withColumn("__sec", F.unix_timestamp("bucket"))
 
     def rolling(n_buckets: int):
         w = (

@@ -28,6 +28,7 @@ from hyper_spark.streaming.cs_stream import streaming_cs_cells
 from hyper_spark.streaming.sliding_hll_stream import (
     streaming_sliding_register_by,
 )
+from hyper_spark.streaming.burn_stream import streaming_bucket_counts
 from hyper_spark.streaming.hll_stream import (
     streaming_cms_by,
     streaming_quantiles_by,
@@ -37,6 +38,7 @@ from hyper_spark.streaming.hll_stream import (
 )
 
 __all__ = [
+    "streaming_bucket_counts",
     "streaming_sketch_by",
     "streaming_theta_by",
     "streaming_cms_by",
