@@ -11,7 +11,7 @@ between reps (CacheManager matches by logical plan). Stage outputs are
 counted, never collected wide.
 
 Run: python tools/bench_r5_scale.py [op ...]   (default: all)
-Ops: substring strip lm_score rate bm25 semantic
+Ops: substring strip lm_score rate burn bm25 semantic
 Env: R5_SF_DIR (default .data/transcripts_sf16.0),
      R5_EMB_DIR (default /tmp/emb_scale_1000000_64_10x1000),
      R5_BM25_INDEX (default .data/bm25_sf16), R5_CPUS (32).
@@ -109,6 +109,23 @@ def main() -> None:
             timed(
                 "rate_gaps_hourly",
                 lambda: rate_gaps(df, "ts", by=["role"], bucket="hour"),
+            )
+
+        if "burn" in ops:
+            from hyper_spark.operators.anomaly import burn_rate_alerts
+
+            timed(
+                "burn_rate_hourly",
+                lambda: burn_rate_alerts(
+                    df,
+                    F.col("tool").isNotNull(),
+                    time_col="ts",
+                    by=["role"],
+                    bucket="hour",
+                    objective=0.75,
+                    short_buckets=6,
+                    long_buckets=24,
+                ),
             )
 
         if "bm25" in ops:
