@@ -6495,20 +6495,20 @@ _DRIVER_WINDOW = [
     "pagerank_event_types",
     "label_propagation_ngram",
     "dd_sketch_events",
-    "dd_value_quantiles",
+    "streaming_burn_parity",
     "countsketch_user_estimates",
     "ams_join_size",
     "streaming_dd_parity",
     "decayed_event_trends",
     "priority_sample_users",
-    "priority_subset_sum_events",
+    "semantic_contamination_pairs",
     "sliding_hll_users",
     "hll_beta_within_bound",
     "sql_beta_estimate",
     "sliding_cms_topk_users",
     "sliding_theta_window_estimates",
     "sliding_dd_window_quantiles",
-    "sliding_dd_drift_weeks",
+    "semantic_decontaminate_embeddings",
     "ssjoin_prefix_pairs",
     "triangle_counts_ngram",
     "hyperball_ngram",
@@ -6519,7 +6519,7 @@ _DRIVER_WINDOW = [
     "tuple_sum_by_type",
     "sliding_moments_windows",
     "jpeg_decode_stats",
-    "flac_decode_stats",
+    "slo_burn_hourly",
     "hamming_pairs_events",
     "audio_near_dedup_clips",
 ]
