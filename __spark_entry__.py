@@ -1921,6 +1921,39 @@ def _q_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seasonal_spikes_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomalies
+    (operators/anomaly.py::seasonal_spikes): hourly error-event counts
+    scored against the SAME hour-of-day over the trailing 7 observed
+    days — the periodic-traffic detector rate_spikes' plain trailing
+    window cannot express. Season keys are epoch arithmetic, replayed
+    verbatim in the oracle's window partition."""
+    from hyper_spark.operators.anomaly import seasonal_spikes
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    out = seasonal_spikes(
+        events,
+        "ts",
+        bucket="hour",
+        season="hour_of_day",
+        trailing=7,
+        z_threshold=2.0,
+        min_events=3,
+    )
+    # scored buckets only, like the rate_spikes gate: NULL doubles
+    # round-trip as NaN through the oracle's pandas bridge
+    return out.filter(F.col("z_score").isNotNull()).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "season",
+        "n_events",
+        F.round("z_score", 6).alias("z_score"),
+        "is_spike",
+    )
+
+
 def _q_streaming_burn_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-rate (streaming/burn_stream.py): the bucket
     counters are built by Structured Streaming's native windowed
@@ -6817,6 +6850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate_embeddings": _q_semantic_decontaminate,
         "slo_burn_hourly": _q_slo_burn_hourly,
         "streaming_burn_parity": _q_streaming_burn_parity,
+        "seasonal_spikes_hourly": _q_seasonal_spikes_hourly,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -11009,6 +11043,31 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
                    round(el / 0.25, 6) AS burn_long,
                    (es >= 0.25 AND el >= 0.25) AS is_alert
             FROM r
+        """,
+        "seasonal_spikes_hourly": """
+            WITH c AS (
+                SELECT date_trunc('hour', ts) AS b,
+                       count(*)::BIGINT AS n_events,
+                       (CAST(epoch(date_trunc('hour', ts)) / 3600
+                             AS BIGINT) % 24)::INT AS season
+                FROM events
+                WHERE ts IS NOT NULL AND event_type = 'error'
+                GROUP BY 1
+            ), scored AS (
+                SELECT b, season, n_events,
+                       avg(n_events) OVER w AS m,
+                       stddev_samp(n_events) OVER w AS s
+                FROM c
+                WINDOW w AS (PARTITION BY season ORDER BY b
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   season, n_events,
+                   round((n_events - m) / s, 6) AS z_score,
+                   (CASE WHEN (n_events - m) / s >= 2.0
+                              AND n_events >= 3
+                         THEN true ELSE false END) AS is_spike
+            FROM scored WHERE s > 0
         """,
         "streaming_burn_parity": """
             WITH c AS (

@@ -30,6 +30,7 @@ __all__ = [
     "rate_spikes",
     "rate_gaps",
     "series_spikes",
+    "seasonal_spikes",
     "burn_rate_alerts",
     "burn_rate_read",
 ]
@@ -308,3 +309,88 @@ def burn_rate_read(
         ).alias("is_alert"),
     )
     return out
+
+
+_SEASONS = {
+    # epoch-arithmetic season keys: identical in any SQL engine and
+    # timezone-free (the alternative — dayofweek()/hour() builtins —
+    # numbers weekdays differently across engines)
+    "hour_of_day": (3600, 24),
+    "hour_of_week": (3600, 168),
+    "day_of_week": (86400, 7),
+}
+
+
+def seasonal_spikes(
+    df: DataFrame,
+    time_col: str,
+    by: Sequence[str] = (),
+    bucket: str = "hour",
+    season: str = "hour_of_day",
+    trailing: int = 7,
+    z_threshold: float = 3.0,
+    min_events: int = 10,
+) -> DataFrame:
+    """Seasonal-baseline rate anomalies: each (group, bucket) count is
+    scored against the trailing observations of the SAME seasonal cell
+    — Monday-9am traffic against previous Monday-9ams (or same
+    hour-of-day against the previous days' same hour) — the detector
+    for periodic traffic where ``rate_spikes``' plain trailing window
+    would flag every morning ramp-up as an anomaly and mask a real
+    incident inside the daily trough.
+
+    ``season`` keys are epoch arithmetic ((epoch // step) % cycle), so
+    the oracle replays them engine-independently: ``hour_of_day`` (24
+    cells), ``hour_of_week`` (168), ``day_of_week`` (7). ``trailing``
+    counts OBSERVED same-cell buckets strictly before the current one
+    (for hour_of_day that means the same hour over the previous
+    ``trailing`` days with any traffic); first observation of a cell
+    never flags; σ = 0 never flags; ``min_events`` suppresses
+    noise-floor flags, all exactly the ``rate_spikes`` contracts.
+
+    Distributed shape: identical to rate_spikes — one time-bucketed
+    aggregate (shuffle bounded by |groups × buckets|) + one window
+    pass, now partitioned by (group, season cell); all codegen.
+
+    Output: DataFrame[*by, bucket, season, n_events, baseline_mean,
+    baseline_std, z_score, is_spike].
+    """
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
+    if season not in _SEASONS:
+        raise ValueError(f"season must be one of {sorted(_SEASONS)}")
+    if trailing < 2:
+        raise ValueError("trailing must be >= 2 (std of one point is undefined)")
+    by = list(by)
+    step, cycle = _SEASONS[season]
+    counts = (
+        df.filter(F.col(time_col).isNotNull())
+        .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "season",
+            ((F.unix_timestamp("bucket") / step).cast("long") % cycle).cast(
+                "int"
+            ),
+        )
+    )
+    scored = series_spikes(
+        counts,
+        "n_events",
+        by=[*by, "season"],
+        order_col="bucket",
+        trailing=trailing,
+        z_threshold=z_threshold,
+        min_value=float(min_events),
+        alias="n_events",
+    )
+    return scored.select(
+        *by,
+        "bucket",
+        "season",
+        F.col("n_events").cast("long").alias("n_events"),
+        "baseline_mean",
+        "baseline_std",
+        "z_score",
+        "is_spike",
+    )

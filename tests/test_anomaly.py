@@ -225,3 +225,54 @@ def test_burn_rate_validation(spark):
         burn_rate_alerts(df, "is_bad", objective=1.0)
     with pytest.raises(ValueError):
         burn_rate_alerts(df, "is_bad", short_buckets=8, long_buckets=4)
+
+
+# ---------------------------------------------------------- seasonal
+
+
+def test_seasonal_spikes_daily_pattern(spark):
+    """A 10x daily peak hour is NORMAL under the seasonal baseline
+    (plain rate_spikes would flag every morning); a 4x burst in a
+    normally-quiet hour flags."""
+    from hyper_spark.operators.anomaly import seasonal_spikes
+
+    base = dt.datetime(2024, 4, 1)
+    rows = []
+    for d in range(10):
+        for h in range(24):
+            # hour 9 peaks at ~100 (with variation so std > 0),
+            # everything else ~10 (also varied)
+            n = (100 + d % 3) if h == 9 else (10 + (d + h) % 3)
+            # day 9 hour 3: incident — 40 events in a quiet hour
+            if d == 9 and h == 3:
+                n = 40
+            rows += [
+                (base + dt.timedelta(days=d, hours=h, seconds=s))
+                for s in range(n)
+            ]
+    df = spark.createDataFrame([(t,) for t in rows], "ts timestamp")
+    out = seasonal_spikes(
+        df, "ts", bucket="hour", season="hour_of_day",
+        trailing=7, z_threshold=3.0, min_events=10,
+    ).collect()
+    spikes = [(r["bucket"], r["season"]) for r in out if r["is_spike"]]
+    assert spikes == [(base + dt.timedelta(days=9, hours=3), 3)]
+    # the seasonal key is the hour of day
+    assert all(r["season"] == r["bucket"].hour for r in out)
+    # peak hours scored against their own cell: z stays small
+    peak = [r for r in out if r["season"] == 9 and r["z_score"] is not None]
+    assert peak and all(abs(r["z_score"]) < 3 for r in peak)
+
+
+def test_seasonal_spikes_validation(spark):
+    from hyper_spark.operators.anomaly import seasonal_spikes
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 4, 1),)], "ts timestamp"
+    )
+    with pytest.raises(ValueError):
+        seasonal_spikes(df, "ts", season="phase_of_moon")
+    with pytest.raises(ValueError):
+        seasonal_spikes(df, "ts", trailing=1)
+    with pytest.raises(ValueError):
+        seasonal_spikes(df, "ts", bucket="fortnight")
