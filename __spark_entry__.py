@@ -1921,6 +1921,31 @@ def _q_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rate_drops_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-loss detection (operators/anomaly.py::rate_drops):
+    deterministically thin hour 10 of every day to ~25% of its events
+    (keep event_id % 4 == 0) — a degraded producer rate_gaps cannot
+    see (buckets still exist) and rate_spikes ignores (z is negative).
+    Every thinned bucket must score z <= -2 against the trailing mean,
+    identical to the oracle's window SQL."""
+    from hyper_spark.operators.anomaly import rate_drops
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events").filter(
+        ~((F.hour("ts") == 10) & (F.col("event_id") % 4 != 0))
+    )
+    out = rate_drops(
+        events, "ts", bucket="hour", trailing=24,
+        z_threshold=2.0, min_baseline=5.0,
+    )
+    return out.filter(F.col("z_score").isNotNull()).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_events",
+        F.round("z_score", 6).alias("z_score"),
+        "is_drop",
+    )
+
+
 def _q_seasonal_spikes_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-baseline anomalies
     (operators/anomaly.py::seasonal_spikes): hourly error-event counts
@@ -6851,6 +6876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn_hourly": _q_slo_burn_hourly,
         "streaming_burn_parity": _q_streaming_burn_parity,
         "seasonal_spikes_hourly": _q_seasonal_spikes_hourly,
+        "rate_drops_hourly": _q_rate_drops_hourly,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -11043,6 +11069,30 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
                    round(el / 0.25, 6) AS burn_long,
                    (es >= 0.25 AND el >= 0.25) AS is_alert
             FROM r
+        """,
+        "rate_drops_hourly": """
+            WITH f AS (
+                SELECT * FROM events
+                WHERE ts IS NOT NULL
+                  AND NOT (hour(ts) = 10 AND event_id % 4 <> 0)
+            ), c AS (
+                SELECT date_trunc('hour', ts) AS b,
+                       count(*)::BIGINT AS n_events
+                FROM f GROUP BY 1
+            ), scored AS (
+                SELECT b, n_events,
+                       avg(n_events) OVER w AS m,
+                       stddev_samp(n_events) OVER w AS s
+                FROM c
+                WINDOW w AS (ORDER BY b
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   n_events,
+                   round((n_events - m) / s, 6) AS z_score,
+                   (CASE WHEN (n_events - m) / s <= -2.0 AND m >= 5.0
+                         THEN true ELSE false END) AS is_drop
+            FROM scored WHERE s > 0
         """,
         "seasonal_spikes_hourly": """
             WITH c AS (

@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "rate_spikes",
     "rate_gaps",
+    "rate_drops",
     "series_spikes",
+    "series_drops",
     "seasonal_spikes",
     "burn_rate_alerts",
     "burn_rate_read",
@@ -394,3 +396,94 @@ def seasonal_spikes(
         "z_score",
         "is_spike",
     )
+
+
+def series_drops(
+    series: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    order_col: str = "bucket",
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+    min_baseline: float | None = None,
+    alias: str = "value",
+) -> DataFrame:
+    """The DOWNWARD mirror of ``series_spikes``: flags values that fall
+    ``z_threshold`` sample-stddevs BELOW the trailing baseline — the
+    degraded-but-alive producer (traffic halved, a consumer lagging,
+    a feed thinning out). Structural contract with its siblings: a
+    COMPLETELY silent bucket emits no row at all and is therefore
+    invisible here — total silence is ``rate_gaps``' domain; this
+    operator covers the partial losses gaps can't see. ``min_baseline``
+    suppresses flags when the trailing mean itself is below a floor
+    (a series hovering near zero "drops" on every tick of noise).
+    Same window shape, NULL-σ and first-row contracts as
+    series_spikes. Output: DataFrame[*by, order_col, alias,
+    baseline_mean, baseline_std, z_score, is_drop]."""
+    if trailing < 2:
+        raise ValueError(
+            "trailing must be >= 2 (std of one point is undefined)"
+        )
+    by = list(by)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rowsBetween(-trailing, -1)
+    )
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    z = F.when(std > 0, (v - mean) / std)
+    flag = z.isNotNull() & (z <= F.lit(-float(z_threshold)))
+    if min_baseline is not None:
+        flag = flag & (mean >= F.lit(float(min_baseline)))
+    return series.select(
+        *by,
+        order_col,
+        v.alias(alias),
+        mean.alias("baseline_mean"),
+        std.alias("baseline_std"),
+        z.alias("z_score"),
+        flag.alias("is_drop"),
+    )
+
+
+def rate_drops(
+    df: DataFrame,
+    time_col: str,
+    by: Sequence[str] = (),
+    bucket: str = "hour",
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+    min_baseline: float = 10.0,
+) -> DataFrame:
+    """Partial-loss rate anomalies: per (group, bucket) event counts
+    scored against the trailing baseline, flagging buckets
+    ``z_threshold`` stddevs BELOW it — completing the monitoring
+    triptych (``rate_spikes``: runaway emitters; ``rate_gaps``: total
+    silence; this: the silent 75%-drop in between, which neither
+    sibling reports). Same one-aggregate + one-window codegen shape
+    and OBSERVED-bucket contract as rate_spikes; ``min_baseline``
+    (on the trailing MEAN, not the current value — the current value
+    is exactly what's suspect) keeps near-idle groups from flagging
+    on noise. Output: DataFrame[*by, bucket, n_events, baseline_mean,
+    baseline_std, z_score, is_drop]."""
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
+    by = list(by)
+    counts = (
+        df.filter(F.col(time_col).isNotNull())
+        .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    scored = series_drops(
+        counts,
+        "n_events",
+        by=by,
+        order_col="bucket",
+        trailing=trailing,
+        z_threshold=z_threshold,
+        min_baseline=min_baseline,
+        alias="n_events",
+    )
+    return scored.withColumn("n_events", F.col("n_events").cast("long"))

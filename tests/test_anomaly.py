@@ -276,3 +276,52 @@ def test_seasonal_spikes_validation(spark):
         seasonal_spikes(df, "ts", trailing=1)
     with pytest.raises(ValueError):
         seasonal_spikes(df, "ts", bucket="fortnight")
+
+
+# ------------------------------------------------------------- drops
+
+
+def test_rate_drops_partial_loss(spark):
+    """A 70% partial loss flags as a drop; the spike detector stays
+    silent on it; near-idle series never flag (min_baseline)."""
+    from hyper_spark.operators.anomaly import rate_drops
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for h in range(30):
+        # group 'a': ~40/hour with variation; hour 24 drops to 12
+        n = 12 if h == 24 else 40 + h % 3
+        rows += [("a", base + dt.timedelta(hours=h, seconds=s)) for s in range(n)]
+        # group 'b': near-idle 2-3/hour, dips to 0-row silence at
+        # hour 24 (no bucket emitted -> invisible here by contract)
+        if h != 24:
+            rows += [("b", base + dt.timedelta(hours=h, seconds=s)) for s in range(2 + h % 2)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = rate_drops(
+        df, "ts", by=["g"], bucket="hour", trailing=24,
+        z_threshold=3.0, min_baseline=5.0,
+    ).collect()
+    drops = [(r["g"], r["bucket"]) for r in out if r["is_drop"]]
+    assert drops == [("a", base + dt.timedelta(hours=24))]
+    # group b emitted no hour-24 bucket at all: silence is rate_gaps'
+    # domain, and its low-baseline buckets never flag
+    assert all(not r["is_drop"] for r in out if r["g"] == "b")
+    # the drop hour is invisible to the spike detector
+    from hyper_spark.operators.anomaly import rate_spikes
+
+    spikes = rate_spikes(
+        df, "ts", by=["g"], bucket="hour", trailing=24, z_threshold=3.0
+    ).collect()
+    assert all(not r["is_spike"] for r in spikes)
+
+
+def test_rate_drops_validation(spark):
+    from hyper_spark.operators.anomaly import rate_drops, series_drops
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 5, 1),)], "ts timestamp"
+    )
+    with pytest.raises(ValueError):
+        rate_drops(df, "ts", bucket="fortnight")
+    with pytest.raises(ValueError):
+        series_drops(df.selectExpr("ts as bucket", "1 as v"), "v", trailing=1)
