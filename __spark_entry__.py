@@ -1921,6 +1921,39 @@ def _q_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seasonal_drops_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal partial-loss detection
+    (operators/anomaly.py::seasonal_drops): thin hour 10 to ~25% on
+    days 26-30 only — against the PLAIN trailing window this reads as
+    an ordinary trough, but the hour-10 seasonal cell flags the ONSET
+    crisply (day 26 scores z=-3.65). Later thinned days absorb into
+    their own cell's trailing baseline — the documented property of
+    trailing-baseline detectors (they catch the change, sustained
+    shifts are the burn-rate/drift family's job). Oracle replays the
+    same season-partitioned window."""
+    from hyper_spark.operators.anomaly import seasonal_drops
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events").filter(
+        ~(
+            (F.hour("ts") == 10)
+            & (F.dayofmonth("ts") >= 26)
+            & (F.col("event_id") % 4 != 0)
+        )
+    )
+    out = seasonal_drops(
+        events, "ts", bucket="hour", season="hour_of_day",
+        trailing=7, z_threshold=2.0, min_baseline=5.0,
+    )
+    return out.filter(F.col("z_score").isNotNull()).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "season",
+        "n_events",
+        F.round("z_score", 6).alias("z_score"),
+        "is_drop",
+    )
+
+
 def _q_rate_drops_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-loss detection (operators/anomaly.py::rate_drops):
     deterministically thin hour 10 of every day to ~25% of its events
@@ -6877,6 +6910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_burn_parity": _q_streaming_burn_parity,
         "seasonal_spikes_hourly": _q_seasonal_spikes_hourly,
         "rate_drops_hourly": _q_rate_drops_hourly,
+        "seasonal_drops_hourly": _q_seasonal_drops_hourly,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -11069,6 +11103,33 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
                    round(el / 0.25, 6) AS burn_long,
                    (es >= 0.25 AND el >= 0.25) AS is_alert
             FROM r
+        """,
+        "seasonal_drops_hourly": """
+            WITH f AS (
+                SELECT * FROM events
+                WHERE ts IS NOT NULL
+                  AND NOT (hour(ts) = 10 AND day(ts) >= 26
+                           AND event_id % 4 <> 0)
+            ), c AS (
+                SELECT date_trunc('hour', ts) AS b,
+                       count(*)::BIGINT AS n_events,
+                       (CAST(epoch(date_trunc('hour', ts)) / 3600
+                             AS BIGINT) % 24)::INT AS season
+                FROM f GROUP BY 1
+            ), scored AS (
+                SELECT b, season, n_events,
+                       avg(n_events) OVER w AS m,
+                       stddev_samp(n_events) OVER w AS s
+                FROM c
+                WINDOW w AS (PARTITION BY season ORDER BY b
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   season, n_events,
+                   round((n_events - m) / s, 6) AS z_score,
+                   (CASE WHEN (n_events - m) / s <= -2.0 AND m >= 5.0
+                         THEN true ELSE false END) AS is_drop
+            FROM scored WHERE s > 0
         """,
         "rate_drops_hourly": """
             WITH f AS (

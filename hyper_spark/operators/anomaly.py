@@ -33,6 +33,7 @@ __all__ = [
     "series_spikes",
     "series_drops",
     "seasonal_spikes",
+    "seasonal_drops",
     "burn_rate_alerts",
     "burn_rate_read",
 ]
@@ -487,3 +488,63 @@ def rate_drops(
         alias="n_events",
     )
     return scored.withColumn("n_events", F.col("n_events").cast("long"))
+
+
+def seasonal_drops(
+    df: DataFrame,
+    time_col: str,
+    by: Sequence[str] = (),
+    bucket: str = "hour",
+    season: str = "hour_of_day",
+    trailing: int = 7,
+    z_threshold: float = 3.0,
+    min_baseline: float = 10.0,
+) -> DataFrame:
+    """The downward seasonal detector: each (group, bucket) count
+    scored against its own seasonal cell's trailing baseline, flagging
+    buckets that fall ``z_threshold`` stddevs BELOW it — "this
+    Monday-9am is a fraction of the last seven Monday-9ams", the
+    weekday-traffic collapse a plain trailing window reads as the
+    nightly trough and ``seasonal_spikes`` by construction ignores.
+    Same epoch-arithmetic season keys and contracts as
+    seasonal_spikes; ``min_baseline`` applies to the trailing seasonal
+    MEAN (the current value is exactly what's suspect), the
+    ``rate_drops`` convention. Output: DataFrame[*by, bucket, season,
+    n_events, baseline_mean, baseline_std, z_score, is_drop]."""
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
+    if season not in _SEASONS:
+        raise ValueError(f"season must be one of {sorted(_SEASONS)}")
+    by = list(by)
+    step, cycle = _SEASONS[season]
+    counts = (
+        df.filter(F.col(time_col).isNotNull())
+        .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "season",
+            ((F.unix_timestamp("bucket") / step).cast("long") % cycle).cast(
+                "int"
+            ),
+        )
+    )
+    scored = series_drops(
+        counts,
+        "n_events",
+        by=[*by, "season"],
+        order_col="bucket",
+        trailing=trailing,
+        z_threshold=z_threshold,
+        min_baseline=min_baseline,
+        alias="n_events",
+    )
+    return scored.select(
+        *by,
+        "bucket",
+        "season",
+        F.col("n_events").cast("long").alias("n_events"),
+        "baseline_mean",
+        "baseline_std",
+        "z_score",
+        "is_drop",
+    )

@@ -325,3 +325,49 @@ def test_rate_drops_validation(spark):
         rate_drops(df, "ts", bucket="fortnight")
     with pytest.raises(ValueError):
         series_drops(df.selectExpr("ts as bucket", "1 as v"), "v", trailing=1)
+
+
+def test_seasonal_drops_onset(spark):
+    """A collapsed peak hour flags against its own seasonal cell on
+    the onset day; the plain trailing window reads the same bucket as
+    an ordinary trough (rate_drops stays silent on it)."""
+    from hyper_spark.operators.anomaly import rate_drops, seasonal_drops
+
+    base = dt.datetime(2024, 4, 1)
+    rows = []
+    for d in range(10):
+        for h in range(24):
+            n = (100 + d % 3) if h == 9 else (10 + (d + h) % 3)
+            if d == 9 and h == 9:
+                n = 20  # the peak hour collapses to 20%
+            rows += [
+                (base + dt.timedelta(days=d, hours=h, seconds=s))
+                for s in range(n)
+            ]
+    df = spark.createDataFrame([(t,) for t in rows], "ts timestamp")
+    out = seasonal_drops(
+        df, "ts", bucket="hour", season="hour_of_day",
+        trailing=7, z_threshold=3.0, min_baseline=10.0,
+    ).collect()
+    drops = [(r["bucket"], r["season"]) for r in out if r["is_drop"]]
+    assert drops == [(base + dt.timedelta(days=9, hours=9), 9)]
+    # the plain trailing detector reads 20-at-hour-9 as a trough:
+    # its baseline mixes the 10-ish off-peak hours, so no drop flag
+    plain = rate_drops(
+        df, "ts", bucket="hour", trailing=7,
+        z_threshold=3.0, min_baseline=10.0,
+    ).collect()
+    target = base + dt.timedelta(days=9, hours=9)
+    assert all(not r["is_drop"] for r in plain if r["bucket"] == target)
+
+
+def test_seasonal_drops_validation(spark):
+    from hyper_spark.operators.anomaly import seasonal_drops
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 4, 1),)], "ts timestamp"
+    )
+    with pytest.raises(ValueError):
+        seasonal_drops(df, "ts", season="phase_of_moon")
+    with pytest.raises(ValueError):
+        seasonal_drops(df, "ts", bucket="fortnight")
