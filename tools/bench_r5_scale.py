@@ -11,7 +11,7 @@ between reps (CacheManager matches by logical plan). Stage outputs are
 counted, never collected wide.
 
 Run: python tools/bench_r5_scale.py [op ...]   (default: all)
-Ops: substring strip lm_score rate burn bm25 semantic
+Ops: substring strip lm_score rate burn drops bm25 semantic
 Env: R5_SF_DIR (default .data/transcripts_sf16.0),
      R5_EMB_DIR (default /tmp/emb_scale_1000000_64_10x1000),
      R5_BM25_INDEX (default .data/bm25_sf16), R5_CPUS (32).
@@ -125,6 +125,21 @@ def main() -> None:
                     objective=0.75,
                     short_buckets=6,
                     long_buckets=24,
+                ),
+            )
+
+        if "drops" in ops:
+            from hyper_spark.operators.anomaly import rate_drops, seasonal_drops
+
+            timed(
+                "rate_drops_hourly",
+                lambda: rate_drops(df, "ts", by=["role"], bucket="hour"),
+            )
+            timed(
+                "seasonal_drops_hourly",
+                lambda: seasonal_drops(
+                    df, "ts", by=["role"], bucket="hour",
+                    season="hour_of_day",
                 ),
             )
 
