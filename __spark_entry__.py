@@ -1921,6 +1921,48 @@ def _q_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators/normalize.py::winsorize_by,
+    exact mode): event values clipped to their type's [p5, p95] —
+    Spark's sort-based ``percentile`` and DuckDB's ``quantile_cont``
+    share the linear-interpolation definition, so bounds and clipped
+    values replay to the checker's rounding. The sketch-bound mode is
+    pytest-covered (approximate bounds can't value-match an exact
+    oracle)."""
+    from hyper_spark.operators.normalize import winsorize_by
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = winsorize_by(
+        events, "value", by=["event_type"], lower=0.05, upper=0.95
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round("value_w", 6).alias("value_w"),
+    )
+
+
+def _q_robust_scale_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR standardization
+    (operators/normalize.py::robust_scale_by, exact mode): the
+    outlier-immune z-score per event type; NULL where IQR = 0."""
+    from hyper_spark.operators.normalize import robust_scale_by
+
+    _ensure_pkg(spark)
+    events = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = robust_scale_by(events, "value", by=["event_type"])
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("median", 6).alias("median"),
+        F.round("iqr", 6).alias("iqr"),
+        F.round("value_rs", 6).alias("value_rs"),
+    )
+
+
 def _q_seasonal_drops_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal partial-loss detection
     (operators/anomaly.py::seasonal_drops): thin hour 10 to ~25% on
@@ -6911,6 +6953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_spikes_hourly": _q_seasonal_spikes_hourly,
         "rate_drops_hourly": _q_rate_drops_hourly,
         "seasonal_drops_hourly": _q_seasonal_drops_hourly,
+        "winsorize_value_by_type": _q_winsorize_value,
+        "robust_scale_value_by_type": _q_robust_scale_value,
     }
     head = [name for name in _DRIVER_WINDOW if name in table]
     in_head = set(head)
@@ -11103,6 +11147,38 @@ LEFT JOIN gained ON gained.event_type = types.event_type""",
                    round(el / 0.25, 6) AS burn_long,
                    (es >= 0.25 AND el >= 0.25) AS is_alert
             FROM r
+        """,
+        "winsorize_value_by_type": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS lo,
+                       quantile_cont(value, 0.95) AS hi
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   round(b.lo, 6) AS lo,
+                   round(b.hi, 6) AS hi,
+                   round(greatest(least(e.value, b.hi), b.lo), 6)
+                       AS value_w
+            FROM events e JOIN b USING (event_type)
+            WHERE e.value IS NOT NULL
+        """,
+        "robust_scale_value_by_type": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.5) AS med,
+                       quantile_cont(value, 0.75)
+                           - quantile_cont(value, 0.25) AS iqr
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   round(b.med, 6) AS median,
+                   round(b.iqr, 6) AS iqr,
+                   round(CASE WHEN b.iqr > 0
+                              THEN (e.value - b.med) / b.iqr END, 6)
+                       AS value_rs
+            FROM events e JOIN b USING (event_type)
+            WHERE e.value IS NOT NULL
         """,
         "seasonal_drops_hourly": """
             WITH f AS (
