@@ -41,6 +41,28 @@ __all__ = [
 _BUCKETS = {"minute", "hour", "day", "week", "month"}
 
 
+def _bucket_counts(df, time_col, by, bucket, season=None):
+    """The shared OBSERVED-bucket count table: one time-bucketed
+    aggregate, shuffle bounded by |groups × buckets|. ``season`` =
+    (step, cycle) adds the epoch-arithmetic season cell column."""
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
+    counts = (
+        df.filter(F.col(time_col).isNotNull())
+        .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    if season is not None:
+        step, cycle = season
+        counts = counts.withColumn(
+            "season",
+            ((F.unix_timestamp("bucket") / step).cast("long") % cycle).cast(
+                "int"
+            ),
+        )
+    return counts
+
+
 def series_spikes(
     series: DataFrame,
     value_col: str,
@@ -108,16 +130,10 @@ def rate_spikes(
     never flags. ``is_spike`` additionally requires ``n_events >=
     min_events`` so near-empty groups can't flag on noise.
     """
-    if bucket not in _BUCKETS:
-        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
     if trailing < 2:
         raise ValueError("trailing must be >= 2 (std of one point is undefined)")
     by = list(by)
-    counts = (
-        df.filter(F.col(time_col).isNotNull())
-        .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    counts = _bucket_counts(df, time_col, by, bucket)
     scored = series_spikes(
         counts,
         "n_events",
@@ -219,15 +235,7 @@ def burn_rate_alerts(
     Output: DataFrame[*by, bucket, n_total, n_bad, err_short,
     err_long, burn_short, burn_long, is_alert].
     """
-    if bucket not in _BUCKET_SECONDS:
-        raise ValueError(f"bucket must be one of {sorted(_BUCKET_SECONDS)}")
-    if not 0.0 < objective < 1.0:
-        raise ValueError(f"objective must be in (0, 1), got {objective}")
-    if short_buckets < 1 or long_buckets < short_buckets:
-        raise ValueError(
-            "need 1 <= short_buckets <= long_buckets, got "
-            f"{short_buckets}/{long_buckets}"
-        )
+    # parameter validation happens once, in burn_rate_read below
     by = list(by)
     if isinstance(bad, str):
         bad = F.expr(bad)
@@ -323,6 +331,32 @@ _SEASONS = {
     "day_of_week": (86400, 7),
 }
 
+_SEASONAL_BUCKET_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def _check_seasonal(bucket: str, season: str) -> tuple[int, int]:
+    """Reject incompatible bucket/season combinations instead of
+    silently degenerating: a bucket grain that is a whole multiple of
+    the season's full cycle (e.g. day buckets with hour_of_day) lands
+    EVERY bucket in cell 0 — a plain trailing window wearing a
+    seasonal name. week/month buckets have no fixed epoch arithmetic
+    and are rejected outright."""
+    if bucket not in _SEASONAL_BUCKET_SECONDS:
+        raise ValueError(
+            "seasonal detectors support buckets "
+            f"{sorted(_SEASONAL_BUCKET_SECONDS)}, got {bucket!r}"
+        )
+    if season not in _SEASONS:
+        raise ValueError(f"season must be one of {sorted(_SEASONS)}")
+    step, cycle = _SEASONS[season]
+    if _SEASONAL_BUCKET_SECONDS[bucket] % (step * cycle) == 0:
+        raise ValueError(
+            f"bucket {bucket!r} is a whole multiple of season "
+            f"{season!r}'s cycle — every bucket would land in one "
+            "seasonal cell; pick a finer bucket or a longer season"
+        )
+    return step, cycle
+
 
 def seasonal_spikes(
     df: DataFrame,
@@ -358,25 +392,11 @@ def seasonal_spikes(
     Output: DataFrame[*by, bucket, season, n_events, baseline_mean,
     baseline_std, z_score, is_spike].
     """
-    if bucket not in _BUCKETS:
-        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
-    if season not in _SEASONS:
-        raise ValueError(f"season must be one of {sorted(_SEASONS)}")
+    step, cycle = _check_seasonal(bucket, season)
     if trailing < 2:
         raise ValueError("trailing must be >= 2 (std of one point is undefined)")
     by = list(by)
-    step, cycle = _SEASONS[season]
-    counts = (
-        df.filter(F.col(time_col).isNotNull())
-        .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .withColumn(
-            "season",
-            ((F.unix_timestamp("bucket") / step).cast("long") % cycle).cast(
-                "int"
-            ),
-        )
-    )
+    counts = _bucket_counts(df, time_col, by, bucket, season=(step, cycle))
     scored = series_spikes(
         counts,
         "n_events",
@@ -469,14 +489,8 @@ def rate_drops(
     is exactly what's suspect) keeps near-idle groups from flagging
     on noise. Output: DataFrame[*by, bucket, n_events, baseline_mean,
     baseline_std, z_score, is_drop]."""
-    if bucket not in _BUCKETS:
-        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
     by = list(by)
-    counts = (
-        df.filter(F.col(time_col).isNotNull())
-        .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    counts = _bucket_counts(df, time_col, by, bucket)
     scored = series_drops(
         counts,
         "n_events",
@@ -511,23 +525,9 @@ def seasonal_drops(
     MEAN (the current value is exactly what's suspect), the
     ``rate_drops`` convention. Output: DataFrame[*by, bucket, season,
     n_events, baseline_mean, baseline_std, z_score, is_drop]."""
-    if bucket not in _BUCKETS:
-        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
-    if season not in _SEASONS:
-        raise ValueError(f"season must be one of {sorted(_SEASONS)}")
+    step, cycle = _check_seasonal(bucket, season)
     by = list(by)
-    step, cycle = _SEASONS[season]
-    counts = (
-        df.filter(F.col(time_col).isNotNull())
-        .groupBy(*by, F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .withColumn(
-            "season",
-            ((F.unix_timestamp("bucket") / step).cast("long") % cycle).cast(
-                "int"
-            ),
-        )
-    )
+    counts = _bucket_counts(df, time_col, by, bucket, season=(step, cycle))
     scored = series_drops(
         counts,
         "n_events",

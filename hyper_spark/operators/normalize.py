@@ -55,7 +55,7 @@ def group_bounds(
     by = list(by)
     if mode == "exact":
         aggs = [
-            F.expr(f"percentile({col}, {p!r})").alias(f"q_{i}")
+            F.expr(f"percentile(`{col}`, {p!r})").alias(f"q_{i}")
             for i, p in enumerate(probs)
         ]
         return df.filter(F.col(col).isNotNull()).groupBy(*by).agg(*aggs)
@@ -96,7 +96,12 @@ def winsorize_by(
 ) -> DataFrame:
     """Clip ``col`` to its per-group [lower, upper] quantiles. Returns
     the input rows plus ``lo``, ``hi``, and the clipped value in
-    ``out_col`` (default ``{col}_w``); NULL values pass through NULL.
+    ``out_col`` (default ``{col}_w``). ALL input rows survive: the
+    bounds join is LEFT (a NULL group key, or a group whose values are
+    entirely NULL, has no bounds row — those rows carry NULL lo/hi and
+    their value passes through unclipped), and a NULL value stays NULL
+    (Spark's least/greatest SKIP nulls, so the clip must be gated on
+    the value's presence or a NULL input would come back as ``hi``).
     The bounds table broadcasts; the clip is map-only codegen."""
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}/{upper}")
@@ -106,12 +111,15 @@ def winsorize_by(
         *by, F.col("q_0").alias("lo"), F.col("q_1").alias("hi")
     )
     joined = (
-        df.join(F.broadcast(bounds), on=by) if by
+        df.join(F.broadcast(bounds), on=by, how="left") if by
         else df.crossJoin(F.broadcast(bounds))
     )
     return joined.withColumn(
         out_col,
-        F.greatest(F.least(F.col(col), F.col("hi")), F.col("lo")),
+        F.when(
+            F.col(col).isNotNull(),
+            F.greatest(F.least(F.col(col), F.col("hi")), F.col("lo")),
+        ),
     )
 
 
@@ -129,7 +137,9 @@ def robust_scale_by(
     Returns input rows plus ``median``, ``iqr``, and the scaled value
     in ``out_col`` (default ``{col}_rs``; NULL when IQR is 0 — a
     constant group has no scale). Same broadcast-bounds + map-only
-    shape as ``winsorize_by``."""
+    shape and row-preservation contract as ``winsorize_by``: the
+    bounds join is LEFT, so NULL-keyed rows and all-NULL groups
+    survive with NULL median/iqr (and a NULL scale)."""
     by = list(by)
     out_col = out_col or f"{col}_rs"
     bounds = group_bounds(
@@ -140,7 +150,7 @@ def robust_scale_by(
         (F.col("q_2") - F.col("q_0")).alias("iqr"),
     )
     joined = (
-        df.join(F.broadcast(bounds), on=by) if by
+        df.join(F.broadcast(bounds), on=by, how="left") if by
         else df.crossJoin(F.broadcast(bounds))
     )
     return joined.withColumn(

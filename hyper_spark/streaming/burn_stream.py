@@ -30,6 +30,54 @@ __all__ = ["streaming_bucket_counts"]
 
 _GRAIN = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
 
+_UTC_ALIASES = {
+    "UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Greenwich",
+    "Universal", "Zulu", "Z", "+00:00",
+}
+
+
+def _check_alignment(df: DataFrame, bucket: str) -> None:
+    """`F.window` tumbles aligned to the UTC epoch; the batch
+    bucketizer (`burn_rate_alerts`) truncates with `date_trunc` in the
+    SESSION timezone. The exact-parity contract therefore requires the
+    two conventions to coincide: day buckets only align in a UTC
+    session, and hour buckets misalign in fractional-offset zones
+    (+05:30 and friends). Raise rather than let merged counter stores
+    silently mix two bucket conventions."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz in _UTC_ALIASES:
+        return
+    if bucket == "day":
+        raise ValueError(
+            f"streaming day buckets align to the UTC epoch but the "
+            f"session timezone is {tz!r}, so they cannot match the "
+            "batch date_trunc convention — set the session timezone "
+            "to UTC, or build hour buckets and roll up at read time"
+        )
+    # hour buckets coincide with date_trunc in any WHOLE-hour-offset
+    # zone; reject provable fractional offsets, accept the rest
+    offsets = []
+    try:
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        for probe in (datetime(2024, 1, 1), datetime(2024, 7, 1)):
+            offsets.append(int(probe.replace(tzinfo=z).utcoffset().total_seconds()))
+    except Exception:
+        import re
+
+        m = re.fullmatch(r"[+-](\d{2}):(\d{2})", tz)
+        if m:
+            offsets.append(int(m.group(1)) * 3600 + int(m.group(2)) * 60)
+    if bucket == "hour" and any(o % 3600 for o in offsets):
+        raise ValueError(
+            f"session timezone {tz!r} has a fractional-hour UTC "
+            "offset: streaming hour buckets (UTC-epoch aligned) "
+            "cannot match the batch date_trunc convention — set the "
+            "session timezone to UTC"
+        )
+
 
 def streaming_bucket_counts(
     df: DataFrame,
@@ -47,6 +95,7 @@ def streaming_bucket_counts(
     bounded batch frame, which the parity test exploits."""
     if bucket not in _GRAIN:
         raise ValueError(f"bucket must be one of {sorted(_GRAIN)}")
+    _check_alignment(df, bucket)
     if isinstance(bad, str):
         bad = F.expr(bad)
     by = list(by)

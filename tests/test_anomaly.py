@@ -371,3 +371,17 @@ def test_seasonal_drops_validation(spark):
         seasonal_drops(df, "ts", season="phase_of_moon")
     with pytest.raises(ValueError):
         seasonal_drops(df, "ts", bucket="fortnight")
+
+
+def test_seasonal_degenerate_combo_rejected(spark):
+    """day buckets with hour_of_day would land every bucket in cell 0
+    (a plain trailing window wearing a seasonal name) — rejected."""
+    from hyper_spark.operators.anomaly import seasonal_drops, seasonal_spikes
+
+    df = spark.createDataFrame([(dt.datetime(2024, 4, 1),)], "ts timestamp")
+    with pytest.raises(ValueError):
+        seasonal_spikes(df, "ts", bucket="day", season="hour_of_day")
+    with pytest.raises(ValueError):
+        seasonal_drops(df, "ts", bucket="week", season="day_of_week")
+    # day buckets against the WEEK-cycle seasons are meaningful
+    assert seasonal_spikes(df, "ts", bucket="day", season="day_of_week").count() >= 0

@@ -73,7 +73,7 @@ def test_streaming_burn_counters_and_read_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming query timed out"
     got = spark.read.parquet(sink).filter(F.year("bucket") < 2100)
     # counters: the same operator applied to the bounded frame
     ref = streaming_bucket_counts(df, "is_bad", ts_col="ts", bucket="hour")
@@ -100,3 +100,27 @@ def test_streaming_bucket_counts_validation(spark):
     df = _typed(spark, _rows())
     with pytest.raises(ValueError):
         streaming_bucket_counts(df, "is_bad", bucket="fortnight")
+
+
+def test_streaming_bucket_alignment_guard(spark):
+    """F.window tumbles UTC-epoch-aligned while the batch bucketizer
+    truncates in the session timezone: day buckets outside UTC (and
+    hour buckets in fractional-offset zones) are rejected so merged
+    counter stores can't mix conventions."""
+    import pytest
+
+    df = _typed(spark, _rows())
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError):
+            streaming_bucket_counts(df, "is_bad", bucket="day")
+        # whole-hour-offset zone: hour buckets still align
+        assert streaming_bucket_counts(df, "is_bad", bucket="hour").count() > 0
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        with pytest.raises(ValueError):
+            streaming_bucket_counts(df, "is_bad", bucket="hour")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert streaming_bucket_counts(df, "is_bad", bucket="day").count() > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -103,3 +103,26 @@ def test_normalize_validation(spark):
         group_bounds(df, "v", ["g"], (1.5,))
     with pytest.raises(ValueError):
         group_bounds(df, "v", ["g"], (0.5,), mode="magic")
+
+
+def test_winsorize_null_contract(spark):
+    """Review-hardened contracts: NULL values stay NULL (Spark's
+    least/greatest SKIP nulls — unguarded, a NULL came back as hi);
+    NULL group keys and all-NULL groups survive the bounds join with
+    passthrough values."""
+    rows = [
+        Row(g="a", i=0, v=1.0), Row(g="a", i=1, v=2.0),
+        Row(g="a", i=2, v=100.0), Row(g="a", i=3, v=None),
+        Row(g=None, i=4, v=7.0),          # NULL group key
+        Row(g="c", i=5, v=None),          # all-NULL group
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    out = {r["i"]: r for r in winsorize_by(df, "v", by=["g"], lower=0.0, upper=0.5).collect()}
+    assert len(out) == 6                   # every input row survives
+    assert out[3]["v_w"] is None           # NULL value -> NULL, not hi
+    assert out[4]["v_w"] == 7.0            # NULL key: passthrough
+    assert out[4]["lo"] is None and out[4]["hi"] is None
+    assert out[5]["v_w"] is None           # all-NULL group
+    rs = {r["i"]: r for r in robust_scale_by(df, "v", by=["g"]).collect()}
+    assert len(rs) == 6
+    assert rs[4]["v_rs"] is None and rs[4]["median"] is None
