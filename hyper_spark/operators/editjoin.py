@@ -65,7 +65,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from hyper_spark.operators.util import spread
+from hyper_spark.operators.util import spread, widen_for_explosion
 
 __all__ = ["edit_distance_join", "token_edit_distance_join"]
 
@@ -177,32 +177,49 @@ def edit_distance_join(
             other, other_id_col or id_col, other_text_col or text_col
         ).persist()
 
-    grams_a = _grams(strs_a, q)
-    grams_b = grams_a if not cross else _grams(strs_b, q)
+    # widen_for_explosion BEFORE the frequency groupBy: dfreq and the
+    # prefix build then share one explicit-count gram exchange, so the
+    # whole gram pipeline runs wide — AQE used to coalesce the
+    # join+collect_list stage to ONE task (3 s serialized, twice for
+    # the self join's two aliases; guide §2.5).
+    grams_a = widen_for_explosion(_grams(strs_a, q), "gram")
+    grams_b = grams_a if not cross else widen_for_explosion(
+        _grams(strs_b, q), "gram"
+    )
     dfreq = (
         (grams_a.unionByName(grams_b) if cross else grams_a)
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df_count"))
     )
 
-    a = _prefix_entries(grams_a, dfreq, q, d).select(
-        F.col("id").alias("id_a"), F.col("len").alias("la"), "gram"
+    # candidate generation via the ssjoin grouped-array machinery: each
+    # unordered pair emitted once per shared prefix-gram occurrence
+    # pair (the same multiset the old a x b join produced), in one
+    # explicitly-partitioned stage, hot grams chunk-fanned out. Self
+    # mode filters the (id, id) diagonal that duplicate gram
+    # occurrences of one string would otherwise pair with themselves.
+    from hyper_spark.operators.ssjoin import (
+        _candidates_cross,
+        _candidates_self,
     )
-    b = (
-        a.select(
-            F.col("id_a").alias("id_b"), F.col("la").alias("lb"), "gram"
-        )
-        if not cross
-        else _prefix_entries(grams_b, dfreq, q, d).select(
-            F.col("id").alias("id_b"), F.col("len").alias("lb"), "gram"
-        )
+
+    fields = (("len", "la", "lb"),)
+    ea = _prefix_entries(grams_a, dfreq, q, d).withColumnRenamed(
+        "gram", "token"
     )
+    if cross:
+        eb = _prefix_entries(grams_b, dfreq, q, d).withColumnRenamed(
+            "gram", "token"
+        )
+        gram_cand = _candidates_cross(ea, eb, fields=fields)
+    else:
+        gram_cand = _candidates_self(ea, fields=fields).filter(
+            F.col("id_a") != F.col("id_b")
+        )
     # length filter: ed <= d forces |la - lb| <= d
-    length_ok = F.abs(F.col("la") - F.col("lb")) <= F.lit(d)
-    pair_ok = length_ok if cross else length_ok & (
-        F.col("id_a") < F.col("id_b")
-    )
-    gram_cand = a.join(b, "gram").filter(pair_ok).select("id_a", "id_b")
+    gram_cand = gram_cand.filter(
+        F.abs(F.col("la") - F.col("lb")) <= F.lit(d)
+    ).select("id_a", "id_b")
 
     # short pool: strings with G <= q*d grams pair by length band.
     # Probe emits every length in [len-d, len+d]; index keys its own
@@ -414,29 +431,39 @@ def token_edit_distance_join(
             other, other_id_col or id_col, other_tokens_col or tokens_col
         ).persist()
 
-    grams_a = _token_grams(seqs_a, q)
-    grams_b = grams_a if not cross else _token_grams(seqs_b, q)
+    # same wide-exchange + grouped-array candidate shape as the
+    # character join above (see comments there)
+    grams_a = widen_for_explosion(_token_grams(seqs_a, q), "tok")
+    grams_b = grams_a if not cross else widen_for_explosion(
+        _token_grams(seqs_b, q), "tok"
+    )
     dfreq = (
         (grams_a.unionByName(grams_b) if cross else grams_a)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df_count"))
     )
 
-    a = _token_prefix_entries(grams_a, dfreq, q, d).select(
-        F.col("id").alias("id_a"), F.col("n").alias("na"), "tok"
+    from hyper_spark.operators.ssjoin import (
+        _candidates_cross,
+        _candidates_self,
     )
-    b = (
-        a.select(F.col("id_a").alias("id_b"), F.col("na").alias("nb"), "tok")
-        if not cross
-        else _token_prefix_entries(grams_b, dfreq, q, d).select(
-            F.col("id").alias("id_b"), F.col("n").alias("nb"), "tok"
+
+    fields = (("n", "na", "nb"),)
+    ea = _token_prefix_entries(grams_a, dfreq, q, d).withColumnRenamed(
+        "tok", "token"
+    )
+    if cross:
+        eb = _token_prefix_entries(grams_b, dfreq, q, d).withColumnRenamed(
+            "tok", "token"
         )
-    )
-    length_ok = F.abs(F.col("na") - F.col("nb")) <= F.lit(d)
-    pair_ok = length_ok if cross else length_ok & (
-        F.col("id_a") < F.col("id_b")
-    )
-    gram_cand = a.join(b, "tok").filter(pair_ok).select("id_a", "id_b")
+        gram_cand = _candidates_cross(ea, eb, fields=fields)
+    else:
+        gram_cand = _candidates_self(ea, fields=fields).filter(
+            F.col("id_a") != F.col("id_b")
+        )
+    gram_cand = gram_cand.filter(
+        F.abs(F.col("na") - F.col("nb")) <= F.lit(d)
+    ).select("id_a", "id_b")
 
     smax = q * d + q - 1
     short_a = seqs_a.filter(F.col("n") <= F.lit(smax))

@@ -286,7 +286,14 @@ def _grouped_entries(entries: DataFrame, chunk: int, fields) -> DataFrame:
     id-sorted struct array. One explicit-count exchange on token; the
     per-token count join and the groupBy reuse that same exchange (both
     are clustered by token)."""
-    ent = widen_for_explosion(entries, "token")
+    # eager localCheckpoint: the per-token count and the chunk groupBy
+    # are two references to `entries`, and AQE's sibling-stage exchange
+    # reuse is not reliable (profiled on the edit join: the whole gram
+    # pipeline upstream of the entries ran twice). Entries are slim
+    # (id + a few ints per prefix position) — MBs, materialized once.
+    ent = widen_for_explosion(
+        entries.localCheckpoint(eager=True), "token"
+    )
     cnt = ent.groupBy("token").agg(F.count(F.lit(1)).alias("__m"))
     k = F.greatest(
         F.ceil(F.col("__m") / F.lit(chunk)).cast("int"), F.lit(1)
@@ -375,7 +382,17 @@ def _candidates_self(
     (m > chunk) fan out as (chunk, chunk) array-pair units repartitioned
     across the cluster — AQE cannot split a single exploding key, this
     can (guide §2.5)."""
-    grp = _grouped_entries(entries, chunk, fields)
+    # eager localCheckpoint at the fan-out point: three branches (cool
+    # within, hot within, hot cross x2 sides) read these arrays, and
+    # AQE materializes sibling union branches as CONCURRENT jobs whose
+    # exchange reuse is not guaranteed — profiled on the edit join as
+    # 16 parallel recomputations of the same gram pipeline (guide §3.3
+    # "materialising an intermediate truncates the plan"). The arrays
+    # are entry-sized (MBs), blocks are reclaimed when the reference
+    # drops.
+    grp = _grouped_entries(entries, chunk, fields).localCheckpoint(
+        eager=True
+    )
     # common case: every chunk pairs within itself, in place
     single = _within_pairs(grp.filter(F.col("__m") <= F.lit(chunk)), fields)
     # hot tokens: their within-chunk arrays spread by (token, chunk) and
@@ -407,17 +424,27 @@ def _candidates_cross(
     corpora joined on token — every (chunk_a, chunk_b) unit covers its
     pair block exactly once. Units where either side is hot are
     repartitioned before exploding."""
-    ga = _grouped_entries(entries_a, chunk, fields).select(
-        "token",
-        F.col("__m").alias("__ma"),
-        F.col("__ch").alias("__c1"),
-        F.col("es").alias("__ea"),
+    # eager localCheckpoint: same sibling-branch recompute defense as
+    # the self join (cool and hot branches both read each side)
+    ga = (
+        _grouped_entries(entries_a, chunk, fields)
+        .localCheckpoint(eager=True)
+        .select(
+            "token",
+            F.col("__m").alias("__ma"),
+            F.col("__ch").alias("__c1"),
+            F.col("es").alias("__ea"),
+        )
     )
-    gb = _grouped_entries(entries_b, chunk, fields).select(
-        "token",
-        F.col("__m").alias("__mb"),
-        F.col("__ch").alias("__c2"),
-        F.col("es").alias("__eb"),
+    gb = (
+        _grouped_entries(entries_b, chunk, fields)
+        .localCheckpoint(eager=True)
+        .select(
+            "token",
+            F.col("__m").alias("__mb"),
+            F.col("__ch").alias("__c2"),
+            F.col("es").alias("__eb"),
+        )
     )
     joined = ga.join(gb, "token")
     is_hot = (F.col("__ma") > F.lit(chunk)) | (F.col("__mb") > F.lit(chunk))
