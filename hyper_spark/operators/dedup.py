@@ -203,14 +203,19 @@ def write_signature_store(
         include_shingle_hashes=True,
     )
     sig.write.mode(mode).parquet(f"{path}/signatures")
-    params = dict(
-        id_col=id_col, text_col=text_col, num_hashes=num_hashes,
-        bands=bands, shingle_n=shingle_n, threshold=float(threshold),
-        seed=seed,
-    )
-    df.sparkSession.createDataFrame([params]).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/params")
+    # params row built from JVM literals over range(1), NOT
+    # createDataFrame([dict]): the local-list path runs a Python task
+    # whose worker spawn cost 4.5 s of the store build (profiled r6) —
+    # for ONE row of constants.
+    df.sparkSession.range(1).select(
+        F.lit(bands).cast("long").alias("bands"),
+        F.lit(id_col).alias("id_col"),
+        F.lit(num_hashes).cast("long").alias("num_hashes"),
+        F.lit(seed).cast("long").alias("seed"),
+        F.lit(shingle_n).cast("long").alias("shingle_n"),
+        F.lit(text_col).alias("text_col"),
+        F.lit(float(threshold)).alias("threshold"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def read_signature_store(spark, path: str) -> tuple[DataFrame, dict]:

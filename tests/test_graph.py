@@ -94,10 +94,30 @@ def test_cc_empty(spark):
     assert connected_components(df).count() == 0
 
 
+def test_cc_driver_fast_path_matches_distributed(spark):
+    """The bounded union-find fast path and the SoCC'14 fixpoint must
+    assign identical components (incl. messy input: self loops, dup
+    orientations, isolated self-loop nodes)."""
+    rng = random.Random(11)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(400)]
+    edges += [(7, 7), (999, 999), (5, 5), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(df, collect_max=0).collect()
+    }
+    assert fast == dist
+
+
 def test_cc_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iterations=1)
+        # collect_max=0 pins the distributed fixpoint (the bounded
+        # union-find fast path would answer this tiny graph directly)
+        connected_components(df, max_iterations=1, collect_max=0)
 
 
 # ------------------------------------------------------------ near_dedup
