@@ -62,10 +62,15 @@ def hash_text_features(
     drown it in document-length mass (train and predict must agree)."""
     if not 2 <= n_features <= _MAX_FEATURES:
         raise ValueError(f"n_features must be in [2, {_MAX_FEATURES}]")
+    from hyper_spark.operators.util import spread
+
     tok = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
     tf = F.least(F.count("*"), F.lit(1)) if binary else F.count("*")
+    # spread(): a small-file scan arrives as ONE partition and the
+    # tokenize+md5 stage serializes onto one core (profiled 1.5 s at
+    # sf0.1); no-op on wide inputs
     return (
-        df.select(id_col, tok)
+        spread(df).select(id_col, tok)
         .filter(F.col("tok") != "")
         .select(
             id_col,
@@ -106,28 +111,63 @@ def logreg_fit(
     lr: float = 0.5,
     binary: bool = False,
     l2: float = 0.0,
+    feats: DataFrame | None = None,
 ) -> np.ndarray:
     """Full-batch logistic GD; returns the n_features weight vector.
     ``label_col`` must be 0/1 (cast to double). w starts at 0, each
     iteration steps lr × (mean gradient + l2·w) — the unrolled-SQL-
     oracle contract (module docstring) holds at the default l2=0; the
-    ridge penalty is a driver-side vector op, free at any scale."""
+    ridge penalty is a driver-side vector op, free at any scale.
+    ``feats`` injects an externally persisted ``hash_text_features``
+    table (caller owns its lifecycle) so train+predict pipelines hash
+    the corpus once."""
     if l2 < 0:
         raise ValueError(f"l2 must be >= 0, got {l2}")
-    labels = df.select(
-        id_col, F.col(label_col).cast("double").alias("y")
-    ).persist()
+    own_feats = feats is None
+    # both tables are persisted HASH-PARTITIONED BY id: every training
+    # iteration joins and groups them by id, and a cached partitioning
+    # satisfies those distributions — two exchanges per iteration drop
+    # out of the loop (guide §2.4: two operations keyed the same way
+    # share one exchange)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    labels = (
+        df.select(id_col, F.col(label_col).cast("double").alias("y"))
+        .repartition(par, id_col)
+        .persist()
+    )
     n_docs = labels.count()
     if n_docs == 0:
         raise ValueError("empty input")
-    feats = hash_text_features(
-        df, text_col=text_col, id_col=id_col, n_features=n_features,
-        binary=binary,
-    ).persist()
-    feats.count()
+    if own_feats:
+        feats = (
+            hash_text_features(
+                df, text_col=text_col, id_col=id_col, n_features=n_features,
+                binary=binary,
+            )
+            .repartition(par, id_col)
+            .persist()
+        )
+        feats.count()
     w = np.zeros(n_features)
     try:
-        for _ in range(iters):
+        for it in range(iters):
+            if it == 0:
+                # w = 0 ⇒ every margin is 0 and resid = 0.5 - y: no
+                # score join exists to compute (two jobs saved)
+                scored = labels.select(
+                    id_col, (F.lit(0.5) - F.col("y")).alias("resid")
+                )
+                grad_rows = (
+                    feats.join(scored, id_col)
+                    .groupBy("idx")
+                    .agg(
+                        (F.sum(F.col("tf") * F.col("resid")) / n_docs).alias("g")
+                    )
+                    .collect()
+                )
+                for r in grad_rows:
+                    w[r["idx"]] -= lr * r["g"]
+                continue
             scored = labels.join(_score(feats, w, id_col), id_col, "left").select(
                 id_col,
                 (
@@ -147,7 +187,8 @@ def logreg_fit(
             for r in grad_rows:
                 w[r["idx"]] -= lr * r["g"]
     finally:
-        feats.unpersist()
+        if own_feats:
+            feats.unpersist()
         labels.unpersist()
     return w
 
@@ -159,14 +200,19 @@ def logreg_predict(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     binary: bool = False,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """[id_col, p, pred]: sigmoid probability and thresholded class.
     Featureless docs score p = 0.5 exactly (pred 1 at the default
-    threshold — the same boundary rule on both engines)."""
-    feats = hash_text_features(
-        df, text_col=text_col, id_col=id_col, n_features=len(w),
-        binary=binary,
-    )
+    threshold — the same boundary rule on both engines). ``feats``
+    injects a precomputed ``hash_text_features`` table (same df/params
+    or the results are garbage) so train+predict pipelines hash the
+    corpus once."""
+    if feats is None:
+        feats = hash_text_features(
+            df, text_col=text_col, id_col=id_col, n_features=len(w),
+            binary=binary,
+        )
     p = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-F.coalesce(F.col("s"), F.lit(0.0)))
     )
@@ -193,20 +239,41 @@ def logreg_confusion(
     round_to: int = 4,
 ) -> DataFrame:
     """Train + self-predict + confusion summary:
-    [label, pred, n, avg_p] — the gate surface."""
-    w = logreg_fit(
-        df, label_col, text_col=text_col, id_col=id_col,
-        n_features=n_features, iters=iters, lr=lr, binary=binary,
-    )
-    preds = logreg_predict(
-        df, w, text_col=text_col, id_col=id_col, binary=binary
-    )
-    return (
-        df.select(id_col, F.col(label_col).cast("long").alias("label"))
-        .join(preds, id_col)
-        .groupBy("label", "pred")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("p"), round_to).alias("avg_p"),
+    [label, pred, n, avg_p] — the gate surface. The hashed feature
+    table is built (and persisted, partitioned by id) ONCE and shared
+    by training and the self-predict pass — the predict side used to
+    re-tokenize and re-hash the whole corpus."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    feats = (
+        hash_text_features(
+            df, text_col=text_col, id_col=id_col, n_features=n_features,
+            binary=binary,
         )
+        .repartition(par, id_col)
+        .persist()
     )
+    try:
+        w = logreg_fit(
+            df, label_col, text_col=text_col, id_col=id_col,
+            n_features=n_features, iters=iters, lr=lr, binary=binary,
+            feats=feats,
+        )
+        preds = logreg_predict(
+            df, w, text_col=text_col, id_col=id_col, binary=binary,
+            feats=feats,
+        )
+        # materialized eagerly (tiny: one row per confusion cell) so
+        # the shared feature cache can be released before returning
+        out = (
+            df.select(id_col, F.col(label_col).cast("long").alias("label"))
+            .join(preds, id_col)
+            .groupBy("label", "pred")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("p"), round_to).alias("avg_p"),
+            )
+        ).persist()
+        out.count()
+        return out
+    finally:
+        feats.unpersist()

@@ -51,6 +51,7 @@ from hyper_spark.functions.text import (
     word_tokens_col,
 )
 from hyper_spark.operators.util import spread as _spread
+from hyper_spark.operators.util import widen_for_explosion
 
 __all__ = [
     "exact_dedup",
@@ -1245,11 +1246,18 @@ def embedding_pairs(
     )
     if star is not None:
         candidates = candidates.unionByName(star)
+    # widen_for_explosion: the cosine screen is the CPU-heavy stage
+    # (interpreted zip_with+aggregate per candidate) and its shuffle
+    # input is slim id pairs, so AQE coalesced it to ONE task (2.5 s
+    # serialized at sf0.1 — profiled r6). Explicit-count exchanges on
+    # the join keys keep it wide; they replace the joins' own
+    # exchanges when those are shuffle joins.
+    half = widen_for_explosion(candidates, "id_a").join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")),
+        on="id_a",
+    )
     verified = (
-        candidates.join(
-            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")),
-            on="id_a",
-        )
+        widen_for_explosion(half, "id_b")
         .join(
             vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")),
             on="id_b",
