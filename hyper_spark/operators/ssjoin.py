@@ -280,36 +280,67 @@ _CHUNK = 4096
 _FIELDS = (("n", "n_a", "n_b"), ("pos", "pa", "pb"))
 
 
-def _grouped_entries(entries: DataFrame, chunk: int, fields) -> DataFrame:
-    """(token, __m, __ch, es) — per-token prefix entries chunked by
-    ``pmod(xxhash64(id), ceil(m/chunk))`` and collected into an
-    id-sorted struct array. One explicit-count exchange on token; the
-    per-token count join and the groupBy reuse that same exchange (both
-    are clustered by token)."""
-    # eager localCheckpoint: the per-token count and the chunk groupBy
-    # are two references to `entries`, and AQE's sibling-stage exchange
-    # reuse is not reliable (profiled on the edit join: the whole gram
-    # pipeline upstream of the entries ran twice). Entries are slim
-    # (id + a few ints per prefix position) — MBs, materialized once.
-    ent = widen_for_explosion(
-        entries.localCheckpoint(eager=True), "token"
-    )
-    cnt = ent.groupBy("token").agg(F.count(F.lit(1)).alias("__m"))
+# Hot-token threshold for the HYBRID candidate generator. Per-token
+# groups with m <= _HOT_MIN entries generate pairs through the plain
+# prefix-entry equi-join: the array machinery's per-ENTRY costs
+# (collect_list, sort_array, slice copies) outweigh its per-PAIR
+# savings when groups are small — measured 1.8x SLOWER than the join
+# on the sf1.0 edit join (90 s vs 50 s), whose grams are almost all
+# small-m. Groups above it go through id-sorted chunk arrays —
+# measured 2.4x FASTER at m ~ 370 (the sf0.1 shingle corpus), and the
+# only recall-lossless way to spread one exploding token (AQE cannot
+# split a single key). Small-m tokens contribute O(m^2) each to the
+# candidate total, so routing them through the join costs little even
+# when they are numerous; hot tokens dominate the quadratic and get
+# the array + chunk fan-out treatment.
+_HOT_MIN = 64
+
+
+def _prepared_entries(entries: DataFrame, chunk: int) -> DataFrame:
+    """Entries annotated with their token's entry count ``__m`` (one
+    window pass — no self-join, no second scan of the upstream
+    pipeline) and hot-chunk id ``__ch``, on an explicit token exchange,
+    eagerly checkpointed: every downstream branch (cool join sides,
+    hot array build, per-token counts) reads these blocks, because AQE
+    materializes sibling union branches as CONCURRENT jobs whose
+    exchange reuse is unreliable — profiled on the edit join as 16
+    parallel recomputations of the same gram pipeline (guide §3.3
+    'materialising an intermediate truncates the plan')."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("token")
     k = F.greatest(
         F.ceil(F.col("__m") / F.lit(chunk)).cast("int"), F.lit(1)
     )
     return (
-        ent.join(cnt, "token")
+        widen_for_explosion(entries, "token")
+        .withColumn("__m", F.count(F.lit(1)).over(w))
         .withColumn("__ch", F.pmod(F.xxhash64(F.col("id")), k).cast("int"))
-        .groupBy("token", "__m", "__ch")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct("id", *[src for src, _, _ in fields])
-                )
-            ).alias("es")
-        )
+        .localCheckpoint(eager=True)
     )
+
+
+def _grouped(hot: DataFrame, fields) -> DataFrame:
+    """(token, __m, __ch, es): hot entries collected into id-sorted
+    chunk arrays."""
+    return hot.groupBy("token", "__m", "__ch").agg(
+        F.sort_array(
+            F.collect_list(F.struct("id", *[src for src, _, _ in fields]))
+        ).alias("es")
+    )
+
+
+def _side(df: DataFrame, fields, which: str) -> DataFrame:
+    """Alias one side of the plain candidate join."""
+    cols = [F.col("token"), F.col("id").alias(f"id_{which}")]
+    for src, aa, bb in fields:
+        cols.append(F.col(src).alias(aa if which == "a" else bb))
+    return df.select(*cols)
+
+
+_OUT = lambda fields: ["id_a", "id_b"] + [  # noqa: E731
+    n for _, aa, bb in fields for n in (aa, bb)
+]
 
 
 def _xy_select(df: DataFrame, fields) -> DataFrame:
@@ -371,45 +402,52 @@ def _cross_pairs(joined: DataFrame, fields) -> DataFrame:
 
 
 def _candidates_self(
-    entries: DataFrame, chunk: int = _CHUNK, fields=_FIELDS
+    entries: DataFrame,
+    chunk: int = _CHUNK,
+    fields=_FIELDS,
+    hot_min: int = _HOT_MIN,
 ) -> DataFrame:
-    """Candidate (id_a<id_b, n, pos) rows for the SELF join: grouped
-    per-token arrays replace the prefix-entry self-join. Each unordered
-    pair is emitted exactly once per shared prefix token (i<j inside a
-    chunk; (ch_i, ch_j) with ch_i<ch_j across chunks), which halves
-    generated rows vs the join (which emits both orientations and
-    filters) and removes the join's second exchange + sort. Hot tokens
-    (m > chunk) fan out as (chunk, chunk) array-pair units repartitioned
-    across the cluster — AQE cannot split a single exploding key, this
-    can (guide §2.5)."""
-    # eager localCheckpoint at the fan-out point: three branches (cool
-    # within, hot within, hot cross x2 sides) read these arrays, and
-    # AQE materializes sibling union branches as CONCURRENT jobs whose
-    # exchange reuse is not guaranteed — profiled on the edit join as
-    # 16 parallel recomputations of the same gram pipeline (guide §3.3
-    # "materialising an intermediate truncates the plan"). The arrays
-    # are entry-sized (MBs), blocks are reclaimed when the reference
-    # drops.
-    grp = _grouped_entries(entries, chunk, fields).localCheckpoint(
-        eager=True
+    """Candidate rows for the SELF join, hybrid by per-token entry
+    count m (see _HOT_MIN):
+
+    * m <= hot_min — plain prefix-entry equi-join on token (both
+      orientations generated, id_a < id_b kept), on explicit-count
+      exchanges AQE cannot coalesce;
+    * hot_min < m <= chunk — one id-sorted array per token emits its
+      i<j pairs once (half the join's generated rows, no second
+      exchange/sort);
+    * m > chunk — the token's array splits into ceil(m/chunk) chunks
+      (pmod(xxhash64(id))): within-chunk arrays spread by (token,
+      chunk), cross-chunk (ch_i < ch_j) array-pair units by (token,
+      chunk, chunk) — the recall-LOSSLESS skew fan-out; AQE's skew
+      join cannot split a single exploding key, this can (guide §2.5).
+
+    Every unordered pair is emitted exactly once per shared prefix
+    token in all three regimes (a token belongs to exactly one)."""
+    entm = _prepared_entries(entries, chunk)
+    cool = entm.filter(F.col("__m") <= F.lit(hot_min))
+    join_cand = (
+        widen_for_explosion(_side(cool, fields, "a"), "token")
+        .join(widen_for_explosion(_side(cool, fields, "b"), "token"), "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(*_OUT(fields))
     )
-    # common case: every chunk pairs within itself, in place
+    hot = entm.filter(F.col("__m") > F.lit(hot_min))
+    # checkpointed: the within and cross branches both read the arrays
+    # (cheap when the hot class is empty — benign vocabularies)
+    grp = _grouped(hot, fields).localCheckpoint(eager=True)
     single = _within_pairs(grp.filter(F.col("__m") <= F.lit(chunk)), fields)
-    # hot tokens: their within-chunk arrays spread by (token, chunk) and
-    # their cross-chunk units by (token, chunk, chunk), so the quadratic
-    # fan-out of one token covers ceil(m/chunk)^2 tasks. All branches
-    # read the same token exchange (ReusedExchange); the m <= chunk
-    # filter prunes the hot branches to nothing on benign vocabularies.
-    hot = grp.filter(F.col("__m") > F.lit(chunk))
-    hot_within = _within_pairs(
-        widen_for_explosion(hot, "token", "__ch"), fields
+    big = grp.filter(F.col("__m") > F.lit(chunk))
+    big_within = _within_pairs(
+        widen_for_explosion(big, "token", "__ch"), fields
     )
-    left = hot.select("token", F.col("__ch").alias("__c1"), F.col("es").alias("__ea"))
-    right = hot.select("token", F.col("__ch").alias("__c2"), F.col("es").alias("__eb"))
+    left = big.select("token", F.col("__ch").alias("__c1"), F.col("es").alias("__ea"))
+    right = big.select("token", F.col("__ch").alias("__c2"), F.col("es").alias("__eb"))
     crossed = left.join(right, "token").filter(F.col("__c1") < F.col("__c2"))
     crossed = widen_for_explosion(crossed, "token", "__c1", "__c2")
     return (
-        single.unionByName(hot_within)
+        join_cand.unionByName(single)
+        .unionByName(big_within)
         .unionByName(_across_pairs(crossed, fields))
     )
 
@@ -419,40 +457,62 @@ def _candidates_cross(
     entries_b: DataFrame,
     chunk: int = _CHUNK,
     fields=_FIELDS,
+    hot_min: int = _HOT_MIN,
 ) -> DataFrame:
-    """Candidate rows for the R-S join: per-token chunk arrays of both
-    corpora joined on token — every (chunk_a, chunk_b) unit covers its
-    pair block exactly once. Units where either side is hot are
-    repartitioned before exploding."""
-    # eager localCheckpoint: same sibling-branch recompute defense as
-    # the self join (cool and hot branches both read each side)
-    ga = (
-        _grouped_entries(entries_a, chunk, fields)
-        .localCheckpoint(eager=True)
-        .select(
-            "token",
-            F.col("__m").alias("__ma"),
-            F.col("__ch").alias("__c1"),
-            F.col("es").alias("__ea"),
-        )
+    """Candidate rows for the R-S join, hybrid by per-token entry
+    counts (a token's pair block is COOL when both sides have
+    <= hot_min entries — plain equi-join — and HOT otherwise —
+    per-side chunk arrays joined on token, every (chunk_a, chunk_b)
+    unit covering its block exactly once, units involving a
+    beyond-chunk side repartitioned before exploding)."""
+    ea = _prepared_entries(entries_a, chunk)
+    eb = _prepared_entries(entries_b, chunk)
+    cnt_a = ea.groupBy("token").agg(F.max("__m").alias("__ma"))
+    cnt_b = eb.groupBy("token").agg(F.max("__m").alias("__mb"))
+    cls = cnt_a.join(cnt_b, "token").withColumn(
+        "__hot",
+        (F.col("__ma") > F.lit(hot_min)) | (F.col("__mb") > F.lit(hot_min)),
     )
-    gb = (
-        _grouped_entries(entries_b, chunk, fields)
-        .localCheckpoint(eager=True)
-        .select(
+    cool_toks = cls.filter(~F.col("__hot")).select("token")
+    hot_toks = cls.filter(F.col("__hot")).select("token")
+
+    join_cand = (
+        widen_for_explosion(
+            _side(ea.join(cool_toks, "token", "leftsemi"), fields, "a"),
             "token",
-            F.col("__m").alias("__mb"),
-            F.col("__ch").alias("__c2"),
-            F.col("es").alias("__eb"),
         )
+        .join(
+            widen_for_explosion(
+                _side(eb.join(cool_toks, "token", "leftsemi"), fields, "b"),
+                "token",
+            ),
+            "token",
+        )
+        .select(*_OUT(fields))
+    )
+
+    ga = _grouped(ea.join(hot_toks, "token", "leftsemi"), fields).select(
+        "token",
+        F.col("__m").alias("__ma"),
+        F.col("__ch").alias("__c1"),
+        F.col("es").alias("__ea"),
+    )
+    gb = _grouped(eb.join(hot_toks, "token", "leftsemi"), fields).select(
+        "token",
+        F.col("__m").alias("__mb"),
+        F.col("__ch").alias("__c2"),
+        F.col("es").alias("__eb"),
     )
     joined = ga.join(gb, "token")
-    is_hot = (F.col("__ma") > F.lit(chunk)) | (F.col("__mb") > F.lit(chunk))
-    cool = joined.filter(~is_hot)
-    hot = widen_for_explosion(
-        joined.filter(is_hot), "token", "__c1", "__c2"
+    is_big = (F.col("__ma") > F.lit(chunk)) | (F.col("__mb") > F.lit(chunk))
+    cool_units = joined.filter(~is_big)
+    big_units = widen_for_explosion(
+        joined.filter(is_big), "token", "__c1", "__c2"
     )
-    return _cross_pairs(cool, fields).unionByName(_cross_pairs(hot, fields))
+    return (
+        join_cand.unionByName(_cross_pairs(cool_units, fields))
+        .unionByName(_cross_pairs(big_units, fields))
+    )
 
 
 def similarity_join(

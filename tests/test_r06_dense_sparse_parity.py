@@ -98,13 +98,16 @@ def _pair_multiset(df):
 
 
 def test_candidates_self_chunked_parity(spark):
-    """chunk=7 forces the hot-token within + cross-chunk branches; the
-    emitted pair multiset must equal the unchunked one (every pair once
-    per shared token, id_a < id_b)."""
+    """hot_min=5 + chunk=7 forces all three hybrid regimes at once
+    (cool join for the m=3 tokens, hot arrays + cross-chunk units for
+    the m=40 token); the emitted pair multiset must equal the all-cool
+    (hot_min high) and the all-array (hot_min=0) forms."""
     ent = _entries(spark)
-    big = _pair_multiset(_candidates_self(ent, chunk=1000))
-    small = _pair_multiset(_candidates_self(ent, chunk=7))
-    assert small == big
+    big = _pair_multiset(_candidates_self(ent, chunk=1000, hot_min=1000))
+    hybrid = _pair_multiset(_candidates_self(ent, chunk=7, hot_min=5))
+    arrays = _pair_multiset(_candidates_self(ent, chunk=7, hot_min=0))
+    assert hybrid == big
+    assert arrays == big
     # sanity: hot token with m=40 contributes 40*39/2 pairs
     assert len(big) == 40 * 39 // 2 + sum(
         k * (k - 1) // 2 for k in (3, 3, 3, 3)
@@ -114,6 +117,8 @@ def test_candidates_self_chunked_parity(spark):
 def test_candidates_cross_chunked_parity(spark):
     ent = _entries(spark)
     other = ent.filter(F.col("id") % 2 == 0)
-    big = _pair_multiset(_candidates_cross(ent, other, chunk=1000))
-    small = _pair_multiset(_candidates_cross(ent, other, chunk=7))
-    assert small == big
+    big = _pair_multiset(_candidates_cross(ent, other, chunk=1000, hot_min=1000))
+    hybrid = _pair_multiset(_candidates_cross(ent, other, chunk=7, hot_min=5))
+    arrays = _pair_multiset(_candidates_cross(ent, other, chunk=7, hot_min=0))
+    assert hybrid == big
+    assert arrays == big
