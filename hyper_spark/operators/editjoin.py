@@ -44,14 +44,18 @@ Filter chain (each stage recall-LOSSLESS; proofs in comments):
    banded O(d*len) JVM kernel (returns -1 above the threshold), so
    the expensive unbanded DP never runs.
 
-100-TB shape: one shuffle for global gram frequencies (over the UNION
-of both corpora in R-S mode — the order must be shared), one groupBy
-to sort each string's grams, an equi-join on slim
-``(id, len, gram)`` prefix entries (texts never ride the candidate
-join — the minhash "bare band entries" lesson), candidate dedup in the
-counting groupBy itself, and a verification join that carries texts
-for survivors only. All stages are JVM codegen — no Python anywhere in
-the plan.
+100-TB shape: one explicit-count gram exchange feeding BOTH the
+global gram frequencies (over the UNION of both corpora in R-S mode —
+the order must be shared) and the prefix build, one groupBy to sort
+each string's grams, then the ssjoin HYBRID candidate generator over
+slim ``(id, len, gram)`` prefix entries (texts never ride candidate
+generation — the minhash "bare band entries" lesson; small-m grams
+take the plain equi-join, hot grams id-sorted arrays with the chunked
+skew fan-out), candidate dedup in the counting groupBy itself, and a
+verification join that carries texts for survivors only. All
+character-join stages are JVM codegen — no Python anywhere in the
+plan (the token-sequence variant's banded DP verification is the one
+Arrow-batched Python stage, as documented below).
 
 Reference scope note: the reference engine (GameAnalytics/hyper) has no
 string-join surface; this operator is part of the engine's

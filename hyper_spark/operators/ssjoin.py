@@ -28,17 +28,30 @@ full inverted-index path (dedup.ngram_jaccard_pairs):
   genuinely need them. Measured at sf0.1: 23.4 s vs 482 s (20.6x) for
   identical output (BENCH/BASELINE.md).
 
-100-TB shape: one shuffle for document frequencies (over the UNION of
-both corpora in R-S mode — the total order must be shared), one
-groupBy per corpus to order each document's tokens, an equi-join on
-slim ``(id, n, pos, token)`` prefix entries (full token arrays never
-ride the join — the minhash "bare band entries" lesson), a
-candidate-level position filter (PPJoin shape: shared-prefix count
-plus the tokens remaining after the LAST shared prefix position bounds
-the overlap), and an exact verification that joins the token arrays
-back for surviving candidates only. Deduplication of candidates
-happens in the counting groupBy itself, never as a separate distinct.
-All stages are JVM codegen — no Python in the plan.
+Two physical regimes (round-6 optimization):
+
+* **Dense small-vocab fast path** — when the distinct token universe
+  fits a fixed-width bitmap (vocab <= 4096) and the corpus's unpacked
+  float32 bit matrix fits one worker (<= 512 MB), exact Jaccard for
+  every pair is a blocked 0/1 GEMM over packed bitmaps inside Arrow
+  batches (guide §4.2). Intersection counts are integer-exact in
+  float32 below 2^24, so outputs are bit-identical to the sparse
+  arithmetic. A tiny vocabulary is exactly where the prefix filter
+  degenerates to all-pairs; this answers the same N^2 space at its
+  floor (measured 4x on the sf0.1 bench corpus).
+* **Sparse prefix path** (the 100-TB shape): one shuffle for document
+  frequencies (over the UNION of both corpora in R-S mode — the total
+  order must be shared), one groupBy per corpus to order each
+  document's tokens, then a HYBRID candidate generator over slim
+  ``(id, n, pos, token)`` prefix entries routed per token by entry
+  count m — plain equi-join for small groups, id-sorted per-token
+  arrays emitting each pair once for large ones, and a chunked
+  (token, chunk, chunk) fan-out above 4096 entries (the
+  recall-lossless skew defense: AQE cannot split a single exploding
+  key). Candidate-level position filter (PPJoin shape) and exact
+  verification join token arrays back for surviving candidates only;
+  deduplication happens in the counting groupBy itself. All sparse
+  stages are JVM codegen.
 
 Reference scope note: the reference engine (GameAnalytics/hyper) has no
 similarity-join surface; this operator is part of the engine's
@@ -338,9 +351,9 @@ def _side(df: DataFrame, fields, which: str) -> DataFrame:
     return df.select(*cols)
 
 
-_OUT = lambda fields: ["id_a", "id_b"] + [  # noqa: E731
-    n for _, aa, bb in fields for n in (aa, bb)
-]
+def _out_cols(fields) -> list:
+    """Output column order shared by every candidate branch."""
+    return ["id_a", "id_b"] + [n for _, aa, bb in fields for n in (aa, bb)]
 
 
 def _xy_select(df: DataFrame, fields) -> DataFrame:
@@ -430,7 +443,7 @@ def _candidates_self(
         widen_for_explosion(_side(cool, fields, "a"), "token")
         .join(widen_for_explosion(_side(cool, fields, "b"), "token"), "token")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(*_OUT(fields))
+        .select(*_out_cols(fields))
     )
     hot = entm.filter(F.col("__m") > F.lit(hot_min))
     # checkpointed: the within and cross branches both read the arrays
@@ -488,7 +501,7 @@ def _candidates_cross(
             ),
             "token",
         )
-        .select(*_OUT(fields))
+        .select(*_out_cols(fields))
     )
 
     ga = _grouped(ea.join(hot_toks, "token", "leftsemi"), fields).select(
