@@ -124,6 +124,15 @@ def frequent_sequences(
             if max_gap is not None
             else F.lit(True)
         )
+        # support prune via ONE window pass over the extension table
+        # (r6): the projection holds one row per supporting sequence,
+        # so count(*) over (partition by __pat) IS the support — the
+        # old persist + broadcast-frequency build + semi-join cost an
+        # extra job and a cache round trip per level for the same
+        # pruned projection.
+        from pyspark.sql.window import Window
+
+        sup_w = Window.partitionBy("__pat")
         ext = (
             proj.join(turns, on=sby)
             .filter((F.col("__pos") > F.col("__end")) & gap_ok)
@@ -133,17 +142,12 @@ def frequent_sequences(
                 F.concat_ws(sep, "__pat", "__it").alias("__pat"),
             )
             .agg(F.min("__pos").alias("__end"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        freq = (
-            ext.groupBy("__pat")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .filter(F.col("support") >= min_support)
         )
         proj = _checkpoint(
-            ext.join(F.broadcast(freq.select("__pat")), on="__pat")
+            ext.withColumn("__sup", F.count(F.lit(1)).over(sup_w))
+            .filter(F.col("__sup") >= min_support)
+            .drop("__sup")
         )
-        ext.unpersist()
         levels.append(_support(proj, level))
         if proj.limit(1).count() == 0:
             break
