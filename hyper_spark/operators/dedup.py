@@ -725,8 +725,12 @@ def minhash_join_pairs(
         )
 
     bl = bands_of(sig_l, "l")
-    br = bands_of(sig_r, "r").persist()
+    # the right band table is referenced three times under max_bucket
+    # (sizes, semi-join, reps) but exactly ONCE without it — persisting
+    # it then just adds a materialization pass (r6)
+    br = bands_of(sig_r, "r")
     if max_bucket is not None:
+        br = br.persist()
         rsizes = br.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("__bs")
         )
@@ -849,7 +853,8 @@ def minhash_join_pairs(
     )
     verified = verified.persist()
     verified.count()
-    br.unpersist()
+    if max_bucket is not None:
+        br.unpersist()
     if own_l:
         sig_l.unpersist()
     if own_r:
